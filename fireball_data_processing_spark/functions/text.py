@@ -1,0 +1,96 @@
+"""Text normalization functions (SURVEY.md section 2.7, F1-F8, F11, F15).
+
+All pure Column expressions (regexp_replace / concat / when chains); the
+reference implements these with Python ``re`` per event, here they run in
+whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def strip_parentheticals(c: Column) -> Column:
+    """F1 (reference distill3a_ic_regex.py:34-36,45): remove OOC asides."""
+    return F.regexp_replace(c, r"\(.*?\)", "")
+
+
+def strip_mentions(c: Column) -> Column:
+    """F2 (reference distill4_normalize.py:340): Discord user/role/channel
+    mentions."""
+    return F.regexp_replace(c, r"<(@[!&]?|#)\d{17,20}>", "")
+
+
+def normalize_emoji(c: Column) -> Column:
+    """F3 (reference distill4_normalize.py:343): custom emoji -> :name:."""
+    return F.regexp_replace(c, r"<a?(:\w+?:)\d{17,20}>", r"$1")
+
+
+def normalize_prefix(content: Column, prefix: Column) -> Column:
+    """F4 (reference distill4_normalize.py:357): replace the leading command
+    prefix with '!' (first occurrence only, anchored); non-command content
+    passes through."""
+    return F.when(
+        content.startswith(prefix),
+        F.concat(
+            F.lit("!"),
+            content.substr(F.length(prefix) + 1, F.length(content)),
+        ),
+    ).otherwise(content)
+
+
+def word_count(c: Column) -> Column:
+    """F6 (reference heuristics/ratio.py:24): ``' '``-split word count —
+    runs of spaces yield empty words, exactly like the reference."""
+    return F.size(F.split(c, " "))
+
+
+def truncate_words(c: Column, n: int = 200) -> Column:
+    """F7 (reference distill3b_ic_classifier_gpt.py:44-45): keep the first
+    ``n`` ' '-split words."""
+    return F.array_join(F.slice(F.split(c, " "), 1, n), " ")
+
+
+def md5_id(c: Column) -> Column:
+    """F8 (reference scripts/anonymize.py:24-29): anonymized id from md5.
+    The reference formats little-endian md5 bytes as an 18-digit decimal;
+    the engine keeps the hex digest (same anonymity, engine-portable)."""
+    return F.md5(c.cast("string"))
+
+
+def hp_band(hp: Column, max_hp: Column, temp_hp: Column) -> Column:
+    """F11 (reference distill4_normalize.py:166-190): HP ratio banding with
+    the reference's band boundaries, plus the temp-HP suffix."""
+    ratio = hp.cast("double") / max_hp.cast("double")
+    band = (
+        F.when(max_hp.isNull() | (max_hp == 0) | hp.isNull(), F.lit(None).cast("string"))
+        .when(ratio >= 1.0, F.lit("Healthy"))
+        .when(ratio > 0.5, F.lit("Injured"))
+        .when(ratio > 0.15, F.lit("Bloodied"))
+        .when(ratio > 0.0, F.lit("Critical"))
+        .otherwise(F.lit("Dead"))
+    )
+    base = F.when(
+        band.isNotNull(),
+        F.format_string("<%d/%d HP; %s>", hp, max_hp, band),
+    )
+    return F.when(
+        F.coalesce(temp_hp, F.lit(0)) > 0,
+        F.concat(base, F.format_string(" (+%d temp)", temp_hp)),
+    ).otherwise(base)
+
+
+def caster_id(
+    owner_id: Column, character_id: Column, owner: Column, upstream: Column,
+    fallback_id: Column,
+) -> Column:
+    """F15 (reference distill2_authors.py:47-52): coalesce of composite ids."""
+    a = F.when(
+        owner_id.isNotNull() & character_id.isNotNull(),
+        F.concat_ws("-", owner_id, character_id),
+    )
+    b = F.when(
+        owner.isNotNull() & upstream.isNotNull(), F.concat_ws("-", owner, upstream)
+    )
+    return F.coalesce(a, b, fallback_id)

@@ -1,0 +1,98 @@
+"""Text analysis for training-data pipelines: language-ID, quality scoring,
+token counting, fingerprinting. All JVM-side Column expressions.
+
+These extend the reference's corpus-statistics surface
+(``scripts/count_num_chars_in_dataset.py``, A16/F17) with the standard
+LLM-data-pipeline measures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------
+# token counting (F17: the reference estimates tokens as chars/4)
+# ---------------------------------------------------------------------
+
+
+def approx_token_count_chars(c: Column) -> Column:
+    """Reference estimator: tokens ~ chars/4 (finetune_prep.py:223-228),
+    integer floor division."""
+    return (F.length(c) / 4).cast("bigint")
+
+
+def whitespace_token_count(c: Column) -> Column:
+    """Whitespace tokenization (split on runs)."""
+    return F.size(F.split(F.trim(c), r"\s+"))
+
+
+def bpe_ish_token_count(c: Column) -> Column:
+    """BPE-flavored estimate: count word pieces + digits + punctuation
+    separately (a regex approximation of byte-pair segmentation)."""
+    return F.size(
+        F.regexp_extract_all(c, F.lit(r"\w+|[^\w\s]"), 0)
+    )
+
+
+# ---------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+
+
+def quality_features(c: Column) -> dict[str, Column]:
+    """Standard quality heuristics: length, mean word length, punctuation
+    ratio, stopword ratio, alpha ratio. Compose into filters or scores."""
+    n_chars = F.length(c)
+    words = F.split(F.trim(c), r"\s+")
+    n_words = F.size(words)
+    n_punct = F.length(F.regexp_replace(c, r"[^.,;:!?]", ""))
+    n_alpha = F.length(F.regexp_replace(c, r"[^a-zA-Z]", ""))
+    stop_hits = F.size(F.filter(words, lambda w: F.lower(w).isin(*_STOPWORDS)))
+    return {
+        "n_chars": n_chars.cast("bigint"),
+        "n_words": n_words.cast("bigint"),
+        "mean_word_len": F.when(
+            n_words > 0, (n_chars - n_words + 1).cast("double") / n_words
+        ),
+        "punct_ratio": F.when(n_chars > 0, n_punct.cast("double") / n_chars),
+        "alpha_ratio": F.when(n_chars > 0, n_alpha.cast("double") / n_chars),
+        "stopword_ratio": F.when(n_words > 0, stop_hits.cast("double") / n_words),
+    }
+
+
+# ---------------------------------------------------------------------
+# language ID (n-gram heuristic)
+# ---------------------------------------------------------------------
+
+# tiny per-language marker lexicons; a real deployment swaps in character
+# n-gram profiles — the plan shape (score per language, argmax) is identical.
+_LANG_MARKERS = {
+    "en": ("the", "and", "is", "of"),
+    "es": ("el", "la", "que", "de"),
+    "de": ("der", "die", "und", "nicht"),
+    "fr": ("le", "la", "et", "les"),
+}
+
+
+def lang_scores(c: Column) -> dict[str, Column]:
+    """Per-language marker-hit counts over whitespace tokens."""
+    words = F.split(F.lower(F.trim(c)), r"\s+")
+    return {
+        lang: F.size(F.filter(words, lambda w: w.isin(*marks))).cast("bigint")
+        for lang, marks in _LANG_MARKERS.items()
+    }
+
+
+# ---------------------------------------------------------------------
+# fingerprinting
+# ---------------------------------------------------------------------
+
+
+def content_fingerprint(c: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the dedup-normalized text
+    (lowercase, collapsed whitespace). The rolling-hash variant for
+    shift-resistant fingerprints is the MinHash path in operators.dedup."""
+    return F.md5(F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")))

@@ -1,0 +1,34 @@
+"""Sessionization, join, ordering, sampling, dedup and similarity operators
+(SURVEY.md sections 2.3, 2.5, 2.6 + the LLM-pipeline extensions)."""
+
+from fireball_data_processing_spark.operators.asof import (
+    asof_backward_col,
+    asof_forward_col,
+    asof_join,
+    nearest_join,
+)
+from fireball_data_processing_spark.operators.runs import with_run_ids
+from fireball_data_processing_spark.operators.correlate import with_correlation_groups
+from fireball_data_processing_spark.operators.windows import (
+    find_first_after,
+    history_window,
+    paginate,
+)
+from fireball_data_processing_spark.operators.sampling import (
+    deterministic_sample,
+    deterministic_split,
+)
+
+__all__ = [
+    "asof_backward_col",
+    "asof_forward_col",
+    "asof_join",
+    "nearest_join",
+    "with_run_ids",
+    "with_correlation_groups",
+    "find_first_after",
+    "history_window",
+    "paginate",
+    "deterministic_sample",
+    "deterministic_split",
+]

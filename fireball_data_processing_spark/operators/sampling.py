@@ -1,0 +1,50 @@
+"""Deterministic sampling, shuffling and splitting (O5/O8).
+
+The reference shuffles with ``random.seed(42)`` and splits with sklearn's
+seeded ``train_test_split`` (``finetune_prep.py:174-196``). Seeded RNG order
+is engine-specific, so the distributed-friendly (and oracle-reproducible)
+equivalent is **hash ordering**: rank rows by ``md5(key)``. This is stable
+under repartitioning, cluster size, and retries — properties a seeded
+global shuffle does not have at 100 TB — and any engine with md5
+reproduces it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_rank(key: Column, salt: str = "") -> Column:
+    """Deterministic pseudo-random rank in [0, 1): the first 8 hex digits of
+    md5(salt || key) scaled. Equivalent DuckDB SQL:
+    ``('0x' || substr(md5(salt || key), 1, 8))::BIGINT / 4294967296.0``."""
+    h = F.md5(F.concat(F.lit(salt), key.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") / F.lit(4294967296.0)
+
+
+def deterministic_sample(
+    df: DataFrame, key: Column, n: int, salt: str = ""
+) -> DataFrame:
+    """Seeded-shuffle-then-head-N (O5) as hash-order + limit."""
+    return (
+        df.withColumn("__hr", hash_rank(key, salt))
+        .orderBy(F.col("__hr"), key)
+        .limit(n)
+        .drop("__hr")
+    )
+
+
+def deterministic_split(
+    df: DataFrame, key: Column, test_fraction: float, salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Train/test split by hashed key (O8): every row with the same key
+    lands in the same split (the reference splits by instance so pairs from
+    one instance never straddle train/test)."""
+    return df.withColumn(
+        split_col,
+        F.when(hash_rank(key, salt) < test_fraction, F.lit("test")).otherwise(
+            F.lit("train")
+        ),
+    )

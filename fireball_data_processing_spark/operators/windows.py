@@ -1,0 +1,100 @@
+"""Ordered-window utilities: bounded search, rolling history, pagination.
+
+- ``find_first_after``: the reference's ``Instance.find`` — first event
+  matching a predicate within a bounded index window after an anchor
+  (``heuristics/utils.py:127-148``, G4); also the embed-finding and
+  tupper-lookahead joins (J7/J8) specialize this shape.
+- ``history_window``: running history over the last K prior rows
+  (``distill4_normalize.py:383-399``, G12 — last-5 utterance history).
+- ``paginate``: explorer-style multi-key sort + page slice
+  (``explorer/src/components/DatasetTable.vue:15-42``, O2/O3).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def find_first_after(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    order_col: str,
+    anchor_predicate: Column,
+    match_predicate: Column,
+    value: Column,
+    lookahead: int,
+    out_col: str = "found",
+) -> DataFrame:
+    """For each anchor row, the ``value`` of the first row satisfying
+    ``match_predicate`` within the next ``lookahead`` rows (G4/J8 bounded
+    lookahead). Returns only anchor rows, with ``out_col`` attached
+    (null if nothing matches in the window)."""
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(order_col)
+        .rowsBetween(1, lookahead)
+    )
+    found = F.first(F.when(match_predicate, value), ignorenulls=True).over(w)
+    return df.withColumn(out_col, found).filter(anchor_predicate)
+
+
+def history_window(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    order_col: str,
+    value: Column,
+    k: int,
+    agg: str = "collect",
+    out_col: str = "history",
+) -> DataFrame:
+    """Rolling window over the K rows strictly before the current one.
+
+    ``agg``: 'collect' (ordered list, G12 semantics), 'sum' or 'count'
+    (numeric summaries — hash-comparable for oracles).
+    """
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(order_col)
+        .rowsBetween(-k, -1)
+    )
+    if agg == "collect":
+        expr = F.collect_list(value).over(w)
+    elif agg == "sum":
+        expr = F.sum(value).over(w)
+    elif agg == "count":
+        expr = F.count(value).over(w)
+    else:
+        raise ValueError(agg)
+    return df.withColumn(out_col, expr)
+
+
+def paginate(
+    df: DataFrame,
+    sort_keys: Sequence[tuple[str, bool]],
+    tiebreak_col: str,
+    page: int,
+    page_size: int = 250,
+) -> DataFrame:
+    """Multi-key sort with deterministic tiebreak, then one page of rows.
+
+    Matches the explorer's ordered (key, asc/desc) sort list with `_id`
+    tiebreak and 250-row pages. Implemented with row_number so it is a
+    single total-order window (at scale: serve from the pre-aggregated,
+    small heuristics matrix — never paginate a raw fact table).
+    """
+    order = [
+        (F.col(c).asc() if asc else F.col(c).desc()) for c, asc in sort_keys
+    ] + [F.col(tiebreak_col).asc()]
+    w = Window.orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(
+            (F.col("__rn") > page * page_size)
+            & (F.col("__rn") <= (page + 1) * page_size)
+        )
+        .drop("__rn")
+    )
