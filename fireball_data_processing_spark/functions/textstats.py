@@ -18,8 +18,9 @@ from pyspark.sql import functions as F
 
 def approx_token_count_chars(c: Column) -> Column:
     """Reference estimator: tokens ~ chars/4 (finetune_prep.py:223-228),
-    integer floor division."""
-    return (F.length(c) / 4).cast("bigint")
+    integer floor division (explicit floor: double->int casts round in some
+    engines and truncate in others)."""
+    return F.floor(F.length(c) / 4).cast("bigint")
 
 
 def whitespace_token_count(c: Column) -> Column:
@@ -50,12 +51,15 @@ def quality_features(c: Column) -> dict[str, Column]:
     n_words = F.size(words)
     n_punct = F.length(F.regexp_replace(c, r"[^.,;:!?]", ""))
     n_alpha = F.length(F.regexp_replace(c, r"[^a-zA-Z]", ""))
+    word_chars = F.aggregate(
+        F.transform(words, lambda w: F.length(w)), F.lit(0), lambda a, v: a + v
+    )
     stop_hits = F.size(F.filter(words, lambda w: F.lower(w).isin(*_STOPWORDS)))
     return {
         "n_chars": n_chars.cast("bigint"),
         "n_words": n_words.cast("bigint"),
         "mean_word_len": F.when(
-            n_words > 0, (n_chars - n_words + 1).cast("double") / n_words
+            n_words > 0, word_chars.cast("double") / n_words
         ),
         "punct_ratio": F.when(n_chars > 0, n_punct.cast("double") / n_chars),
         "alpha_ratio": F.when(n_chars > 0, n_alpha.cast("double") / n_chars),

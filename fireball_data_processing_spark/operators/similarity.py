@@ -25,9 +25,14 @@ from pyspark.sql.window import Window
 
 
 def dot(a: Column, b: Column) -> Column:
-    """JVM-side dot product of two float arrays (whole-stage codegen)."""
+    """JVM-side dot product of two float arrays (whole-stage codegen).
+
+    Elements are cast to double BEFORE the multiply: float32*float32
+    rounds the product to float32, which both loses precision and
+    diverges from any engine that promotes first.
+    """
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
@@ -35,7 +40,9 @@ def dot(a: Column, b: Column) -> Column:
 
 def norm(a: Column) -> Column:
     return F.sqrt(
-        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v)
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
     )
 
 

@@ -378,6 +378,615 @@ def q_find_error_after_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "first_error_id")
 
 
+# =====================================================================
+# Generic join / aggregation / sort / sampling inventory
+# (sections 2.5 J1/J4/J10, 2.6 O1-O8, A16/A19/A20)
+# =====================================================================
+
+
+@query(
+    "pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+  ROUND(SUM(l_quantity), 2) AS sum_qty,
+  ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  ROUND(AVG(l_quantity), 6) AS avg_qty,
+  ROUND(AVG(l_extendedprice), 6) AS avg_price,
+  ROUND(AVG(l_discount), 6) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16-style single-pass multi-aggregate rollup over the fact table
+    (the TPC-H Q1 shape; partial aggregation map-side, one shuffle on a
+    2-value key)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "sum_disc_price"
+        ),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "revenue_by_nation",
+    """
+SELECT n_name,
+  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+""",
+)
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J2-style star join (TPC-H Q5 shape). Dims (nation/region/supplier)
+    are broadcast — no shuffle of the fact side for them; the only big
+    shuffle is lineitem x orders on orderkey."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "top_customers_page",
+    """
+SELECT c_custkey, ROUND(revenue, 2) AS revenue FROM (
+  SELECT c_custkey, SUM(o_totalprice) AS revenue,
+    ROW_NUMBER() OVER (ORDER BY SUM(o_totalprice) DESC, c_custkey ASC) AS rn
+  FROM customer JOIN orders ON o_custkey = c_custkey
+  GROUP BY c_custkey
+) WHERE rn <= 10
+""",
+)
+def q_top_customers_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/O2/O3 explorer sort+pagination over an aggregate (multi-key sort
+    with id tiebreak, page slice)."""
+    from fireball_data_processing_spark.operators.windows import paginate
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    rev = (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey")
+        .agg(F.sum("o_totalprice").alias("revenue"))
+    )
+    page = paginate(rev, [("revenue", False)], "c_custkey", page=0, page_size=10)
+    return page.select("c_custkey", F.round("revenue", 2).alias("revenue"))
+
+
+@query(
+    "customers_without_orders",
+    """
+SELECT c_custkey FROM customer
+ANTI JOIN orders ON o_custkey = c_custkey
+""",
+)
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 left-anti join (reference excludes command message_ids,
+    old/distill_rp_commands.py:62-63)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(
+        o, F.col("o_custkey") == F.col("c_custkey"), "left_anti"
+    ).select("c_custkey")
+
+
+@query(
+    "late_order_priorities",
+    """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders SEMI JOIN lineitem
+  ON l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+GROUP BY o_orderpriority
+""",
+)
+def q_late_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10 semi-join restriction (TPC-H Q4 shape): orders having at least
+    one lineitem shipped after the order date."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "event_stats_rollup",
+    """
+SELECT event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+FROM events
+GROUP BY ROLLUP (event_type)
+""",
+)
+def q_event_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16 corpus statistics with a grand-total rollup (reference
+    scripts/count_num_chars_in_dataset.py:31-93 does per-type Counters plus
+    a global roll-up — a natural GROUP BY ROLLUP)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.rollup("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@query(
+    "znorm_user_values",
+    """
+SELECT event_id, user_id,
+  ROUND((value - AVG(value) OVER w) / STDDEV_SAMP(value) OVER w, 6) AS z
+FROM events
+WINDOW w AS (PARTITION BY user_id)
+""",
+)
+def q_znorm_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A20 per-rater z-normalization (reference
+    human_eval/results_analysis.py:78-85) as a partition window."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    z = (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)
+    return ev.select("event_id", "user_id", F.round(z, 6).alias("z"))
+
+
+@query(
+    "deterministic_sample_events",
+    """
+SELECT event_id,
+  ROUND(('0x' || substr(md5('s1' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+        / 4294967296.0, 10) AS hr
+FROM events
+ORDER BY ('0x' || substr(md5('s1' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+        / 4294967296.0, event_id
+LIMIT 100
+""",
+)
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 seeded-shuffle-then-head-N (reference finetune_prep.py:192-196),
+    re-expressed as deterministic hash ordering — stable under
+    repartitioning and engine changes, unlike seeded RNG."""
+    from fireball_data_processing_spark.operators.sampling import (
+        deterministic_sample,
+        hash_rank,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+    out = deterministic_sample(ev, F.col("event_id"), 100, salt="s1")
+    return out.select(
+        "event_id", F.round(hash_rank(F.col("event_id"), "s1"), 10).alias("hr")
+    )
+
+
+@query(
+    "train_test_split_counts",
+    """
+SELECT
+  CASE WHEN ('0x' || substr(md5('v1' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+            / 4294967296.0 < 0.25
+       THEN 'test' ELSE 'train' END AS split,
+  COUNT(DISTINCT user_id) AS n_users,
+  COUNT(*) AS n_events
+FROM events
+GROUP BY 1
+""",
+)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O8 instance-disjoint train/test split (reference
+    finetune_prep.py:174-177): every event of a user lands in one split."""
+    from fireball_data_processing_spark.operators.sampling import deterministic_split
+
+    ev = load_table(spark, sf_dir, "events")
+    out = deterministic_split(ev, F.col("user_id"), 0.25, salt="v1")
+    return out.groupBy("split").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "paginate_events",
+    """
+SELECT event_id, value FROM (
+  SELECT event_id, value,
+    ROW_NUMBER() OVER (ORDER BY value DESC, event_id ASC) AS rn
+  FROM events
+) WHERE rn > 500 AND rn <= 750
+""",
+)
+def q_paginate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 pagination (explorer page slices of 250)."""
+    from fireball_data_processing_spark.operators.windows import paginate
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    return paginate(ev, [("value", False)], "event_id", page=2, page_size=250)
+
+
+# =====================================================================
+# Documents: token counting, quality, language-ID, fingerprints, dedup
+# (F6/F7/F17/A16 + the LLM-pipeline text-analysis extensions)
+# =====================================================================
+
+
+@query(
+    "doc_token_stats",
+    """
+SELECT doc_id,
+  length(text) AS n_chars,
+  CAST(length(text) // 4 AS BIGINT) AS approx_tokens,
+  len(regexp_split_to_array(trim(text), '\\s+')) AS ws_tokens,
+  len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS bpe_ish_tokens
+FROM documents
+""",
+)
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F17 token counting (reference estimates tokens as chars/4,
+    finetune_prep.py:223-228) plus whitespace and BPE-ish counts."""
+    from fireball_data_processing_spark.functions import textstats as ts
+
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.length(t).cast("bigint").alias("n_chars"),
+        ts.approx_token_count_chars(t).alias("approx_tokens"),
+        ts.whitespace_token_count(t).cast("bigint").alias("ws_tokens"),
+        ts.bpe_ish_token_count(t).cast("bigint").alias("bpe_ish_tokens"),
+    )
+
+
+@query(
+    "doc_quality",
+    """
+WITH q AS (
+  SELECT doc_id,
+    length(text) AS n_chars,
+    regexp_split_to_array(trim(text), '\\s+') AS words,
+    length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+    length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha
+  FROM documents
+)
+SELECT doc_id,
+  CAST(n_chars AS BIGINT) AS n_chars,
+  CAST(len(words) AS BIGINT) AS n_words,
+  ROUND(CASE WHEN len(words) > 0 THEN
+    list_sum(list_transform(words, w -> length(w)))::DOUBLE / len(words) END, 6)
+    AS mean_word_len,
+  ROUND(CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars END, 6) AS punct_ratio,
+  ROUND(CASE WHEN n_chars > 0 THEN n_alpha::DOUBLE / n_chars END, 6) AS alpha_ratio,
+  ROUND(CASE WHEN len(words) > 0 THEN
+    len(list_filter(words, w -> lower(w) IN
+      ('the','a','of','and','to','in','is','it','that','for')))::DOUBLE
+    / len(words) END, 6) AS stopword_ratio
+FROM q
+""",
+)
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring features (LLM-pipeline extension over the reference's
+    corpus stats): length, word stats, punctuation/alpha/stopword ratios."""
+    from fireball_data_processing_spark.functions.textstats import quality_features
+
+    d = load_table(spark, sf_dir, "documents")
+    feats = quality_features(F.col("text"))
+    ratio_cols = ("mean_word_len", "punct_ratio", "alpha_ratio", "stopword_ratio")
+    return d.select(
+        "doc_id",
+        *[
+            (F.round(expr, 6) if name in ratio_cols else expr).alias(name)
+            for name, expr in feats.items()
+        ],
+    )
+
+
+@query(
+    "doc_lang_scores",
+    """
+WITH w AS (
+  SELECT doc_id, lang,
+    regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+  FROM documents
+)
+SELECT doc_id, lang AS labeled_lang,
+  len(list_filter(words, x -> x IN ('the','and','is','of'))) AS score_en,
+  len(list_filter(words, x -> x IN ('el','la','que','de'))) AS score_es,
+  len(list_filter(words, x -> x IN ('der','die','und','nicht'))) AS score_de,
+  len(list_filter(words, x -> x IN ('le','la','et','les'))) AS score_fr
+FROM w
+""",
+)
+def q_doc_lang_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID marker scores (n-gram-heuristic shape: score per
+    language, argmax client-side or via greatest())."""
+    from fireball_data_processing_spark.functions.textstats import lang_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    scores = lang_scores(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[expr.alias(f"score_{lang}") for lang, expr in scores.items()],
+    )
+
+
+@query(
+    "doc_fingerprints",
+    """
+SELECT doc_id,
+  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+""",
+)
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (md5 over dedup-normalized text; F8-style
+    hashing applied corpus-wide)."""
+    from fireball_data_processing_spark.functions.textstats import content_fingerprint
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", content_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@query(
+    "exact_dedup_groups",
+    """
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash,
+  MIN(doc_id) AS canonical_id,
+  COUNT(*) AS n_docs
+FROM documents
+GROUP BY 1
+""",
+)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact deduplication: group by content digest, keep canonical min id.
+    At scale the 32-byte digest, never the raw text, is the shuffle key."""
+    from fireball_data_processing_spark.operators.dedup import exact_dedup_groups
+
+    d = load_table(spark, sf_dir, "documents")
+    return exact_dedup_groups(d)
+
+
+@query(
+    "doc_truncate_preview",
+    """
+SELECT doc_id,
+  array_to_string(list_slice(string_split(text, ' '), 1, 20), ' ') AS preview,
+  len(string_split(text, ' ')) AS word_count
+FROM documents
+""",
+)
+def q_doc_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 word truncation + F6 ' '-split word count (reference
+    distill3b_ic_classifier_gpt.py:44-45, heuristics/ratio.py:24)."""
+    from fireball_data_processing_spark.functions.text import truncate_words, word_count
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        truncate_words(F.col("text"), 20).alias("preview"),
+        word_count(F.col("text")).cast("bigint").alias("word_count"),
+    )
+
+
+# =====================================================================
+# Near-duplicate detection: MinHash + LSH + Jaccard, SimHash
+# =====================================================================
+
+_MINHASH_CTE = """
+WITH words AS (
+  SELECT doc_id,
+    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 2), ' ') AS shingle
+  FROM words, UNNEST(generate_series(1, greatest(len(w) - 2, 0))) AS t(i)
+  WHERE len(w) >= 3
+),
+sig AS (
+  SELECT doc_id,
+    MIN(md5('0#' || shingle)) AS mh0, MIN(md5('1#' || shingle)) AS mh1,
+    MIN(md5('2#' || shingle)) AS mh2, MIN(md5('3#' || shingle)) AS mh3,
+    MIN(md5('4#' || shingle)) AS mh4, MIN(md5('5#' || shingle)) AS mh5,
+    MIN(md5('6#' || shingle)) AS mh6, MIN(md5('7#' || shingle)) AS mh7
+  FROM sh GROUP BY doc_id
+)
+"""
+
+
+@query("minhash_signatures", _MINHASH_CTE + "SELECT * FROM sig")
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (8 hash functions, 3-word shingles): explode
+    shingles -> one grouped aggregation with 8 min() exprs. md5-hex min is
+    engine-portable."""
+    from fireball_data_processing_spark.operators.dedup import minhash_signature
+
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_signature(d, num_hashes=8, shingle_k=3)
+
+
+_LSH_PAIRS_CTE = _MINHASH_CTE + """,
+bands AS (
+  SELECT doc_id, 0 AS band_idx, mh0 || '|' || mh1 AS band_key FROM sig
+  UNION ALL SELECT doc_id, 1, mh2 || '|' || mh3 FROM sig
+  UNION ALL SELECT doc_id, 2, mh4 || '|' || mh5 FROM sig
+  UNION ALL SELECT doc_id, 3, mh6 || '|' || mh7 FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+)
+"""
+
+
+@query("lsh_candidate_pairs", _LSH_PAIRS_CTE + "SELECT id_a, id_b FROM cand")
+def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded LSH candidate generation (4 bands x 2 hashes): the self-join
+    is confined to band buckets — the scale path for near-dedup."""
+    from fireball_data_processing_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signature(d, num_hashes=8, shingle_k=3)
+    return lsh_candidate_pairs(sigs, num_hashes=8, band_size=2)
+
+
+@query(
+    "near_dup_pairs",
+    _LSH_PAIRS_CTE
+    + """
+SELECT c.id_a, c.id_b,
+  ROUND(
+    len(list_intersect(a.shs, b.shs))::DOUBLE
+    / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs)))::DOUBLE,
+  6) AS jaccard
+FROM cand c
+JOIN (SELECT doc_id, list_distinct(list(shingle)) AS shs FROM sh GROUP BY doc_id) a
+  ON a.doc_id = c.id_a
+JOIN (SELECT doc_id, list_distinct(list(shingle)) AS shs FROM sh GROUP BY doc_id) b
+  ON b.doc_id = c.id_b
+""",
+)
+def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dedup pipeline: MinHash -> LSH bands -> candidate pairs ->
+    exact n-gram Jaccard verification on candidates only."""
+    from fireball_data_processing_spark.operators.dedup import (
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signature(d, num_hashes=8, shingle_k=3)
+    pairs = lsh_candidate_pairs(sigs, num_hashes=8, band_size=2)
+    j = jaccard_pairs(d, pairs, shingle_k=3)
+    return j.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _simhash_oracle() -> str:
+    votes = ",\n    ".join(
+        f"SUM(CASE WHEN (h16 >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(16)
+    )
+    fp = " + ".join(f"CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(16))
+    return f"""
+WITH words AS (
+  SELECT doc_id,
+    list_distinct(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+  FROM documents
+),
+ex AS (
+  SELECT doc_id, ('0x' || substr(md5(t.x), 1, 4))::INTEGER AS h16
+  FROM words, UNNEST(w) AS t(x)
+),
+votes AS (
+  SELECT doc_id,
+    {votes}
+  FROM ex GROUP BY doc_id
+)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM votes
+"""
+
+
+@query("simhash_fingerprints", _simhash_oracle())
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (16-bit demo width; production uses 64): bit-
+    majority vote over word hashes, one grouped aggregation."""
+    from fireball_data_processing_spark.operators.dedup import simhash
+
+    d = load_table(spark, sf_dir, "documents")
+    return simhash(d, bits=16)
+
+
+# =====================================================================
+# Similarity search over embeddings
+# =====================================================================
+
+_COSINE_EXPR = """
+  list_sum(list_transform(generate_series(1, 64),
+           i -> q.qv[i]::DOUBLE * c.embedding[i]::DOUBLE))
+  / (sqrt(list_sum(list_transform(generate_series(1, 64),
+           i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE)))
+   * sqrt(list_sum(list_transform(generate_series(1, 64),
+           i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))))
+"""
+
+_ANN_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+    ROUND({_COSINE_EXPR}, 6) AS cosine_sim
+  FROM q, embeddings c
+  WHERE c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+@query("ann_cosine_topk", _ANN_ORACLE)
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (the exact baseline): JVM-side dot products
+    via zip_with/aggregate, broadcast corpus, per-query row_number top-k.
+    Ranking on the ROUNDED similarity with id tiebreak keeps the top-k set
+    engine-deterministic."""
+    from fireball_data_processing_spark.operators.similarity import brute_force_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    out = brute_force_topk(e.filter(F.col("vec_id") < 10), e, k=5, round_dp=6)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
