@@ -1,0 +1,224 @@
+"""Inline literal fixtures, rendered to BOTH Spark DataFrames and DuckDB
+VALUES clauses (FIXTURES.md section 8: shapes the driver tables can't
+express are built inline, mirrored into the oracle).
+
+Keep every fixture tiny and deterministic; they exist to pin the exact
+reference semantics (band boundaries, coalesce order, regex behavior), not
+to exercise scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _sql_literal(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return repr(v)
+
+
+def values_sql(rows: list[tuple], columns: list[str], casts: dict[str, str] | None = None) -> str:
+    """Render rows as ``(VALUES ...) AS t(c1, c2, ...)`` for DuckDB, with
+    optional per-column CAST applied in a wrapping projection."""
+    body = ",\n    ".join(
+        "(" + ", ".join(_sql_literal(v) for v in row) + ")" for row in rows
+    )
+    cols = ", ".join(columns)
+    if not casts:
+        return f"(VALUES\n    {body}\n) AS t({cols})"
+    proj = ", ".join(
+        f"CAST({c} AS {casts[c]}) AS {c}" if c in casts else c for c in columns
+    )
+    return f"(SELECT {proj} FROM (VALUES\n    {body}\n) AS t({cols}))"
+
+
+def spark_df(
+    spark: SparkSession, rows: list[tuple], ddl_schema: str
+) -> DataFrame:
+    return spark.createDataFrame(rows, schema=ddl_schema)
+
+
+# ---------------------------------------------------------------------
+# F11 HP banding fixture: every band boundary from the reference
+# (distill4_normalize.py:166-190) incl. temp-HP and null/zero max_hp.
+# ---------------------------------------------------------------------
+HP_ROWS = [
+    ("full", 20, 20, 0),
+    ("over", 25, 20, 0),
+    ("injured_hi", 19, 20, 0),
+    ("injured_lo", 11, 20, 0),
+    ("bloodied_hi", 10, 20, 0),
+    ("bloodied_lo", 4, 20, 0),
+    ("critical_hi", 3, 20, 0),
+    ("critical_lo", 1, 20, 0),
+    ("dead", 0, 20, 0),
+    ("negative", -5, 20, 0),
+    ("temped", 10, 20, 7),
+    ("no_max", 10, None, 0),
+    ("zero_max", 10, 0, 0),
+    ("null_hp", None, 20, 0),
+]
+HP_SCHEMA = "name string, hp int, max_hp int, temp_hp int"
+HP_COLUMNS = ["name", "hp", "max_hp", "temp_hp"]
+
+# ---------------------------------------------------------------------
+# F15 caster-id coalesce fixture (distill2_authors.py:47-52)
+# ---------------------------------------------------------------------
+CASTER_ROWS = [
+    ("both_composite", "o1", "c1", "ow", "up", "fallback"),
+    ("first_only", "o1", "c1", None, "up", "fallback"),
+    ("second_only", None, "c1", "ow", "up", "fallback"),
+    ("second_partial", None, None, "ow", None, "fallback"),
+    ("fallback_only", None, None, None, None, "fb2"),
+    ("owner_no_char", "o9", None, "ow", "up", "fb3"),
+]
+CASTER_SCHEMA = (
+    "name string, owner_id string, character_id string, owner string, "
+    "upstream string, fallback_id string"
+)
+CASTER_COLUMNS = ["name", "owner_id", "character_id", "owner", "upstream", "fallback_id"]
+
+# ---------------------------------------------------------------------
+# P2/P8/F1/F2/F3/F4/F6 content fixture: command prefixes, OOC markers,
+# parentheticals, mentions, emoji, multi-space runs (FIXTURES.md section 1)
+# ---------------------------------------------------------------------
+CONTENT_ROWS = [
+    (1, "!attack goblin", "!"),
+    (2, "$cast fireball", "$"),
+    (3, "a!init next", "a!"),
+    (4, "<@12345678901234567> hello there", "!"),
+    (5, "plain narrative text", "!"),
+    (6, "(ooc whisper) the rogue hides", "!"),
+    (7, "OOC: brb in five", "!"),
+    (8, "totally OOG comment", "!"),
+    (9, "   ", "!"),
+    (10, "", "!"),
+    (11, "watch  the   double  spaces", "!"),
+    (12, "custom emoji <a:wave:12345678901234567890> here", "!"),
+    (13, "role ping <@&123456789012345678> and channel <#12345678901234567>", "!"),
+    (14, "]snippet style", "]"),
+    (15, "%roll d20", "%"),
+    (16, "not(a full) paren (two) groups", "!"),
+    (17, "+prefix attack", "+prefix "),
+]
+CONTENT_SCHEMA = "id int, content string, prefix string"
+CONTENT_COLUMNS = ["id", "content", "prefix"]
+
+# ---------------------------------------------------------------------
+# F9 author anonymization fixture: first-appearance ordering incl. a bot
+# (scripts/anonymize.py:89-101)
+# ---------------------------------------------------------------------
+AUTHOR_ROWS = [
+    ("i1", 1, "u_alice", False),
+    ("i1", 2, "261302296103747584", True),
+    ("i1", 3, "u_bob", False),
+    ("i1", 4, "u_alice", False),
+    ("i1", 5, "u_carol", False),
+    ("i1", 6, "u_bob", False),
+    ("i2", 1, "u_zed", False),
+    ("i2", 2, "u_alice", False),
+]
+AUTHOR_SCHEMA = "instance_id string, seq int, author_id string, author_bot boolean"
+AUTHOR_COLUMNS = ["instance_id", "seq", "author_id", "author_bot"]
+
+# ---------------------------------------------------------------------
+# A17/A18 triples fixture: DM sets and the single-caster constraint
+# (distill2_authors.py:40-45, 72-84; FIXTURES.md section 5)
+# ---------------------------------------------------------------------
+TRIPLE_ROWS = [
+    ("i1", 1, "dm9", "u1-c1"),
+    ("i1", 1, "dm9", "u1-c1"),
+    ("i1", 2, "dm9", "u1-c1"),
+    ("i1", 2, "dm9", "u2-c2"),
+    ("i2", 1, "dm7", "u3-c3"),
+    ("i2", 2, "dm8", None),
+]
+TRIPLE_SCHEMA = "instance_id string, triple_id int, dm string, caster_id string"
+TRIPLE_COLUMNS = ["instance_id", "triple_id", "dm", "caster_id"]
+
+# ---------------------------------------------------------------------
+# FIREBALL-schema mini event stream (heuristics parity on the real roles:
+# message/command, author bots, init join/next, float epoch ts)
+# ---------------------------------------------------------------------
+FB_EVENT_ROWS = [
+    # inst, seq, type, ts, author, bot, content, command_name
+    ("c1", 1, "message", 100.0, "alice", False, "we should flank the troll", None),
+    ("c1", 2, "message", 101.5, "bob", False, "agreed  go left", None),
+    ("c1", 3, "command", 103.0, "alice", False, "!init join", "init join"),
+    ("c1", 4, "automation_run", 103.5, None, None, None, None),
+    ("c1", 5, "combat_state_update", 104.0, None, None, None, None),
+    ("c1", 6, "message", 110.0, "261302296103747584", True, "Avrae says hi", None),
+    ("c1", 7, "command", 111.0, "bob", False, "!attack troll", "attack"),
+    ("c1", 8, "command", 112.0, "alice", False, "!init next", "init next"),
+    ("c1", 9, "message", 115.0, "carol", False, "nice hit", None),
+    ("c2", 1, "command", 200.0, "dave", False, "!init join", "init join"),
+    ("c2", 2, "command", 201.0, "dave", False, "!init next", "init next"),
+    ("c3", 1, "message", 300.0, "erin", False, "anyone here", None),
+    ("c3", 2, "message", 301.0, "erin", False, "hello hello hello", None),
+    ("c4", 1, "combat_state_update", 400.0, None, None, None, None),
+]
+FB_EVENT_SCHEMA = (
+    "combat_id string, seq int, event_type string, timestamp double, "
+    "author_id string, author_bot boolean, content string, command_name string"
+)
+FB_EVENT_COLUMNS = [
+    "combat_id", "seq", "event_type", "timestamp", "author_id", "author_bot",
+    "content", "command_name",
+]
+
+# ---------------------------------------------------------------------
+# A6/A8/A9/A17 combat-state fixture: group combatants nesting one level
+# (heuristics/zhu.py:49-95; FIXTURES.md section 2)
+# ---------------------------------------------------------------------
+COMBAT_ROWS = [
+    ("c1", 1, "dm1", [
+        ("p1", "player", []),
+        ("g1", "group", [("m1", "monster"), ("m2", "monster")]),
+        ("npc1", "common", []),
+    ]),
+    ("c1", 2, "dm1", [
+        ("p1", "player", []),
+        ("p2", "player", []),
+        ("g1", "group", [("m2", "monster"), ("m3", "monster")]),
+    ]),
+    ("c1", 3, "dm2", [  # DM handoff (A17 multi-DM)
+        ("p1", "player", []),
+    ]),
+    ("c2", 1, "dm3", [  # no monsters -> A9 sentinel 255
+        ("p9", "player", []),
+        ("p10", "player", []),
+    ]),
+    ("c3", 1, "dm4", [
+        ("m9", "monster", []),
+    ]),
+]
+COMBAT_SPARK_SCHEMA = (
+    "combat_id string, update_seq int, dm string, "
+    "combatants array<struct<id:string,ctype:string,"
+    "inner:array<struct<id:string,ctype:string>>>>"
+)
+
+
+def combat_values_sql() -> str:
+    """DuckDB VALUES rendering of COMBAT_ROWS with struct/list literals."""
+
+    def unit(u):
+        return "{'id': '%s', 'ctype': '%s'}" % (u[0], u[1])
+
+    def comb(c):
+        inner = "[" + ", ".join(unit(u) for u in c[2]) + "]"
+        return "{'id': '%s', 'ctype': '%s', 'inner': %s}" % (c[0], c[1], inner)
+
+    rows = ",\n    ".join(
+        "('%s', %d, '%s', [%s])"
+        % (cid, seq, dm, ", ".join(comb(c) for c in combs))
+        for cid, seq, dm, combs in COMBAT_ROWS
+    )
+    return (
+        "(VALUES\n    " + rows + "\n) AS t(combat_id, update_seq, dm, combatants)"
+    )

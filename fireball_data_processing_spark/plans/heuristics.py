@@ -47,6 +47,16 @@ def _is_command(s: StreamSchema) -> Column:
     return F.col(s.type_col).isin(*s.command_types)
 
 
+def _is_utterance(s: StreamSchema) -> Column:
+    """Message-role events refined by the schema's utterance predicate
+    (the reference's non-bot, non-command-invocation filter,
+    heuristics/ratio.py:15-25)."""
+    base = _is_message(s)
+    if s.extra_utterance_predicate is not None:
+        base = base & s.extra_utterance_predicate()
+    return base
+
+
 def _measure(s: StreamSchema) -> Column:
     """Per-event numeric measure: word count of `content` in the reference
     (``' '``-split semantics, heuristics/ratio.py:24), or the schema's
@@ -98,6 +108,7 @@ def with_stream_features(df: DataFrame, s: StreamSchema) -> DataFrame:
     w_prior = w_ord.rowsBetween(Window.unboundedPreceding, -1)
 
     is_msg = _is_message(s)
+    is_utt = _is_utterance(s)
     is_cmd = _is_command(s)
 
     out = df.withColumn("_ev_ts", _ev_ts(s))
@@ -114,13 +125,13 @@ def with_stream_features(df: DataFrame, s: StreamSchema) -> DataFrame:
     )
     out = out.withColumn(
         "_prev_msg_ts",
-        F.last(F.when(is_msg, F.col("_ev_ts")), ignorenulls=True).over(w_auth_prior),
+        F.last(F.when(is_utt, F.col("_ev_ts")), ignorenulls=True).over(w_auth_prior),
     )
     # had the author any prior message at all (A15 —
     # reference heuristics/feng.py:19-36).
     out = out.withColumn(
         "_had_prior_msg",
-        F.max(F.when(is_msg, F.lit(1)).otherwise(F.lit(0))).over(w_auth_prior),
+        F.max(F.when(is_utt, F.lit(1)).otherwise(F.lit(0))).over(w_auth_prior),
     )
     # turn-change flag (P11, reference heuristics/utils.py:20-28): does the
     # current event's type differ from the previous event's type — on the
@@ -179,7 +190,7 @@ def _average_message_length(s: StreamSchema) -> Column:
     # reference heuristics/ratio.py:15-25: mean measure over messages,
     # 0.0 when the instance has none.
     return F.coalesce(
-        F.avg(F.when(_is_message(s), _measure(s))), F.lit(0.0)
+        F.avg(F.when(_is_utterance(s), _measure(s))), F.lit(0.0)
     )
 
 
@@ -202,7 +213,7 @@ def _avg_words_between_commands(s: StreamSchema) -> Column:
     # events; mean per-segment message measure INCLUDING the trailing
     # segment. Algebraically sum(measure over messages) / (n_commands + 1)
     # — a single-pass form of the reference's fold.
-    total = F.coalesce(F.sum(F.when(_is_message(s), _measure(s))), F.lit(0.0))
+    total = F.coalesce(F.sum(F.when(_is_utterance(s), _measure(s))), F.lit(0.0))
     n_cmd = F.count(F.when(_is_command(s), 1))
     return total / (n_cmd + F.lit(1)).cast("double")
 
@@ -214,7 +225,7 @@ def _avg_words_excl_last(s: StreamSchema) -> Column:
     # last command / n_commands; null when the instance has no commands.
     seq = F.col(s.seq_col)
     closed = F.sum(
-        F.when(_is_message(s) & (seq < F.col("_last_cmd_seq")), _measure(s))
+        F.when(_is_utterance(s) & (seq < F.col("_last_cmd_seq")), _measure(s))
     )
     n_cmd = F.count(F.when(_is_command(s), 1))
     return F.when(n_cmd > 0, F.coalesce(closed, F.lit(0.0)) / n_cmd.cast("double"))

@@ -987,6 +987,299 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
+# =====================================================================
+# FIREBALL-schema parity fixtures (inline literal rows on both sides):
+# HP banding, caster coalesce, content predicates/normalizers, author
+# anonymization, triple constraints, combat-state actor stats, and the
+# heuristic suite on the real message/command roles.
+# =====================================================================
+
+from fireball_data_processing_spark import fixtures as FX
+
+_CMD_RE = r"^(!|\$|%|\^|&|/|\]|a!|<)"
+
+
+@query(
+    "fb_hp_banding",
+    f"""
+WITH t AS (SELECT * FROM {FX.values_sql(FX.HP_ROWS, FX.HP_COLUMNS)}),
+b AS (
+  SELECT name, hp, max_hp, temp_hp,
+    CASE WHEN max_hp IS NULL OR max_hp = 0 OR hp IS NULL THEN NULL
+         WHEN hp::DOUBLE / max_hp >= 1.0 THEN 'Healthy'
+         WHEN hp::DOUBLE / max_hp > 0.5 THEN 'Injured'
+         WHEN hp::DOUBLE / max_hp > 0.15 THEN 'Bloodied'
+         WHEN hp::DOUBLE / max_hp > 0.0 THEN 'Critical'
+         ELSE 'Dead' END AS band
+  FROM t
+)
+SELECT name,
+  CASE WHEN band IS NULL THEN NULL
+       WHEN COALESCE(temp_hp, 0) > 0
+       THEN printf('<%d/%d HP; %s>', hp, max_hp, band) || printf(' (+%d temp)', temp_hp)
+       ELSE printf('<%d/%d HP; %s>', hp, max_hp, band) END AS hp_str
+FROM b
+""",
+)
+def q_fb_hp_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 HP bucketing (reference distill4_normalize.py:166-190): every
+    band boundary, temp-HP suffix, null/zero max_hp."""
+    from fireball_data_processing_spark.functions.text import hp_band
+
+    df = FX.spark_df(spark, FX.HP_ROWS, FX.HP_SCHEMA)
+    return df.select(
+        "name", hp_band(F.col("hp"), F.col("max_hp"), F.col("temp_hp")).alias("hp_str")
+    )
+
+
+@query(
+    "fb_caster_id",
+    f"""
+SELECT name,
+  COALESCE(
+    CASE WHEN owner_id IS NOT NULL AND character_id IS NOT NULL
+         THEN owner_id || '-' || character_id END,
+    CASE WHEN owner IS NOT NULL AND upstream IS NOT NULL
+         THEN owner || '-' || upstream END,
+    fallback_id) AS caster_id
+FROM {FX.values_sql(FX.CASTER_ROWS, FX.CASTER_COLUMNS)}
+""",
+)
+def q_fb_caster_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15 caster-id coalesce (reference distill2_authors.py:47-52)."""
+    from fireball_data_processing_spark.functions.text import caster_id
+
+    df = FX.spark_df(spark, FX.CASTER_ROWS, FX.CASTER_SCHEMA)
+    return df.select(
+        "name",
+        caster_id(
+            F.col("owner_id"), F.col("character_id"), F.col("owner"),
+            F.col("upstream"), F.col("fallback_id"),
+        ).alias("caster_id"),
+    )
+
+
+@query(
+    "fb_content_ops",
+    f"""
+SELECT id,
+  regexp_matches(content, '{_CMD_RE}') AS is_cmd,
+  (trim(content) = '' OR contains(content, 'OOC') OR contains(content, 'OOG')
+   OR starts_with(trim(content), '(')) AS is_ooc,
+  regexp_replace(content, '\\(.*?\\)', '', 'g') AS no_parens,
+  regexp_replace(content, '<(@[!&]?|#)\\d{{17,20}}>', '', 'g') AS no_mentions,
+  regexp_replace(content, '<a?(:\\w+?:)\\d{{17,20}}>', '\\1', 'g') AS emoji_norm,
+  CASE WHEN starts_with(content, prefix)
+       THEN '!' || substr(content, length(prefix) + 1)
+       ELSE content END AS prefix_norm,
+  len(string_split(content, ' ')) AS word_count
+FROM {FX.values_sql(FX.CONTENT_ROWS, FX.CONTENT_COLUMNS)}
+""",
+)
+def q_fb_content_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2/P8 predicates + F1/F2/F3/F4/F6 normalizers on the reference's
+    content corner cases (multi-space runs, mentions, emoji, prefixes)."""
+    from fireball_data_processing_spark.functions import predicates as P
+    from fireball_data_processing_spark.functions import text as T
+
+    df = FX.spark_df(spark, FX.CONTENT_ROWS, FX.CONTENT_SCHEMA)
+    c = F.col("content")
+    return df.select(
+        "id",
+        P.is_command_invocation(c).alias("is_cmd"),
+        P.is_ooc(c).alias("is_ooc"),
+        T.strip_parentheticals(c).alias("no_parens"),
+        T.strip_mentions(c).alias("no_mentions"),
+        T.normalize_emoji(c).alias("emoji_norm"),
+        T.normalize_prefix(c, F.col("prefix")).alias("prefix_norm"),
+        T.word_count(c).cast("bigint").alias("word_count"),
+    )
+
+
+@query(
+    "fb_author_anonymize",
+    f"""
+WITH t AS (SELECT * FROM {FX.values_sql(FX.AUTHOR_ROWS, FX.AUTHOR_COLUMNS)}),
+agg AS (
+  SELECT instance_id, author_id, MIN(seq) AS first_seen,
+         MAX(CASE WHEN author_bot THEN 1 ELSE 0 END) = 1 AS is_bot
+  FROM t GROUP BY instance_id, author_id
+)
+SELECT instance_id, author_id,
+  CASE WHEN is_bot THEN 'Avrae'
+       ELSE 'Player ' || CAST(ROW_NUMBER() OVER (
+         PARTITION BY instance_id, is_bot ORDER BY first_seen) AS VARCHAR)
+  END AS display_name
+FROM agg
+""",
+)
+def q_fb_author_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 author display rewriting (reference scripts/anonymize.py:89-101):
+    bots -> 'Avrae', humans -> 'Player N' by first appearance."""
+    from pyspark.sql.window import Window
+
+    df = FX.spark_df(spark, FX.AUTHOR_ROWS, FX.AUTHOR_SCHEMA)
+    agg = df.groupBy("instance_id", "author_id").agg(
+        F.min("seq").alias("first_seen"),
+        (F.max(F.when(F.col("author_bot"), 1).otherwise(0)) == 1).alias("is_bot"),
+    )
+    w = Window.partitionBy("instance_id", "is_bot").orderBy("first_seen")
+    return agg.select(
+        "instance_id",
+        "author_id",
+        F.when(F.col("is_bot"), F.lit("Avrae"))
+        .otherwise(F.concat(F.lit("Player "), F.row_number().over(w).cast("string")))
+        .alias("display_name"),
+    )
+
+
+@query(
+    "fb_triple_constraints",
+    f"""
+SELECT instance_id, triple_id,
+  COUNT(DISTINCT caster_id) AS n_casters,
+  COUNT(DISTINCT caster_id) = 1 AS single_caster,
+  COUNT(DISTINCT dm) AS n_dms
+FROM {FX.values_sql(FX.TRIPLE_ROWS, FX.TRIPLE_COLUMNS)}
+GROUP BY instance_id, triple_id
+""",
+)
+def q_fb_triple_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17 DM-set + A18 single-caster constraint (reference
+    distill2_authors.py:40-45,72-84) as HAVING-style aggregates."""
+    df = FX.spark_df(spark, FX.TRIPLE_ROWS, FX.TRIPLE_SCHEMA)
+    return df.groupBy("instance_id", "triple_id").agg(
+        F.countDistinct("caster_id").alias("n_casters"),
+        (F.countDistinct("caster_id") == 1).alias("single_caster"),
+        F.countDistinct("dm").alias("n_dms"),
+    )
+
+
+@query(
+    "fb_actor_stats",
+    f"""
+WITH states AS (SELECT * FROM {{COMBAT_VALUES}}),
+ex AS (SELECT combat_id, dm, UNNEST(combatants) AS c FROM states),
+units AS (
+  SELECT combat_id, dm,
+    UNNEST(CASE WHEN c.ctype = 'group' THEN c.inner
+                ELSE [{{'id': c.id, 'ctype': c.ctype}}] END) AS u
+  FROM ex
+)
+SELECT combat_id,
+  COUNT(DISTINCT u.id) AS num_actors,
+  COUNT(DISTINCT CASE WHEN u.ctype = 'monster' THEN u.id END) AS num_monster_actors,
+  COUNT(DISTINCT CASE WHEN u.ctype = 'player' THEN u.id END) AS num_player_actors,
+  ROUND(CASE WHEN COUNT(DISTINCT CASE WHEN u.ctype = 'monster' THEN u.id END) = 0
+        THEN 255.0
+        ELSE COUNT(DISTINCT CASE WHEN u.ctype = 'player' THEN u.id END)::DOUBLE
+           / COUNT(DISTINCT CASE WHEN u.ctype = 'monster' THEN u.id END)::DOUBLE
+        END, 6) AS player_to_monster_ratio,
+  COUNT(DISTINCT dm) AS n_dms
+FROM units
+GROUP BY combat_id
+""".replace("{COMBAT_VALUES}", FX.combat_values_sql()),
+)
+def q_fb_actor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/A8/A9/A17 combat-state actor stats with one-level group
+    flattening (reference heuristics/zhu.py:49-95) and the sentinel-255
+    ratio."""
+    from fireball_data_processing_spark.plans.combat import actor_stats
+
+    df = FX.spark_df(spark, FX.COMBAT_ROWS, FX.COMBAT_SPARK_SCHEMA)
+    out = actor_stats(df)
+    return out.withColumn(
+        "player_to_monster_ratio", F.round("player_to_monster_ratio", 6)
+    )
+
+
+_FB_HEUR_ORACLE = f"""
+WITH t AS (SELECT * FROM {FX.values_sql(FX.FB_EVENT_ROWS, FX.FB_EVENT_COLUMNS)}),
+feat AS (
+  SELECT *,
+    (event_type = 'message') AS is_msg,
+    (event_type = 'message' AND NOT COALESCE(author_bot, FALSE)
+     AND NOT COALESCE(regexp_matches(content, '{_CMD_RE}'), FALSE)) AS is_utt,
+    (event_type = 'command') AS is_cmd,
+    len(string_split(content, ' ')) AS measure,
+    MAX(CASE WHEN event_type = 'command' THEN seq END)
+      OVER (PARTITION BY combat_id) AS last_cmd_seq,
+    LAG(event_type) OVER (PARTITION BY combat_id ORDER BY seq) AS prev_type
+  FROM t
+),
+feat2 AS (
+  SELECT *,
+    LAST_VALUE(CASE WHEN is_utt THEN timestamp END IGNORE NULLS)
+      OVER (PARTITION BY combat_id, author_id ORDER BY seq
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_msg_ts,
+    MAX(CASE WHEN is_utt THEN 1 ELSE 0 END)
+      OVER (PARTITION BY combat_id, author_id ORDER BY seq
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS had_prior_msg
+  FROM feat
+)
+SELECT combat_id,
+  COUNT(*) AS event_count,
+  COUNT(CASE WHEN is_msg THEN 1 END) AS message_count,
+  COUNT(CASE WHEN is_cmd THEN 1 END) AS command_count,
+  ROUND(CASE WHEN COUNT(CASE WHEN is_msg THEN 1 END) > 0
+    THEN COUNT(CASE WHEN is_cmd THEN 1 END)::DOUBLE
+       / COUNT(CASE WHEN is_msg THEN 1 END)::DOUBLE END, 6) AS message_to_command_ratio,
+  ROUND(COALESCE(AVG(CASE WHEN is_utt THEN measure END), 0.0), 6)
+    AS average_message_length,
+  COUNT(DISTINCT CASE WHEN is_msg THEN author_id END) AS num_participants,
+  COUNT(CASE WHEN is_cmd THEN 1 END) AS num_turns,
+  ROUND(COALESCE(SUM(CASE WHEN is_utt THEN measure END), 0)::DOUBLE
+    / (COUNT(CASE WHEN is_cmd THEN 1 END) + 1)::DOUBLE, 6) AS avg_words_between_commands,
+  ROUND(CASE WHEN COUNT(CASE WHEN is_cmd THEN 1 END) > 0
+    THEN COALESCE(SUM(CASE WHEN is_utt AND seq < last_cmd_seq THEN measure END), 0)::DOUBLE
+       / COUNT(CASE WHEN is_cmd THEN 1 END)::DOUBLE END, 6)
+    AS avg_words_between_commands_excl_last,
+  ROUND(AVG(CASE WHEN is_cmd AND prev_msg_ts IS NOT NULL
+    THEN timestamp - prev_msg_ts END), 6) AS avg_time_between_message_and_command,
+  ROUND(COALESCE(AVG(CASE WHEN is_cmd
+    THEN CASE WHEN COALESCE(had_prior_msg, 0) = 0 THEN 1.0 ELSE 0.0 END END), 0.0), 6)
+    AS ratio_of_commands_without_message,
+  COUNT(CASE WHEN prev_type IS NOT NULL AND prev_type <> event_type THEN 1 END)
+    AS num_turn_changes,
+  COUNT(CASE WHEN command_name = 'init join' THEN 1 END) AS init_joins,
+  COUNT(CASE WHEN command_name = 'init next' THEN 1 END) AS init_nexts
+FROM feat2
+GROUP BY combat_id
+"""
+
+
+@query("fb_heuristics_small", _FB_HEUR_ORACLE)
+def q_fb_heuristics_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The heuristic suite on the REAL FIREBALL roles: message/command event
+    types, bot + command-invocation utterance filter (heuristics/ratio.py),
+    float epoch timestamps, plus A7/A10 init join/next counts."""
+    import dataclasses
+
+    from fireball_data_processing_spark.functions import predicates as P
+    from fireball_data_processing_spark.plans.heuristics import heuristics_matrix
+    from fireball_data_processing_spark.schema import FIREBALL_STREAM
+
+    df = FX.spark_df(spark, FX.FB_EVENT_ROWS, FX.FB_EVENT_SCHEMA)
+    fb = dataclasses.replace(
+        FIREBALL_STREAM,
+        extra_utterance_predicate=lambda: ~P.is_bot_message(
+            F.col("author_id"), F.col("author_bot")
+        )
+        & ~F.coalesce(
+            P.is_command_invocation(F.col("content")), F.lit(False)
+        ),
+    )
+    out = heuristics_matrix(df, fb)
+    inits = df.groupBy("combat_id").agg(
+        F.count(F.when(F.col("command_name") == "init join", 1)).alias("init_joins"),
+        F.count(F.when(F.col("command_name") == "init next", 1)).alias("init_nexts"),
+    )
+    out = out.join(inits, "combat_id")
+    for c in _ROUND6_HEURISTICS:
+        out = out.withColumn(c, _r6(F.col(c)))
+    return out
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 

@@ -20,7 +20,9 @@ Two schemas live here:
 
 from __future__ import annotations
 
+from collections.abc import Callable
 from dataclasses import dataclass
+from typing import Any
 
 from pyspark.sql import types as T
 
@@ -190,6 +192,11 @@ class StreamSchema:
     # seconds ("double_seconds"); the synthetic table is TIMESTAMP(NANOS)
     # parquet read as int64 nanoseconds ("nanos_long").
     ts_unit: str = "double_seconds"
+    # optional refinement of the *utterance* role (the reference's word-count
+    # heuristics use non-bot, non-command-invocation messages —
+    # heuristics/ratio.py:15-25): a zero-arg factory returning a Column
+    # predicate ANDed with the message-role test. None = every message.
+    extra_utterance_predicate: Callable[[], Any] | None = None
 
 
 # The real FIREBALL event stream.
