@@ -1,0 +1,81 @@
+"""Headline benchmark: runs the engine's representative queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": <sf>}
+
+Each query is forced end-to-end with a noop sink (full computation, no
+driver collect). The set covers every engine subsystem: the one-pass
+heuristics suite, sessionization/as-of/nearest joins, star joins, window
+analytics, near-dedup (MinHash+LSH+Jaccard), SimHash, similarity search,
+and text analysis.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = (
+    "heuristics_matrix",
+    "asof_state_backward",
+    "nearest_purchase",
+    "run_lengths",
+    "triples_summary",
+    "pricing_summary",
+    "revenue_by_nation",
+    "znorm_user_values",
+    "exact_dedup_groups",
+    "doc_quality",
+    "minhash_signatures",
+    "near_dup_pairs",
+    "simhash_fingerprints",
+    "ann_cosine_topk",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from fireball_data_processing_spark import queries as catalog
+    from fireball_data_processing_spark.session import get_spark
+
+    spark = get_spark(app_name="fireball-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM warm-up on the smallest SF so measured times are plan cost, not
+    # first-job classloading.
+    warm = catalog.REGISTRY["pricing_summary"].fn(spark, "/root/testdata/sf0.001")
+    warm.write.format("noop").mode("overwrite").save()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = catalog.REGISTRY[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

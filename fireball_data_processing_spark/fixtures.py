@@ -172,6 +172,82 @@ FB_EVENT_COLUMNS = [
 ]
 
 # ---------------------------------------------------------------------
+# F14 automation_result trees (FIXTURES.md section 4): every node type,
+# depth >= 3, stored as JSON strings.
+# ---------------------------------------------------------------------
+import json as _json
+
+AUTOMATION_TREES = [
+    ("attack_hit", {
+        "type": "root", "children": [
+            {"type": "target", "results": [
+                {"type": "target_iteration", "target_index": 0, "results": [
+                    {"type": "attack", "did_hit": True, "did_crit": False,
+                     "children": [{"type": "damage", "amount": 7}]},
+                ]},
+            ]},
+        ],
+    }),
+    ("attack_crit", {
+        "type": "root", "children": [
+            {"type": "target_iteration", "target_index": 1, "results": [
+                {"type": "attack", "did_hit": True, "did_crit": True,
+                 "children": [{"type": "damage", "amount": 14}]},
+            ]},
+        ],
+    }),
+    ("save_spell", {
+        "type": "root", "children": [
+            {"type": "spell", "children": [
+                {"type": "condition", "children": [
+                    {"type": "target_iteration", "target_index": 0, "results": [
+                        {"type": "save", "ability": "dexteritySave", "did_save": False,
+                         "children": [{"type": "damage", "amount": 28}]},
+                    ]},
+                ]},
+            ]},
+        ],
+    }),
+    ("heal_self", {
+        "type": "root", "children": [
+            {"type": "target_iteration", "target_type": "self", "results": [
+                {"type": "damage", "amount": -9},
+                {"type": "temphp", "amount": 5},
+            ]},
+        ],
+    }),
+    ("effects", {
+        "type": "root", "children": [
+            {"type": "ieffect", "effect": "Blessed"},
+            {"type": "remove_ieffect", "effect": "Poisoned"},
+        ],
+    }),
+    ("check_contest", {
+        "type": "root", "children": [
+            {"type": "check", "skill_name": "Athletics",
+             "contest_skill_name": "Acrobatics"},
+            {"type": "check", "skill_name": "Stealth"},
+        ],
+    }),
+    ("null_tree", None),
+]
+AUTOMATION_ROWS = [
+    (name, _json.dumps(tree) if tree is not None else None)
+    for name, tree in AUTOMATION_TREES
+]
+AUTOMATION_SCHEMA = "name string, automation_result string"
+
+# ---------------------------------------------------------------------
+# Multimodal media fixture: opaque binary + mime metadata
+# ---------------------------------------------------------------------
+MEDIA_ROWS = [
+    (1, "image/png", bytearray(b"\x89PNG fake bytes 0001")),
+    (2, "image/jpeg", bytearray(b"\xff\xd8 fake jpeg 2")),
+    (3, "audio/wav", bytearray(b"RIFF fake wav 3333")),
+    (4, "video/mp4", bytearray(b"\x00\x00 ftyp fake mp4")),
+]
+
+# ---------------------------------------------------------------------
 # A6/A8/A9/A17 combat-state fixture: group combatants nesting one level
 # (heuristics/zhu.py:49-95; FIXTURES.md section 2)
 # ---------------------------------------------------------------------

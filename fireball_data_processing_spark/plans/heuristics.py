@@ -200,6 +200,16 @@ def _num_participants(s: StreamSchema) -> Column:
     return F.countDistinct(F.when(_is_message(s), F.col(s.author_col)))
 
 
+@register_heuristic("num_participants_approx")
+def _num_participants_approx(s: StreamSchema) -> Column:
+    # 100 TB / streaming alternate for num_participants: HLL sketch —
+    # mergeable (order-independent), so batch and incremental agree;
+    # exact distinct is neither streamable nor cheap at scale.
+    return F.approx_count_distinct(
+        F.when(_is_message(s), F.col(s.author_col))
+    )
+
+
 @register_heuristic("num_turns")
 def _num_turns(s: StreamSchema) -> Column:
     # reference heuristics/zhu.py:98-100: count of `init next` commands;
@@ -274,6 +284,11 @@ SIMPLE = (
     "num_participants",
     "num_turns",
     "avg_words_between_commands",
+)
+#: SIMPLE with distinct aggregations swapped for mergeable sketches —
+#: the set that runs incrementally on a stream
+STREAM_SAFE = tuple(
+    "num_participants_approx" if n == "num_participants" else n for n in SIMPLE
 )
 #: names that require with_stream_features first
 WINDOWED = (

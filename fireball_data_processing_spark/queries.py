@@ -1280,6 +1280,166 @@ def q_fb_heuristics_small(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# =====================================================================
+# Distill pipeline + stateful FSM + Python-edge operators
+# =====================================================================
+
+
+@query(
+    "triples_summary",
+    f"""
+WITH t AS (
+  SELECT event_id, user_id, event_type, value, {_TS_US} AS ts_us,
+    LAST_VALUE(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS)
+      OVER w_b AS bwd_id,
+    LAST_VALUE(CASE WHEN event_type = 'purchase' THEN {_TS_US} END IGNORE NULLS)
+      OVER w_b AS bwd_ts,
+    FIRST_VALUE(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS)
+      OVER w_f AS fwd_id,
+    FIRST_VALUE(CASE WHEN event_type = 'purchase' THEN {_TS_US} END IGNORE NULLS)
+      OVER w_f AS fwd_ts
+  FROM events
+  WINDOW
+    w_b AS (PARTITION BY user_id ORDER BY {_TS_US},
+            CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_f AS (PARTITION BY user_id ORDER BY {_TS_US},
+            CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+),
+assigned AS (
+  SELECT user_id, value, ts_us,
+    CASE WHEN fwd_ts IS NULL
+           OR (bwd_ts IS NOT NULL AND (ts_us - bwd_ts) <= (fwd_ts - ts_us))
+         THEN bwd_id ELSE fwd_id END AS anchor_id,
+    CASE WHEN fwd_ts IS NULL
+           OR (bwd_ts IS NOT NULL AND (ts_us - bwd_ts) <= (fwd_ts - ts_us))
+         THEN bwd_ts ELSE fwd_ts END AS anchor_ts
+  FROM t WHERE event_type = 'view'
+),
+per_anchor AS (
+  SELECT user_id, anchor_id,
+    COUNT(CASE WHEN ts_us < anchor_ts THEN 1 END) AS n_before,
+    COUNT(CASE WHEN ts_us >= anchor_ts THEN 1 END) AS n_after,
+    ROUND(COALESCE(SUM(CASE WHEN ts_us < anchor_ts THEN value END), 0.0), 6)
+      AS sum_before,
+    ROUND(COALESCE(SUM(CASE WHEN ts_us >= anchor_ts THEN value END), 0.0), 6)
+      AS sum_after
+  FROM assigned WHERE anchor_id IS NOT NULL
+  GROUP BY user_id, anchor_id
+)
+SELECT p.user_id, p.event_id AS anchor_id,
+  COALESCE(a.n_before, 0) AS n_before,
+  COALESCE(a.n_after, 0) AS n_after,
+  COALESCE(a.sum_before, 0.0) AS sum_before,
+  COALESCE(a.sum_after, 0.0) AS sum_after
+FROM (SELECT user_id, event_id FROM events WHERE event_type = 'purchase') p
+LEFT JOIN per_anchor a ON a.user_id = p.user_id AND a.anchor_id = p.event_id
+""",
+)
+def q_triples_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """distill1 triple assembly (reference distill1_time_group.py:45-82):
+    utterances attach to the nearest anchor and split before/after; anchors
+    with no utterances still emit triples."""
+    from fireball_data_processing_spark.plans.distill import assemble_triples
+    from fireball_data_processing_spark.schema import SYNTHETIC_STREAM
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "__ord", F.expr("ts div 1000")
+    )
+    out = assemble_triples(
+        ev,
+        SYNTHETIC_STREAM,
+        utterance_predicate=F.col("event_type") == "view",
+        anchor_predicate=F.col("event_type") == "purchase",
+        payload_col="value",
+        order_expr=F.col("__ord"),
+    )
+    agg_sum = lambda c: F.round(  # noqa: E731
+        F.coalesce(
+            F.aggregate(c, F.lit(0.0), lambda acc, v: acc + v), F.lit(0.0)
+        ),
+        6,
+    )
+    return out.select(
+        "user_id",
+        "anchor_id",
+        "n_before",
+        "n_after",
+        agg_sum(F.col("before_payloads")).alias("sum_before"),
+        agg_sum(F.col("after_payloads")).alias("sum_after"),
+    )
+
+
+@query(
+    "fsm_buffer_flush",
+    """
+WITH segs AS (
+  SELECT user_id, event_id, event_type, value,
+    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+  FROM events
+),
+p AS (SELECT user_id, event_id AS anchor_id, seg AS j FROM segs
+      WHERE event_type = 'purchase'),
+v AS (SELECT user_id, seg, COUNT(*) AS n, ROUND(SUM(value), 6) AS s
+      FROM segs WHERE event_type = 'view' GROUP BY user_id, seg)
+SELECT p.user_id, p.anchor_id,
+  COALESCE(v.n, 0) AS n_buffered,
+  ROUND(COALESCE(v.s, 0.0), 6) AS buffered_sum
+FROM p LEFT JOIN v ON v.user_id = p.user_id AND v.seg = p.j - 1
+""",
+)
+def q_fsm_buffer_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G13 per-instance FSM extraction (reference
+    old/distill_rp_commands.py:24-127): buffer message-role events, flush on
+    each command-role event — groupBy(instance).applyInPandas, sequential
+    within an instance, parallel across instances."""
+    from fireball_data_processing_spark.schema import SYNTHETIC_STREAM
+    from fireball_data_processing_spark.streaming.heuristics_stream import (
+        buffer_flush_fsm,
+        fsm_extract,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    fn = buffer_flush_fsm(("view",), ("purchase",), SYNTHETIC_STREAM)
+    out = fsm_extract(
+        ev,
+        SYNTHETIC_STREAM,
+        fn,
+        "user_id bigint, anchor_id bigint, n_buffered bigint, buffered_sum double",
+    )
+    return out
+
+
+@query("fb_automation_narration", None)  # recursive tree: rows-only check
+def q_fb_automation_narration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14 recursive automation-tree stringification (reference
+    distill4_normalize.py:216-286) — Arrow-batched pandas UDF over the JSON
+    column; unbounded recursion is not SQL-expressible, so this entry has
+    golden-fixture unit tests instead of an oracle."""
+    from fireball_data_processing_spark.functions.automation import narrate_automation
+
+    df = FX.spark_df(spark, FX.AUTOMATION_ROWS, FX.AUTOMATION_SCHEMA)
+    return df.select(
+        "name", narrate_automation(F.col("automation_result")).alias("narration")
+    )
+
+
+@query("multimodal_features", None)  # binary plumbing: rows-only check
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column plumbing: mapInPandas feature extraction
+    with a deterministic stand-in kernel (real codecs absent in this
+    container — the Spark-side schema/batching is what's under test)."""
+    from fireball_data_processing_spark.operators.multimodal import extract_features
+
+    df = spark.createDataFrame(
+        FX.MEDIA_ROWS, schema="media_id bigint, mime string, data binary"
+    )
+    return extract_features(df)
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 

@@ -1,0 +1,104 @@
+"""Streaming heuristics: the same aggregation expressions, incremental.
+
+The reference is batch-only but stream-shaped (Kinesis Firehose provenance,
+README.md:45-48). Because the heuristics are declared as Column aggregates
+(plans/heuristics.py), the streaming mode reuses them verbatim over
+``readStream`` — this is the "declare once, run batch or streaming" payoff
+of the Spark-first design (cf. the Structured Streaming paper, SIGMOD '18).
+
+Only the SIMPLE (non-windowed) heuristics stream: ordered per-instance
+windows need either event-time watermarking + stateful operators or the
+batch path. The FSM extractors (G13/G14) are the stateful analog — see
+``fsm_extract`` for the batch form; the streaming form is
+``applyInPandasWithState`` over the same per-instance generator.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from fireball_data_processing_spark.plans.heuristics import (
+    STREAM_SAFE,
+    heuristic_exprs,
+)
+from fireball_data_processing_spark.schema import StreamSchema
+
+
+def stream_heuristics(
+    spark: SparkSession,
+    source_dir: str,
+    file_schema: StructType | str,
+    s: StreamSchema,
+    names: tuple[str, ...] | None = None,
+    fmt: str = "parquet",
+) -> DataFrame:
+    """Incremental per-instance heuristics over a file stream.
+
+    Swap ``source_dir``/``fmt`` for a Kinesis/Kafka source in production;
+    the aggregation layer is source-agnostic.
+    """
+    names = tuple(n for n in (names or STREAM_SAFE) if n in STREAM_SAFE)
+    stream = spark.readStream.schema(file_schema).format(fmt).load(source_dir)
+    exprs = heuristic_exprs(s, names)
+    return stream.groupBy(F.col(s.instance_col)).agg(*exprs.values())
+
+
+def fsm_extract(
+    df: DataFrame,
+    s: StreamSchema,
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    out_schema: StructType | str,
+) -> DataFrame:
+    """G13/G14 per-instance FSM extraction (reference
+    old/distill_rp_commands.py:24-127): inherently sequential per instance,
+    parallel across instances — ``groupBy(instance).applyInPandas``.
+
+    ``fn`` receives one instance's events as a pandas frame (NOT guaranteed
+    sorted; sort by the seq column first) and returns extracted rows.
+    """
+    return df.groupBy(s.instance_col).applyInPandas(
+        lambda pdf: fn(pdf.sort_values(s.seq_col)), schema=out_schema
+    )
+
+
+def buffer_flush_fsm(
+    buffer_types: tuple[str, ...],
+    flush_types: tuple[str, ...],
+    s: StreamSchema,
+) -> Callable[[pd.DataFrame], pd.DataFrame]:
+    """A concrete FSM in the reference's RP->command shape: buffer
+    message-role events; each command-role event flushes the buffer into
+    one extracted row (anchor id, buffered count, buffered measure sum)."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        buf_n, buf_sum = 0, 0.0
+        for _, r in pdf.iterrows():
+            if r[s.type_col] in buffer_types:
+                buf_n += 1
+                buf_sum += float(r[s.measure_col]) if s.measure_col else 0.0
+            elif r[s.type_col] in flush_types:
+                rows.append(
+                    {
+                        s.instance_col: r[s.instance_col],
+                        "anchor_id": r[s.seq_col],
+                        "n_buffered": buf_n,
+                        "buffered_sum": round(buf_sum, 6),
+                    }
+                )
+                buf_n, buf_sum = 0, 0.0
+        out = pd.DataFrame(
+            rows,
+            columns=[s.instance_col, "anchor_id", "n_buffered", "buffered_sum"],
+        )
+        # pin dtypes so empty partitions survive Arrow conversion
+        return out.astype(
+            {"anchor_id": "int64", "n_buffered": "int64", "buffered_sum": "float64"}
+        )
+
+    return fn
