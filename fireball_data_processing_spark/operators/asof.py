@@ -177,11 +177,21 @@ def nearest_join(
         F.col("__bwd_ord").isNotNull()
         & ((d_b <= d_f) if prefer == "backward" else (d_b < d_f))
     )
-    out = both.withColumn(
-        f"{right_key}_nearest",
-        F.when(take_bwd, F.col("__bwd_key")).otherwise(F.col("__fwd_key")),
-    ).withColumn(
-        "nearest_delta",
-        F.when(take_bwd, d_b).otherwise(d_f),
+    out = (
+        both.withColumn(
+            f"{right_key}_nearest",
+            F.when(take_bwd, F.col("__bwd_key")).otherwise(F.col("__fwd_key")),
+        )
+        .withColumn(
+            "nearest_delta",
+            F.when(take_bwd, d_b).otherwise(d_f),
+        )
+        # the matched right row's own order value rides along so callers
+        # (e.g. before/after tagging in distill1) need no join back to the
+        # right side — saves a whole shuffle in the triple pipeline
+        .withColumn(
+            "nearest_ord",
+            F.when(take_bwd, F.col("__bwd_ord")).otherwise(F.col("__fwd_ord")),
+        )
     )
     return out.drop("__bwd_ord", "__bwd_key", "__fwd_ord", "__fwd_key")

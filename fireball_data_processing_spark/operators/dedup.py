@@ -51,8 +51,18 @@ def word_shingles(c: Column, k: int) -> Column:
     """Distinct k-word shingles of the normalized text (array<string>).
 
     Built with transform over the split words — stays in codegen, no UDF.
+
+    PERF: pass a pre-materialized words *column* (see ``_exploded_shingles``)
+    rather than a raw text column — expressions inside a higher-order-
+    function lambda get NO subexpression elimination, so a split/regex child
+    here would re-run once per shingle index.
     """
     words = F.split(normalize_text(c), " ")
+    return shingles_of_words(words, k)
+
+
+def shingles_of_words(words: Column, k: int) -> Column:
+    """k-word shingles of an already-split words array column."""
     n = F.size(words)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     sh = F.transform(
@@ -60,6 +70,30 @@ def word_shingles(c: Column, k: int) -> Column:
         lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
     )
     return F.array_distinct(F.when(n >= k, sh).otherwise(F.array()))
+
+
+def _exploded_shingles(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """(id, shingle) rows, one per distinct shingle.
+
+    Plan shape for scale AND local speed:
+    1. project (id, words) — the regex/split runs exactly once per doc;
+    2. repartition on the id with an EXPLICIT partition count — the
+       pre-explode rows are tiny, so AQE would coalesce the exchange to one
+       or two partitions and then the 50x explode fan-out runs serially;
+       pinning the count keeps the expansion parallel (and the downstream
+       groupBy(id) reuses the partitioning, so no extra shuffle);
+    3. explode shingles from the materialized words column.
+    """
+    parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    w = df.select(
+        F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("__words")
+    ).repartition(parts, F.col(id_col))
+    return w.select(
+        F.col(id_col),
+        F.explode(shingles_of_words(F.col("__words"), k)).alias("shingle"),
+    )
 
 
 def minhash_signature(
@@ -73,12 +107,9 @@ def minhash_signature(
     md5(i || '#' || shingle) (hex strings; lexicographic min).
 
     Plan shape: explode shingles -> groupBy doc -> K min() aggregates. One
-    shuffle on doc id; the explode stays pipelined with the scan.
+    shuffle (pre-explode, on the doc id); the groupBy reuses it.
     """
-    exploded = df.select(
-        F.col(id_col),
-        F.explode(word_shingles(F.col(text_col), shingle_k)).alias("shingle"),
-    )
+    exploded = _exploded_shingles(df, text_col, id_col, shingle_k)
     mins = [
         F.min(F.md5(F.concat(F.lit(f"{i}#"), F.col("shingle")))).alias(f"mh{i}")
         for i in range(num_hashes)
@@ -136,9 +167,17 @@ def jaccard_pairs(
     shingle_k: int = 3,
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs: |A ∩ B| / |A ∪ B| over
-    distinct word shingles. Verification stage of the LSH pipeline."""
-    sh = df.select(
-        F.col(id_col), word_shingles(F.col(text_col), shingle_k).alias("sh")
+    distinct word shingles. Verification stage of the LSH pipeline.
+
+    Shingle sets are built through the exploded+grouped path: the exchange
+    is a materialization barrier, so Catalyst cannot collapse the projection
+    and re-inline the shingle regex into the per-pair join (which would
+    recompute every doc's shingles once per candidate pair).
+    """
+    sh = (
+        _exploded_shingles(df, text_col, id_col, shingle_k)
+        .groupBy(id_col)
+        .agg(F.collect_list("shingle").alias("sh"))
     )
     j = (
         pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")

@@ -58,16 +58,17 @@ def assemble_triples(
         nearest_join(utts, anchors, [inst], order_col, "anchor_id",
                      prefer="backward")
         .withColumnRenamed("anchor_id_nearest", "anchor_id")
+        .withColumnRenamed("nearest_ord", "__a_ord")
         .drop("nearest_delta")
         .filter(F.col("anchor_id").isNotNull())
     )
     # before/after tagging (G9): an utterance later than its anchor is
-    # 'after' (delta measured toward the backward anchor is negative only
-    # for forward assignment)
-    assigned = assigned.join(
-        anchors.select(F.col(inst), F.col("anchor_id"), F.col(order_col).alias("__a_ord")),
-        [inst, "anchor_id"],
-    ).withColumn("__side", F.when(F.col(order_col) < F.col("__a_ord"), "before").otherwise("after"))
+    # 'after'. The anchor's order value came through the nearest join, so
+    # no join back to the anchor side (one shuffle saved).
+    assigned = assigned.withColumn(
+        "__side",
+        F.when(F.col(order_col) < F.col("__a_ord"), "before").otherwise("after"),
+    )
 
     per_anchor = assigned.groupBy(inst, "anchor_id").agg(
         F.count(F.when(F.col("__side") == "before", 1)).alias("n_before"),

@@ -119,8 +119,16 @@ def with_stream_features(df: DataFrame, s: StreamSchema) -> DataFrame:
     )
     # author's most recent prior message timestamp (A14 —
     # reference heuristics/feng.py:3-17: per-author as-of lookup).
+    # Dedupe the partition columns when author IS the instance key (the
+    # synthetic stream): hash-partitioning on (k, k) is a *different*
+    # exchange than on (k), and would add a full extra shuffle.
+    auth_part = (
+        [inst]
+        if s.author_col == s.instance_col
+        else [inst, F.col(s.author_col)]
+    )
     w_auth_prior = (
-        Window.partitionBy(inst, F.col(s.author_col)).orderBy(seq)
+        Window.partitionBy(*auth_part).orderBy(seq)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     out = out.withColumn(
