@@ -172,6 +172,93 @@ FB_EVENT_COLUMNS = [
 ]
 
 # ---------------------------------------------------------------------
+# J7 embed-finding fixture (distill4_normalize.py:289-309): for an
+# automation run, the first later bot message with empty content, exactly
+# one embed, and title containing the caster OR field names covering the
+# targets.
+# ---------------------------------------------------------------------
+EMBED_ROWS = [
+    # (combat_id, seq, event_type, author_bot, content, caster_name,
+    #  targets, embed_title, embed_field_names, n_embeds)
+    ("e1", 1, "automation_run", None, None, "Korga", ["Goblin A", "Goblin B"], None, None, None),
+    ("e1", 2, "message", False, "chatter", None, None, None, None, 0),
+    ("e1", 3, "message", True, "", None, None, "Korga attacks!", ["Goblin A"], 1),
+    ("e1", 4, "message", True, "", None, None, "misc", ["Goblin A", "Goblin B"], 1),
+    ("e2", 1, "automation_run", None, None, "Mira", ["Troll"], None, None, None),
+    ("e2", 2, "message", True, "not empty", None, None, "Mira casts", ["Troll"], 1),
+    ("e2", 3, "message", True, "", None, None, "two embeds", ["Troll"], 2),
+    ("e2", 4, "message", True, "", None, None, "unrelated", ["Orc"], 1),
+    ("e2", 5, "message", True, "", None, None, "fields cover", ["Troll", "Extra"], 1),
+    ("e3", 1, "automation_run", None, None, "Zed", ["X"], None, None, None),
+]
+EMBED_SCHEMA = (
+    "combat_id string, seq int, event_type string, author_bot boolean, "
+    "content string, caster_name string, targets array<string>, "
+    "embed_title string, embed_field_names array<string>, n_embeds int"
+)
+
+
+def embed_values_sql() -> str:
+    def arr(xs):
+        if xs is None:
+            return "CAST(NULL AS VARCHAR[])"
+        return "[" + ", ".join("'%s'" % x for x in xs) + "]"
+
+    rows = ",\n    ".join(
+        "(%s)"
+        % ", ".join(
+            [
+                _sql_literal(r[0]), _sql_literal(r[1]), _sql_literal(r[2]),
+                _sql_literal(r[3]), _sql_literal(r[4]), _sql_literal(r[5]),
+                arr(r[6]), _sql_literal(r[7]), arr(r[8]), _sql_literal(r[9]),
+            ]
+        )
+        for r in EMBED_ROWS
+    )
+    return (
+        "(VALUES\n    " + rows + "\n) AS t(combat_id, seq, event_type, "
+        "author_bot, content, caster_name, targets, embed_title, "
+        "embed_field_names, n_embeds)"
+    )
+
+
+# ---------------------------------------------------------------------
+# J8 tupper similar-message fixture (distill4_normalize.py:316-337):
+# within the next 16 events, a different-author bot message whose content
+# is contained in this content with length ratio in (0.7, 1.0).
+# ---------------------------------------------------------------------
+TUPPER_ROWS = [
+    ("t1", 1, "alice", False, "Korga the barbarian swings the mighty axe"),
+    ("t1", 2, "tupperbot", True, "the barbarian swings the mighty axe"),  # ratio .85 contained -> match for seq1
+    ("t1", 3, "bob", False, "a completely different story unfolds here"),
+    ("t1", 4, "tupperbot", True, "different story"),  # ratio .37 too short
+    ("t1", 5, "carol", False, "short msg"),
+    ("t1", 6, "carol", True, "short msg"),  # ratio 1.0 excluded (not < 1.0)
+    ("t2", 1, "dave", False, "the wizard prepares a spell of binding"),
+    ("t2", 18, "tupperbot", True, "wizard prepares a spell of binding"),  # beyond 16-event window
+]
+TUPPER_SCHEMA = (
+    "combat_id string, seq int, author_id string, author_bot boolean, "
+    "content string"
+)
+TUPPER_COLUMNS = ["combat_id", "seq", "author_id", "author_bot", "content"]
+
+# ---------------------------------------------------------------------
+# J1/F19/F20 labels fixture (regression/load_data.py:14-24): human labels
+# joined to features; fillna(-1), greatest/least of the label pair.
+# ---------------------------------------------------------------------
+LABEL_ROWS = [
+    (0, 1.0, 0.0),
+    (1, 0.0, 0.0),
+    (2, 1.0, 1.0),
+    (3, None, 1.0),
+    (4, None, None),
+    (99999, 1.0, 1.0),  # unknown instance: inner join drops it
+]
+LABEL_SCHEMA = "user_id bigint, rp_label double, cmd_label double"
+LABEL_COLUMNS = ["user_id", "rp_label", "cmd_label"]
+
+# ---------------------------------------------------------------------
 # F14 automation_result trees (FIXTURES.md section 4): every node type,
 # depth >= 3, stored as JSON strings.
 # ---------------------------------------------------------------------

@@ -1440,6 +1440,291 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(df)
 
 
+# =====================================================================
+# Remaining join family (J7/J8), label joins (J1/F19/F20), group ops
+# (G2/G3), last-K (O6), corpus checksum (S6), inference envelope (U3)
+# =====================================================================
+
+
+@query(
+    "fb_embed_finding",
+    f"""
+WITH t AS (SELECT * FROM {{V}}),
+runs AS (
+  SELECT combat_id, seq AS run_seq, caster_name, targets FROM t
+  WHERE event_type = 'automation_run'
+),
+cands AS (
+  SELECT combat_id, seq AS msg_seq, embed_title, embed_field_names FROM t
+  WHERE event_type = 'message' AND COALESCE(author_bot, FALSE)
+    AND content = '' AND n_embeds = 1
+)
+SELECT combat_id, run_seq, MIN(msg_seq) AS embed_msg_seq FROM (
+  SELECT r.combat_id, r.run_seq, c.msg_seq
+  FROM runs r LEFT JOIN cands c
+    ON c.combat_id = r.combat_id AND c.msg_seq > r.run_seq
+   AND (contains(c.embed_title, r.caster_name)
+        OR len(list_filter(r.targets,
+              x -> NOT list_contains(c.embed_field_names, x))) = 0)
+)
+GROUP BY combat_id, run_seq
+""".replace("{V}", FX.embed_values_sql()),
+)
+def q_fb_embed_finding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 embed finding (reference distill4_normalize.py:289-309):
+    conditional forward search — first later empty-content single-embed bot
+    message whose title names the caster or whose field names cover the
+    targets; set containment via array_except."""
+    df = FX.spark_df(spark, FX.EMBED_ROWS, FX.EMBED_SCHEMA)
+    runs = df.filter(F.col("event_type") == "automation_run").select(
+        "combat_id", F.col("seq").alias("run_seq"), "caster_name", "targets"
+    )
+    cands = df.filter(
+        (F.col("event_type") == "message")
+        & F.coalesce(F.col("author_bot"), F.lit(False))
+        & (F.col("content") == "")
+        & (F.col("n_embeds") == 1)
+    ).select("combat_id", F.col("seq").alias("msg_seq"), "embed_title",
+             "embed_field_names")
+    joined = runs.join(
+        cands,
+        (runs["combat_id"] == cands["combat_id"])
+        & (F.col("msg_seq") > F.col("run_seq"))
+        & (
+            F.col("embed_title").contains(F.col("caster_name"))
+            | (F.size(F.array_except("targets", "embed_field_names")) == 0)
+        ),
+        "left",
+    ).select(runs["combat_id"], "run_seq", "msg_seq")
+    return joined.groupBy("combat_id", "run_seq").agg(
+        F.min("msg_seq").alias("embed_msg_seq")
+    )
+
+
+@query(
+    "fb_tupper_candidates",
+    f"""
+WITH t AS (SELECT * FROM {FX.values_sql(FX.TUPPER_ROWS, FX.TUPPER_COLUMNS)})
+SELECT combat_id, orig_seq, MIN(echo_seq) AS echo_seq FROM (
+  SELECT m1.combat_id, m1.seq AS orig_seq, m2.seq AS echo_seq
+  FROM t m1 JOIN t m2
+    ON m2.combat_id = m1.combat_id
+   AND m2.seq BETWEEN m1.seq + 1 AND m1.seq + 16
+   AND m2.author_id <> m1.author_id
+   AND COALESCE(m2.author_bot, FALSE)
+   AND NOT COALESCE(m1.author_bot, FALSE)
+   AND contains(m1.content, m2.content)
+   AND length(m2.content)::DOUBLE / length(m1.content) > 0.7
+   AND length(m2.content)::DOUBLE / length(m1.content) < 1.0
+)
+GROUP BY combat_id, orig_seq
+""",
+)
+def q_fb_tupper_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 tupper echo detection (reference distill4_normalize.py:316-337):
+    bounded 16-event lookahead self-join, containment + length ratio in
+    (0.7, 1.0), earliest echo per original."""
+    df = FX.spark_df(spark, FX.TUPPER_ROWS, FX.TUPPER_SCHEMA)
+    m1 = df.alias("m1")
+    m2 = df.alias("m2")
+    ratio = F.length(F.col("m2.content")).cast("double") / F.length(
+        F.col("m1.content")
+    )
+    pairs = m1.join(
+        m2,
+        (F.col("m2.combat_id") == F.col("m1.combat_id"))
+        & F.col("m2.seq").between(F.col("m1.seq") + 1, F.col("m1.seq") + 16)
+        & (F.col("m2.author_id") != F.col("m1.author_id"))
+        & F.coalesce(F.col("m2.author_bot"), F.lit(False))
+        & ~F.coalesce(F.col("m1.author_bot"), F.lit(False))
+        & F.col("m1.content").contains(F.col("m2.content"))
+        & (ratio > 0.7)
+        & (ratio < 1.0),
+    ).select(
+        F.col("m1.combat_id").alias("combat_id"),
+        F.col("m1.seq").alias("orig_seq"),
+        F.col("m2.seq").alias("echo_seq"),
+    )
+    return pairs.groupBy("combat_id", "orig_seq").agg(
+        F.min("echo_seq").alias("echo_seq")
+    )
+
+
+@query(
+    "feature_label_join",
+    f"""
+WITH features AS (
+  SELECT user_id, COUNT(*) AS event_count FROM events GROUP BY user_id
+),
+labels AS (SELECT * FROM {FX.values_sql(FX.LABEL_ROWS, FX.LABEL_COLUMNS)})
+SELECT f.user_id, f.event_count,
+  COALESCE(GREATEST(l.rp_label, l.cmd_label), -1.0) AS rp_or_cmd,
+  COALESCE(LEAST(l.rp_label, l.cmd_label), -1.0) AS rp_and_cmd,
+  CASE WHEN COALESCE(GREATEST(l.rp_label, l.cmd_label), -1.0) = 1.0
+       THEN 'in-character' ELSE 'out-of-character' END AS label_token
+FROM features f JOIN labels l ON l.user_id = f.user_id
+""",
+)
+def q_feature_label_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 features x labels (reference regression/load_data.py:14-24) with
+    F19 greatest/least label fusion + fillna(-1) and F20 label->token
+    mapping — labels broadcast (tiny dim)."""
+    ev = load_table(spark, sf_dir, "events")
+    features = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("event_count"))
+    labels = FX.spark_df(spark, FX.LABEL_ROWS, FX.LABEL_SCHEMA)
+    rp_or = F.coalesce(
+        F.greatest("rp_label", "cmd_label"), F.lit(-1.0)
+    )
+    return (
+        features.join(F.broadcast(labels), "user_id")
+        .select(
+            "user_id",
+            "event_count",
+            rp_or.alias("rp_or_cmd"),
+            F.coalesce(F.least("rp_label", "cmd_label"), F.lit(-1.0)).alias(
+                "rp_and_cmd"
+            ),
+            F.when(rp_or == 1.0, F.lit("in-character"))
+            .otherwise(F.lit("out-of-character"))
+            .alias("label_token"),
+        )
+    )
+
+
+@query(
+    "per_key_group_stats",
+    """
+SELECT user_id,
+  CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS key_bucket,
+  COUNT(*) AS n_events,
+  ROUND(SUM(value), 6) AS value_sum
+FROM events
+GROUP BY user_id, key_bucket
+""",
+)
+def q_per_key_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2 partitioned_groups by an arbitrary key expression (reference
+    heuristics/utils.py:112-121)."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (F.get_json_object("props", "$.k").cast("int") % 10).alias("key_bucket")
+    return ev.groupBy("user_id", bucket).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("value_sum"),
+    )
+
+
+@query(
+    "groups_with_view_head",
+    """
+SELECT user_id, k, n_events FROM (
+  SELECT user_id,
+    CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+    COUNT(*) AS n_events,
+    MIN_BY(event_type, event_id) AS head_type
+  FROM events
+  GROUP BY user_id, k
+) WHERE head_type = 'view'
+""",
+)
+def q_groups_with_view_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 filter groups by a predicate on the head row (reference
+    heuristics/utils.py:123-125): min_by gives the head without a window."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int").alias("k")
+    g = ev.groupBy("user_id", k).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min_by("event_type", "event_id").alias("head_type"),
+    )
+    return g.filter(F.col("head_type") == "view").select("user_id", "k", "n_events")
+
+
+@query(
+    "last_k_events",
+    """
+SELECT user_id, event_id, CAST(rn AS BIGINT) AS rn FROM (
+  SELECT user_id, event_id,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+) WHERE rn <= 5
+""",
+)
+def q_last_k_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6 last-K slicing (reference [-5:] history, [-15:] context)."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 5)
+        .select("user_id", "event_id", "rn")
+    )
+
+
+@query(
+    "corpus_checksum",
+    """
+SELECT md5(string_agg(fp, '' ORDER BY doc_id)) AS corpus_checksum,
+       COUNT(*) AS n_docs
+FROM (
+  SELECT doc_id,
+    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+)
+""",
+)
+def q_corpus_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 dataset checksum (reference dataset/utils.py:64-67 md5 dirhash):
+    order-sensitive md5 over per-document fingerprints — the engine's
+    memoization key."""
+    from fireball_data_processing_spark.functions.textstats import content_fingerprint
+
+    d = load_table(spark, sf_dir, "documents")
+    fps = d.select("doc_id", content_fingerprint(F.col("text")).alias("fp"))
+    ordered = fps.agg(
+        F.sort_array(F.collect_list(F.struct("doc_id", "fp"))).alias("xs"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    return ordered.select(
+        F.md5(F.array_join(F.transform("xs", lambda x: x["fp"]), "")).alias(
+            "corpus_checksum"
+        ),
+        "n_docs",
+    )
+
+
+@query(
+    "ic_ooc_classification",
+    """
+SELECT doc_id, label, prob FROM (
+  SELECT doc_id,
+    CASE WHEN trim(text) = '' OR contains(text, 'OOC') OR contains(text, 'OOG')
+              OR starts_with(trim(text), '(')
+         THEN 'out-of-character' ELSE 'in-character' END AS label,
+    ROUND(0.8 + ('0x' || substr(md5('p' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+          / 4294967296.0 * 0.2, 6) AS prob
+  FROM documents
+) WHERE label = 'in-character' AND prob > 0.85
+""",
+)
+def q_ic_ooc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3's deterministic envelope (reference
+    distill3b_ic_classifier_gpt.py:37-75): rule-based IC/OOC labeling, a
+    deterministic probability, and the keep-threshold filter. The model
+    call itself is pluggable (mapInPandas stage); this is the testable
+    contract around it."""
+    from fireball_data_processing_spark.functions.predicates import is_ooc
+    from fireball_data_processing_spark.operators.sampling import hash_rank
+
+    d = load_table(spark, sf_dir, "documents")
+    label = F.when(
+        is_ooc(F.col("text")), F.lit("out-of-character")
+    ).otherwise(F.lit("in-character"))
+    prob = F.round(0.8 + hash_rank(F.col("doc_id"), "p") * 0.2, 6)
+    out = d.select("doc_id", label.alias("label"), prob.alias("prob"))
+    return out.filter((F.col("label") == "in-character") & (F.col("prob") > 0.85))
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
