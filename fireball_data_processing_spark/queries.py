@@ -1725,6 +1725,160 @@ def q_ic_ooc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter((F.col("label") == "in-character") & (F.col("prob") > 0.85))
 
 
+# =====================================================================
+# Explorer stream, set ops, multi-key sort, agreement statistics
+# =====================================================================
+
+
+@query(
+    "instance_event_stream",
+    """
+SELECT event_id, event_type, value FROM events WHERE user_id = 7
+""",
+)
+def q_instance_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12/explorer `/events/{id}`: one instance's ordered raw stream
+    (reference explorer_server.py:80-88). Filter pushes down to the scan;
+    at scale, instance-partitioned storage makes this partition pruning."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("user_id") == 7)
+        .orderBy("event_id")
+        .select("event_id", "event_type", "value")
+    )
+
+
+@query(
+    "users_view_except_purchase",
+    """
+SELECT user_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+FROM events WHERE event_type = 'view'
+EXCEPT
+SELECT user_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+FROM events WHERE event_type = 'purchase'
+""",
+)
+def q_users_view_except_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O9 set ops (reference set.difference / intersection usage):
+    set-semantics EXCEPT (``subtract``, not the bag-semantics
+    ``exceptAll``) on (user, correlation-key) pairs."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int").alias("k")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", k)
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id", k)
+    return views.subtract(buys)
+
+
+@query(
+    "multi_key_sort_page",
+    """
+SELECT event_id FROM (
+  SELECT event_id,
+    ROW_NUMBER() OVER (ORDER BY event_type ASC, value DESC, event_id ASC) AS rn
+  FROM events
+) WHERE rn > 250 AND rn <= 500
+""",
+)
+def q_multi_key_sort_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 explorer multi-key sort (asc + desc keys, id tiebreak) + O3 page
+    slice."""
+    from fireball_data_processing_spark.operators.windows import paginate
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    page = paginate(
+        ev, [("event_type", True), ("value", False)], "event_id", page=1,
+        page_size=250,
+    )
+    return page.select("event_id")
+
+
+_KAPPA_ORACLE = """
+WITH ratings AS (
+  SELECT CAST(user_id % 4 AS VARCHAR) AS rater,
+         event_id % 200 AS item,
+         event_type AS label
+  FROM events
+),
+joined AS (
+  SELECT a.rater AS rater_a, b.rater AS rater_b,
+         a.label AS label_a, b.label AS label_b
+  FROM ratings a JOIN ratings b ON a.item = b.item AND a.rater < b.rater
+),
+stats AS (
+  SELECT rater_a, rater_b,
+    COUNT(*) AS n_items,
+    AVG(CASE WHEN label_a = label_b THEN 1.0 ELSE 0.0 END) AS po,
+    (AVG(CASE WHEN label_a = 'view' THEN 1.0 ELSE 0.0 END)
+       * AVG(CASE WHEN label_b = 'view' THEN 1.0 ELSE 0.0 END)
+     + AVG(CASE WHEN label_a = 'click' THEN 1.0 ELSE 0.0 END)
+       * AVG(CASE WHEN label_b = 'click' THEN 1.0 ELSE 0.0 END)
+     + AVG(CASE WHEN label_a = 'purchase' THEN 1.0 ELSE 0.0 END)
+       * AVG(CASE WHEN label_b = 'purchase' THEN 1.0 ELSE 0.0 END)
+     + AVG(CASE WHEN label_a = 'signup' THEN 1.0 ELSE 0.0 END)
+       * AVG(CASE WHEN label_b = 'signup' THEN 1.0 ELSE 0.0 END)
+     + AVG(CASE WHEN label_a = 'error' THEN 1.0 ELSE 0.0 END)
+       * AVG(CASE WHEN label_b = 'error' THEN 1.0 ELSE 0.0 END)) AS pe
+  FROM joined GROUP BY rater_a, rater_b
+)
+SELECT rater_a, rater_b, n_items,
+  ROUND(CASE WHEN pe = 1.0 THEN 1.0 ELSE (po - pe) / (1.0 - pe) END, 6) AS kappa
+FROM stats
+"""
+
+
+@query("agreement_kappa", _KAPPA_ORACLE)
+def q_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A21 pairwise Cohen's kappa (reference
+    human_eval/results_analysis.py:107-178): self-join raters on co-rated
+    items, one JVM aggregation per pair (the applyInPandas variant lives in
+    plans.agreement for richer statistics)."""
+    ev = load_table(spark, sf_dir, "events")
+    ratings = ev.select(
+        (F.col("user_id") % 4).cast("string").alias("rater"),
+        (F.col("event_id") % 200).alias("item"),
+        F.col("event_type").alias("label"),
+    )
+    a = ratings.select(
+        F.col("rater").alias("rater_a"), "item", F.col("label").alias("label_a")
+    )
+    b = ratings.select(
+        F.col("rater").alias("rater_b"), "item", F.col("label").alias("label_b")
+    )
+    joined = a.join(b, "item").filter(F.col("rater_a") < F.col("rater_b"))
+    cats = ("view", "click", "purchase", "signup", "error")
+    frac = lambda c, side: F.avg(  # noqa: E731
+        F.when(F.col(side) == c, 1.0).otherwise(0.0)
+    )
+    pe = sum(frac(c, "label_a") * frac(c, "label_b") for c in cats)
+    po = F.avg(F.when(F.col("label_a") == F.col("label_b"), 1.0).otherwise(0.0))
+    stats = joined.groupBy("rater_a", "rater_b").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        po.alias("po"),
+        pe.alias("pe"),
+    )
+    kappa = F.when(F.col("pe") == 1.0, F.lit(1.0)).otherwise(
+        (F.col("po") - F.col("pe")) / (F.lit(1.0) - F.col("pe"))
+    )
+    return stats.select(
+        "rater_a", "rater_b", "n_items", F.round(kappa, 6).alias("kappa")
+    )
+
+
+@query("anonymized_props", None)  # recursive JSON walk: rows-only check
+def q_anonymized_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 recursive anonymization over a JSON column (reference
+    scripts/anonymize.py:38-67) — pandas UDF walk; golden unit tests pin
+    the id-hash format (F8)."""
+    from fireball_data_processing_spark.functions.ids import anonymize_json
+
+    ev = load_table(spark, sf_dir, "events").limit(200)
+    return ev.select(
+        "event_id", anonymize_json(F.col("props")).alias("props_anon")
+    )
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 

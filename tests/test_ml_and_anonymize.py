@@ -1,0 +1,103 @@
+"""U7 MLlib training smoke, F8/F10 anonymization goldens, A21 agreement
+applyInPandas variant."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from fireball_data_processing_spark.functions.ids import (
+    anonymize_json_str,
+    anonymize_value,
+    hashed_id,
+)
+
+
+def test_hashed_id_shape_and_stability():
+    h1 = hashed_id("261302296103747584")
+    h2 = hashed_id("261302296103747584")
+    assert h1 == h2
+    assert len(h1) == 18 and h1.isdigit()
+    assert hashed_id("1") != hashed_id("2")
+
+
+def test_anonymize_recursive_walk():
+    payload = {
+        "author_id": "261302296103747584",
+        "nested": {"ids": ["12345678901234567", "not an id"]},
+        "snowflake_int": 261302296103747584,
+        "small": 42,
+    }
+    out = anonymize_value(payload, {"Avrae": "BOT"})
+    assert out["author_id"] == hashed_id("261302296103747584")
+    assert out["nested"]["ids"][0] == hashed_id("12345678901234567")
+    assert out["nested"]["ids"][1] == "not an id"
+    assert out["small"] == 42
+    assert out["snowflake_int"] == int(hashed_id("261302296103747584"))
+
+
+def test_anonymize_json_str_fallback():
+    assert anonymize_json_str(None) is None
+    # non-JSON still gets snowflakes replaced
+    s = anonymize_json_str("id=261302296103747584 end")
+    assert "261302296103747584" not in s
+    rt = json.loads(anonymize_json_str('{"a": "261302296103747584"}'))
+    assert rt["a"] == hashed_id("261302296103747584")
+
+
+def test_logreg_cv_trains_and_scores(spark, sf_dir):
+    from fireball_data_processing_spark.plans.heuristics import (
+        SIMPLE,
+        heuristics_matrix,
+    )
+    from fireball_data_processing_spark.plans.ml import (
+        predict_positive_ids,
+        train_logreg_cv,
+    )
+    from fireball_data_processing_spark.schema import SYNTHETIC_STREAM
+    from fireball_data_processing_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    feats = heuristics_matrix(ev, SYNTHETIC_STREAM, SIMPLE)
+    # deterministic synthetic target correlated with a feature
+    labeled = feats.withColumn(
+        "y",
+        (F.col("average_message_length")
+         > F.expr("percentile_approx(average_message_length, 0.5) OVER ()")).cast(
+            "double"
+        ),
+    )
+    cols = ["event_count", "message_count", "command_count",
+            "average_message_length", "avg_words_between_commands"]
+    labeled = labeled.na.fill(0.0, cols).cache()
+    model = train_logreg_cv(labeled, cols, "y", reg_grid=(0.1,), n_folds=2)
+    preds = model.transform(
+        __import__(
+            "fireball_data_processing_spark.plans.ml", fromlist=["feature_label_frame"]
+        ).feature_label_frame(labeled, cols, "y")
+    )
+    assert preds.count() == labeled.count()
+    assert set(r["prediction"] for r in preds.collect()) <= {0.0, 1.0}
+    pos = predict_positive_ids(model, labeled, cols, "y", "user_id")
+    assert pos.count() <= labeled.count()
+
+
+def test_pairwise_kappa_applyinpandas(spark):
+    from fireball_data_processing_spark.plans.agreement import pairwise_kappa
+
+    rows = [
+        ("r1", i, "yes" if i % 2 == 0 else "no") for i in range(20)
+    ] + [
+        ("r2", i, "yes" if i % 2 == 0 else "no") for i in range(20)  # perfect
+    ] + [
+        ("r3", i, "yes" if i % 4 == 0 else "no") for i in range(20)  # partial
+    ]
+    df = spark.createDataFrame(rows, "rater string, item int, label string")
+    got = {
+        (r["rater_a"], r["rater_b"]): r["kappa"]
+        for r in pairwise_kappa(df).collect()
+    }
+    assert got[("r1", "r2")] == 1.0
+    assert 0.0 < got[("r1", "r3")] < 1.0
+    assert got[("r2", "r3")] == got[("r1", "r3")]
