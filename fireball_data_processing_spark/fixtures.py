@@ -259,6 +259,41 @@ LABEL_SCHEMA = "user_id bigint, rp_label double, cmd_label double"
 LABEL_COLUMNS = ["user_id", "rp_label", "cmd_label"]
 
 # ---------------------------------------------------------------------
+# F5 snippet substitution fixture (distill4_normalize.py:359-371)
+# ---------------------------------------------------------------------
+SNIPPET_ROWS = [
+    (1, "!cast fireball target", "fireball", "fireball -i -l 5"),
+    (2, "!a sword goblin", "sword", 'attack "longsword" -adv'),
+    (3, "!init next", "missing", "whatever"),
+    (4, "!x first first", "first", "REPL"),  # only the first hit replaced
+    (5, "trailing word", "word", "sub"),
+]
+SNIPPET_SCHEMA = "id int, content string, snippet_name string, content_after string"
+SNIPPET_COLUMNS = ["id", "content", "snippet_name", "content_after"]
+
+# ---------------------------------------------------------------------
+# F12/F13 normalized-actor fixture (FIXTURES.md section 3; reference
+# distill4_normalize.py:192-203, prompts.py:6-50)
+# ---------------------------------------------------------------------
+ACTOR_ROWS = [
+    ("Korga", "Half-Orc", "Barbarian 5", "<15/20 HP; Injured>", "Raging",
+     "Greataxe, Javelin", "", "Rage, Reckless Attack", "A towering half-orc."),
+    ("Mira", None, "Wizard 3", "<8/8 HP; Healthy>", "",
+     "Dagger", "Fire Bolt, Shield, Fireball", None, None),
+    ("Goblin A", "Goblin", None, "<0/7 HP; Dead>", "Prone",
+     "Scimitar", "", None, "A small green menace."),
+    ("Mystery", None, None, None, None, None, None, None, None),
+]
+ACTOR_SCHEMA = (
+    "name string, race string, cls string, hp_str string, effects string, "
+    "attacks string, spells string, actions string, description string"
+)
+ACTOR_COLUMNS = [
+    "name", "race", "cls", "hp_str", "effects", "attacks", "spells",
+    "actions", "description",
+]
+
+# ---------------------------------------------------------------------
 # F14 automation_result trees (FIXTURES.md section 4): every node type,
 # depth >= 3, stored as JSON strings.
 # ---------------------------------------------------------------------

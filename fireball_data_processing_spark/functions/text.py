@@ -52,6 +52,65 @@ def truncate_words(c: Column, n: int = 200) -> Column:
     return F.array_join(F.slice(F.split(c, " "), 1, n), " ")
 
 
+def substitute_snippet(
+    content: Column, snippet_name: Column, content_after: Column
+) -> Column:
+    """F5 (reference distill4_normalize.py:359-371): replace the first word
+    equal to ``snippet_name`` with ``content_after``.
+
+    The reference shlex-splits (``argsplit``); quoted arguments differ from
+    plain ' '-splitting there. This Column form uses ' '-split semantics
+    (exact for unquoted commands — the overwhelming case); the shlex-exact
+    variant is ``substitute_snippet_shlex`` (pandas UDF) in this module.
+    """
+    words = F.split(content, " ")
+    pos = F.array_position(words, snippet_name)  # 1-based, 0 = not found
+    replaced = F.concat_ws(
+        " ",
+        F.concat(
+            F.slice(words, 1, (pos - 1).cast("int")),
+            F.array(content_after),
+            F.when(
+                pos < F.size(words),
+                F.slice(words, (pos + 1).cast("int"), F.size(words)),
+            ).otherwise(F.array().cast("array<string>")),
+        ),
+    )
+    return F.when(pos > 0, replaced).otherwise(content)
+
+
+def substitute_snippet_shlex():
+    """shlex-exact F5 as an Arrow pandas UDF (quoted-argument semantics)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    # no type hints: with `from __future__ import annotations` they become
+    # strings that pyspark's hint resolver can't eval here (pd is imported
+    # locally); hint-less pandas_udf falls back to scalar mode, which is
+    # exactly what we want.
+    @pandas_udf(StringType())
+    def _sub(content, name, after):
+        import shlex
+
+        def one(c, n, a):
+            if c is None or n is None or a is None:
+                return c
+            try:
+                parts = shlex.split(c, posix=False)
+            except ValueError:
+                parts = c.split(" ")
+            for i, w in enumerate(parts):
+                if w == n:
+                    parts[i] = a
+                    return " ".join(parts)
+            return c
+
+        return pd.Series([one(c, n, a) for c, n, a in zip(content, name, after)])
+
+    return _sub
+
+
 def md5_id(c: Column) -> Column:
     """F8 (reference scripts/anonymize.py:24-29): anonymized id from md5.
     The reference formats little-endian md5 bytes as an 18-digit decimal;

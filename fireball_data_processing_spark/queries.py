@@ -1879,6 +1879,145 @@ def q_anonymized_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =====================================================================
+# F5 snippet substitution, F12/F13 actor + prompt strings, S11/O1 export
+# =====================================================================
+
+
+@query(
+    "fb_snippet_substitution",
+    f"""
+WITH t AS (SELECT * FROM {FX.values_sql(FX.SNIPPET_ROWS, FX.SNIPPET_COLUMNS)}),
+w AS (
+  SELECT *, string_split(content, ' ') AS words,
+    COALESCE(list_position(string_split(content, ' '), snippet_name), 0) AS pos
+  FROM t
+)
+SELECT id,
+  CASE WHEN pos > 0 THEN array_to_string(
+      list_slice(words, 1, pos - 1)
+      || [content_after]
+      || CASE WHEN pos < len(words)
+              THEN list_slice(words, pos + 1, len(words))
+              ELSE [] END,
+      ' ')
+  ELSE content END AS substituted
+FROM w
+""",
+)
+def q_fb_snippet_substitution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 snippet substitution (reference distill4_normalize.py:359-371):
+    replace the first word equal to snippet_name with content_after
+    (' '-split form; shlex-exact variant is a pandas UDF)."""
+    from fireball_data_processing_spark.functions.text import substitute_snippet
+
+    df = FX.spark_df(spark, FX.SNIPPET_ROWS, FX.SNIPPET_SCHEMA)
+    return df.select(
+        "id",
+        substitute_snippet(
+            F.col("content"), F.col("snippet_name"), F.col("content_after")
+        ).alias("substituted"),
+    )
+
+
+@query(
+    "fb_actor_strings",
+    f"""
+WITH t AS (SELECT * FROM {FX.values_sql(FX.ACTOR_ROWS, FX.ACTOR_COLUMNS)}),
+s AS (
+  SELECT name,
+    concat_ws(' ',
+      name,
+      CASE WHEN race IS NOT NULL AND cls IS NOT NULL THEN '(' || race || '; ' || cls || ')'
+           WHEN race IS NOT NULL THEN '(' || race || ')'
+           WHEN cls IS NOT NULL THEN '(' || cls || ')' END,
+      hp_str,
+      CASE WHEN effects IS NOT NULL AND effects <> '' THEN '[' || effects || ']' END
+    ) AS short_str,
+    concat_ws(chr(10),
+      'Name: ' || name,
+      CASE WHEN cls IS NOT NULL THEN 'Class: ' || cls END,
+      CASE WHEN race IS NOT NULL THEN 'Race: ' || race END,
+      CASE WHEN attacks IS NOT NULL AND attacks <> '' THEN 'Attacks: ' || attacks END,
+      CASE WHEN spells IS NOT NULL AND spells <> '' THEN 'Spells: ' || spells END,
+      CASE WHEN actions IS NOT NULL AND actions <> '' THEN 'Actions: ' || actions END,
+      CASE WHEN effects IS NOT NULL AND effects <> '' THEN 'Effects: ' || effects END,
+      CASE WHEN description IS NOT NULL THEN 'Description: ' || description END
+    ) AS long_str
+  FROM t
+)
+SELECT name, short_str, long_str,
+  short_str || chr(10) || chr(10) || long_str || chr(10) || chr(10) || '<|asep|>'
+    AS prompt
+FROM s
+""",
+)
+def q_fb_actor_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 actor stringification (reference prompts.py:6-50) + F13 prompt
+    assembly with the <|asep|> separator (prompts.py:1-3)."""
+    from fireball_data_processing_spark.functions.game import (
+        actor_long_str,
+        actor_short_str,
+        assemble_prompt,
+    )
+
+    df = FX.spark_df(spark, FX.ACTOR_ROWS, FX.ACTOR_SCHEMA)
+    short = actor_short_str(
+        F.col("name"), F.col("race"), F.col("cls"), F.col("hp_str"),
+        F.col("effects"),
+    )
+    long_ = actor_long_str(
+        F.col("name"), F.col("cls"), F.col("race"), F.col("attacks"),
+        F.col("spells"), F.col("actions"), F.col("effects"),
+        F.col("description"),
+    )
+    out = df.select(
+        "name", short.alias("short_str"), long_.alias("long_str")
+    )
+    return out.withColumn(
+        "prompt", assemble_prompt(F.col("short_str"), F.col("long_str"))
+    )
+
+
+_HEUR_LONG_ORACLE = (
+    "WITH m AS (" + _HEURISTIC_ORACLE + "),\n"
+    "long AS (\n"
+    + "\n  UNION ALL ".join(
+        f"SELECT user_id, '{h}' AS heuristic, CAST({h} AS DOUBLE) AS score FROM m"
+        for h in (
+            "event_count", "message_count", "command_count",
+            "message_to_command_ratio", "average_message_length",
+            "num_participants", "num_turns", "avg_words_between_commands",
+            "avg_words_between_commands_excl_last",
+            "avg_time_between_message_and_command",
+            "ratio_of_commands_without_message", "num_turn_changes",
+        )
+    )
+    + "\n)\nSELECT user_id, heuristic, score,\n"
+    "  CAST(ROW_NUMBER() OVER (ORDER BY score ASC NULLS FIRST, heuristic, user_id)"
+    " AS BIGINT) AS rank\nFROM long"
+)
+
+
+@query("heuristics_long_sorted", _HEUR_LONG_ORACLE)
+def q_heuristics_long_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11/O1: the heuristics matrix unpivoted to the reference's long
+    (instance, heuristic, score) result shape, globally sorted by score
+    (heuristic_worker.py:114) with a deterministic rank."""
+    from pyspark.sql.window import Window
+
+    wide = q_heuristics_matrix(spark, sf_dir)
+    names = [c for c in wide.columns if c != "user_id"]
+    stack_expr = "stack({}, {}) as (heuristic, score)".format(
+        len(names), ", ".join(f"'{n}', cast({n} as double)" for n in names)
+    )
+    long_df = wide.select("user_id", F.expr(stack_expr))
+    w = Window.orderBy(
+        F.col("score").asc_nulls_first(), F.col("heuristic"), F.col("user_id")
+    )
+    return long_df.withColumn("rank", F.row_number().over(w).cast("bigint"))
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 

@@ -145,3 +145,28 @@ def test_lsh_topk_recall_against_brute_force(spark, sf_dir):
     assert len(approx_pairs) > 0
     assert all(r["rank"] <= 3 for r in approx)
     assert len(exact_pairs) == 15
+
+
+def test_substitute_snippet_shlex_quoted(spark):
+    from fireball_data_processing_spark.functions.text import (
+        substitute_snippet_shlex,
+    )
+
+    udf = substitute_snippet_shlex()
+    df = spark.createDataFrame(
+        [
+            ('!a "flame sword" goblin', '"flame sword"', "attack -adv"),
+            ("!cast fireball", "fireball", "fireball -l 5"),
+            ("!cast fireball", "missing", "x"),
+        ],
+        "content string, snippet_name string, content_after string",
+    )
+    got = [
+        r["out"]
+        for r in df.select(
+            udf(F.col("content"), F.col("snippet_name"), F.col("content_after")).alias("out")
+        ).collect()
+    ]
+    assert got[0] == "!a attack -adv goblin"  # quoted token treated as one word
+    assert got[1] == "!cast fireball -l 5"
+    assert got[2] == "!cast fireball"
