@@ -95,6 +95,27 @@ def lang_scores(c: Column) -> dict[str, Column]:
 # ---------------------------------------------------------------------
 
 
+def rolling_hash(c: Column, base: int = 31, mod: int = 1_000_000_007) -> Column:
+    """Polynomial rolling hash over normalized words (shift-resistant
+    document fingerprint): fold ``acc*B + h(word) mod M`` left-to-right.
+
+    ``h(word)`` is the first 8 md5 hex digits as an int, so the fold is
+    bit-identical in any engine with md5 (DuckDB: list_reduce with a
+    prepended 0 as the seed). M * B + 2^32 stays far below 2^63, so no
+    overflow under ANSI arithmetic.
+    """
+    words = F.split(F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")), " ")
+    hashes = F.transform(
+        words,
+        lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("bigint"),
+    )
+    return F.aggregate(
+        hashes,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: (acc * base + x) % F.lit(mod).cast("bigint"),
+    )
+
+
 def content_fingerprint(c: Column) -> Column:
     """Deterministic document fingerprint: md5 of the dedup-normalized text
     (lowercase, collapsed whitespace). The rolling-hash variant for

@@ -2018,6 +2018,141 @@ def q_heuristics_long_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return long_df.withColumn("rank", F.row_number().over(w).cast("bigint"))
 
 
+# =====================================================================
+# distill4 composite, rolling-hash fingerprint, embedding near-dup
+# =====================================================================
+
+
+@query(
+    "fb_distill4_core",
+    f"""
+WITH t AS (SELECT * FROM {FX.values_sql(FX.FB_EVENT_ROWS, FX.FB_EVENT_COLUMNS)}),
+feat AS (
+  SELECT *,
+    COALESCE(list_filter(
+      list(CASE WHEN event_type = 'message' THEN content END)
+        OVER (PARTITION BY combat_id ORDER BY seq
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      x -> x IS NOT NULL), []) AS prior_msgs,
+    LAST_VALUE(CASE WHEN event_type = 'combat_state_update' THEN seq END IGNORE NULLS)
+      OVER (PARTITION BY combat_id ORDER BY seq
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS state_before_seq,
+    FIRST_VALUE(CASE WHEN event_type = 'combat_state_update' THEN seq END IGNORE NULLS)
+      OVER (PARTITION BY combat_id ORDER BY seq
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS state_after_seq
+  FROM t
+)
+SELECT combat_id, seq AS command_seq, author_id AS speaker_id,
+  COALESCE(array_to_string(
+    CASE WHEN len(prior_msgs) >= 2
+         THEN list_slice(prior_msgs, len(prior_msgs) - 1, len(prior_msgs))
+         ELSE prior_msgs END, ' | '), '') AS utterance_history,
+  CAST(len(prior_msgs) AS BIGINT) AS n_prior_msgs,
+  state_before_seq, state_after_seq,
+  regexp_replace(content, '\\(.*?\\)', '', 'g') AS content_norm
+FROM feat WHERE event_type = 'command'
+""",
+)
+def q_fb_distill4_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """distill4's SQL-expressible core per command row (reference
+    distill4_normalize.py:377-490): utterance-history window (G12, last 2),
+    backward/forward state as-of (G5/G6), speaker extraction and content
+    normalization (F1) — one window pass, one exchange."""
+    from pyspark.sql.window import Window
+
+    from fireball_data_processing_spark.functions.text import strip_parentheticals
+    from fireball_data_processing_spark.operators.asof import (
+        asof_backward_col,
+        asof_forward_col,
+    )
+
+    df = FX.spark_df(spark, FX.FB_EVENT_ROWS, FX.FB_EVENT_SCHEMA)
+    w_prior = (
+        Window.partitionBy("combat_id")
+        .orderBy("seq")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_state = F.col("event_type") == "combat_state_update"
+    feat = df.withColumn(
+        "prior_msgs",
+        F.collect_list(
+            F.when(F.col("event_type") == "message", F.col("content"))
+        ).over(w_prior),
+    ).withColumn(
+        "state_before_seq",
+        asof_backward_col(is_state, F.col("seq"), ["combat_id"], "seq",
+                          include_current=False),
+    ).withColumn(
+        "state_after_seq",
+        asof_forward_col(is_state, F.col("seq"), ["combat_id"], "seq",
+                         include_current=False),
+    )
+    n = F.size("prior_msgs")
+    last2 = F.when(
+        n >= 2, F.slice("prior_msgs", (n - 1).cast("int"), 2)
+    ).otherwise(F.col("prior_msgs"))
+    return feat.filter(F.col("event_type") == "command").select(
+        "combat_id",
+        F.col("seq").alias("command_seq"),
+        F.col("author_id").alias("speaker_id"),
+        F.array_join(last2, " | ").alias("utterance_history"),
+        n.cast("bigint").alias("n_prior_msgs"),
+        "state_before_seq",
+        "state_after_seq",
+        strip_parentheticals(F.col("content")).alias("content_norm"),
+    )
+
+
+@query(
+    "doc_rolling_hash",
+    """
+SELECT doc_id,
+  list_reduce(
+    [0] || list_transform(
+      string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+      w -> ('0x' || substr(md5(w), 1, 8))::BIGINT),
+    (acc, x) -> (acc * 31 + x) % 1000000007) AS rhash
+FROM documents
+""",
+)
+def q_doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash document fingerprint (the shift-resistant
+    variant of md5 fingerprinting; LLM-pipeline text-analysis extension)."""
+    from fireball_data_processing_spark.functions.textstats import rolling_hash
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", rolling_hash(F.col("text")).alias("rhash"))
+
+
+@query(
+    "embedding_near_dup_pairs",
+    f"""
+WITH p AS (
+  SELECT q.vec_id AS id_a, c.vec_id AS id_b,
+    ROUND({_COSINE_EXPR.replace('q.qv', 'q.embedding')}, 6) AS cosine_sim
+  FROM embeddings q JOIN embeddings c ON q.vec_id < c.vec_id
+)
+SELECT id_a, id_b, cosine_sim FROM p WHERE cosine_sim > 0.45
+""",
+)
+def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (dedup extension): exact
+    all-pairs form as the correctness baseline; the LSH-bucketed form
+    (operators.similarity.lsh_topk / rh_signature buckets) is the 100 TB
+    path and is recall-tested against this in unit tests."""
+    from fireball_data_processing_spark.operators.similarity import cosine
+
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb"))
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    sim = F.round(cosine(F.col("__va"), F.col("__vb")), 6)
+    return (
+        pairs.select("id_a", "id_b", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") > 0.45)
+    )
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 

@@ -66,6 +66,59 @@ def fsm_extract(
     )
 
 
+def stateful_buffer_flush_stream(
+    spark: SparkSession,
+    source_dir: str,
+    file_schema: StructType | str,
+    s: StreamSchema,
+    buffer_types: tuple[str, ...],
+    flush_types: tuple[str, ...],
+    fmt: str = "parquet",
+) -> DataFrame:
+    """G13's streaming form: the same buffer/flush FSM as ``fsm_extract``,
+    incremental via ``applyInPandasWithState`` — the (buffered count, sum)
+    carries across micro-batches in GroupState, so a command in batch N
+    flushes utterances that arrived in batch N-1.
+
+    Within-batch rows are sorted by seq; cross-batch order is arrival order
+    (the Kinesis/Firehose property the reference's layout assumes:
+    time-ordered chunk delivery).
+    """
+    out_schema = (
+        f"{s.instance_col} bigint, anchor_id bigint, "
+        "n_buffered bigint, buffered_sum double"
+    )
+    state_schema = "buf_n bigint, buf_sum double"
+
+    def fn(key, pdf_iter, state):
+        buf_n, buf_sum = state.get if state.exists else (0, 0.0)
+        rows = []
+        for pdf in pdf_iter:
+            for _, r in pdf.sort_values(s.seq_col).iterrows():
+                if r[s.type_col] in buffer_types:
+                    buf_n += 1
+                    buf_sum += float(r[s.measure_col]) if s.measure_col else 0.0
+                elif r[s.type_col] in flush_types:
+                    rows.append((key[0], int(r[s.seq_col]), int(buf_n),
+                                 round(buf_sum, 6)))
+                    buf_n, buf_sum = 0, 0.0
+        state.update((int(buf_n), float(buf_sum)))
+        yield pd.DataFrame(
+            rows,
+            columns=[s.instance_col, "anchor_id", "n_buffered", "buffered_sum"],
+        ).astype({"anchor_id": "int64", "n_buffered": "int64",
+                  "buffered_sum": "float64"})
+
+    stream = spark.readStream.schema(file_schema).format(fmt).load(source_dir)
+    return stream.groupBy(F.col(s.instance_col)).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
 def buffer_flush_fsm(
     buffer_types: tuple[str, ...],
     flush_types: tuple[str, ...],
