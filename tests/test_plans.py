@@ -1,0 +1,106 @@
+"""Plan-quality regression tests: the physical plans the engine promises
+(SURVEY.md section 4 / README scale notes) stay true as code evolves.
+
+These assert on .explain output — pushdown reaching the scan, dims being
+broadcast, sessionization costing exactly one exchange, bucketed joins
+costing zero.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+from pyspark.sql import functions as F
+
+from fireball_data_processing_spark import queries as catalog
+from fireball_data_processing_spark.sources.tables import load_table
+
+SMOKE = "/root/testdata/sf0.001"
+
+
+def _explain_str(df) -> str:
+    # pre-execution physical plan (no AQE re-plan), enough for shape checks
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("extended")
+    return buf.getvalue()
+
+
+def _count_shuffles(df) -> int:
+    s = _explain_str(df)
+    # hash/range repartitions; broadcast exchanges excluded on purpose
+    return len(re.findall(r"Exchange (hash|range)partitioning", s))
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = catalog.REGISTRY["instance_event_stream"].fn(spark, SMOKE)
+    s = _explain_str(df)
+    assert "PushedFilters" in s and "EqualTo(user_id,7)" in s
+
+
+def test_column_pruning_on_scan(spark):
+    df = catalog.REGISTRY["doc_fingerprints"].fn(spark, SMOKE)
+    s = _explain_str(df)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", s)
+    assert m, s
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"doc_id", "text"}  # n_chars/lang/source pruned away
+
+
+def test_star_join_broadcasts_dims(spark):
+    df = catalog.REGISTRY["revenue_by_nation"].fn(spark, SMOKE)
+    s = _explain_str(df)
+    assert s.count("BroadcastHashJoin") >= 4  # orders? + customer/supplier/nation/region
+
+
+def test_heuristics_matrix_single_exchange(spark):
+    ev = load_table(spark, SMOKE, "events")
+    from fireball_data_processing_spark.plans.heuristics import (
+        HEURISTICS,
+        heuristics_matrix,
+    )
+    from fireball_data_processing_spark.schema import SYNTHETIC_STREAM
+
+    m = heuristics_matrix(ev, SYNTHETIC_STREAM, HEURISTICS)
+    # window pass + groupBy share one hash exchange on the instance key
+    assert _count_shuffles(m) == 1, _explain_str(m)
+
+
+def test_asof_single_exchange(spark):
+    df = catalog.REGISTRY["asof_state_backward"].fn(spark, SMOKE)
+    assert _count_shuffles(df) == 1
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    from fireball_data_processing_spark.sources.bucketing import (
+        read_bucketed,
+        write_bucketed,
+    )
+
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    for t in ("ev_bucketed_a", "ev_bucketed_agg"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    import shutil
+
+    shutil.rmtree("/root/repo/spark-warehouse", ignore_errors=True)
+    ev = load_table(spark, SMOKE, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    write_bucketed(ev, "ev_bucketed_a", "user_id", num_buckets=8,
+                   sort_col="event_id")
+    write_bucketed(
+        ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")),
+        "ev_bucketed_agg", "user_id", num_buckets=8,
+    )
+    a = read_bucketed(spark, "ev_bucketed_a")
+    b = read_bucketed(spark, "ev_bucketed_agg")
+
+    joined = a.join(b, "user_id")
+    assert _count_shuffles(joined) == 0, _explain_str(joined)
+    assert joined.count() == ev.count()
+
+    # groupBy on the bucket key: no exchange either
+    agg = a.groupBy("user_id").agg(F.sum("value").alias("s"))
+    assert _count_shuffles(agg) == 0
