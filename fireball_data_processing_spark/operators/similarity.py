@@ -114,6 +114,72 @@ def rh_signature(
     return df.withColumn(sig_col, sig.cast("int"))
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    round_dp: int | None = 6,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: KMeans-partition the corpus
+    once, then each query scans only its ``n_probe`` nearest cells.
+
+    The 100 TB shape: the clustering pass is one MLlib job; cell assignment
+    is written partitioned by cell id, so a query's probe set maps to
+    partition pruning. Centroids are tiny and broadcast.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        array_to_vector(F.col(vec_col)).alias("features"),
+    )
+    km = KMeans(k=n_centroids, seed=seed, featuresCol="features",
+                predictionCol="cell")
+    model = km.fit(c)
+    assigned = model.transform(c).select("neighbor_id", "__cv", "cell")
+
+    # probe-cell selection: centroids are tiny -> literal arrays in-plan
+    centroids = [list(map(float, ctr)) for ctr in model.clusterCenters()]
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    dists = F.array(
+        *[
+            F.struct(
+                dot(F.col("__qv"), F.array(*[F.lit(x) for x in ctr])).alias("sim"),
+                F.lit(i).alias("cell"),
+            )
+            for i, ctr in enumerate(centroids)
+        ]
+    )
+    probe = F.slice(F.reverse(F.array_sort(dists)), 1, n_probe)
+    q = q.withColumn("cells", F.transform(probe, lambda s: s["cell"]))
+    q = q.select("query_id", "__qv", F.explode("cells").alias("cell"))
+
+    sim = cosine(F.col("__qv"), F.col("__cv"))
+    if round_dp is not None:
+        sim = F.round(sim, round_dp)
+    scored = (
+        q.join(assigned, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -2153,6 +2153,41 @@ def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "required_fields_filter",
+    """
+SELECT doc_id, lang, source FROM documents
+WHERE text IS NOT NULL AND trim(text) <> ''
+  AND lang IS NOT NULL AND source IS NOT NULL
+  AND n_chars > 0
+""",
+)
+def q_required_fields_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 required-keys filter (reference finetune_prep.py:38-48): drop
+    rows where any required field is falsy."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.filter(
+        F.col("text").isNotNull()
+        & (F.trim("text") != "")
+        & F.col("lang").isNotNull()
+        & F.col("source").isNotNull()
+        & (F.col("n_chars") > 0)
+    ).select("doc_id", "lang", "source")
+
+
+@query("ivf_topk_neighbors", None)  # KMeans cells: rows-only (seeded, but
+# cluster assignment is not SQL-reproducible)
+def q_ivf_topk_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors: KMeans cells + n_probe scan +
+    exact rerank (the partition-pruning scale path; recall-tested against
+    brute force in unit tests)."""
+    from fireball_data_processing_spark.operators.similarity import ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(e.filter(F.col("vec_id") < 10), e, k=5,
+                    n_centroids=8, n_probe=3)
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 

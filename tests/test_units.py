@@ -170,3 +170,22 @@ def test_substitute_snippet_shlex_quoted(spark):
     assert got[0] == "!a attack -adv goblin"  # quoted token treated as one word
     assert got[1] == "!cast fireball -l 5"
     assert got[2] == "!cast fireball"
+
+
+def test_ivf_topk_recall_against_brute_force(spark, sf_dir):
+    from fireball_data_processing_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+    from fireball_data_processing_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(q, e, k=5).collect()
+    approx = ivf_topk(q, e, k=5, n_centroids=8, n_probe=4).collect()
+    exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_pairs = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    # probing half the cells should recover most true neighbors
+    assert recall >= 0.5, recall
+    assert all(r["rank"] <= 5 for r in approx)
