@@ -1,0 +1,109 @@
+"""User-facing dataset API — the reference's ``Dataset`` + explorer surface
+(``dataset/dataset.py``, ``explorer_server.py``) on Spark.
+
+A user of the reference drives four things: the heuristics table, raw
+per-instance event streams, CSV export, and the distill outputs. This class
+exposes the same surface over the engine:
+
+    ds = FireballDataset(spark, "/data/fireball")
+    ds.instances()                  # instance ids (S4)
+    ds.heuristics()                 # wide matrix, memoized (S6/S8/S9)
+    ds.events("combat_123")         # ordered raw stream (explorer /events)
+    ds.export_heuristics_csv(path)  # S11
+    ds.index()                      # explorer /index payload shape
+
+Heuristic results are memoized under ``results_dir`` keyed by the dataset
+checksum, mirroring the reference's skip-if-unchanged flow
+(``heuristic_worker.py:95-110``) — recompute happens only when the corpus
+listing changes or ``force_recompute`` is passed.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fireball_data_processing_spark.plans.heuristics import (
+    HEURISTICS,
+    heuristics_matrix,
+)
+from fireball_data_processing_spark.schema import EVENT_SCHEMA, FIREBALL_STREAM, StreamSchema
+from fireball_data_processing_spark.sources.checksum import dataset_checksum
+from fireball_data_processing_spark.sources.events import load_event_stream
+from fireball_data_processing_spark.sources import sinks
+
+
+class FireballDataset:
+    def __init__(
+        self,
+        spark: SparkSession,
+        data_dir: str,
+        results_dir: str | None = None,
+        stream: StreamSchema | None = None,
+        schema=EVENT_SCHEMA,
+    ) -> None:
+        self.spark = spark
+        self.data_dir = data_dir
+        self.results_dir = results_dir or os.path.join(data_dir, "_results")
+        self.stream = stream or StreamSchema(
+            instance_col="instance_id",
+            seq_col=FIREBALL_STREAM.seq_col,
+            ts_col=FIREBALL_STREAM.ts_col,
+            type_col=FIREBALL_STREAM.type_col,
+        )
+        self._schema = schema
+        self._events: DataFrame | None = None
+        self._checksum: str | None = None
+
+    # -- scans ---------------------------------------------------------
+    def events_df(self) -> DataFrame:
+        if self._events is None:
+            self._events = load_event_stream(
+                self.spark, self.data_dir, schema=self._schema
+            )
+        return self._events
+
+    def checksum(self) -> str:
+        if self._checksum is None:
+            self._checksum = dataset_checksum(self.spark, self.data_dir)
+        return self._checksum
+
+    def instances(self) -> list[str]:
+        return [
+            r["instance_id"]
+            for r in self.events_df().select("instance_id").distinct().collect()
+        ]
+
+    # -- heuristics (memoized) ----------------------------------------
+    def heuristics(
+        self,
+        names: tuple[str, ...] | None = None,
+        force_recompute: bool = False,
+    ) -> DataFrame:
+        names = names or HEURISTICS
+        out = os.path.join(self.results_dir, "heuristics")
+        cs = self.checksum()
+        if sinks.memoized(out, cs, force_recompute=force_recompute):
+            return self.spark.read.option("header", True).csv(out)
+        matrix = heuristics_matrix(self.events_df(), self.stream, names)
+        sinks.write_results_csv(matrix, out, checksum=cs)
+        return matrix
+
+    # -- explorer endpoints -------------------------------------------
+    def events(self, instance_id: str) -> DataFrame:
+        """`/events/{id}`: one instance's raw stream in canonical order."""
+        return (
+            self.events_df()
+            .filter(F.col("instance_id") == instance_id)
+            .orderBy("seq")
+        )
+
+    def index(self) -> DataFrame:
+        """`/index`: instance ids + their heuristic scores."""
+        return self.heuristics()
+
+    def export_heuristics_csv(self, path: str) -> None:
+        """`/heuristics/csv` (S11)."""
+        sinks.write_results_csv(self.heuristics(), path, checksum=self.checksum())

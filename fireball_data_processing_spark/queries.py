@@ -559,7 +559,7 @@ def q_event_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "znorm_user_values",
     """
 SELECT event_id, user_id,
-  ROUND((value - AVG(value) OVER w) / STDDEV_SAMP(value) OVER w, 6) AS z
+  ROUND((value - AVG(value) OVER w) / STDDEV_SAMP(value) OVER w, 6) + 0.0 AS z
 FROM events
 WINDOW w AS (PARTITION BY user_id)
 """,
@@ -572,7 +572,9 @@ def q_znorm_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id")
     z = (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)
-    return ev.select("event_id", "user_id", F.round(z, 6).alias("z"))
+    # + 0.0 canonicalizes IEEE negative zero (round of a tiny negative) so
+    # both engines hash the same representation
+    return ev.select("event_id", "user_id", (F.round(z, 6) + 0.0).alias("z"))
 
 
 @query(
@@ -1823,7 +1825,8 @@ stats AS (
   FROM joined GROUP BY rater_a, rater_b
 )
 SELECT rater_a, rater_b, n_items,
-  ROUND(CASE WHEN pe = 1.0 THEN 1.0 ELSE (po - pe) / (1.0 - pe) END, 6) AS kappa
+  ROUND(CASE WHEN pe = 1.0 THEN 1.0 ELSE (po - pe) / (1.0 - pe) END, 6) + 0.0
+    AS kappa
 FROM stats
 """
 
@@ -1862,7 +1865,8 @@ def q_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("po") - F.col("pe")) / (F.lit(1.0) - F.col("pe"))
     )
     return stats.select(
-        "rater_a", "rater_b", "n_items", F.round(kappa, 6).alias("kappa")
+        "rater_a", "rater_b", "n_items",
+        (F.round(kappa, 6) + 0.0).alias("kappa"),  # canonicalize -0.0
     )
 
 

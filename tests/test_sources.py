@@ -108,3 +108,27 @@ def test_jsonl_gz_roundtrip(spark, corpus):
     back = spark.read.json(out)
     assert back.count() == 4
     assert set(back.columns) >= {"instance_id", "seq", "event_type"}
+
+
+def test_fireball_dataset_api(spark, corpus, tmp_path):
+    from fireball_data_processing_spark.dataset import FireballDataset
+
+    ds = FireballDataset(spark, corpus, results_dir=str(tmp_path / "res"))
+    assert sorted(ds.instances()) == ["inst_a", "inst_b"]
+    assert len(ds.checksum()) == 32
+
+    m1 = ds.heuristics()
+    assert m1.count() == 2
+    # second call is served from the memoized CSV (checksum unchanged)
+    m2 = ds.heuristics()
+    assert m2.count() == 2
+    assert {r["instance_id"] for r in m2.collect()} == {"inst_a", "inst_b"}
+
+    ev = ds.events("inst_a").collect()
+    assert [r["seq"] for r in ev] == [1, 2, 3]
+
+    out = str(tmp_path / "export")
+    ds.export_heuristics_csv(out)
+    import os
+
+    assert os.path.exists(os.path.join(out, "_checksum"))
