@@ -2192,6 +2192,141 @@ def q_ivf_topk_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
                     n_centroids=8, n_probe=3)
 
 
+# =====================================================================
+# Event-time windows: gap sessions, tumbling buckets, exact percentiles
+# =====================================================================
+
+
+@query(
+    "session_windows",
+    """
+WITH g AS (
+  SELECT user_id, event_id, value, epoch_ns(ts) AS ts_ns,
+    CASE WHEN epoch_ns(ts) - LAG(epoch_ns(ts))
+           OVER (PARTITION BY user_id ORDER BY event_id) > 1800000000000
+           OR LAG(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY event_id)
+              IS NULL
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+s AS (
+  SELECT user_id, event_id, value,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS session_id
+  FROM g
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+  COUNT(*) AS n_events, ROUND(SUM(value), 6) AS session_value
+FROM s GROUP BY user_id, session_id
+""",
+)
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): the canonical
+    event-stream session-window operator — change-point on the time gap,
+    running sum as session id, one exchange total. The Structured
+    Streaming analog is `session_window(ts, '30 minutes')`."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_ns", F.col("ts")
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    gap = F.col("ts_ns") - F.lag("ts_ns").over(w)
+    new_s = F.when(
+        gap.isNull() | (gap > 1_800_000_000_000), 1
+    ).otherwise(0)
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("session_value"),
+    )
+
+
+@query(
+    "tumbling_hour_windows",
+    """
+SELECT user_id,
+  epoch_ns(ts) // 3600000000000 AS hour_bucket,
+  COUNT(*) AS n_events,
+  ROUND(SUM(value), 6) AS hour_value
+FROM events
+GROUP BY user_id, hour_bucket
+""",
+)
+def q_tumbling_hour_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time windows (1h) — the batch twin of the Structured
+    Streaming `window(ts, '1 hour')` aggregation; integer bucket arithmetic
+    on int64 nanos keeps it engine-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.expr("ts div 3600000000000").alias("hour_bucket")
+    return ev.groupBy("user_id", bucket).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("hour_value"),
+    )
+
+
+@query(
+    "value_percentiles",
+    """
+SELECT event_type,
+  ROUND(quantile_cont(value, 0.5), 6) AS p50,
+  ROUND(quantile_cont(value, 0.95), 6) AS p95,
+  ROUND(MAX(value), 6) AS pmax
+FROM events GROUP BY event_type
+""",
+)
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group (linear interpolation matches across
+    engines); at 100 TB swap for percentile_approx — the t-digest sketch is
+    mergeable, the exact form is holistic."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.max("value"), 6).alias("pmax"),
+    )
+
+
+@query(
+    "salted_hot_key_agg",
+    """
+SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total,
+  ROUND(MIN(value), 6) AS vmin, ROUND(MAX(value), 6) AS vmax
+FROM events GROUP BY event_type
+""",
+)
+def q_salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-phase aggregation: the 5-value event_type key is
+    exactly the hot-key shape — phase 1 spreads each key over 16 salted
+    reducers, phase 2 merges partials. Result is identical to the direct
+    groupBy (the oracle is the direct form)."""
+    from fireball_data_processing_spark.operators.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n": ("count", "value"),
+            "total": ("sum", "value"),
+            "vmin": ("min", "value"),
+            "vmax": ("max", "value"),
+        },
+        num_salts=16,
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.round("total", 2).alias("total"),
+        F.round("vmin", 6).alias("vmin"),
+        F.round("vmax", 6).alias("vmax"),
+    )
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
