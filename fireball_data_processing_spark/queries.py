@@ -2327,6 +2327,50 @@ def q_salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "eval_metric_averages",
+    """
+WITH scored AS (
+  SELECT doc_id, lang AS variant,
+    ROUND(length(text)::DOUBLE / len(regexp_split_to_array(trim(text), '\\s+')), 6)
+      AS pseudo_ppl,
+    ROUND(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+          w -> length(w) > 6))::DOUBLE
+      / len(regexp_split_to_array(trim(text), '\\s+')), 6) AS long_word_rate
+  FROM documents
+)
+SELECT variant,
+  COUNT(*) AS n_docs,
+  ROUND(AVG(pseudo_ppl), 6) AS avg_pseudo_ppl,
+  ROUND(AVG(long_word_rate), 6) AS avg_long_word_rate
+FROM scored GROUP BY variant
+""",
+)
+def q_eval_metric_averages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A19/U6 eval-metric averaging (reference evaluate_sta_nar.py:17-44):
+    per-row metrics then per-variant means. The model-based metrics
+    (perplexity/BLEURT/BERTScore) plug in as pandas_udf scorers with this
+    exact aggregation shape; deterministic text statistics stand in here."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.trim("text"), r"\s+")
+    ppl = F.round(F.length("text").cast("double") / F.size(words), 6)
+    lw = F.round(
+        F.size(F.filter(words, lambda w: F.length(w) > 6)).cast("double")
+        / F.size(words),
+        6,
+    )
+    scored = d.select(
+        F.col("lang").alias("variant"),
+        ppl.alias("pseudo_ppl"),
+        lw.alias("long_word_rate"),
+    )
+    return scored.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("pseudo_ppl"), 6).alias("avg_pseudo_ppl"),
+        F.round(F.avg("long_word_rate"), 6).alias("avg_long_word_rate"),
+    )
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
