@@ -2371,6 +2371,54 @@ def q_eval_metric_averages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MODEL_RATES = [
+    ("davinci", 0.02),
+    ("curie", 0.002),
+    ("babbage", 0.0005),
+    ("ada", 0.0004),
+]
+
+
+@query(
+    "token_cost_estimate",
+    f"""
+WITH rates AS (
+  SELECT * FROM (VALUES {", ".join(f"('{m}', {r})" for m, r in _MODEL_RATES)})
+    AS t(model, usd_per_1k)
+),
+per_source AS (
+  SELECT source, CAST(SUM(length(text) // 4) AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+)
+SELECT p.source, r.model, p.tokens,
+  ROUND(p.tokens / 1000.0 * r.usd_per_1k, 6) AS est_cost_usd
+FROM per_source p CROSS JOIN rates r
+""",
+)
+def q_token_cost_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F17/A16 corpus cost accounting (reference
+    scripts/count_num_chars_in_dataset.py:17-26,89-93 and
+    finetune_prep.py:223-228): chars/4 tokens per source x a broadcast
+    model-rate lookup."""
+    from fireball_data_processing_spark.functions.textstats import (
+        approx_token_count_chars,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.sum(approx_token_count_chars(F.col("text"))).alias("tokens")
+    )
+    rates = spark.createDataFrame(_MODEL_RATES, "model string, usd_per_1k double")
+    return per_source.crossJoin(F.broadcast(rates)).select(
+        "source",
+        "model",
+        "tokens",
+        F.round(F.col("tokens") / 1000.0 * F.col("usd_per_1k"), 6).alias(
+            "est_cost_usd"
+        ),
+    )
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
