@@ -79,22 +79,25 @@ def paginate(
     page: int,
     page_size: int = 250,
 ) -> DataFrame:
-    """Multi-key sort with deterministic tiebreak, then one page of rows.
+    """Multi-key sort with deterministic tiebreak, then one page of rows
+    (the explorer's ordered (key, asc/desc) sort list with `_id` tiebreak
+    and 250-row pages).
 
-    Matches the explorer's ordered (key, asc/desc) sort list with `_id`
-    tiebreak and 250-row pages. Implemented with row_number so it is a
-    single total-order window (at scale: serve from the pre-aggregated,
-    small heuristics matrix — never paginate a raw fact table).
+    Scale shape: a naive global row_number window sorts the WHOLE input in
+    one task. Instead, ``orderBy().limit((page+1)*page_size)`` compiles to
+    a distributed TakeOrderedAndProject (per-partition top-k, merged on the
+    driver-side single reducer over only k rows); the row_number window then
+    ranks just those (page+1)*page_size rows. Cost grows with page depth,
+    not table size — deep random access should go through the
+    pre-aggregated matrix instead.
     """
     order = [
         (F.col(c).asc() if asc else F.col(c).desc()) for c, asc in sort_keys
     ] + [F.col(tiebreak_col).asc()]
+    top = df.orderBy(*order).limit((page + 1) * page_size)
     w = Window.orderBy(*order)
     return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(
-            (F.col("__rn") > page * page_size)
-            & (F.col("__rn") <= (page + 1) * page_size)
-        )
+        top.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") > page * page_size)
         .drop("__rn")
     )
