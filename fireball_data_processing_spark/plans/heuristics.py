@@ -105,7 +105,6 @@ def with_stream_features(df: DataFrame, s: StreamSchema) -> DataFrame:
     seq = F.col(s.seq_col)
     w_inst = Window.partitionBy(inst)
     w_ord = w_inst.orderBy(seq)
-    w_prior = w_ord.rowsBetween(Window.unboundedPreceding, -1)
 
     is_msg = _is_message(s)
     is_utt = _is_utterance(s)

@@ -2419,6 +2419,77 @@ def q_token_cost_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "event_type_pivot",
+    """
+SELECT user_id,
+  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error
+FROM events GROUP BY user_id
+""",
+)
+def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's long->wide matrix assembly (dataset/dataset.py:68-71)
+    as groupBy().pivot(): values are declared up front so Spark skips the
+    extra distinct-values pass — the scale-correct pivot form."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["view", "click", "purchase", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+@query(
+    "fb_struct_key_join",
+    """
+WITH preds AS (
+  SELECT * FROM (VALUES
+    ({'scene': 'a', 'turn': 1}, 'pred-1'),
+    ({'scene': 'a', 'turn': 2}, 'pred-2'),
+    ({'scene': 'b', 'turn': 1}, 'pred-3'),
+    ({'scene': 'zz', 'turn': 9}, 'pred-orphan')
+  ) AS t(key, prediction)
+),
+canon AS (
+  SELECT * FROM (VALUES
+    ({'scene': 'a', 'turn': 1}, 'gold-1'),
+    ({'scene': 'a', 'turn': 2}, 'gold-2'),
+    ({'scene': 'b', 'turn': 1}, 'gold-3'),
+    ({'scene': 'c', 'turn': 4}, 'gold-unmatched')
+  ) AS t(key, gold)
+)
+SELECT p.key.scene AS scene, p.key.turn AS turn, p.prediction, c.gold
+FROM preds p JOIN canon c ON p.key = c.key
+""",
+)
+def q_fb_struct_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 prediction-to-canonical matching (reference
+    results/merge_results.py:65-69): equi-join on a composite nested key —
+    struct equality is native in Spark, no key flattening needed."""
+    preds = spark.createDataFrame(
+        [(("a", 1), "pred-1"), (("a", 2), "pred-2"), (("b", 1), "pred-3"),
+         (("zz", 9), "pred-orphan")],
+        "key struct<scene:string,turn:int>, prediction string",
+    )
+    canon = spark.createDataFrame(
+        [(("a", 1), "gold-1"), (("a", 2), "gold-2"), (("b", 1), "gold-3"),
+         (("c", 4), "gold-unmatched")],
+        "key struct<scene:string,turn:int>, gold string",
+    )
+    j = preds.join(canon, preds["key"] == canon["key"])
+    return j.select(
+        preds["key.scene"].alias("scene"),
+        preds["key.turn"].alias("turn"),
+        "prediction",
+        "gold",
+    )
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
