@@ -189,3 +189,36 @@ def test_ivf_topk_recall_against_brute_force(spark, sf_dir):
     # probing half the cells should recover most true neighbors
     assert recall >= 0.5, recall
     assert all(r["rank"] <= 5 for r in approx)
+
+
+def test_register_pandas_heuristic_roundtrip(spark):
+    import pandas as pd
+
+    from fireball_data_processing_spark.plans.heuristics import (
+        heuristics_matrix,
+        register_pandas_heuristic,
+    )
+    from fireball_data_processing_spark.schema import SYNTHETIC_STREAM
+    from fireball_data_processing_spark.sources.tables import load_table
+
+    @register_pandas_heuristic("longest_view_streak")
+    def longest_view_streak(pdf: pd.DataFrame) -> float:
+        # a genuinely sequential fold the Column API can't express cleanly
+        best = cur = 0
+        for t in pdf["event_type"]:
+            cur = cur + 1 if t == "view" else 0
+            best = max(best, cur)
+        return float(best)
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    m = heuristics_matrix(
+        ev, SYNTHETIC_STREAM, ("event_count", "message_count"),
+        pandas_names=("longest_view_streak",),
+    )
+    rows = {r["user_id"]: r for r in m.collect()}
+    assert len(rows) == 15
+    assert all(r["longest_view_streak"] >= 0.0 for r in rows.values())
+
+    # cross-check one instance against a pure-pandas computation
+    one = ev.filter(F.col("user_id") == 3).orderBy("event_id").toPandas()
+    assert rows[3]["longest_view_streak"] == longest_view_streak(one)
