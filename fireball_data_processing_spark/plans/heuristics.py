@@ -373,8 +373,9 @@ def heuristics_matrix(
     This is the engine's answer to the reference's N-scans-for-N-heuristics
     loop and its CSV-per-heuristic output joined back into a pandas matrix
     (``dataset/dataset.py:68-71``). ``pandas_names`` appends registered
-    applyInPandas heuristics, joined on the instance key (their exchange
-    reuses the same partitioning)."""
+    applyInPandas heuristics, joined back on the instance key (one extra
+    exchange: FlatMapGroupsInPandas output partitioning is opaque to the
+    optimizer, so the join cannot reuse it)."""
     names = names or HEURISTICS
     base = df
     if any(n in WINDOWED for n in names):
