@@ -84,9 +84,17 @@ class FireballDataset:
     ) -> DataFrame:
         names = names or HEURISTICS
         out = os.path.join(self.results_dir, "heuristics")
-        cs = self.checksum()
+        # the memo key covers the heuristic set, not just the corpus: a
+        # cached subset matrix must not satisfy a later full request
+        import hashlib
+
+        cs = hashlib.md5(
+            (self.checksum() + "|" + ",".join(names)).encode()
+        ).hexdigest()
         if sinks.memoized(out, cs, force_recompute=force_recompute):
-            return self.spark.read.option("header", True).csv(out)
+            # header-only CSV reads come back all-string; infer numerics so
+            # cache hits return the same dtypes as a fresh compute
+            return self.spark.read.options(header=True, inferSchema=True).csv(out)
         matrix = heuristics_matrix(self.events_df(), self.stream, names)
         sinks.write_results_csv(matrix, out, checksum=cs)
         return matrix

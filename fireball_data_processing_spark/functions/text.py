@@ -11,6 +11,14 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def normalize_text(c: Column) -> Column:
+    """Canonical form shared by every content-hashing operator (exact
+    dedup, MinHash shingles, SimHash, fingerprints, rolling hash, corpus
+    checksum): lowercase, collapse whitespace runs, trim. ONE definition —
+    these hashes are asserted mutually consistent by the oracle suite."""
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
 def strip_parentheticals(c: Column) -> Column:
     """F1 (reference distill3a_ic_regex.py:34-36,45): remove OOC asides."""
     return F.regexp_replace(c, r"\(.*?\)", "")

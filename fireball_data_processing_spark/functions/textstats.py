@@ -104,7 +104,9 @@ def rolling_hash(c: Column, base: int = 31, mod: int = 1_000_000_007) -> Column:
     prepended 0 as the seed). M * B + 2^32 stays far below 2^63, so no
     overflow under ANSI arithmetic.
     """
-    words = F.split(F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")), " ")
+    from fireball_data_processing_spark.functions.text import normalize_text
+
+    words = F.split(normalize_text(c), " ")
     hashes = F.transform(
         words,
         lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("bigint"),
@@ -120,4 +122,6 @@ def content_fingerprint(c: Column) -> Column:
     """Deterministic document fingerprint: md5 of the dedup-normalized text
     (lowercase, collapsed whitespace). The rolling-hash variant for
     shift-resistant fingerprints is the MinHash path in operators.dedup."""
-    return F.md5(F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")))
+    from fireball_data_processing_spark.functions.text import normalize_text
+
+    return F.md5(normalize_text(c))

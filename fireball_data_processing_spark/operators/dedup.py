@@ -26,9 +26,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def normalize_text(c: Column) -> Column:
-    """Canonical form for dedup: lowercase, collapse whitespace runs, trim."""
-    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+from fireball_data_processing_spark.functions.text import normalize_text  # noqa: E402
+
+__all__ = [
+    "normalize_text", "exact_dedup_groups", "word_shingles",
+    "shingles_of_words", "minhash_signature", "lsh_candidate_pairs",
+    "jaccard_pairs", "simhash",
+]
 
 
 def exact_dedup_groups(
@@ -203,18 +207,23 @@ def simhash(
     """SimHash fingerprint over normalized words.
 
     Bit i of the fingerprint is the majority vote of bit i across the md5
-    hashes of the document's distinct words. ``bits`` defaults to 16 (hex
-    nibbles 1-4 of the md5), enough to band on; raise to 64 for production.
+    hashes of the document's distinct words. ``bits`` defaults to 16; up to
+    48 supported (the word hash takes ceil(bits/4) md5 nibbles — beyond 48
+    the hex->int64 conversion would overflow signed bigint).
 
-    Plan: explode words -> explode bit positions (constant 16-element array,
-    stays in codegen) -> groupBy(doc) with conditional sums -> fingerprint.
+    Plan: explode words -> groupBy(doc) with one conditional sum per bit ->
+    fingerprint.
     """
+    if not 1 <= bits <= 48:
+        raise ValueError(f"bits must be in [1, 48], got {bits}")
+    nibbles = (bits + 3) // 4
     words = F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))
     ex = df.select(F.col(id_col), F.explode(words).alias("w")).select(
         F.col(id_col),
-        # first 16 bits of md5(w) as an int
-        F.conv(F.substring(F.md5(F.col("w")), 1, 4), 16, 10)
-        .cast("int")
+        # first `nibbles` hex digits of md5(w) as an integer wide enough
+        # for all `bits` positions
+        F.conv(F.substring(F.md5(F.col("w")), 1, nibbles), 16, 10)
+        .cast("bigint")
         .alias("h16"),
     )
     votes = [

@@ -88,9 +88,11 @@ def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
     n_frames = F.coalesce(
         F.get_json_object(F.col("mime"), "$.n_frames").cast("int"), F.lit(0)
     )
-    return df.select(
-        "media_id",
-        F.explode(
-            F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n))
-        ).alias("frame_idx"),
-    )
+    # zero-frame media (or metadata-less rows, where n_frames coalesces to
+    # 0) must yield NO sampled frames — explode of the empty array drops
+    # them instead of emitting a bogus frame 0
+    idx = F.when(
+        n_frames > 0,
+        F.sequence(F.lit(0), n_frames - 1, F.lit(every_n)),
+    ).otherwise(F.array().cast("array<int>"))
+    return df.select("media_id", F.explode(idx).alias("frame_idx"))

@@ -349,8 +349,10 @@ def pandas_heuristics_matrix(
         raise RuntimeError(f"unknown pandas heuristics: {missing}")
     fns = {n: _PANDAS_REGISTRY[n] for n in names}
     inst, seq = s.instance_col, s.seq_col
-    out_schema = f"{inst} string, " if df.schema[inst].dataType.simpleString() == "string" else f"{inst} {df.schema[inst].dataType.simpleString()}, "
-    out_schema += ", ".join(f"{n} double" for n in names)
+    inst_type = df.schema[inst].dataType.simpleString()
+    out_schema = f"{inst} {inst_type}, " + ", ".join(
+        f"{n} double" for n in names
+    )
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         ordered = pdf.sort_values(seq)

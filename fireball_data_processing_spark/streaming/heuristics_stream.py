@@ -42,7 +42,15 @@ def stream_heuristics(
     Swap ``source_dir``/``fmt`` for a Kinesis/Kafka source in production;
     the aggregation layer is source-agnostic.
     """
-    names = tuple(n for n in (names or STREAM_SAFE) if n in STREAM_SAFE)
+    names = names or STREAM_SAFE
+    unstreamable = [n for n in names if n not in STREAM_SAFE]
+    if unstreamable:
+        # mirror the batch registry's loud failure (heuristic_exprs raises
+        # for unknown names) instead of silently dropping columns
+        raise RuntimeError(
+            f"not streamable: {unstreamable} — exact distinct aggregations "
+            "cannot run incrementally; use the *_approx variants"
+        )
     stream = spark.readStream.schema(file_schema).format(fmt).load(source_dir)
     exprs = heuristic_exprs(s, names)
     return stream.groupBy(F.col(s.instance_col)).agg(*exprs.values())
@@ -84,8 +92,12 @@ def stateful_buffer_flush_stream(
     (the Kinesis/Firehose property the reference's layout assumes:
     time-ordered chunk delivery).
     """
+    if isinstance(file_schema, StructType):
+        inst_type = file_schema[s.instance_col].dataType.simpleString()
+    else:  # DDL string: fall back to the synthetic stream's bigint key
+        inst_type = "bigint"
     out_schema = (
-        f"{s.instance_col} bigint, anchor_id bigint, "
+        f"{s.instance_col} {inst_type}, anchor_id bigint, "
         "n_buffered bigint, buffered_sum double"
     )
     state_schema = "buf_n bigint, buf_sum double"

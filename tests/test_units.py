@@ -222,3 +222,70 @@ def test_register_pandas_heuristic_roundtrip(spark):
     # cross-check one instance against a pure-pandas computation
     one = ev.filter(F.col("user_id") == 3).orderBy("event_id").toPandas()
     assert rows[3]["longest_view_streak"] == longest_view_streak(one)
+
+
+def test_simhash_wide_bits_are_populated(spark):
+    from fireball_data_processing_spark.operators.dedup import simhash
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "totally different words everywhere here now")],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r["simhash"] for r in simhash(df, bits=32).collect()}
+    # upper 16 bits must actually vote (pre-fix they were always zero)
+    assert any(v >> 16 != 0 for v in got.values()), got
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        simhash(df, bits=64)
+
+
+def test_frame_sample_zero_frames_emits_nothing(spark):
+    from fireball_data_processing_spark.operators.multimodal import (
+        frame_sample_plan,
+    )
+
+    df = spark.createDataFrame(
+        [(1, '{"n_frames": 25}'), (2, '{"n_frames": 0}'), (3, "video/mp4")],
+        "media_id bigint, mime string",
+    )
+    got = frame_sample_plan(df, every_n=10).collect()
+    by_media = {}
+    for r in got:
+        by_media.setdefault(r["media_id"], []).append(r["frame_idx"])
+    assert by_media == {1: [0, 10, 20]}  # zero/missing metadata -> no rows
+
+
+def test_stream_heuristics_rejects_unstreamable(spark, tmp_path):
+    import pytest as _pytest
+
+    from fireball_data_processing_spark.schema import SYNTHETIC_STREAM
+    from fireball_data_processing_spark.streaming.heuristics_stream import (
+        stream_heuristics,
+    )
+
+    with _pytest.raises(RuntimeError, match="num_participants"):
+        stream_heuristics(
+            spark, str(tmp_path), "user_id bigint", SYNTHETIC_STREAM,
+            names=("event_count", "num_participants"),
+        )
+
+
+def test_dataset_memo_key_includes_names(spark, tmp_path):
+    import gzip
+    import json
+
+    from fireball_data_processing_spark.dataset import FireballDataset
+
+    root = tmp_path / "corpus"
+    (root / "i1").mkdir(parents=True)
+    with gzip.open(root / "i1" / "c.jsonl.gz", "wt") as f:
+        f.write(json.dumps({"combat_id": "i1", "event_type": "message",
+                            "timestamp": 1.0, "author_id": "a",
+                            "content": "hi"}) + "\n")
+    ds = FireballDataset(spark, str(root), results_dir=str(tmp_path / "res"))
+    sub = ds.heuristics(names=("event_count",))
+    assert set(sub.columns) == {"instance_id", "event_count"}
+    full = ds.heuristics()  # must NOT be served from the subset cache
+    assert "message_count" in full.columns
