@@ -450,8 +450,11 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        # supplier scales with SF: no forced hint — statistics/AQE decide
+        # (it broadcasts at test scale, falls back to SMJ on a cluster).
+        # nation/region are bounded at 25/5 rows forever: hint is safe.
         .join(
-            F.broadcast(s),
+            s,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
