@@ -2493,6 +2493,38 @@ def q_fb_struct_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "count_errors_after_purchase",
+    """
+WITH t AS (
+  SELECT event_id, user_id, event_type,
+    COUNT(CASE WHEN event_type = 'error' THEN 1 END)
+      OVER (PARTITION BY user_id ORDER BY event_id
+            ROWS BETWEEN 1 FOLLOWING AND 50 FOLLOWING) AS n_errors
+  FROM events
+)
+SELECT event_id, user_id, n_errors
+FROM t WHERE event_type = 'purchase'
+""",
+)
+def q_count_errors_after_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4 `find_all` (reference heuristics/utils.py:140-148): ALL events
+    matching a predicate within the bounded window after each anchor —
+    the counting companion to the `find` query."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id").orderBy("event_id").rowsBetween(1, 50)
+    )
+    n = F.count(F.when(F.col("event_type") == "error", 1)).over(w)
+    return (
+        ev.withColumn("n_errors", n)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "n_errors")
+    )
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
