@@ -2525,6 +2525,99 @@ def q_count_errors_after_purchase(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@query(
+    "doc_language_guess",
+    """
+WITH s AS (
+  SELECT doc_id, lang AS labeled_lang,
+    len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+        x -> x IN ('the','and','is','of'))) AS s_en,
+    len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+        x -> x IN ('el','la','que','de'))) AS s_es,
+    len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+        x -> x IN ('der','die','und','nicht'))) AS s_de,
+    len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+        x -> x IN ('le','la','et','les'))) AS s_fr
+  FROM documents
+)
+SELECT doc_id, labeled_lang,
+  CASE WHEN GREATEST(s_en, s_es, s_de, s_fr) = 0 THEN 'unknown'
+       WHEN s_en = GREATEST(s_en, s_es, s_de, s_fr) THEN 'en'
+       WHEN s_es = GREATEST(s_en, s_es, s_de, s_fr) THEN 'es'
+       WHEN s_de = GREATEST(s_en, s_es, s_de, s_fr) THEN 'de'
+       ELSE 'fr' END AS guessed_lang
+FROM s
+""",
+)
+def q_doc_language_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID argmax over marker scores with a deterministic
+    first-match tie order (en > es > de > fr) and an 'unknown' floor."""
+    from fireball_data_processing_spark.functions.textstats import lang_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    scores = lang_scores(F.col("text"))
+    m = F.greatest(*scores.values())
+    guess = F.when(m == 0, F.lit("unknown"))
+    for lang, expr in scores.items():
+        guess = guess.when(expr == m, F.lit(lang))
+    return d.select(
+        "doc_id", F.col("lang").alias("labeled_lang"), guess.alias("guessed_lang")
+    )
+
+
+@query(
+    "words_per_signup_segment",
+    """
+WITH seg AS (
+  SELECT user_id, event_type, value,
+    SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_id,
+    MAX(CASE WHEN event_type = 'signup' THEN event_id END)
+      OVER (PARTITION BY user_id) AS last_sig,
+    event_id
+  FROM events
+)
+SELECT user_id,
+  ROUND(CASE WHEN COUNT(CASE WHEN event_type = 'signup' THEN 1 END) > 0
+    THEN COALESCE(SUM(CASE WHEN event_type = 'view' AND event_id < last_sig
+                       THEN value END), 0)::DOUBLE
+       / COUNT(CASE WHEN event_type = 'signup' THEN 1 END)::DOUBLE END, 6)
+    AS avg_measure_per_turn
+FROM seg GROUP BY user_id
+""",
+)
+def q_words_per_signup_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 num_words_per_turn (reference heuristics/zhu.py:103-117): the
+    same closed-segment sessionization as A12 but keyed on a different
+    delimiter role (signup standing in for `init next`), excluding the
+    unterminated trailing segment."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w_inst = Window.partitionBy("user_id")
+    last_sig = F.max(
+        F.when(F.col("event_type") == "signup", F.col("event_id"))
+    ).over(w_inst)
+    feat = ev.withColumn("last_sig", last_sig)
+    n_sig = F.count(F.when(F.col("event_type") == "signup", 1))
+    closed = F.coalesce(
+        F.sum(
+            F.when(
+                (F.col("event_type") == "view")
+                & (F.col("event_id") < F.col("last_sig")),
+                F.col("value"),
+            )
+        ),
+        F.lit(0.0),
+    )
+    return feat.groupBy("user_id").agg(
+        F.round(
+            F.when(n_sig > 0, closed / n_sig.cast("double")), 6
+        ).alias("avg_measure_per_turn")
+    )
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
