@@ -19,6 +19,9 @@ query touches only its probe buckets — partition pruning does the rest.
 
 from __future__ import annotations
 
+import hashlib
+from typing import NamedTuple
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -85,52 +88,119 @@ def brute_force_topk(
     )
 
 
-def _hyperplane_component(plane: int, dim: int) -> Column:
-    """Deterministic pseudo-random hyperplane component in [-1, 1): derived
-    from md5(plane:dim), reproducible in any engine with md5."""
-    h = F.md5(F.lit(f"{plane}:{dim}"))
-    v = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
-    return (v / F.lit(2147483648.0)) - F.lit(1.0)
+def _hyperplane_matrix(num_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplane components in [-1, 1):
+    component (p, i) = int(md5(f"{p}:{i}")[:8 hex], 16) / 2^31 - 1 —
+    reproducible in any engine with md5 (bit-identical to the SQL form
+    ``conv(substring(md5(p || ':' || i), 1, 8), 16, 10) / 2147483648 - 1``).
+    """
+    return [
+        [
+            int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[:8], 16)
+            / 2147483648.0
+            - 1.0
+            for i in range(dim)
+        ]
+        for p in range(num_planes)
+    ]
+
+
+def _matrix_literal(matrix: list[list[float]]) -> Column:
+    """The hyperplane matrix as ONE ``array<array<double>>`` literal.
+
+    Built from a single parsed expression string: O(1) py4j calls at plan
+    build (vs one Column per component), and Catalyst constant-folds the
+    parsed CreateArray tree into a single Literal before codegen — so the
+    compiled plan does not grow with embedding dim. ``repr(float)`` is the
+    shortest round-trip decimal, which Java parses back to the same double.
+    """
+    body = ",".join(
+        "array(" + ",".join(repr(x) + "D" for x in row) + ")" for row in matrix
+    )
+    return F.expr("array(" + body + ")")
 
 
 def rh_signature(
     df: DataFrame,
     num_planes: int = 8,
-    dim: int = 64,
+    dim: int | None = None,
     vec_col: str = "embedding",
     sig_col: str = "rh_sig",
 ) -> DataFrame:
     """Random-hyperplane signature: bit p = sign(v . H_p). Returns the input
-    plus an integer signature column (bucket key)."""
-    bits = []
-    for p in range(num_planes):
-        d = F.lit(0.0)
-        for i in range(dim):
-            d = d + F.element_at(F.col(vec_col), i + 1).cast("double") * _hyperplane_component(p, i)
-        bits.append(F.when(d > 0, F.lit(1 << p)).otherwise(F.lit(0)))
-    sig = bits[0]
-    for b in bits[1:]:
-        sig = sig + b
-    return df.withColumn(sig_col, sig.cast("int"))
+    plus an integer signature column (bucket key).
+
+    Plan size is constant in embedding dim: the hyperplane matrix enters the
+    plan as one literal and each dot product is a ``zip_with``/``aggregate``
+    fold, so only O(num_planes) lambda expressions exist regardless of dim —
+    compiles fine at dim 768+ where a per-component expression tree would
+    hit Catalyst analysis cost and the 64KB codegen method limit.
+
+    ``dim=None`` derives the dimension from the data with a one-row peek
+    (pass it explicitly to keep the call fully lazy). Vectors shorter than
+    ``dim`` contribute zeros for the missing components and longer vectors
+    are truncated (``coalesce`` over the ``zip_with`` null padding), so no
+    ANSI out-of-bounds error is possible for mismatched lengths.
+    """
+    if not 1 <= num_planes <= 30:
+        raise ValueError("num_planes must be in [1, 30] for an int signature")
+    if dim is None:
+        first = df.select(F.size(F.col(vec_col)).alias("n")).first()
+        if first is None or first["n"] is None:
+            raise ValueError(
+                "cannot infer embedding dim from an empty input; pass dim="
+            )
+        dim = first["n"]
+    h = _matrix_literal(_hyperplane_matrix(num_planes, dim))
+    v = F.col(vec_col)
+    # fold order matches the reference formulation: ((0 + v0*h0) + v1*h1)...
+    dots = F.transform(
+        h,
+        lambda hp: F.aggregate(
+            F.zip_with(v, hp, lambda x, y: F.coalesce(x.cast("double") * y, F.lit(0.0))),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        ),
+    )
+    sig = F.aggregate(
+        F.transform(
+            dots,
+            lambda d, p: F.when(
+                d > 0, F.pow(F.lit(2.0), p.cast("double"))
+            ).otherwise(F.lit(0.0)),
+        ),
+        F.lit(0.0),
+        lambda acc, b: acc + b,
+    ).cast("int")
+    return df.withColumn(sig_col, sig)
 
 
-def ivf_topk(
-    queries: DataFrame,
+class IvfIndex(NamedTuple):
+    """A built IVF index: tiny driver-side centroid matrix + the assigned
+    corpus (``neighbor_id``, ``__cv``, ``cell``). When ``path``-backed, the
+    assignment table is parquet partitioned by ``cell`` so probe selection
+    becomes partition pruning at read time."""
+
+    centroids: list[list[float]]
+    assigned: DataFrame
+
+
+def build_ivf_index(
     corpus: DataFrame,
-    k: int,
+    n_centroids: int = 16,
+    seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_centroids: int = 16,
-    n_probe: int = 4,
-    seed: int = 42,
-    round_dp: int | None = 6,
-) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: KMeans-partition the corpus
-    once, then each query scans only its ``n_probe`` nearest cells.
+    path: str | None = None,
+) -> IvfIndex:
+    """IVF build phase — run ONCE per corpus, amortized over all queries.
 
-    The 100 TB shape: the clustering pass is one MLlib job; cell assignment
-    is written partitioned by cell id, so a query's probe set maps to
-    partition pruning. Centroids are tiny and broadcast.
+    One MLlib KMeans job clusters the corpus; each vector is assigned to its
+    nearest centroid's cell. With ``path`` set, assignments are written as
+    parquet partitioned by ``cell`` and re-read, so ``ivf_query``'s probe
+    filter prunes whole partitions (PartitionFilters in the scan) instead of
+    scanning the corpus. Centroids (n_centroids x dim doubles) stay on the
+    driver — tiny at any realistic setting.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -143,31 +213,65 @@ def ivf_topk(
     km = KMeans(k=n_centroids, seed=seed, featuresCol="features",
                 predictionCol="cell")
     model = km.fit(c)
-    assigned = model.transform(c).select("neighbor_id", "__cv", "cell")
-
-    # probe-cell selection: centroids are tiny -> literal arrays in-plan
     centroids = [list(map(float, ctr)) for ctr in model.clusterCenters()]
+    assigned = model.transform(c).select("neighbor_id", "__cv", "cell")
+    if path is not None:
+        assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+        assigned = corpus.sparkSession.read.parquet(path)
+    return IvfIndex(centroids=centroids, assigned=assigned)
+
+
+def ivf_query(
+    index: IvfIndex,
+    queries: DataFrame,
+    k: int,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int | None = 6,
+) -> DataFrame:
+    """IVF query phase: each query scans only its ``n_probe`` nearest cells
+    of a prebuilt index — no clustering work here.
+
+    Probe-cell selection runs one tiny job over the query batch (its result
+    is at most ``n_centroids`` distinct ints), and the resulting static
+    ``cell IN (...)`` filter reaches the parquet scan as PartitionFilters
+    when the index is path-backed — the corpus outside the probed cells is
+    never read. The centroid matrix enters the plan as one literal (same
+    constant-plan-size construction as ``rh_signature``).
+    """
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     )
-    dists = F.array(
-        *[
-            F.struct(
-                dot(F.col("__qv"), F.array(*[F.lit(x) for x in ctr])).alias("sim"),
-                F.lit(i).alias("cell"),
-            )
-            for i, ctr in enumerate(centroids)
-        ]
+    cents = _matrix_literal(index.centroids)
+    qv = F.col("__qv")
+    dists = F.transform(
+        cents,
+        lambda ctr, i: F.struct(
+            F.aggregate(
+                F.zip_with(qv, ctr, lambda x, y: F.coalesce(x.cast("double") * y, F.lit(0.0))),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            ).alias("sim"),
+            i.alias("cell"),
+        ),
     )
     probe = F.slice(F.reverse(F.array_sort(dists)), 1, n_probe)
     q = q.withColumn("cells", F.transform(probe, lambda s: s["cell"]))
-    q = q.select("query_id", "__qv", F.explode("cells").alias("cell"))
 
+    # static probe set for partition pruning: bounded by n_centroids values
+    probe_cells = sorted(
+        r["c"]
+        for r in q.select(F.explode("cells").alias("c")).distinct().collect()
+    )
+    assigned = index.assigned.filter(F.col("cell").isin(probe_cells))
+
+    qq = q.select("query_id", "__qv", F.explode("cells").alias("cell"))
     sim = cosine(F.col("__qv"), F.col("__cv"))
     if round_dp is not None:
         sim = F.round(sim, round_dp)
     scored = (
-        q.join(assigned, "cell")
+        qq.join(assigned, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
     )
@@ -180,6 +284,35 @@ def ivf_topk(
     )
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    round_dp: int | None = 6,
+    index: IvfIndex | None = None,
+) -> DataFrame:
+    """One-shot convenience over ``build_ivf_index`` + ``ivf_query``.
+
+    Re-fits KMeans on every call when no ``index`` is passed — fine for
+    small interactive use; the scale path is the explicit two-phase API
+    (build once, path-backed, query many times with partition pruning).
+    """
+    if index is None:
+        index = build_ivf_index(
+            corpus, n_centroids=n_centroids, seed=seed,
+            id_col=id_col, vec_col=vec_col,
+        )
+    return ivf_query(
+        index, queries, k, n_probe=n_probe,
+        id_col=id_col, vec_col=vec_col, round_dp=round_dp,
+    )
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -187,12 +320,17 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     num_planes: int = 8,
-    dim: int = 64,
+    dim: int | None = None,
     round_dp: int | None = 6,
 ) -> DataFrame:
     """Approximate cosine top-k: candidates share the random-hyperplane
     bucket; exact cosine re-ranks within buckets. Recall rises with fewer
     planes (bigger buckets) and falls with more."""
+    if dim is None:
+        first = corpus.select(F.size(F.col(vec_col)).alias("n")).first()
+        if first is None or first["n"] is None:
+            raise ValueError("cannot infer embedding dim from an empty corpus")
+        dim = first["n"]
     qs = rh_signature(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")),
         num_planes, dim, "__qv", "sig",

@@ -2185,14 +2185,18 @@ def q_required_fields_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("ivf_topk_neighbors", None)  # KMeans cells: rows-only (seeded, but
 # cluster assignment is not SQL-reproducible)
 def q_ivf_topk_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate nearest neighbors: KMeans cells + n_probe scan +
-    exact rerank (the partition-pruning scale path; recall-tested against
-    brute force in unit tests)."""
-    from fireball_data_processing_spark.operators.similarity import ivf_topk
+    """IVF approximate nearest neighbors via the two-phase API: one KMeans
+    build (amortized over all queries; path-backed builds get partition
+    pruning) then a probe-cell query + exact rerank. Recall-tested against
+    brute force in unit tests."""
+    from fireball_data_processing_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_query,
+    )
 
     e = load_table(spark, sf_dir, "embeddings")
-    return ivf_topk(e.filter(F.col("vec_id") < 10), e, k=5,
-                    n_centroids=8, n_probe=3)
+    index = build_ivf_index(e, n_centroids=8)
+    return ivf_query(index, e.filter(F.col("vec_id") < 10), k=5, n_probe=3)
 
 
 # =====================================================================
