@@ -62,9 +62,35 @@ HP_ROWS = [
     ("no_max", 10, None, 0),
     ("zero_max", 10, 0, 0),
     ("null_hp", None, 20, 0),
+    ("temp_only", None, None, 5),
+    ("temped_no_max", 10, None, 3),
 ]
 HP_SCHEMA = "name string, hp int, max_hp int, temp_hp int"
 HP_COLUMNS = ["name", "hp", "max_hp", "temp_hp"]
+
+# ---------------------------------------------------------------------
+# F18 discord-markdown + profanity fixture (human_eval/discord_render.py
+# :15-79, prep_human_eval.py:211-215): every marker the reference's
+# discord-flavored patterns handle, HP-band tokens, censor words in
+# mixed case, empty and null content.
+# ---------------------------------------------------------------------
+RENDER_ROWS = [
+    ("bold", "a **mighty** blow"),
+    ("underline", "stand __firm__ now"),
+    ("em_star", "a *sharp* blade"),
+    ("em_underscore", "move _quietly_ ahead"),
+    ("strike", "~~missed~~ landed"),
+    ("code", "try `init next` now"),
+    ("fence", "```\nroll 1d20\n```"),
+    ("band", "the goblin is <Bloodied> badly"),
+    ("profane1", "that damn goblin"),
+    ("profane2", "what the HELL was that"),
+    ("mixed", "**bold** and _em_ with `code` damn it"),
+    ("empty", ""),
+    ("nothing", None),
+]
+RENDER_SCHEMA = "id string, content string"
+RENDER_COLUMNS = ["id", "content"]
 
 # ---------------------------------------------------------------------
 # F15 caster-id coalesce fixture (distill2_authors.py:47-52)

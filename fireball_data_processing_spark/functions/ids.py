@@ -23,11 +23,23 @@ _SNOWFLAKE_RE = re.compile(r"\b\d{17,20}\b")
 
 
 def hashed_id(raw: str) -> str:
-    """F8: stable anonymous id. The reference renders little-endian md5
-    bytes as an 18-digit zero-padded decimal (anonymize.py:24-29); we keep
-    that shape (18 digits) from the digest's integer value."""
+    """F8: stable anonymous id, byte-for-byte the reference rendering
+    (anonymize.py:24-29): the md5 digest read as an unsigned little-endian
+    integer, decimal-rendered, truncated to the FIRST 18 digits and
+    left-zero-padded to 18 — "compatible with naive discord regexes"."""
     n = int.from_bytes(hashlib.md5(str(raw).encode()).digest(), "little")
-    return str(n)[-18:].zfill(18)
+    return "{0:0>18}".format(str(n)[:18])
+
+
+@pandas_udf(StringType())
+def hashed_id_col(col: pd.Series) -> pd.Series:
+    """F8 as a column: Arrow-batched ``hashed_id`` over a string/id column.
+    A 128-bit little-endian decimal rendering is not expressible in JVM
+    expressions (decimal(38) overflows at 2^128), so exact reference parity
+    costs one vectorized Python hop; for engine-internal bucketing/dedup
+    where the exact rendering is irrelevant, prefer the JVM-side
+    ``functions.text.md5_id`` hex digest."""
+    return col.map(lambda v: None if v is None else hashed_id(v))
 
 
 def anonymize_value(v, name_map: dict[str, str] | None = None):

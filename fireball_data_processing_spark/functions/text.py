@@ -120,32 +120,43 @@ def substitute_snippet_shlex():
 
 
 def md5_id(c: Column) -> Column:
-    """F8 (reference scripts/anonymize.py:24-29): anonymized id from md5.
-    The reference formats little-endian md5 bytes as an 18-digit decimal;
-    the engine keeps the hex digest (same anonymity, engine-portable)."""
+    """Engine-internal md5 id (hex digest, JVM-side) for bucketing/dedup.
+    For the reference's exact F8 rendering (little-endian digest as an
+    18-digit decimal, scripts/anonymize.py:24-29) use
+    ``functions.ids.hashed_id_col`` — 128-bit decimal rendering is not
+    JVM-expressible, so exact parity lives in the Arrow-batched UDF."""
     return F.md5(c.cast("string"))
 
 
 def hp_band(hp: Column, max_hp: Column, temp_hp: Column) -> Column:
-    """F11 (reference distill4_normalize.py:166-190): HP ratio banding with
-    the reference's band boundaries, plus the temp-HP suffix."""
+    """F11 (reference distill4_normalize.py:166-190), exact edge behavior:
+    the numeric '<hp/max HP>' core renders whenever both are present even
+    if max_hp == 0 (the band suffix needs max_hp > 0), '<hp HP>' when only
+    hp is set, and the ' (+N temp)' suffix appends even to an empty HP
+    string — the reference's result is '' (not null) when nothing is
+    known."""
     ratio = hp.cast("double") / max_hp.cast("double")
     band = (
-        F.when(max_hp.isNull() | (max_hp == 0) | hp.isNull(), F.lit(None).cast("string"))
-        .when(ratio >= 1.0, F.lit("Healthy"))
+        F.when(ratio >= 1.0, F.lit("Healthy"))
         .when(ratio > 0.5, F.lit("Injured"))
         .when(ratio > 0.15, F.lit("Bloodied"))
         .when(ratio > 0.0, F.lit("Critical"))
         .otherwise(F.lit("Dead"))
     )
-    base = F.when(
-        band.isNotNull(),
-        F.format_string("<%d/%d HP; %s>", hp, max_hp, band),
+    core = (
+        F.when(
+            hp.isNotNull() & max_hp.isNotNull(),
+            F.when(
+                max_hp > 0, F.format_string("<%d/%d HP; %s>", hp, max_hp, band)
+            ).otherwise(F.format_string("<%d/%d HP>", hp, max_hp)),
+        )
+        .when(hp.isNotNull(), F.format_string("<%d HP>", hp))
+        .otherwise(F.lit(""))
     )
     return F.when(
         F.coalesce(temp_hp, F.lit(0)) > 0,
-        F.concat(base, F.format_string(" (+%d temp)", temp_hp)),
-    ).otherwise(base)
+        F.concat(core, F.format_string(" (+%d temp)", temp_hp)),
+    ).otherwise(core)
 
 
 def caster_id(

@@ -239,25 +239,29 @@ def _avg_words_between_commands(s: StreamSchema) -> Column:
 def _avg_words_excl_last(s: StreamSchema) -> Column:
     # reference heuristics/zhu.py:24-37 (A12): as A11 but EXCLUDING the
     # unterminated trailing segment = sum of message measure before the
-    # last command / n_commands; null when the instance has no commands.
+    # last command / n_commands; 0.0 when the instance has no commands
+    # (zhu.py returns 0 on an empty accumulator).
     seq = F.col(s.seq_col)
     closed = F.sum(
         F.when(_is_utterance(s) & (seq < F.col("_last_cmd_seq")), _measure(s))
     )
     n_cmd = F.count(F.when(_is_command(s), 1))
-    return F.when(n_cmd > 0, F.coalesce(closed, F.lit(0.0)) / n_cmd.cast("double"))
+    return F.when(
+        n_cmd > 0, F.coalesce(closed, F.lit(0.0)) / n_cmd.cast("double")
+    ).otherwise(F.lit(0.0))
 
 
 @register_heuristic("avg_time_between_message_and_command")
 def _avg_time_msg_cmd(s: StreamSchema) -> Column:
     # reference heuristics/feng.py:3-17 (A14): per command, seconds since
     # that author's most recent prior message; mean over commands that have
-    # one. Requires with_stream_features.
+    # one; 0.0 when no command has a prior message (feng.py returns 0 on an
+    # empty accumulator). Requires with_stream_features.
     delta = F.when(
         _is_command(s) & F.col("_prev_msg_ts").isNotNull(),
         _ts_delta_seconds(s, F.col("_ev_ts"), F.col("_prev_msg_ts")),
     )
-    return F.avg(delta)
+    return F.coalesce(F.avg(delta), F.lit(0.0))
 
 
 @register_heuristic("ratio_of_commands_without_message")

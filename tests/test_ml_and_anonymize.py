@@ -14,6 +14,32 @@ from fireball_data_processing_spark.functions.ids import (
 )
 
 
+def test_hashed_id_exact_reference_parity():
+    # goldens computed with the reference algorithm verbatim
+    # (scripts/anonymize.py:24-29): "{0:0>18}".format(
+    #     str(int.from_bytes(md5(id).digest(), "little", signed=False))[:18])
+    assert hashed_id("261302296103747584") == "239007750597631721"
+    assert hashed_id("12345678901234567") == "292392773331039674"
+    assert hashed_id("1") == "206718104415996593"
+    assert hashed_id("abc") == "152195979970564155"
+    # int input renders like its str form, as in the reference
+    assert hashed_id(261302296103747584) == "239007750597631721"
+
+
+def test_hashed_id_col_matches_python(spark):
+    from pyspark.sql import functions as F
+
+    from fireball_data_processing_spark.functions.ids import hashed_id_col
+
+    df = spark.createDataFrame(
+        [("261302296103747584",), ("1",), (None,)], "raw string"
+    )
+    got = {r["raw"]: r["h"] for r in df.select("raw", hashed_id_col(F.col("raw")).alias("h")).collect()}
+    assert got["261302296103747584"] == "239007750597631721"
+    assert got["1"] == "206718104415996593"
+    assert got[None] is None
+
+
 def test_hashed_id_shape_and_stability():
     h1 = hashed_id("261302296103747584")
     h2 = hashed_id("261302296103747584")

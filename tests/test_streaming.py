@@ -167,3 +167,28 @@ def test_watermarked_window_append_emits_closed_windows(spark, tmp_path):
     second = run_once()
     got = {(r["user_id"]): (r["n_events"], r["window_value"]) for r in second}
     assert got == {1: (2, 4.0), 2: (1, 4.0)}
+
+
+def test_state_narration_fsm_matches_declarative_plan(spark):
+    # G14: the explicit 3-state runner (search -> record-state ->
+    # record-narration) must agree row-for-row with the window-function
+    # formulation the catalog query uses
+    from fireball_data_processing_spark.queries import get
+    from fireball_data_processing_spark.streaming.heuristics_stream import (
+        fsm_extract,
+        state_narration_fsm,
+    )
+
+    ev = load_table(spark, SMOKE, "events")
+    fsm = fsm_extract(
+        ev,
+        SYNTHETIC_STREAM,
+        state_narration_fsm(SYNTHETIC_STREAM),
+        "user_id bigint, anchor_id bigint, n_state bigint, "
+        "n_narration bigint, narration_value double",
+    )
+    declarative = get("fsm_state_narration").fn(spark, SMOKE)
+    a = sorted(map(tuple, fsm.collect()))
+    b = sorted(map(tuple, declarative.collect()))
+    assert len(a) > 0
+    assert a == b

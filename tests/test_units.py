@@ -383,3 +383,55 @@ def test_dataset_memo_key_includes_names(spark, tmp_path):
     assert set(sub.columns) == {"instance_id", "event_count"}
     full = ds.heuristics()  # must NOT be served from the subset cache
     assert "message_count" in full.columns
+
+
+def test_render_discord_markdown_goldens():
+    # F18 renderer goldens (reference discord_render.py:15-54 structure:
+    # discord-flavored conversion, span wrapper, HP-band escaping,
+    # break-on-newline, empty -> bare span)
+    from fireball_data_processing_spark.functions.render import (
+        render_discord_markdown_str as r,
+    )
+
+    assert r(None) == "<span></span>"
+    assert r("") == "<span></span>"
+    assert r("a **mighty** blow") == (
+        '<span class="discord-markdown">a <strong>mighty</strong> blow</span>'
+    )
+    # __x__ is underline in discord-flavored markdown, not strong
+    assert r("stand __firm__ now") == (
+        '<span class="discord-markdown">stand <u>firm</u> now</span>'
+    )
+    assert r("a *sharp* blade") == (
+        '<span class="discord-markdown">a <em>sharp</em> blade</span>'
+    )
+    assert r("~~missed~~ landed") == (
+        '<span class="discord-markdown"><del>missed</del> landed</span>'
+    )
+    assert r("try `init next` now") == (
+        '<span class="discord-markdown">try <code>init next</code> now</span>'
+    )
+    assert r("```\nroll 1d20\n```") == (
+        '<span class="discord-markdown"><pre><code>roll 1d20\n</code></pre></span>'
+    )
+    # HP-band tokens escaped AFTER conversion (the reference's dumb hacks)
+    assert r("the goblin is <Bloodied> badly") == (
+        '<span class="discord-markdown">the goblin is &lt;Bloodied&gt; badly</span>'
+    )
+    assert r("line one\nline two") == (
+        '<span class="discord-markdown">line one<br>\nline two</span>'
+    )
+
+
+def test_censor_words_masks_case_insensitive(spark):
+    from fireball_data_processing_spark.functions.render import censor_words
+
+    df = spark.createDataFrame(
+        [("that damn goblin",), ("what the HELL was that",), ("hello shell",)],
+        "content string",
+    )
+    got = [r["c"] for r in df.select(censor_words(F.col("content")).alias("c")).collect()]
+    assert got[0] == "that ---- goblin"
+    assert got[1] == "what the ---- was that"
+    # word-bounded: hello/shell untouched
+    assert got[2] == "hello shell"
