@@ -61,13 +61,13 @@ def main() -> None:
             "overwrite"
         ).save()
 
-    # two timed runs per query, keep the min: measures steady-state plan
+    # three timed runs per query, keep the min: measures steady-state plan
     # cost, not scheduler jitter on a shared box
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = catalog.REGISTRY[name].fn
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)

@@ -154,22 +154,55 @@ def nearest_join(
     (backward) row when ``prefer='backward'`` — the reference uses ``<=`` on
     the backward candidate (``distill1_time_group.py:48-52``).
 
-    Output adds ``{right_key}_nearest`` and ``nearest_delta``.
+    Single union + ONE partition exchange: both the backward and the forward
+    candidate come from two window passes (opposite tie orders) over the
+    same hash partitioning, so the union's rows are shuffled once and sorted
+    twice — not unioned/shuffled per direction. At 100 TB the second union
+    of the naive two-pass form would double the windowed volume.
+
+    Output adds ``{right_key}_nearest``, ``nearest_delta``, and
+    ``nearest_ord`` (the matched right row's own order value, so callers
+    like distill1's before/after tagging need no join back to the right
+    side).
     """
-    r = right.select(
-        *[F.col(c) for c in partition_cols],
-        F.col(order_col),
-        F.col(right_key),
+    part = list(partition_cols)
+    key_t = right.schema[right_key].dataType
+    l_sel = left.select(
+        *[F.col(c) for c in left.columns],
+        F.lit(1).alias(_SIDE),
+        F.lit(None).cast(key_t).alias("__r_key"),
     )
-    bwd = asof_join(left, r, partition_cols, order_col, [order_col, right_key],
-                    direction="backward")
-    bwd = bwd.withColumnRenamed(f"{order_col}_asof", "__bwd_ord").withColumnRenamed(
-        f"{right_key}_asof", "__bwd_key"
+    r_sel = right.select(
+        *[
+            F.col(c) if c in (*part, order_col) else F.lit(None).cast(
+                left.schema[c].dataType
+            ).alias(c)
+            for c in left.columns
+        ],
+        F.lit(0).alias(_SIDE),
+        F.col(right_key).alias("__r_key"),
     )
-    both = asof_join(bwd, r, partition_cols, order_col, [order_col, right_key],
-                     direction="forward")
-    both = both.withColumnRenamed(f"{order_col}_asof", "__fwd_ord").withColumnRenamed(
-        f"{right_key}_asof", "__fwd_key"
+    u = l_sel.unionByName(r_sel)
+    # tie orders mirror the non-strict asof_join semantics: at equal order
+    # value the right row is visible both backward (side 0 sorts first) and
+    # forward (side 0 sorts after the probe, window includes it)
+    w_b = (
+        Window.partitionBy(*part)
+        .orderBy(F.col(order_col).asc(), F.col(_SIDE).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_f = (
+        Window.partitionBy(*part)
+        .orderBy(F.col(order_col).asc(), F.col(_SIDE).desc())
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    rk = F.when(F.col(_SIDE) == 0, F.col("__r_key"))
+    ro = F.when(F.col(_SIDE) == 0, F.col(order_col))
+    u = (
+        u.withColumn("__bwd_key", F.last(rk, ignorenulls=True).over(w_b))
+        .withColumn("__bwd_ord", F.last(ro, ignorenulls=True).over(w_b))
+        .withColumn("__fwd_key", F.first(rk, ignorenulls=True).over(w_f))
+        .withColumn("__fwd_ord", F.first(ro, ignorenulls=True).over(w_f))
     )
     d_b = F.col(order_col) - F.col("__bwd_ord")
     d_f = F.col("__fwd_ord") - F.col(order_col)
@@ -178,20 +211,17 @@ def nearest_join(
         & ((d_b <= d_f) if prefer == "backward" else (d_b < d_f))
     )
     out = (
-        both.withColumn(
+        u.filter(F.col(_SIDE) == 1)
+        .withColumn(
             f"{right_key}_nearest",
             F.when(take_bwd, F.col("__bwd_key")).otherwise(F.col("__fwd_key")),
         )
-        .withColumn(
-            "nearest_delta",
-            F.when(take_bwd, d_b).otherwise(d_f),
-        )
-        # the matched right row's own order value rides along so callers
-        # (e.g. before/after tagging in distill1) need no join back to the
-        # right side — saves a whole shuffle in the triple pipeline
+        .withColumn("nearest_delta", F.when(take_bwd, d_b).otherwise(d_f))
         .withColumn(
             "nearest_ord",
             F.when(take_bwd, F.col("__bwd_ord")).otherwise(F.col("__fwd_ord")),
         )
     )
-    return out.drop("__bwd_ord", "__bwd_key", "__fwd_ord", "__fwd_key")
+    return out.drop(
+        _SIDE, "__r_key", "__bwd_key", "__bwd_ord", "__fwd_key", "__fwd_ord"
+    )

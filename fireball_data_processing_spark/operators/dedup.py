@@ -30,8 +30,8 @@ from fireball_data_processing_spark.functions.text import normalize_text  # noqa
 
 __all__ = [
     "normalize_text", "exact_dedup_groups", "word_shingles",
-    "shingles_of_words", "minhash_signature", "lsh_candidate_pairs",
-    "jaccard_pairs", "simhash",
+    "shingles_of_words", "minhash_signature", "build_minhash_index",
+    "lsh_candidate_pairs", "jaccard_pairs", "simhash",
 ]
 
 
@@ -106,19 +106,55 @@ def minhash_signature(
     id_col: str = "doc_id",
     num_hashes: int = 8,
     shingle_k: int = 3,
+    with_shingles: bool = False,
 ) -> DataFrame:
     """Per-doc MinHash signature: for hash function i, min over shingles of
     md5(i || '#' || shingle) (hex strings; lexicographic min).
 
     Plan shape: explode shingles -> groupBy doc -> K min() aggregates. One
     shuffle (pre-explode, on the doc id); the groupBy reuses it.
+
+    ``with_shingles=True`` additionally collects the distinct shingle set
+    into a ``__sh`` column in the SAME grouped pass, so a downstream
+    Jaccard-verification stage shares this plan instead of building a
+    second shingling pipeline. (Consumers of separate branches still
+    re-execute the shared subtree — to pay the corpus scan exactly once at
+    billion-doc scale, materialize via ``build_minhash_index``.)
     """
     exploded = _exploded_shingles(df, text_col, id_col, shingle_k)
-    mins = [
+    aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}#"), F.col("shingle")))).alias(f"mh{i}")
         for i in range(num_hashes)
     ]
-    return exploded.groupBy(id_col).agg(*mins)
+    if with_shingles:
+        aggs.append(F.collect_list("shingle").alias("__sh"))
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
+def build_minhash_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Near-dedup build phase — run ONCE per corpus, amortized over every
+    candidate-generation + verification pass (the same build/query split as
+    ``similarity.build_ivf_index``).
+
+    Writes the per-doc signature AND distinct shingle set to parquet and
+    returns the re-read table: the 100-TB corpus is scanned and shingled
+    exactly once, and every downstream consumer (banded candidate
+    generation — use ``lsh_candidate_pairs(grouped=True)`` here — and
+    Jaccard verification via ``jaccard_pairs(shingle_sets=...)``) reads the
+    compact index instead of re-executing the shingling pipeline.
+    """
+    sigs = minhash_signature(
+        df, text_col, id_col, num_hashes, shingle_k, with_shingles=True
+    )
+    sigs.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
 
 
 def lsh_candidate_pairs(
@@ -126,10 +162,31 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     num_hashes: int = 8,
     band_size: int = 2,
+    grouped: bool = False,
 ) -> DataFrame:
     """Banded LSH: docs sharing any band of ``band_size`` consecutive
     min-hashes become a candidate pair (id_a < id_b), deduplicated across
-    bands. Self-join happens per (band_idx, band_key) bucket."""
+    bands. Pairs are confined to (band_idx, band_key) buckets either way —
+    never corpus².
+
+    Two formulations, same result:
+
+    - default (``grouped=False``): equi-self-join on the band key. The
+      optimizer picks broadcast (small signature table) or sort-merge (big
+      one); the join keys ARE the bucket, so output stays bucket-bounded.
+      Right when signatures flow straight from ``minhash_signature`` in a
+      one-shot pipeline: both join sides share the signature subtree and
+      Spark materializes the broadcast sides concurrently.
+    - ``grouped=True``: one shuffle on the band key collects each bucket's
+      sorted id list and the i<j pairs explode locally inside the bucket —
+      the banded table is consumed exactly ONCE. Right when ``sigs`` is a
+      materialized signature table (see ``build_minhash_index``): at
+      billion-doc scale this halves the shuffle volume vs the self-join.
+
+    In-bucket work is quadratic in bucket size in both forms — bounded by
+    the LSH design (a hot band key is a near-duplicate cluster, exactly
+    what the bands exist to confine).
+    """
     bands = F.array(
         *[
             F.struct(
@@ -145,9 +202,31 @@ def lsh_candidate_pairs(
     banded = sigs.select(F.col(id_col), F.explode(bands).alias("band")).select(
         F.col(id_col), F.col("band.band_idx"), F.col("band.band_key")
     )
+    if grouped:
+        buckets = (
+            banded.groupBy("band_idx", "band_key")
+            .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("__ids"))
+            .filter(F.size("__ids") > 1)
+        )
+        # all ordered pairs within the bucket: ids[i] < ids[j] for i < j
+        # holds because the list is sorted
+        pair_structs = F.flatten(
+            F.transform(
+                F.col("__ids"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("__ids"), i + 2, F.size(F.col("__ids"))),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
+        )
+        return (
+            buckets.select(F.explode(pair_structs).alias("p"))
+            .select(F.col("p.id_a"), F.col("p.id_b"))
+            .distinct()
+        )
     a = banded.alias("a")
     b = banded.alias("b")
-    pairs = (
+    return (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -160,7 +239,6 @@ def lsh_candidate_pairs(
         )
         .distinct()
     )
-    return pairs
 
 
 def jaccard_pairs(
@@ -169,6 +247,7 @@ def jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_k: int = 3,
+    shingle_sets: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs: |A ∩ B| / |A ∪ B| over
     distinct word shingles. Verification stage of the LSH pipeline.
@@ -176,16 +255,27 @@ def jaccard_pairs(
     Shingle sets are built through the exploded+grouped path: the exchange
     is a materialization barrier, so Catalyst cannot collapse the projection
     and re-inline the shingle regex into the per-pair join (which would
-    recompute every doc's shingles once per candidate pair).
+    recompute every doc's shingles once per candidate pair). Pass
+    ``shingle_sets`` — an (id, sh) frame, e.g. the ``__sh`` column of
+    ``minhash_signature(with_shingles=True)`` — to share the signature
+    stage's scan instead of re-shingling.
     """
-    sh = (
-        _exploded_shingles(df, text_col, id_col, shingle_k)
-        .groupBy(id_col)
-        .agg(F.collect_list("shingle").alias("sh"))
-    )
+    if shingle_sets is not None:
+        sh = shingle_sets
+    else:
+        sh = (
+            _exploded_shingles(df, text_col, id_col, shingle_k)
+            .groupBy(id_col)
+            .agg(F.collect_list("shingle").alias("sh"))
+        )
     j = (
-        pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        pairs.join(
+            sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"),
+            "id_a",
+        ).join(
+            sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"),
+            "id_b",
+        )
     )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))

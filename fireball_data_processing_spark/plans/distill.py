@@ -19,8 +19,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
-from fireball_data_processing_spark.operators.asof import nearest_join
 from fireball_data_processing_spark.schema import StreamSchema
 
 
@@ -36,71 +36,111 @@ def assemble_triples(
     and ordered payload lists.
 
     Output: (instance, anchor_id, n_before, n_after, before_payloads,
-    after_payloads). Plan: nearest-join utterances to anchors (union +
-    window, one shuffle on the instance key), tag the side by time order,
-    then one grouped aggregation with order-preserving ``sort_array``
-    collection (the reference's list-index ordering made explicit).
+    after_payloads). Plan: ONE scan of the event stream — each row is
+    role-tagged in place (anchor wins if both predicates match), the nearest
+    anchor comes from two window passes (backward/forward, opposite tie
+    orders) over a single hash exchange on the instance key, and one grouped
+    aggregation with order-preserving ``sort_array`` collection finishes the
+    triple. The anchor's own row rides through the groupBy, so anchors with
+    no utterances still emit (no join back, no second scan): at 100 TB the
+    previous nearest-join + left-join formulation scanned the corpus 4x and
+    shuffled 3x; this is 1 scan / 2 shuffles.
     """
     inst = s.instance_col
     order_col = "__ord"
     ev = events.withColumn(order_col, order_expr if order_expr is not None else F.col(s.seq_col))
 
-    utts = ev.filter(utterance_predicate).select(
-        F.col(inst), F.col(order_col), F.col(payload_col).alias("__payload")
+    base = (
+        ev.withColumn(
+            "__side",
+            F.when(anchor_predicate, F.lit(0)).when(utterance_predicate, F.lit(1)),
+        )
+        .filter(F.col("__side").isNotNull())
+        .select(
+            F.col(inst),
+            F.col(order_col),
+            F.col("__side"),
+            F.when(F.col("__side") == 0, F.col(s.seq_col)).alias("__a_id"),
+            F.when(F.col("__side") == 1, F.col(payload_col)).alias("__payload"),
+        )
     )
-    anchors = ev.filter(anchor_predicate).select(
-        F.col(inst),
-        F.col(order_col),
-        F.col(s.seq_col).alias("anchor_id"),
+    # same tie semantics as nearest_join: an anchor at the same order value
+    # is visible to the utterance in both directions; equidistant goes
+    # backward (reference distill1_time_group.py:48-52)
+    w_b = (
+        Window.partitionBy(inst)
+        .orderBy(F.col(order_col).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
-
-    assigned = (
-        nearest_join(utts, anchors, [inst], order_col, "anchor_id",
-                     prefer="backward")
-        .withColumnRenamed("anchor_id_nearest", "anchor_id")
-        .withColumnRenamed("nearest_ord", "__a_ord")
-        .drop("nearest_delta")
+    w_f = (
+        Window.partitionBy(inst)
+        .orderBy(F.col(order_col).asc(), F.col("__side").desc())
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    ak = F.when(F.col("__side") == 0, F.col("__a_id"))
+    ao = F.when(F.col("__side") == 0, F.col(order_col))
+    tagged = (
+        base.withColumn("__bwd_key", F.last(ak, ignorenulls=True).over(w_b))
+        .withColumn("__bwd_ord", F.last(ao, ignorenulls=True).over(w_b))
+        .withColumn("__fwd_key", F.first(ak, ignorenulls=True).over(w_f))
+        .withColumn("__fwd_ord", F.first(ao, ignorenulls=True).over(w_f))
+    )
+    d_b = F.col(order_col) - F.col("__bwd_ord")
+    d_f = F.col("__fwd_ord") - F.col(order_col)
+    take_bwd = F.col("__fwd_ord").isNull() | (
+        F.col("__bwd_ord").isNotNull() & (d_b <= d_f)
+    )
+    tagged = (
+        tagged.withColumn(
+            "anchor_id",
+            F.when(F.col("__side") == 0, F.col("__a_id"))
+            .when(take_bwd, F.col("__bwd_key"))
+            .otherwise(F.col("__fwd_key")),
+        )
+        .withColumn(
+            "__a_ord",
+            F.when(F.col("__side") == 0, F.col(order_col))
+            .when(take_bwd, F.col("__bwd_ord"))
+            .otherwise(F.col("__fwd_ord")),
+        )
         .filter(F.col("anchor_id").isNotNull())
     )
-    # before/after tagging (G9): an utterance later than its anchor is
-    # 'after'. The anchor's order value came through the nearest join, so
-    # no join back to the anchor side (one shuffle saved).
-    assigned = assigned.withColumn(
-        "__side",
-        F.when(F.col(order_col) < F.col("__a_ord"), "before").otherwise("after"),
-    )
+    # before/after tagging (G9): an utterance later than (or tied with) its
+    # anchor is 'after'; the anchor row itself counts on neither side
+    is_b = (F.col("__side") == 1) & (F.col(order_col) < F.col("__a_ord"))
+    is_a = (F.col("__side") == 1) & (F.col(order_col) >= F.col("__a_ord"))
 
-    per_anchor = assigned.groupBy(inst, "anchor_id").agg(
-        F.count(F.when(F.col("__side") == "before", 1)).alias("n_before"),
-        F.count(F.when(F.col("__side") == "after", 1)).alias("n_after"),
-        F.transform(
+    def _collect(cond):
+        return F.transform(
             F.sort_array(
                 F.collect_list(
                     F.when(
-                        F.col("__side") == "before",
-                        F.struct(F.col(order_col).alias("o"), F.col("__payload").alias("p")),
+                        cond,
+                        F.struct(
+                            F.col(order_col).alias("o"), F.col("__payload").alias("p")
+                        ),
                     )
                 )
             ),
             lambda x: x["p"],
-        ).alias("before_payloads"),
-        F.transform(
-            F.sort_array(
-                F.collect_list(
-                    F.when(
-                        F.col("__side") == "after",
-                        F.struct(F.col(order_col).alias("o"), F.col("__payload").alias("p")),
-                    )
-                )
-            ),
-            lambda x: x["p"],
-        ).alias("after_payloads"),
+        )
+
+    per_anchor = tagged.groupBy(inst, "anchor_id").agg(
+        F.count(F.when(is_b, 1)).alias("n_before"),
+        F.count(F.when(is_a, 1)).alias("n_after"),
+        _collect(is_b).alias("__bp"),
+        _collect(is_a).alias("__ap"),
     )
-    # anchors with no utterances still emit triples
-    return (
-        anchors.select(F.col(inst), "anchor_id")
-        .join(per_anchor, [inst, "anchor_id"], "left")
-        .fillna({"n_before": 0, "n_after": 0})
+    # preserve the left-join-era contract: payload arrays are NULL (not
+    # empty) exactly when the anchor matched no utterances at all
+    has_utts = (F.col("n_before") + F.col("n_after")) > 0
+    return per_anchor.select(
+        F.col(inst),
+        "anchor_id",
+        "n_before",
+        "n_after",
+        F.when(has_utts, F.col("__bp")).alias("before_payloads"),
+        F.when(has_utts, F.col("__ap")).alias("after_payloads"),
     )
 
 

@@ -902,7 +902,9 @@ JOIN (SELECT doc_id, list_distinct(list(shingle)) AS shs FROM sh GROUP BY doc_id
 )
 def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full near-dedup pipeline: MinHash -> LSH bands -> candidate pairs ->
-    exact n-gram Jaccard verification on candidates only."""
+    exact n-gram Jaccard verification on candidates only. Signatures and
+    shingle sets come out of ONE grouped pass over one scan
+    (with_shingles=True), so the corpus text is shingled exactly once."""
     from fireball_data_processing_spark.operators.dedup import (
         jaccard_pairs,
         lsh_candidate_pairs,
@@ -910,9 +912,10 @@ def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signature(d, num_hashes=8, shingle_k=3)
+    sigs = minhash_signature(d, num_hashes=8, shingle_k=3, with_shingles=True)
     pairs = lsh_candidate_pairs(sigs, num_hashes=8, band_size=2)
-    j = jaccard_pairs(d, pairs, shingle_k=3)
+    sh = sigs.select(F.col("doc_id"), F.col("__sh").alias("sh"))
+    j = jaccard_pairs(d, pairs, shingle_k=3, shingle_sets=sh)
     return j.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 

@@ -435,3 +435,49 @@ def test_censor_words_masks_case_insensitive(spark):
     assert got[1] == "what the ---- was that"
     # word-bounded: hello/shell untouched
     assert got[2] == "hello shell"
+
+
+def test_minhash_index_and_grouped_pairs_parity(spark, sf_dir, tmp_path):
+    # build/query split: the materialized index reproduces exactly the
+    # one-shot pipeline's candidates and jaccard scores, and the grouped
+    # (bucket-collect) candidate form equals the self-join form
+    from fireball_data_processing_spark.operators.dedup import (
+        build_minhash_index,
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+    from fireball_data_processing_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signature(d, with_shingles=True)
+    sh = sigs.select("doc_id", F.col("__sh").alias("sh"))
+    want_pairs = sorted(
+        map(tuple, lsh_candidate_pairs(sigs).select("id_a", "id_b").collect())
+    )
+    assert len(want_pairs) > 0
+
+    idx = build_minhash_index(d, str(tmp_path / "mh_idx"))
+    got_grouped = sorted(
+        map(tuple, lsh_candidate_pairs(idx, grouped=True).select("id_a", "id_b").collect())
+    )
+    assert got_grouped == want_pairs
+
+    want_j = sorted(
+        map(
+            tuple,
+            jaccard_pairs(d, lsh_candidate_pairs(sigs), shingle_sets=sh)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("j"))
+            .collect(),
+        )
+    )
+    idx_sh = idx.select("doc_id", F.col("__sh").alias("sh"))
+    got_j = sorted(
+        map(
+            tuple,
+            jaccard_pairs(d, lsh_candidate_pairs(idx, grouped=True), shingle_sets=idx_sh)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("j"))
+            .collect(),
+        )
+    )
+    assert got_j == want_j
