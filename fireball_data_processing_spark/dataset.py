@@ -112,6 +112,55 @@ class FireballDataset:
         """`/index`: instance ids + their heuristic scores."""
         return self.heuristics()
 
+    def stream_events(self, instance_id: str, chunk_size: int = 1000):
+        """S12 (reference ``explorer_server.py:79-88``): one instance's
+        events as an incremental JSONL stream — the generator a
+        ``StreamingResponse`` would wrap.
+
+        The reference streams because "big instances can be 250MB+, don't
+        consume entire iterator"; the engine analog is ``toLocalIterator``,
+        which pulls ONE partition at a time to the driver (never the whole
+        instance), with the instance filter pushed down to the scan.
+        Raises ``KeyError`` for an unknown instance (the endpoint's 404).
+        """
+        if instance_id not in self.instances():
+            raise KeyError(instance_id)
+        buf: list[str] = []
+        for line in self.events(instance_id).toJSON().toLocalIterator():
+            buf.append(line)
+            if len(buf) >= chunk_size:
+                yield "\n".join(buf) + "\n"
+                buf = []
+        if buf:
+            yield "\n".join(buf) + "\n"
+
+    def stream_heuristics_csv(self, chunk_size: int = 1000):
+        """`/heuristics/csv` as an incremental stream (reference
+        ``explorer_server.py:60-77``): header first, then CSV rows in
+        bounded chunks via ``toLocalIterator`` — the full matrix is never
+        resident on the driver."""
+        import csv
+        import io
+
+        h = self.heuristics()
+        cols = h.columns
+
+        def render(rows: list) -> str:
+            out = io.StringIO()
+            w = csv.writer(out)
+            w.writerows(rows)
+            return out.getvalue()
+
+        yield render([cols])
+        buf: list = []
+        for r in h.toLocalIterator():
+            buf.append([r[c] for c in cols])
+            if len(buf) >= chunk_size:
+                yield render(buf)
+                buf = []
+        if buf:
+            yield render(buf)
+
     def export_heuristics_csv(self, path: str) -> None:
         """`/heuristics/csv` (S11)."""
         sinks.write_results_csv(self.heuristics(), path, checksum=self.checksum())

@@ -104,3 +104,22 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     # groupBy on the bucket key: no exchange either
     agg = a.groupBy("user_id").agg(F.sum("value").alias("s"))
     assert _count_shuffles(agg) == 0
+
+
+def test_triples_summary_single_scan_two_shuffles(spark):
+    # the fused distill1 plan: one events scan, one hash exchange for the
+    # two window passes (the groupBy reuses the user_id clustering), and
+    # nothing else
+    df = catalog.REGISTRY["triples_summary"].fn(spark, SMOKE)
+    s = _explain_str(df)
+    # explain("extended") prints the physical plan once at the end; count
+    # scans there via the physical node name
+    phys = s[s.rindex("== Physical Plan =="):]
+    assert phys.count("Scan parquet") == 1, phys
+    assert _count_shuffles(df) <= 2, s
+
+
+def test_nearest_join_single_exchange(spark):
+    # union + two opposite-tie window passes over ONE hash exchange
+    df = catalog.REGISTRY["nearest_purchase"].fn(spark, SMOKE)
+    assert _count_shuffles(df) == 1, _explain_str(df)

@@ -132,3 +132,38 @@ def test_fireball_dataset_api(spark, corpus, tmp_path):
     import os
 
     assert os.path.exists(os.path.join(out, "_checksum"))
+
+
+def test_stream_events_jsonl_chunks(spark, corpus, tmp_path):
+    # S12: the explorer /events/{id} generator — ordered JSONL, bounded
+    # chunks, 404 (KeyError) for unknown instances
+    import json
+
+    from fireball_data_processing_spark.dataset import FireballDataset
+
+    ds = FireballDataset(spark, corpus, results_dir=str(tmp_path / "res"))
+    chunks = list(ds.stream_events("inst_a", chunk_size=2))
+    assert len(chunks) == 2  # 3 events -> chunk of 2 + chunk of 1
+    events = [json.loads(l) for c in chunks for l in c.strip().splitlines()]
+    assert [e["seq"] for e in events] == [1, 2, 3]
+    assert all(e["instance_id"] == "inst_a" for e in events)
+
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        next(ds.stream_events("nope"))
+
+
+def test_stream_heuristics_csv(spark, corpus, tmp_path):
+    import csv
+    import io
+
+    from fireball_data_processing_spark.dataset import FireballDataset
+
+    ds = FireballDataset(spark, corpus, results_dir=str(tmp_path / "res"))
+    body = "".join(ds.stream_heuristics_csv(chunk_size=1))
+    rows = list(csv.reader(io.StringIO(body)))
+    header, data = rows[0], rows[1:]
+    assert header[0] == "instance_id"
+    assert {r[0] for r in data} == {"inst_a", "inst_b"}
+    assert len(data) == 2
