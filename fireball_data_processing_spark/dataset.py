@@ -70,11 +70,24 @@ class FireballDataset:
             self._checksum = dataset_checksum(self.spark, self.data_dir)
         return self._checksum
 
-    def instances(self) -> list[str]:
-        return [
-            r["instance_id"]
-            for r in self.events_df().select("instance_id").distinct().collect()
-        ]
+    def instances(self, limit: int = 1_000_000) -> list[str]:
+        """Distinct instance ids for the user-facing listing. Bounded: this
+        IS a driver-side collect (~25k ids for FIREBALL — fine), so a guard
+        raises rather than silently OOM-ing the driver on a corpus whose id
+        cardinality was misjudged."""
+        ids = (
+            self.events_df()
+            .select("instance_id")
+            .distinct()
+            .limit(limit + 1)
+            .collect()
+        )
+        if len(ids) > limit:
+            raise ValueError(
+                f"more than {limit} instances; raise `limit` explicitly or "
+                "enumerate with a DataFrame instead of a driver-side list"
+            )
+        return [r["instance_id"] for r in ids]
 
     # -- heuristics (memoized) ----------------------------------------
     def heuristics(

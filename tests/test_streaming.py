@@ -192,3 +192,89 @@ def test_state_narration_fsm_matches_declarative_plan(spark):
     b = sorted(map(tuple, declarative.collect()))
     assert len(a) > 0
     assert a == b
+
+
+def test_stream_new_documents_matches_batch_anti_join(spark, tmp_path):
+    # ingest-side dedup gate: stream(sf0.01 docs) anti-joined against the
+    # sf0.001 corpus hash index + in-stream first-occurrence dedup must
+    # yield exactly the batch answer (distinct new hashes)
+    from fireball_data_processing_spark.streaming.dedup_stream import (
+        content_hash,
+        corpus_hash_index,
+        stream_new_documents,
+    )
+
+    corpus = load_table(spark, SMOKE, "documents")
+    index = corpus_hash_index(corpus)
+
+    src = str(tmp_path / "docs_stream")
+    os.makedirs(src)
+    shutil.copy("/root/testdata/sf0.01/documents.parquet", src)
+    incoming = load_table(spark, "/root/testdata/sf0.01", "documents")
+
+    out = stream_new_documents(
+        spark, src, incoming.schema, index, ts_col=None
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("new_docs")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["content_hash"]
+        for r in spark.sql("SELECT content_hash FROM new_docs").collect()
+    }
+    want = {
+        r["content_hash"]
+        for r in incoming.select(content_hash().alias("content_hash"))
+        .distinct()
+        .join(index, "content_hash", "left_anti")
+        .collect()
+    }
+    assert len(spark.sql("SELECT * FROM new_docs").collect()) == len(got)  # one row per hash
+    assert got == want
+    assert len(want) > 0
+
+
+def test_stream_new_documents_watermark_bounded(spark, tmp_path):
+    # the watermark path: a ts column bounds dedup state; duplicate content
+    # inside the window is dropped, and rows survive the anti join
+    import pyspark.sql.functions as F
+
+    from fireball_data_processing_spark.streaming.dedup_stream import (
+        corpus_hash_index,
+        stream_new_documents,
+    )
+
+    rows = [
+        (1, "alpha beta gamma", "2026-01-01 10:00:00"),
+        (2, "alpha beta gamma", "2026-01-01 10:01:00"),  # in-stream dup
+        (3, "delta epsilon zeta", "2026-01-01 10:02:00"),
+        (4, "known corpus text", "2026-01-01 10:03:00"),  # already indexed
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, ts string") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    src = str(tmp_path / "wm_stream")
+    df.write.parquet(src)
+
+    corpus = spark.createDataFrame([(99, "known corpus text")], "doc_id bigint, text string")
+    out = stream_new_documents(
+        spark, src, df.schema, corpus_hash_index(corpus),
+        ts_col="ts", watermark="5 minutes",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("wm_docs")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["doc_id"] for r in spark.sql("SELECT doc_id FROM wm_docs").collect())
+    # exactly one of the duplicate pair survives (which one is arrival
+    # order within the micro-batch), the indexed doc is gone, doc 3 stays
+    assert len(got) == 2 and got[1] == 3 and got[0] in (1, 2)
