@@ -5,10 +5,12 @@ automation_run / combat_state_update / alias / snippet) attach to their
 triggering message via ``coalesce(message_id, interaction_id,
 probable_interaction_id)``; events whose key matches no message are dropped.
 
-Spark form: derive the correlation key, then a **left-semi join** against
-the anchor rows on ``(instance, correlation_id)``. Both sides partition on
-the same key pair, so the join is a co-partitioned shuffled hash join; with
-bucketed storage it is shuffle-free.
+Spark form: derive the correlation key, then a window ``max(is_anchor)``
+over ``(instance, correlation_id)`` — ONE scan and one shuffle on the
+group key, instead of the semi-join formulation's second scan + distinct
+anchor build. A downstream groupBy on the same keys reuses the exchange,
+and bucketed-by-instance storage satisfies the window's clustering (the
+partition keys are a superset of the bucket key), keeping it shuffle-free.
 """
 
 from __future__ import annotations
@@ -17,6 +19,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def with_correlation_groups(
@@ -29,12 +32,15 @@ def with_correlation_groups(
     """Keep only rows whose ``correlation_id`` matches some anchor row's in
     the same partition; returns the rows with ``corr_col`` attached.
 
-    Anchor rows (e.g. messages) correlate to themselves.
+    Anchor rows (e.g. messages) correlate to themselves. Rows with a null
+    correlation key are dropped — exactly the semi-join's null semantics
+    (a null key matches nothing, including a null-keyed anchor).
     """
     withc = df.withColumn(corr_col, correlation_id)
-    anchors = (
-        withc.filter(anchor_predicate)
-        .select(*[F.col(c) for c in partition_cols], F.col(corr_col))
-        .distinct()
+    w = Window.partitionBy(*[F.col(c) for c in partition_cols], F.col(corr_col))
+    has_anchor = F.max(F.when(anchor_predicate, F.lit(1))).over(w)
+    return (
+        withc.withColumn("__has_anchor", has_anchor)
+        .filter(F.col(corr_col).isNotNull() & (F.col("__has_anchor") == 1))
+        .drop("__has_anchor")
     )
-    return withc.join(anchors, on=[*partition_cols, corr_col], how="left_semi")

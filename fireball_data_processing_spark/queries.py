@@ -302,8 +302,9 @@ GROUP BY keyed.user_id, keyed.k
 )
 def q_correlation_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G1 message-group correlation (reference heuristics/utils.py:92-110):
-    events keep only correlation keys anchored by a message-role event;
-    left-semi join on (instance, correlation_id)."""
+    events keep only correlation keys anchored by a message-role event —
+    a window max(is_anchor) over (instance, correlation_id), one scan and
+    one shuffle; the grouped count reuses the same exchange."""
     from fireball_data_processing_spark.operators.correlate import (
         with_correlation_groups,
     )

@@ -123,3 +123,13 @@ def test_nearest_join_single_exchange(spark):
     # union + two opposite-tie window passes over ONE hash exchange
     df = catalog.REGISTRY["nearest_purchase"].fn(spark, SMOKE)
     assert _count_shuffles(df) == 1, _explain_str(df)
+
+
+def test_correlation_groups_single_scan_single_exchange(spark):
+    # G1 as a window max over (instance, key): no anchor-table semi join,
+    # no second scan
+    df = catalog.REGISTRY["correlation_groups"].fn(spark, SMOKE)
+    s = _explain_str(df)
+    phys = s[s.rindex("== Physical Plan =="):]
+    assert phys.count("Scan parquet") == 1, phys
+    assert _count_shuffles(df) == 1, s
