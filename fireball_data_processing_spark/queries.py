@@ -797,6 +797,50 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ingest_gate_new_docs",
+    """
+WITH corpus AS (
+  SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash
+  FROM documents WHERE doc_id % 4 = 0
+),
+incoming AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash
+  FROM documents WHERE doc_id % 4 <> 0
+)
+SELECT i.content_hash,
+  MIN(i.doc_id) AS first_doc_id,
+  COUNT(*) AS n_arrivals
+FROM incoming i
+ANTI JOIN corpus c ON c.content_hash = i.content_hash
+GROUP BY i.content_hash
+""",
+)
+def q_ingest_gate_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming dedup ingest gate
+    (streaming/dedup_stream.py): incoming docs anti-joined against the
+    corpus hash index, then collapsed to one row per new content hash
+    (first arrival + arrival count). Every micro-batch of the stream
+    computes exactly this on its slice; the batch form lets the driver
+    oracle-check the gate's semantics. Corpus/incoming are carved from the
+    documents table by doc_id residue so the query is self-contained."""
+    from fireball_data_processing_spark.streaming.dedup_stream import (
+        content_hash,
+        corpus_hash_index,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    index = corpus_hash_index(d.filter(F.col("doc_id") % 4 == 0))
+    incoming = d.filter(F.col("doc_id") % 4 != 0).select(
+        "doc_id", content_hash().alias("content_hash")
+    )
+    fresh = incoming.join(index, "content_hash", "left_anti")
+    return fresh.groupBy("content_hash").agg(
+        F.min("doc_id").alias("first_doc_id"),
+        F.count(F.lit(1)).alias("n_arrivals"),
+    )
+
+
+@query(
     "doc_truncate_preview",
     """
 SELECT doc_id,
@@ -2830,6 +2874,7 @@ _PRIORITY = [
     "doc_quality",
     "words_per_signup_segment",
     "exact_dedup_groups",
+    "ingest_gate_new_docs",
     "minhash_signatures",
     "near_dup_pairs",
     "simhash_fingerprints",

@@ -156,3 +156,43 @@ def test_jaccard_pairs_matches_python_sets(spark, docs):
             union = len(sets[a] | sets[b])
             want[(a, b)] = round(inter / union, 6) if union else 0.0
     assert got == want
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.sampled_from(["view", "purchase", "signup"]), st.integers(0, 9)),
+        min_size=0,
+        max_size=40,
+    ),
+    carry=st.tuples(st.integers(0, 5), st.integers(0, 20)),
+)
+@settings(**SETTINGS)
+def test_segment_buffer_flush_matches_naive_fsm(events, carry):
+    # the numpy cumulative-segmentation core must equal the literal
+    # buffer/flush state machine for any event sequence and carry-in
+    from fireball_data_processing_spark.schema import SYNTHETIC_STREAM as S
+    from fireball_data_processing_spark.streaming.heuristics_stream import (
+        _segment_buffer_flush,
+    )
+
+    pdf = pd.DataFrame(
+        [(i, t, float(v)) for i, (t, v) in enumerate(events)],
+        columns=[S.seq_col, S.type_col, S.measure_col],
+    )
+    carry_n, carry_sum = carry[0], float(carry[1])
+    anchors, counts, sums, out_n, out_sum = _segment_buffer_flush(
+        pdf, S, ("view",), ("purchase",), carry_n, carry_sum
+    )
+
+    # naive FSM
+    want = []
+    bn, bs = carry_n, carry_sum
+    for i, (t, v) in enumerate(events):
+        if t == "view":
+            bn += 1
+            bs += float(v)
+        elif t == "purchase":
+            want.append((i, bn, bs))
+            bn, bs = 0, 0.0
+    assert [(int(a), int(n), float(s)) for a, n, s in zip(anchors, counts, sums)] == want
+    assert (int(out_n), float(out_sum)) == (bn, bs)
