@@ -134,18 +134,32 @@ class FireballDataset:
         consume entire iterator"; the engine analog is ``toLocalIterator``,
         which pulls ONE partition at a time to the driver (never the whole
         instance), with the instance filter pushed down to the scan.
-        Raises ``KeyError`` for an unknown instance (the endpoint's 404).
+
+        Raises ``KeyError`` for an unknown instance (the endpoint's 404) —
+        EAGERLY, before any chunk is produced, so an HTTP wrapper can still
+        send an error status. The membership probe is a pushed-down
+        ``limit(1)`` on the instance filter, not a corpus-wide distinct.
         """
-        if instance_id not in self.instances():
+        probe = (
+            self.events_df()
+            .filter(F.col("instance_id") == instance_id)
+            .limit(1)
+            .take(1)
+        )
+        if not probe:
             raise KeyError(instance_id)
-        buf: list[str] = []
-        for line in self.events(instance_id).toJSON().toLocalIterator():
-            buf.append(line)
-            if len(buf) >= chunk_size:
+
+        def gen():
+            buf: list[str] = []
+            for line in self.events(instance_id).toJSON().toLocalIterator():
+                buf.append(line)
+                if len(buf) >= chunk_size:
+                    yield "\n".join(buf) + "\n"
+                    buf = []
+            if buf:
                 yield "\n".join(buf) + "\n"
-                buf = []
-        if buf:
-            yield "\n".join(buf) + "\n"
+
+        return gen()
 
     def stream_heuristics_csv(self, chunk_size: int = 1000):
         """`/heuristics/csv` as an incremental stream (reference

@@ -74,16 +74,25 @@ def render_discord_markdown_str(text: str | None) -> str:
     (the reference's "dumb hacks", :33-41)."""
     if not text:
         return "<span></span>"
+    import html as _html
+
+    # NUL can't appear in legitimate Discord text but could collide with
+    # the stash markers below — strip it up front so a crafted input can
+    # neither crash the restore nor splice a stashed block elsewhere
+    text = text.replace("\x00", "")
     # code spans are stashed first so inline markers and break-on-newline
-    # never rewrite code content (markdown2 protects code the same way)
+    # never rewrite code content (markdown2 protects code the same way);
+    # code CONTENT is HTML-escaped like markdown2's _do_code_spans
     blocks: list[str] = []
 
     def _stash(rendered: str) -> str:
         blocks.append(rendered)
         return f"\x00{len(blocks) - 1}\x00"
 
-    s = _FENCE_RE.sub(lambda m: _stash(f"<pre><code>{m.group(1)}</code></pre>"), text)
-    s = _CODE_RE.sub(lambda m: _stash(f"<code>{m.group(1)}</code>"), s)
+    s = _FENCE_RE.sub(
+        lambda m: _stash(f"<pre><code>{_html.escape(m.group(1))}</code></pre>"), text
+    )
+    s = _CODE_RE.sub(lambda m: _stash(f"<code>{_html.escape(m.group(1))}</code>"), s)
     s = _STRIKE_RE.sub(r"<del>\1</del>", s)
     s = _UNDERLINE_RE.sub(r"<u>\1</u>", s)
     s = _STRONG_RE.sub(r"<strong>\2</strong>", s)

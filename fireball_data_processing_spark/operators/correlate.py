@@ -33,14 +33,19 @@ def with_correlation_groups(
     the same partition; returns the rows with ``corr_col`` attached.
 
     Anchor rows (e.g. messages) correlate to themselves. Rows with a null
-    correlation key are dropped — exactly the semi-join's null semantics
-    (a null key matches nothing, including a null-keyed anchor).
+    correlation key OR a null partition key are dropped — exactly the
+    semi-join's null semantics (null-unsafe equality matches nothing,
+    including another null; ``Window.partitionBy`` would have grouped
+    nulls together, so the filter restores the join behavior).
     """
     withc = df.withColumn(corr_col, correlation_id)
     w = Window.partitionBy(*[F.col(c) for c in partition_cols], F.col(corr_col))
     has_anchor = F.max(F.when(anchor_predicate, F.lit(1))).over(w)
+    keys_non_null = F.col(corr_col).isNotNull()
+    for c in partition_cols:
+        keys_non_null = keys_non_null & F.col(c).isNotNull()
     return (
         withc.withColumn("__has_anchor", has_anchor)
-        .filter(F.col(corr_col).isNotNull() & (F.col("__has_anchor") == 1))
+        .filter(keys_non_null & (F.col("__has_anchor") == 1))
         .drop("__has_anchor")
     )

@@ -222,6 +222,10 @@ def lsh_candidate_pairs(
         return (
             buckets.select(F.explode(pair_structs).alias("p"))
             .select(F.col("p.id_a"), F.col("p.id_b"))
+            # positional i<j admits id_a == id_b if the caller's frame has
+            # duplicate ids; the value filter keeps parity with the
+            # self-join form's strict < condition
+            .filter(F.col("id_a") < F.col("id_b"))
             .distinct()
         )
     a = banded.alias("a")

@@ -41,6 +41,20 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def padded_dot(a: Column, b: Column) -> Column:
+    """``dot`` variant for possibly length-mismatched arrays: a missing
+    element on either side contributes 0 instead of an ANSI
+    out-of-bounds/null product. Fold order matches ``dot`` —
+    ((0 + a0*b0) + a1*b1)… — which is a documented parity contract."""
+    return F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: F.coalesce(x.cast("double") * y.cast("double"), F.lit(0.0))
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+
+
 def norm(a: Column) -> Column:
     return F.sqrt(
         F.aggregate(
@@ -153,15 +167,7 @@ def rh_signature(
         dim = first["n"]
     h = _matrix_literal(_hyperplane_matrix(num_planes, dim))
     v = F.col(vec_col)
-    # fold order matches the reference formulation: ((0 + v0*h0) + v1*h1)...
-    dots = F.transform(
-        h,
-        lambda hp: F.aggregate(
-            F.zip_with(v, hp, lambda x, y: F.coalesce(x.cast("double") * y, F.lit(0.0))),
-            F.lit(0.0),
-            lambda acc, t: acc + t,
-        ),
-    )
+    dots = F.transform(h, lambda hp: padded_dot(v, hp))
     sig = F.aggregate(
         F.transform(
             dots,
@@ -248,11 +254,7 @@ def ivf_query(
     dists = F.transform(
         cents,
         lambda ctr, i: F.struct(
-            F.aggregate(
-                F.zip_with(qv, ctr, lambda x, y: F.coalesce(x.cast("double") * y, F.lit(0.0))),
-                F.lit(0.0),
-                lambda acc, t: acc + t,
-            ).alias("sim"),
+            padded_dot(qv, ctr).alias("sim"),
             i.alias("cell"),
         ),
     )

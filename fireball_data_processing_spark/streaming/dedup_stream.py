@@ -54,16 +54,23 @@ def stream_new_documents(
     ts_col: str | None = None,
     watermark: str = "10 minutes",
     fmt: str = "parquet",
+    allow_unbounded_state: bool = False,
 ) -> DataFrame:
     """Documents from the stream that are new to the corpus AND the first
     of their content within the stream.
 
     ``ts_col``: event-time column for the within-stream dedup watermark.
-    ``None`` uses plain ``dropDuplicates`` on the hash — correct but
-    unbounded state; only acceptable for bounded replays (tests, backfills),
-    so the caller must opt in explicitly with ``watermark=None`` semantics
-    spelled out at the call site.
+    ``None`` would use plain ``dropDuplicates`` on the hash — correct but
+    unbounded state, only acceptable for bounded replays (tests,
+    backfills) — so it is refused unless the caller passes
+    ``allow_unbounded_state=True`` explicitly.
     """
+    if ts_col is None and not allow_unbounded_state:
+        raise ValueError(
+            "ts_col=None keeps every seen content hash in the state store "
+            "forever; pass allow_unbounded_state=True only for bounded "
+            "replays, or provide an event-time column for the watermark"
+        )
     stream = spark.readStream.schema(file_schema).format(fmt).load(source_dir)
     hashed = stream.withColumn("content_hash", content_hash(text_col))
     fresh = hashed.join(index, "content_hash", "left_anti")

@@ -213,7 +213,7 @@ def test_stream_new_documents_matches_batch_anti_join(spark, tmp_path):
     incoming = load_table(spark, "/root/testdata/sf0.01", "documents")
 
     out = stream_new_documents(
-        spark, src, incoming.schema, index, ts_col=None
+        spark, src, incoming.schema, index, ts_col=None, allow_unbounded_state=True
     )
     q = (
         out.writeStream.format("memory")
@@ -300,7 +300,7 @@ def test_dedup_gate_exactly_once_across_restart(spark, tmp_path):
     index = corpus_hash_index(corpus)
 
     def run_once():
-        out = stream_new_documents(spark, src, schema, index, ts_col=None)
+        out = stream_new_documents(spark, src, schema, index, ts_col=None, allow_unbounded_state=True)
         q = (
             out.select("doc_id", "text", "content_hash")
             .writeStream.format("parquet")
@@ -326,3 +326,19 @@ def test_dedup_gate_exactly_once_across_restart(spark, tmp_path):
     # doc 3 duplicates doc 1's content across the restart boundary: dropped;
     # docs 1/2 are not re-emitted by the second run
     assert got == [1, 2, 4]
+
+
+def test_stream_new_documents_refuses_unbounded_state_by_default(spark, tmp_path):
+    import pytest as _pytest
+
+    from fireball_data_processing_spark.streaming.dedup_stream import (
+        corpus_hash_index,
+        stream_new_documents,
+    )
+
+    corpus = spark.createDataFrame([], "doc_id bigint, text string")
+    with _pytest.raises(ValueError, match="unbounded"):
+        stream_new_documents(
+            spark, str(tmp_path), "doc_id bigint, text string",
+            corpus_hash_index(corpus), ts_col=None,
+        )

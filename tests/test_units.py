@@ -481,3 +481,64 @@ def test_minhash_index_and_grouped_pairs_parity(spark, sf_dir, tmp_path):
         )
     )
     assert got_j == want_j
+
+
+def test_render_nul_and_html_escape_hardening():
+    # review fixes: NUL-bearing input neither crashes nor splices stashed
+    # blocks; code content is HTML-escaped like markdown2
+    from fireball_data_processing_spark.functions.render import (
+        render_discord_markdown_str as r,
+    )
+
+    assert r("text with \x001\x00 weird") == (
+        '<span class="discord-markdown">text with 1 weird</span>'
+    )
+    assert r("`a < b & c`") == (
+        '<span class="discord-markdown"><code>a &lt; b &amp; c</code></span>'
+    )
+    assert r("\x000\x00 and `x`") == (
+        '<span class="discord-markdown">0 and <code>x</code></span>'
+    )
+
+
+def test_hashed_id_col_long_with_nulls(spark):
+    # review fix: long columns with nulls must not take Arrow's float64
+    # coercion path (which would hash scientific-notation reprs)
+    from fireball_data_processing_spark.functions.ids import hashed_id_col
+
+    df = spark.createDataFrame(
+        [(261302296103747584,), (None,)], "raw bigint"
+    )
+    got = [r["h"] for r in df.select(hashed_id_col(F.col("raw")).alias("h")).collect()]
+    assert got[0] == "239007750597631721"
+    assert got[1] is None
+
+
+def test_lsh_grouped_no_self_pairs_on_duplicate_ids(spark):
+    # review fix: a caller-supplied signature frame with duplicate ids must
+    # not yield (d, d) pairs from the positional in-bucket pairing
+    from fireball_data_processing_spark.operators.dedup import lsh_candidate_pairs
+
+    sigs = spark.createDataFrame(
+        [(7, *["aa"] * 8), (7, *["aa"] * 8), (9, *["aa"] * 8)],
+        "doc_id bigint, " + ", ".join(f"mh{i} string" for i in range(8)),
+    )
+    pairs = lsh_candidate_pairs(sigs, grouped=True).collect()
+    assert sorted((r["id_a"], r["id_b"]) for r in pairs) == [(7, 9)]
+
+
+def test_correlation_drops_null_partition_keys(spark):
+    # review fix: window-form correlation must not keep NULL-partition rows
+    # the semi-join (and SQL SEMI JOIN oracle) would drop
+    from fireball_data_processing_spark.operators.correlate import (
+        with_correlation_groups,
+    )
+
+    df = spark.createDataFrame(
+        [(None, 1, "view"), (None, 1, "click"), (5, 2, "view"), (5, 2, "click")],
+        "u int, k int, event_type string",
+    )
+    out = with_correlation_groups(
+        df, ["u"], F.col("k"), F.col("event_type") == "view", corr_col="kk"
+    ).collect()
+    assert sorted((r["u"], r["kk"]) for r in out) == [(5, 2), (5, 2)]
