@@ -688,6 +688,52 @@ def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "vocab_top_tokens",
+    """
+WITH tok AS (
+  SELECT lower(unnest(regexp_extract_all(text, '[a-zA-Z]+'))) AS token
+  FROM documents
+),
+counted AS (
+  SELECT token, COUNT(*) AS n FROM tok GROUP BY token
+),
+ranked AS (
+  SELECT token, n,
+    ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS rank
+  FROM counted
+)
+SELECT CAST(rank AS BIGINT) AS rank, token, n FROM ranked WHERE rank <= 100
+""",
+)
+def q_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-100 alphabetic tokens by frequency —
+    the frequency table a tokenizer-training / stopword-derivation stage
+    starts from. Deterministic tie order (count desc, token asc).
+
+    Plan: explode tokens -> two-phase count (map-side partial combine, one
+    shuffle on the token) -> distributed top-k via the paginate machinery
+    (TakeOrderedAndProject: per-partition top-100 merged over only k rows —
+    never a whole-vocabulary single-task sort). Token cardinality, not
+    corpus size, bounds the aggregated state — safe at 100 TB for
+    natural-language vocabularies."""
+    from fireball_data_processing_spark.operators.windows import paginate
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.expr(r"regexp_extract_all(text, '[a-zA-Z]+', 0)")
+        ).alias("raw")
+    ).select(F.lower(F.col("raw")).alias("token"))
+    counted = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    top = paginate(counted, [("n", False)], "token", page=0, page_size=100)
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .select("rank", "token", "n")
+    )
+
+
+@query(
     "doc_quality",
     """
 WITH q AS (
@@ -2872,6 +2918,7 @@ _PRIORITY = [
     "fb_struct_key_join",
     "doc_token_stats",
     "doc_quality",
+    "vocab_top_tokens",
     "words_per_signup_segment",
     "exact_dedup_groups",
     "ingest_gate_new_docs",
