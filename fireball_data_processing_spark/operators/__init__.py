@@ -18,8 +18,32 @@ from fireball_data_processing_spark.operators.sampling import (
     deterministic_sample,
     deterministic_split,
 )
+from fireball_data_processing_spark.operators.dedup import (
+    build_minhash_index,
+    exact_dedup_groups,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signature,
+    simhash,
+)
+from fireball_data_processing_spark.operators.similarity import (
+    brute_force_topk,
+    build_ivf_index,
+    ivf_query,
+    lsh_topk,
+)
 
 __all__ = [
+    "build_minhash_index",
+    "exact_dedup_groups",
+    "jaccard_pairs",
+    "lsh_candidate_pairs",
+    "minhash_signature",
+    "simhash",
+    "brute_force_topk",
+    "build_ivf_index",
+    "ivf_query",
+    "lsh_topk",
     "asof_backward_col",
     "asof_forward_col",
     "asof_join",
