@@ -196,3 +196,89 @@ def test_segment_buffer_flush_matches_naive_fsm(events, carry):
             bn, bs = 0, 0.0
     assert [(int(a), int(n), float(s)) for a, n, s in zip(anchors, counts, sums)] == want
     assert (int(out_n), float(out_sum)) == (bn, bs)
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 1), st.sampled_from("abc")), min_size=0, max_size=30
+    )
+)
+@settings(**SETTINGS)
+def test_run_ids_match_itertools_groupby(spark, events):
+    # G7 vs the reference's own primitive (itertools.groupby per partition)
+    import itertools
+
+    from fireball_data_processing_spark.operators.runs import with_run_ids
+
+    df = spark.createDataFrame(
+        [(u, i, k) for i, (u, k) in enumerate(events)], "u int, seq int, k string"
+    )
+    got = {
+        (r["u"], r["seq"]): r["run_id"]
+        for r in with_run_ids(df, ["u"], "seq", ["k"]).collect()
+    }
+
+    want = {}
+    for u in (0, 1):
+        rows = [(i, k) for i, (uu, k) in enumerate(events) if uu == u]
+        rid = 0
+        for _, grp in itertools.groupby(rows, key=lambda r: r[1]):
+            rid += 1
+            for i, _k in grp:
+                want[(u, i)] = rid
+    assert got == want
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.sampled_from("amx"), st.integers(0, 9)), min_size=0, max_size=30
+    ),
+    lookahead=st.integers(1, 6),
+)
+@settings(**SETTINGS)
+def test_find_first_after_matches_naive_scan(spark, events, lookahead):
+    # G4 bounded lookahead vs a literal index-window scan
+    from fireball_data_processing_spark.operators.windows import find_first_after
+
+    df = spark.createDataFrame(
+        [(1, i, t, v) for i, (t, v) in enumerate(events)],
+        "u int, seq int, typ string, v int",
+    )
+    out = find_first_after(
+        df, ["u"], "seq",
+        anchor_predicate=F.col("typ") == "a",
+        match_predicate=F.col("typ") == "m",
+        value=F.col("v"),
+        lookahead=lookahead,
+    )
+    got = {r["seq"]: r["found"] for r in out.collect()}
+
+    want = {}
+    for i, (t, _v) in enumerate(events):
+        if t != "a":
+            continue
+        found = None
+        for j in range(i + 1, min(i + 1 + lookahead, len(events))):
+            if events[j][0] == "m":
+                found = events[j][1]
+                break
+        want[i] = found
+    assert got == want
+
+
+@given(
+    vals=st.lists(st.integers(0, 9), min_size=0, max_size=25),
+    k=st.integers(1, 5),
+)
+@settings(**SETTINGS)
+def test_history_window_matches_naive_slices(spark, vals, k):
+    # G12 last-K history vs literal list slicing
+    from fireball_data_processing_spark.operators.windows import history_window
+
+    df = spark.createDataFrame(
+        [(1, i, v) for i, v in enumerate(vals)], "u int, seq int, v int"
+    )
+    out = history_window(df, ["u"], "seq", F.col("v"), k, agg="collect")
+    got = {r["seq"]: r["history"] for r in out.collect()}
+    want = {i: vals[max(0, i - k) : i] for i in range(len(vals))}
+    assert got == want
