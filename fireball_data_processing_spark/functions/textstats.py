@@ -49,8 +49,13 @@ def quality_features(c: Column) -> dict[str, Column]:
     n_chars = F.length(c)
     words = F.split(F.trim(c), r"\s+")
     n_words = F.size(words)
-    n_punct = F.length(F.regexp_replace(c, r"[^.,;:!?]", ""))
-    n_alpha = F.length(F.regexp_replace(c, r"[^a-zA-Z]", ""))
+    # count-by-deletion via translate (single char-map pass) instead of a
+    # negated-class regexp_replace that rewrites nearly every character —
+    # same counts, ~an order of magnitude cheaper per row
+    _punct = ".,;:!?"
+    _alpha = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    n_punct = F.length(c) - F.length(F.translate(c, _punct, ""))
+    n_alpha = F.length(c) - F.length(F.translate(c, _alpha, ""))
     word_chars = F.aggregate(
         F.transform(words, lambda w: F.length(w)), F.lit(0), lambda a, v: a + v
     )
