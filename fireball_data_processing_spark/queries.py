@@ -1956,8 +1956,9 @@ def q_ic_ooc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U3's deterministic envelope (reference
     distill3b_ic_classifier_gpt.py:37-75): rule-based IC/OOC labeling, a
     deterministic probability, and the keep-threshold filter. The model
-    call itself is pluggable (mapInPandas stage); this is the testable
-    contract around it."""
+    call itself plugs into ``plans.inference.classify_batches`` (the
+    mapInPandas stage, parity-tested with a rule model); this is the
+    testable contract around it."""
     from fireball_data_processing_spark.functions.predicates import is_ooc
     from fireball_data_processing_spark.operators.sampling import hash_rank
 

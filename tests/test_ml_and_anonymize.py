@@ -127,3 +127,44 @@ def test_pairwise_kappa_applyinpandas(spark):
     assert got[("r1", "r2")] == 1.0
     assert 0.0 < got[("r1", "r3")] < 1.0
     assert got[("r2", "r3")] == got[("r1", "r3")]
+
+
+def test_classify_batches_pluggable_model(spark, sf_dir):
+    # U3/U4/U5 envelope: a deterministic rule-model plugged into the
+    # mapInPandas inference stage must agree with the JVM expression form
+    # of the same rule, and downstream thresholding stays declarative
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from fireball_data_processing_spark.functions.predicates import is_ooc
+    from fireball_data_processing_spark.plans.inference import classify_batches
+    from fireball_data_processing_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").limit(200)
+
+    def rule_model(pdf: pd.DataFrame) -> pd.DataFrame:
+        # stands in for the GPT/HF/finetuned call: same signature, batch in
+        # -> (label, prob) out
+        ooc = pdf["text"].str.match(r"^\s*[\(\[]").fillna(False) | pdf[
+            "text"
+        ].str.contains(r"\b(ooc|brb|afk)\b", case=False, regex=True).fillna(False)
+        return pd.DataFrame(
+            {
+                "label": ooc.map({True: "out-of-character", False: "in-character"}),
+                "prob": ooc.map({True: 0.95, False: 0.9}),
+            }
+        )
+
+    scored = classify_batches(d, ["text"], rule_model)
+    kept = scored.filter((F.col("label") == "in-character") & (F.col("prob") > 0.85))
+    got = {r["doc_id"] for r in kept.collect()}
+
+    want = {
+        r["doc_id"]
+        for r in d.filter(~is_ooc(F.col("text"))).collect()
+    }
+    assert got == want
+    assert len(got) > 0
+    # schema passthrough: original columns + (label, prob)
+    assert scored.columns == d.columns + ["label", "prob"]
