@@ -282,3 +282,36 @@ def test_history_window_matches_naive_slices(spark, vals, k):
     got = {r["seq"]: r["history"] for r in out.collect()}
     want = {i: vals[max(0, i - k) : i] for i in range(len(vals))}
     assert got == want
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.sampled_from("sx"), st.integers(0, 9)), min_size=0, max_size=30
+    )
+)
+@settings(**SETTINGS)
+def test_asof_cols_match_naive_scan(spark, events):
+    # G5/G6 single-table forms: last state at-or-before / first at-or-after
+    from fireball_data_processing_spark.operators.asof import (
+        asof_backward_col,
+        asof_forward_col,
+    )
+
+    df = spark.createDataFrame(
+        [(1, i, t, v) for i, (t, v) in enumerate(events)],
+        "u int, seq int, typ string, v int",
+    )
+    is_state = F.col("typ") == "s"
+    out = df.select(
+        "seq",
+        asof_backward_col(is_state, F.col("v"), ["u"], "seq").alias("bwd"),
+        asof_forward_col(is_state, F.col("v"), ["u"], "seq").alias("fwd"),
+    )
+    got = {r["seq"]: (r["bwd"], r["fwd"]) for r in out.collect()}
+
+    want = {}
+    for i in range(len(events)):
+        bwd = next((v for t, v in reversed(events[: i + 1]) if t == "s"), None)
+        fwd = next((v for t, v in events[i:] if t == "s"), None)
+        want[i] = (bwd, fwd)
+    assert got == want
