@@ -168,3 +168,105 @@ def test_classify_batches_pluggable_model(spark, sf_dir):
     assert len(got) > 0
     # schema passthrough: original columns + (label, prob)
     assert scored.columns == d.columns + ["label", "prob"]
+
+
+def test_mllib_model_fn_through_classify_batches(spark):
+    # U4/U5 closed: a *trained* MLlib scaler+logreg pipeline wired through
+    # the mapInPandas envelope must reproduce model.transform exactly —
+    # probabilities to float tolerance, threshold-filtered ids identically
+    import pandas as pd
+
+    from fireball_data_processing_spark.plans.heuristics import (
+        SIMPLE,
+        heuristics_matrix,
+    )
+    from fireball_data_processing_spark.plans.inference import (
+        classify_batches,
+        mllib_model_fn,
+    )
+    from fireball_data_processing_spark.plans.ml import (
+        feature_label_frame,
+        train_logreg_cv,
+    )
+    from fireball_data_processing_spark.schema import SYNTHETIC_STREAM
+    from fireball_data_processing_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    feats = heuristics_matrix(ev, SYNTHETIC_STREAM, SIMPLE)
+    labeled = feats.withColumn(
+        "y",
+        (F.col("average_message_length")
+         > F.expr("percentile_approx(average_message_length, 0.5) OVER ()")).cast(
+            "double"
+        ),
+    )
+    cols = ["event_count", "message_count", "command_count",
+            "average_message_length", "avg_words_between_commands"]
+    labeled = labeled.na.fill(0.0, cols).cache()
+    model = train_logreg_cv(labeled, cols, "y", reg_grid=(0.1,), n_folds=2)
+
+    # direct MLlib scoring (the reference's "run the finetuned predictor")
+    direct = model.transform(feature_label_frame(labeled, cols, "y"))
+    want = {
+        r["user_id"]: (float(r["prediction"]), float(r["probability"][1]))
+        for r in direct.collect()
+    }
+
+    # envelope scoring: same trained model, Arrow-batched numpy path
+    scored = classify_batches(
+        labeled, cols, mllib_model_fn(model, positive_label="1", negative_label="0")
+    )
+    got = {
+        r["user_id"]: (r["label"], float(r["prob"])) for r in scored.collect()
+    }
+
+    assert set(got) == set(want)
+    for uid, (label, prob) in got.items():
+        pred, p1 = want[uid]
+        assert abs(prob - p1) < 1e-9, (uid, prob, p1)
+        assert float(label) == pred, (uid, label, pred)
+    # downstream threshold filtering stays declarative and agrees
+    kept = {r["user_id"] for r in scored.filter(F.col("label") == "1").collect()}
+    assert kept == {u for u, (p, _) in want.items() if p == 1.0}
+    assert 0 < len(kept) < len(want)
+
+
+def test_with_retries_flaky_model():
+    import pandas as pd
+    import pytest
+
+    from fireball_data_processing_spark.plans.inference import with_retries
+
+    calls = {"n": 0}
+    sleeps: list[float] = []
+
+    def flaky(pdf):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise ConnectionError("rate limited")
+        return pd.DataFrame({"label": ["ok"] * len(pdf), "prob": [1.0] * len(pdf)})
+
+    pdf = pd.DataFrame({"text": ["a", "b"]})
+    wrapped = with_retries(flaky, max_tries=3, backoff=0.05, sleep=sleeps.append)
+    out = wrapped(pdf)
+    assert calls["n"] == 3 and list(out["label"]) == ["ok", "ok"]
+    assert sleeps == [0.05, 0.1]  # exponential backoff between tries
+
+    # gives up after max_tries and re-raises the model's error
+    calls["n"] = -10  # would need 13 calls to succeed
+    with pytest.raises(ConnectionError):
+        with_retries(flaky, max_tries=2, backoff=0.0, sleep=sleeps.append)(pdf)
+
+    with pytest.raises(ValueError):
+        with_retries(flaky, max_tries=0)
+
+
+def test_classify_batches_rejects_colliding_out_cols(spark):
+    import pandas as pd
+    import pytest
+
+    from fireball_data_processing_spark.plans.inference import classify_batches
+
+    df = spark.createDataFrame([("x", 0.5)], "text string, prob double")
+    with pytest.raises(ValueError, match="prob"):
+        classify_batches(df, ["text"], lambda pdf: pd.DataFrame())
