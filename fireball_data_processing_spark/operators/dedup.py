@@ -76,8 +76,32 @@ def shingles_of_words(words: Column, k: int) -> Column:
     return F.array_distinct(F.when(n >= k, sh).otherwise(F.array()))
 
 
+def capped_shingles(sh: Column, max_shingles: int) -> Column:
+    """Deterministic uniform subsample of a shingle array: keep the
+    ``max_shingles`` shingles with the smallest md5, i.e. a bottom-k
+    min-hash sample. Unbiased for Jaccard/MinHash estimation (unlike a
+    lexicographic prefix, which over-selects alphabetically-early text)."""
+    sampled = F.transform(
+        F.slice(
+            F.array_sort(
+                F.transform(
+                    sh, lambda s: F.struct(F.md5(s).alias("h"), s.alias("s"))
+                )
+            ),
+            1,
+            max_shingles,
+        ),
+        lambda x: x["s"],
+    )
+    return F.when(F.size(sh) > max_shingles, sampled).otherwise(sh)
+
+
 def _exploded_shingles(
-    df: DataFrame, text_col: str, id_col: str, k: int
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    max_shingles: int | None = None,
 ) -> DataFrame:
     """(id, shingle) rows, one per distinct shingle.
 
@@ -89,15 +113,23 @@ def _exploded_shingles(
        pinning the count keeps the expansion parallel (and the downstream
        groupBy(id) reuses the partitioning, so no extra shuffle);
     3. explode shingles from the materialized words column.
+
+    ``max_shingles`` caps the per-doc shingle count BEFORE the explode via
+    :func:`capped_shingles` — one pathological mega-document (the corpus
+    the reference processes has 250 MB+ instances) otherwise fans out
+    millions of rows and concentrates them back into a single aggregation
+    buffer row downstream. Docs under the cap are untouched; docs over it
+    contribute a deterministic uniform sample, so signatures/Jaccard become
+    (tight) estimates for those docs only.
     """
     parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     w = df.select(
         F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("__words")
     ).repartition(parts, F.col(id_col))
-    return w.select(
-        F.col(id_col),
-        F.explode(shingles_of_words(F.col("__words"), k)).alias("shingle"),
-    )
+    sh = shingles_of_words(F.col("__words"), k)
+    if max_shingles is not None:
+        sh = capped_shingles(sh, max_shingles)
+    return w.select(F.col(id_col), F.explode(sh).alias("shingle"))
 
 
 def minhash_signature(
@@ -107,6 +139,7 @@ def minhash_signature(
     num_hashes: int = 8,
     shingle_k: int = 3,
     with_shingles: bool = False,
+    max_shingles: int | None = None,
 ) -> DataFrame:
     """Per-doc MinHash signature: for hash function i, min over shingles of
     md5(i || '#' || shingle) (hex strings; lexicographic min).
@@ -120,8 +153,15 @@ def minhash_signature(
     second shingling pipeline. (Consumers of separate branches still
     re-execute the shared subtree — to pay the corpus scan exactly once at
     billion-doc scale, materialize via ``build_minhash_index``.)
+
+    Set ``max_shingles`` (e.g. 10_000) on adversarial corpora: it bounds the
+    explode fan-out, the aggregation buffer, and — with
+    ``with_shingles=True`` — the collected ``__sh`` payload a mega-document
+    drags through the shuffle, at the cost of signature/Jaccard becoming a
+    bottom-k-sample estimate for docs above the cap (see
+    :func:`capped_shingles`).
     """
-    exploded = _exploded_shingles(df, text_col, id_col, shingle_k)
+    exploded = _exploded_shingles(df, text_col, id_col, shingle_k, max_shingles)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}#"), F.col("shingle")))).alias(f"mh{i}")
         for i in range(num_hashes)
@@ -131,6 +171,57 @@ def minhash_signature(
     return exploded.groupBy(id_col).agg(*aggs)
 
 
+def minhash_sig_expr(sh: Column, num_hashes: int) -> Column:
+    """Per-ROW MinHash signature: ``array<string>`` whose element i is
+    min over shingles of ``md5(f"{i}#" || shingle)`` — value-identical to
+    :func:`minhash_signature`'s columns, but computed inside the row with
+    no explode and no shuffle. This is the streaming formulation: the
+    batch explode→groupBy would be a *stateful* streaming aggregation,
+    while this is a plain projection (see ``streaming/dedup_stream.py``).
+
+    Shape matters: the shingle array is the ``aggregate``'s input — outside
+    any lambda — so it is evaluated ONCE per row; a transform-per-hash
+    formulation would rebuild the shingles ``num_hashes`` times (HOF lambda
+    bodies get no subexpression elimination). Docs with no shingles yield
+    all-null elements (the batch groupBy form simply omits such docs).
+    """
+    seeds = F.expr(
+        "array({})".format(",".join(f"'{i}#'" for i in range(num_hashes)))
+    )
+    init = F.expr(f"array_repeat(CAST(NULL AS STRING), {num_hashes})")
+    return F.aggregate(
+        sh,
+        init,
+        lambda acc, s: F.zip_with(
+            acc,
+            F.transform(seeds, lambda p: F.md5(F.concat(p, s))),
+            # least() skips nulls, so the null init loses to the first hash
+            lambda a, b: F.least(a, b),
+        ),
+    )
+
+
+def band_structs(num_hashes: int, band_size: int, mh=None) -> Column:
+    """``array<struct<band_idx,band_key>>`` banding expression — the ONE
+    definition of how signatures map to LSH buckets, shared by the batch
+    self-join, the grouped bucket form, and the streaming gate's index.
+    ``mh`` maps hash index -> Column (default: the ``mh{i}`` columns of
+    :func:`minhash_signature`)."""
+    if mh is None:
+        mh = lambda i: F.col(f"mh{i}")  # noqa: E731
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat_ws(
+                    "|", *[mh(i) for i in range(b * band_size, (b + 1) * band_size)]
+                ).alias("band_key"),
+            )
+            for b in range(num_hashes // band_size)
+        ]
+    )
+
+
 def build_minhash_index(
     df: DataFrame,
     path: str,
@@ -138,6 +229,7 @@ def build_minhash_index(
     id_col: str = "doc_id",
     num_hashes: int = 8,
     shingle_k: int = 3,
+    max_shingles: int | None = 50_000,
 ) -> DataFrame:
     """Near-dedup build phase — run ONCE per corpus, amortized over every
     candidate-generation + verification pass (the same build/query split as
@@ -149,9 +241,20 @@ def build_minhash_index(
     generation — use ``lsh_candidate_pairs(grouped=True)`` here — and
     Jaccard verification via ``jaccard_pairs(shingle_sets=...)``) reads the
     compact index instead of re-executing the shingling pipeline.
+
+    Because the index persists whole shingle sets, ``max_shingles`` defaults
+    ON here (50k shingles ≈ a few MB/doc worst case) — an unguarded 250 MB
+    document would otherwise write a multi-GB parquet row and blow the
+    aggregation buffer long before that. Pass ``None`` to disable.
     """
     sigs = minhash_signature(
-        df, text_col, id_col, num_hashes, shingle_k, with_shingles=True
+        df,
+        text_col,
+        id_col,
+        num_hashes,
+        shingle_k,
+        with_shingles=True,
+        max_shingles=max_shingles,
     )
     sigs.write.mode("overwrite").parquet(path)
     return df.sparkSession.read.parquet(path)
@@ -187,18 +290,7 @@ def lsh_candidate_pairs(
     the LSH design (a hot band key is a near-duplicate cluster, exactly
     what the bands exist to confine).
     """
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                F.concat_ws(
-                    "|",
-                    *[F.col(f"mh{i}") for i in range(b * band_size, (b + 1) * band_size)],
-                ).alias("band_key"),
-            )
-            for b in range(num_hashes // band_size)
-        ]
-    )
+    bands = band_structs(num_hashes, band_size)
     banded = sigs.select(F.col(id_col), F.explode(bands).alias("band")).select(
         F.col(id_col), F.col("band.band_idx"), F.col("band.band_key")
     )
@@ -252,9 +344,12 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     shingle_k: int = 3,
     shingle_sets: DataFrame | None = None,
+    max_shingles: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs: |A ∩ B| / |A ∪ B| over
     distinct word shingles. Verification stage of the LSH pipeline.
+    ``max_shingles``: see :func:`minhash_signature` (estimate-for-capped-docs
+    trade; only used when ``shingle_sets`` is not supplied).
 
     Shingle sets are built through the exploded+grouped path: the exchange
     is a materialization barrier, so Catalyst cannot collapse the projection
@@ -268,7 +363,7 @@ def jaccard_pairs(
         sh = shingle_sets
     else:
         sh = (
-            _exploded_shingles(df, text_col, id_col, shingle_k)
+            _exploded_shingles(df, text_col, id_col, shingle_k, max_shingles)
             .groupBy(id_col)
             .agg(F.collect_list("shingle").alias("sh"))
         )

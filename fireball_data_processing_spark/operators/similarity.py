@@ -134,6 +134,26 @@ def _matrix_literal(matrix: list[list[float]]) -> Column:
     return F.expr("array(" + body + ")")
 
 
+def _infer_dim(df: DataFrame, vec_col: str) -> int:
+    """Embedding dimensionality: column metadata ``{"dim": N}`` when the
+    producer attached it (zero-cost, fully lazy), else a one-row peek — an
+    EAGER job, refused on streaming frames where it cannot run. Callers who
+    need full laziness pass ``dim=`` explicitly."""
+    meta = df.schema[vec_col].metadata or {}
+    if "dim" in meta:
+        return int(meta["dim"])
+    if df.isStreaming:
+        raise ValueError(
+            f"cannot peek a streaming DataFrame to infer the dimension of "
+            f"{vec_col!r}; pass dim= explicitly (or attach {{'dim': N}} "
+            f"column metadata at the source)"
+        )
+    first = df.select(F.size(F.col(vec_col)).alias("n")).first()
+    if first is None or first["n"] is None:
+        raise ValueError("cannot infer embedding dim from an empty input; pass dim=")
+    return first["n"]
+
+
 def rh_signature(
     df: DataFrame,
     num_planes: int = 8,
@@ -150,8 +170,10 @@ def rh_signature(
     compiles fine at dim 768+ where a per-component expression tree would
     hit Catalyst analysis cost and the 64KB codegen method limit.
 
-    ``dim=None`` derives the dimension from the data with a one-row peek
-    (pass it explicitly to keep the call fully lazy). Vectors shorter than
+    **``dim=None`` triggers an EAGER one-row peek at plan-build time** (see
+    :func:`_infer_dim`) — pass ``dim`` explicitly, or attach ``{"dim": N}``
+    column metadata, to keep the call fully lazy (required for streaming
+    inputs). Vectors shorter than
     ``dim`` contribute zeros for the missing components and longer vectors
     are truncated (``coalesce`` over the ``zip_with`` null padding), so no
     ANSI out-of-bounds error is possible for mismatched lengths.
@@ -159,12 +181,7 @@ def rh_signature(
     if not 1 <= num_planes <= 30:
         raise ValueError("num_planes must be in [1, 30] for an int signature")
     if dim is None:
-        first = df.select(F.size(F.col(vec_col)).alias("n")).first()
-        if first is None or first["n"] is None:
-            raise ValueError(
-                "cannot infer embedding dim from an empty input; pass dim="
-            )
-        dim = first["n"]
+        dim = _infer_dim(df, vec_col)
     h = _matrix_literal(_hyperplane_matrix(num_planes, dim))
     v = F.col(vec_col)
     dots = F.transform(h, lambda hp: padded_dot(v, hp))
@@ -245,6 +262,14 @@ def ivf_query(
     when the index is path-backed — the corpus outside the probed cells is
     never read. The centroid matrix enters the plan as one literal (same
     constant-plan-size construction as ``rh_signature``).
+
+    The query batch is persisted before that probe job: the plan executes
+    twice (once for the probe-cell collect, once in the candidate join), and
+    without pinning, a non-deterministic ``queries`` plan (sample, unordered
+    limit, generated ids) could probe one set of cells and join another —
+    silently dropping candidates. The cache is query-batch-sized (small by
+    contract); callers looping over many batches may ``.unpersist()`` the
+    returned frame's input when done.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
@@ -259,9 +284,11 @@ def ivf_query(
         ),
     )
     probe = F.slice(F.reverse(F.array_sort(dists)), 1, n_probe)
-    q = q.withColumn("cells", F.transform(probe, lambda s: s["cell"]))
+    q = q.withColumn("cells", F.transform(probe, lambda s: s["cell"])).persist()
 
-    # static probe set for partition pruning: bounded by n_centroids values
+    # static probe set for partition pruning: bounded by n_centroids values.
+    # This collect also materializes the persisted q, so the join below sees
+    # the SAME rows even if `queries` is non-deterministic.
     probe_cells = sorted(
         r["c"]
         for r in q.select(F.explode("cells").alias("c")).distinct().collect()
@@ -327,12 +354,13 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate cosine top-k: candidates share the random-hyperplane
     bucket; exact cosine re-ranks within buckets. Recall rises with fewer
-    planes (bigger buckets) and falls with more."""
+    planes (bigger buckets) and falls with more.
+
+    **``dim=None`` peeks one corpus row eagerly** (:func:`_infer_dim`); the
+    inferred value is shared by both signature stages so the corpus is
+    peeked at most once. Pass ``dim`` explicitly for full laziness."""
     if dim is None:
-        first = corpus.select(F.size(F.col(vec_col)).alias("n")).first()
-        if first is None or first["n"] is None:
-            raise ValueError("cannot infer embedding dim from an empty corpus")
-        dim = first["n"]
+        dim = _infer_dim(corpus, vec_col)
     qs = rh_signature(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")),
         num_planes, dim, "__qv", "sig",

@@ -542,3 +542,129 @@ def test_correlation_drops_null_partition_keys(spark):
         df, ["u"], F.col("k"), F.col("event_type") == "view", corr_col="kk"
     ).collect()
     assert sorted((r["u"], r["kk"]) for r in out) == [(5, 2), (5, 2)]
+
+
+def test_capped_shingles_bottom_k_sample(spark):
+    # cap semantics: docs under the cap untouched; docs over it keep the
+    # max_shingles shingles with smallest md5 (deterministic uniform sample)
+    import hashlib
+
+    from fireball_data_processing_spark.operators.dedup import (
+        minhash_signature,
+        shingles_of_words,
+    )
+
+    text_long = " ".join(f"w{i}" for i in range(40))  # 38 3-shingles
+    text_short = "a b c d"  # 2 3-shingles
+    df = spark.createDataFrame(
+        [("d1", text_long), ("d2", text_short)], "doc_id string, text string"
+    )
+
+    capped = minhash_signature(
+        df, num_hashes=4, with_shingles=True, max_shingles=10
+    ).collect()
+    full = minhash_signature(df, num_hashes=4, with_shingles=True).collect()
+    by_id = lambda rows: {r["doc_id"]: r for r in rows}
+    c, f = by_id(capped), by_id(full)
+
+    # short doc identical under the cap
+    assert sorted(c["d2"]["__sh"]) == sorted(f["d2"]["__sh"])
+    assert [c["d2"][f"mh{i}"] for i in range(4)] == [
+        f["d2"][f"mh{i}"] for i in range(4)
+    ]
+    # long doc: exactly the 10 md5-smallest of the full shingle set
+    want = sorted(f["d1"]["__sh"], key=lambda s: hashlib.md5(s.encode()).hexdigest())[
+        :10
+    ]
+    assert sorted(c["d1"]["__sh"]) == sorted(want)
+    assert len(c["d1"]["__sh"]) == 10
+
+
+def test_infer_dim_from_metadata_and_streaming_refusal(spark, tmp_path):
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from fireball_data_processing_spark.operators.similarity import (
+        _infer_dim,
+        rh_signature,
+    )
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 2.0, 3.0])], "vec_id string, embedding array<double>"
+    )
+    tagged = df.withMetadata("embedding", {"dim": 3})
+    assert _infer_dim(tagged, "embedding") == 3
+    # untagged falls back to the one-row peek
+    assert _infer_dim(df, "embedding") == 3
+
+    # metadata-tagged streaming frame works fully lazily; untagged refuses
+    p = str(tmp_path / "vecs")
+    df.write.mode("overwrite").parquet(p)
+    stream = spark.readStream.schema(df.schema).parquet(p)
+    with pytest.raises(ValueError, match="streaming"):
+        rh_signature(stream, num_planes=4)
+    out = rh_signature(stream.withMetadata("embedding", {"dim": 3}), num_planes=4)
+    assert "rh_sig" in out.columns and out.isStreaming
+
+
+def test_decode_image_real_codec_branch(spark):
+    # exercises the REAL decoder branch end-to-end where a codec exists;
+    # skipped (not failed) in containers without PIL
+    import pytest
+
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    from fireball_data_processing_spark.operators.multimodal import decode_image
+
+    buf = io.BytesIO()
+    PIL_Image.new("RGB", (4, 2), (255, 0, 0)).save(buf, format="PNG")
+    img = decode_image(buf.getvalue())
+    assert img.size == (4, 2)
+
+
+def test_decode_image_stub_raises_without_codec():
+    import pytest
+
+    from fireball_data_processing_spark.operators import multimodal
+
+    try:
+        import PIL.Image  # noqa: F401
+
+        pytest.skip("PIL present; stub branch not reachable here")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="PIL"):
+        multimodal.decode_image(b"\x89PNG not really")
+
+
+def test_minhash_sig_expr_matches_grouped_signature(spark, sf_dir):
+    # the per-row (stream-safe) signature expression must be value-identical
+    # to the explode->groupBy batch formulation, hash for hash
+    from pyspark.sql import functions as F
+
+    from fireball_data_processing_spark.functions.text import normalize_text
+    from fireball_data_processing_spark.operators.dedup import (
+        minhash_sig_expr,
+        minhash_signature,
+        shingles_of_words,
+    )
+    from fireball_data_processing_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingles_of_words(F.split(normalize_text(F.col("text")), " "), 3)
+    per_row = {
+        r["doc_id"]: r["sig"]
+        for r in d.select("doc_id", minhash_sig_expr(sh, 8).alias("sig")).collect()
+    }
+    grouped = {
+        r["doc_id"]: [r[f"mh{i}"] for i in range(8)]
+        for r in minhash_signature(d, num_hashes=8, shingle_k=3).collect()
+    }
+    assert set(grouped) <= set(per_row)
+    for doc_id, sig in grouped.items():
+        assert per_row[doc_id] == sig, doc_id
+    # docs the grouped form omits (no shingles) are all-null per-row
+    for doc_id in set(per_row) - set(grouped):
+        assert per_row[doc_id] == [None] * 8
