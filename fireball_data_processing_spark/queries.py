@@ -887,6 +887,67 @@ def q_ingest_gate_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ingest_gate_near_new",
+    """
+WITH words AS (
+  SELECT doc_id,
+    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 2), ' ') AS shingle
+  FROM words, UNNEST(generate_series(1, greatest(len(w) - 2, 0))) AS t(i)
+  WHERE len(w) >= 3
+),
+sig AS (
+  SELECT doc_id,
+    MIN(md5('0#' || shingle)) AS mh0, MIN(md5('1#' || shingle)) AS mh1,
+    MIN(md5('2#' || shingle)) AS mh2, MIN(md5('3#' || shingle)) AS mh3,
+    MIN(md5('4#' || shingle)) AS mh4, MIN(md5('5#' || shingle)) AS mh5,
+    MIN(md5('6#' || shingle)) AS mh6, MIN(md5('7#' || shingle)) AS mh7
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band_idx, mh0 || '|' || mh1 AS band_key FROM sig
+  UNION ALL SELECT doc_id, 1, mh2 || '|' || mh3 FROM sig
+  UNION ALL SELECT doc_id, 2, mh4 || '|' || mh5 FROM sig
+  UNION ALL SELECT doc_id, 3, mh6 || '|' || mh7 FROM sig
+),
+hits AS (
+  SELECT DISTINCT i.doc_id
+  FROM bands i JOIN bands c
+    ON i.band_idx = c.band_idx AND i.band_key = c.band_key
+  WHERE i.doc_id % 4 <> 0 AND c.doc_id % 4 = 0
+)
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id % 4 <> 0 AND d.doc_id NOT IN (SELECT doc_id FROM hits)
+""",
+)
+def q_ingest_gate_near_new(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming NEAR-dup ingest gate
+    (streaming/dedup_stream.py `stream_near_new_documents`): incoming docs
+    (doc_id % 4 != 0) whose MinHash signature shares no LSH band with the
+    corpus partition (doc_id % 4 == 0). Exercises the per-row signature
+    expression (`minhash_sig_expr` — no shuffle, stream-safe) and the
+    band-partitioned index lookups; the stream runs the identical plan per
+    micro-batch (stream/batch parity test in tests/test_streaming.py)."""
+    from fireball_data_processing_spark.streaming.dedup_stream import (
+        corpus_band_index,
+        near_new_documents,
+    )
+    from fireball_data_processing_spark.operators.dedup import minhash_signature
+
+    d = load_table(spark, sf_dir, "documents")
+    idx = corpus_band_index(
+        minhash_signature(d.filter(F.col("doc_id") % 4 == 0)), num_hashes=8,
+        band_size=2,
+    )
+    return near_new_documents(
+        d.filter(F.col("doc_id") % 4 != 0), idx
+    ).select("doc_id")
+
+
+@query(
     "doc_truncate_preview",
     """
 SELECT doc_id,
@@ -995,7 +1056,13 @@ def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full near-dedup pipeline: MinHash -> LSH bands -> candidate pairs ->
     exact n-gram Jaccard verification on candidates only. Signatures and
     shingle sets come out of ONE grouped pass over one scan
-    (with_shingles=True), so the corpus text is shingled exactly once."""
+    (with_shingles=True), and that pass is PERSISTED: without it the three
+    downstream consumers (both sides of the band self-join, the Jaccard
+    shingle lookups) each re-execute the fat subtree — broadcast stages
+    get no exchange reuse — which profiled 2x slower at sf0.1. The cache
+    is the in-memory analog of ``build_minhash_index`` (the parquet-backed
+    form for corpora that outlive one job); it is invocation-scoped and
+    bounded by the signature+shingle table size."""
     from fireball_data_processing_spark.operators.dedup import (
         jaccard_pairs,
         lsh_candidate_pairs,
@@ -1003,7 +1070,9 @@ def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signature(d, num_hashes=8, shingle_k=3, with_shingles=True)
+    sigs = minhash_signature(
+        d, num_hashes=8, shingle_k=3, with_shingles=True
+    ).persist()
     pairs = lsh_candidate_pairs(sigs, num_hashes=8, band_size=2)
     sh = sigs.select(F.col("doc_id"), F.col("__sh").alias("sh"))
     j = jaccard_pairs(d, pairs, shingle_k=3, shingle_sets=sh)
@@ -2902,6 +2971,8 @@ _PRIORITY = [
     "event_type_pivot",
     "anonymized_props",
     "ivf_topk_neighbors",
+    # --- new this round ---
+    "ingest_gate_near_new",
     # --- attested in round 1 only; rotate back in ---
     "lsh_candidate_pairs",
     "simhash_fingerprints",

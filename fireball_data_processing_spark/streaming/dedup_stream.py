@@ -20,17 +20,29 @@ Plan, all stateless or watermark-bounded:
 
 At 100 TB the index side is the materialized hash column of the corpus
 (one 32-byte md5 per doc — ~3 TB/100B docs, parquet-scannable), refreshed
-by the batch job; near-dup streaming would compose the same way via a
-MinHash signature stage (``build_minhash_index``) with band-key lookups.
+by the batch job. The NEAR-dup gate (:func:`stream_near_new_documents`)
+composes the same way: per-row MinHash signature (:func:`~fireball_data_
+processing_spark.operators.dedup.minhash_sig_expr`, no shuffle) -> LSH
+band keys -> stateless stream-static lookups against
+:func:`corpus_band_index` over ``build_minhash_index`` output.
 """
 
 from __future__ import annotations
+
+import functools
+import operator
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from fireball_data_processing_spark.functions.text import normalize_text
+from fireball_data_processing_spark.operators.dedup import (
+    band_structs,
+    capped_shingles,
+    minhash_sig_expr,
+    shingles_of_words,
+)
 
 
 def content_hash(text_col: str = "text") -> F.Column:
@@ -74,6 +86,128 @@ def stream_new_documents(
     stream = spark.readStream.schema(file_schema).format(fmt).load(source_dir)
     hashed = stream.withColumn("content_hash", content_hash(text_col))
     fresh = hashed.join(index, "content_hash", "left_anti")
+    if ts_col is not None:
+        fresh = fresh.withWatermark(ts_col, watermark)
+        return fresh.dropDuplicatesWithinWatermark(["content_hash"])
+    return fresh.dropDuplicates(["content_hash"])
+
+
+# --- near-duplicate gate ------------------------------------------------
+
+
+def corpus_band_index(
+    sigs: DataFrame, num_hashes: int = 8, band_size: int = 2
+) -> DataFrame:
+    """Distinct LSH ``(band_idx, band_key)`` pairs of a signature table
+    (e.g. ``build_minhash_index`` output) — the static side of the
+    streaming near-dup gate. One row per occupied bucket, so it is far
+    smaller than the corpus; materialize to parquet for a long-running
+    stream and refresh it from the batch index job."""
+    return (
+        sigs.select(F.explode(band_structs(num_hashes, band_size)).alias("b"))
+        .select(F.col("b.band_idx"), F.col("b.band_key"))
+        .distinct()
+    )
+
+
+def near_new_documents(
+    docs: DataFrame,
+    band_index: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_k: int = 3,
+    max_shingles: int | None = None,
+) -> DataFrame:
+    """Rows of ``docs`` whose MinHash signature shares NO LSH band with the
+    index — i.e. docs with no near-duplicate already in the corpus (at the
+    recall of the banding scheme; same bands as ``lsh_candidate_pairs``).
+
+    Every stage is stateless, so this works identically on batch AND
+    streaming frames: the signature is the per-row expression
+    :func:`minhash_sig_expr` (the explode→groupBy batch formulation would
+    be a stateful streaming aggregation), and the bucket probe is one
+    LEFT join per band against the band-partitioned index — ``n_bands``
+    stream-static equi joins, broadcastable when the index is compact.
+    Docs too short to shingle have no bands and always pass (they cannot
+    near-duplicate anything under the shingle model).
+    """
+    n_bands = num_hashes // band_size
+    sh = shingles_of_words(
+        F.split(normalize_text(F.col(text_col)), " "), shingle_k
+    )
+    if max_shingles is not None:
+        sh = capped_shingles(sh, max_shingles)
+    out = docs.withColumn("__sig", minhash_sig_expr(sh, num_hashes))
+    helpers = ["__sig"]
+    for b in range(n_bands):
+        key = F.concat_ws(
+            "|",
+            *[
+                F.element_at("__sig", i + 1)
+                for i in range(b * band_size, (b + 1) * band_size)
+            ],
+        )
+        out = out.withColumn(f"__band{b}", key)
+        helpers.append(f"__band{b}")
+    for b in range(n_bands):
+        # band_index is distinct on (band_idx, band_key), so each LEFT join
+        # matches at most one row — flags, never row multiplication
+        side = band_index.filter(F.col("band_idx") == b).select(
+            F.col("band_key").alias(f"__bk{b}"), F.lit(True).alias(f"__hit{b}")
+        )
+        out = out.join(side, F.col(f"__band{b}") == F.col(f"__bk{b}"), "left")
+        helpers += [f"__bk{b}", f"__hit{b}"]
+    no_hit = functools.reduce(
+        operator.and_, [F.col(f"__hit{b}").isNull() for b in range(n_bands)]
+    )
+    return out.filter(no_hit).drop(*helpers)
+
+
+def stream_near_new_documents(
+    spark: SparkSession,
+    source_dir: str,
+    file_schema: StructType | str,
+    band_index: DataFrame,
+    text_col: str = "text",
+    ts_col: str | None = None,
+    watermark: str = "10 minutes",
+    fmt: str = "parquet",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_k: int = 3,
+    max_shingles: int | None = None,
+    allow_unbounded_state: bool = False,
+) -> DataFrame:
+    """Streaming near-dup ingest gate: documents that near-duplicate
+    nothing in the corpus index AND are the first of their exact content
+    within the stream.
+
+    Composition promised by the module docstring: per-row MinHash
+    signature -> band keys -> ``n_bands`` stream-static lookups against
+    ``corpus_band_index(build_minhash_index(...))`` output — all stateless
+    — then the same watermark-bounded within-stream dedup as the exact
+    gate. Within-stream collapse uses the EXACT content hash: near-dup
+    collapse *between stream rows* would need unbounded cross-row state;
+    instead route accepted docs into the next batch index refresh, which
+    closes that loop at index cadence.
+    """
+    if ts_col is None and not allow_unbounded_state:
+        raise ValueError(
+            "ts_col=None keeps every seen content hash in the state store "
+            "forever; pass allow_unbounded_state=True only for bounded "
+            "replays, or provide an event-time column for the watermark"
+        )
+    stream = spark.readStream.schema(file_schema).format(fmt).load(source_dir)
+    fresh = near_new_documents(
+        stream,
+        band_index,
+        text_col=text_col,
+        num_hashes=num_hashes,
+        band_size=band_size,
+        shingle_k=shingle_k,
+        max_shingles=max_shingles,
+    ).withColumn("content_hash", content_hash(text_col))
     if ts_col is not None:
         fresh = fresh.withWatermark(ts_col, watermark)
         return fresh.dropDuplicatesWithinWatermark(["content_hash"])

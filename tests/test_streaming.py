@@ -342,3 +342,87 @@ def test_stream_new_documents_refuses_unbounded_state_by_default(spark, tmp_path
             spark, str(tmp_path), "doc_id bigint, text string",
             corpus_hash_index(corpus), ts_col=None,
         )
+
+
+def test_stream_near_new_documents_matches_batch_lsh(spark, tmp_path):
+    # streaming NEAR-dup gate parity: replaying sf0.01 docs against the
+    # sf0.001 corpus band index must keep exactly the docs that
+    # lsh_candidate_pairs finds NO cross partner for (same bands), and the
+    # stateless batch core must agree row-for-row
+    import pyspark.sql.functions as F
+
+    from fireball_data_processing_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+    from fireball_data_processing_spark.streaming.dedup_stream import (
+        content_hash,
+        corpus_band_index,
+        near_new_documents,
+        stream_near_new_documents,
+    )
+
+    corpus = load_table(spark, SMOKE, "documents")
+    idx = corpus_band_index(minhash_signature(corpus), num_hashes=8, band_size=2)
+
+    src = str(tmp_path / "neardup_stream")
+    os.makedirs(src)
+    shutil.copy("/root/testdata/sf0.01/documents.parquet", src)
+    incoming = load_table(spark, "/root/testdata/sf0.01", "documents")
+
+    out = stream_near_new_documents(
+        spark, src, incoming.schema, idx, ts_col=None, allow_unbounded_state=True
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("near_new")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["content_hash"]
+        for r in spark.sql("SELECT content_hash FROM near_new").collect()
+    }
+
+    # batch core on the same frame (no in-stream dedup -> distinct hashes)
+    batch = near_new_documents(incoming, idx)
+    want_batch = {
+        r["h"]
+        for r in batch.select(content_hash().alias("h")).distinct().collect()
+    }
+    assert got == want_batch
+
+    # independent expectation via the batch LSH pipeline: union corpus +
+    # incoming with tagged ids; incoming docs with any cross candidate pair
+    # are near-dups, the rest are near-new
+    tagged = corpus.select(
+        F.concat(F.lit("c"), F.col("doc_id")).alias("uid"), "text"
+    ).unionByName(
+        incoming.select(
+            F.concat(F.lit("i"), F.col("doc_id")).alias("uid"), "text"
+        )
+    )
+    sigs = minhash_signature(tagged, id_col="uid")
+    pairs = lsh_candidate_pairs(sigs, id_col="uid", num_hashes=8, band_size=2)
+    cross_dup_ids = {
+        uid
+        for r in pairs.collect()
+        for uid in (r["id_a"], r["id_b"])
+        if uid.startswith("i")
+        and (r["id_a"].startswith("c") != r["id_b"].startswith("c"))
+    }
+    want_lsh = {
+        r["h"]
+        for r in incoming.filter(
+            ~F.concat(F.lit("i"), F.col("doc_id")).isin(cross_dup_ids)
+        )
+        .select(content_hash().alias("h"))
+        .distinct()
+        .collect()
+    }
+    assert got == want_lsh
+    # the gate actually gates: some docs pass, some are stopped
+    n_in = incoming.select(content_hash()).distinct().count()
+    assert 0 < len(got) < n_in
