@@ -130,3 +130,43 @@ def content_fingerprint(c: Column) -> Column:
     from fireball_data_processing_spark.functions.text import normalize_text
 
     return F.md5(normalize_text(c))
+
+
+def unigram_logprob(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int | None = 6,
+):
+    """Corpus-unigram cross-entropy per document — the classic LM-based
+    quality signal for pretraining corpora (CCNet-style): documents whose
+    tokens are improbable under the corpus's own unigram distribution are
+    boilerplate/garbage candidates; ultra-low entropy means repetitive
+    text. Output: ``(id_col, avg_neg_log2_prob, n_tokens)``; token-less
+    docs are absent (no distribution to score under).
+
+    Plan: one token explode feeds BOTH the vocabulary count and the
+    scoring join (token -> count), then a per-doc average. The vocabulary
+    is Zipf-bounded (token cardinality, not corpus size); the grand total
+    rides in as a one-row broadcast cross join, never a global window. At
+    100 TB, materialize the vocabulary once and broadcast its head with a
+    smoothed tail instead of equi-joining the full table.
+    """
+    from pyspark.sql import functions as F
+
+    from fireball_data_processing_spark.functions.text import normalize_text
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("__c"))
+    total = vocab.agg(F.sum("__c").cast("double").alias("__total"))
+    scored = toks.join(vocab, "token").crossJoin(F.broadcast(total))
+    avg = F.avg(-F.log2(F.col("__c").cast("double") / F.col("__total")))
+    if round_dp is not None:
+        avg = F.round(avg, round_dp)
+    return scored.groupBy(id_col).agg(
+        avg.alias("avg_neg_log2_prob"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )

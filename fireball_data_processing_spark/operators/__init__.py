@@ -23,7 +23,9 @@ from fireball_data_processing_spark.operators.dedup import (
     exact_dedup_groups,
     jaccard_pairs,
     lsh_candidate_pairs,
+    minhash_sig_expr,
     minhash_signature,
+    ngram_overlap,
     simhash,
 )
 from fireball_data_processing_spark.operators.similarity import (
@@ -38,7 +40,9 @@ __all__ = [
     "exact_dedup_groups",
     "jaccard_pairs",
     "lsh_candidate_pairs",
+    "minhash_sig_expr",
     "minhash_signature",
+    "ngram_overlap",
     "simhash",
     "brute_force_topk",
     "build_ivf_index",

@@ -30,8 +30,9 @@ from fireball_data_processing_spark.functions.text import normalize_text  # noqa
 
 __all__ = [
     "normalize_text", "exact_dedup_groups", "word_shingles",
-    "shingles_of_words", "minhash_signature", "build_minhash_index",
-    "lsh_candidate_pairs", "jaccard_pairs", "simhash",
+    "shingles_of_words", "capped_shingles", "minhash_signature",
+    "minhash_sig_expr", "band_structs", "build_minhash_index",
+    "lsh_candidate_pairs", "jaccard_pairs", "simhash", "ngram_overlap",
 ]
 
 
@@ -427,3 +428,41 @@ def simhash(
         for i in range(bits)
     )
     return agg.select(F.col(id_col), fp.cast("bigint").alias("simhash"))
+
+
+def ngram_overlap(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_id_col: str = "bench_id",
+    k: int = 8,
+    min_overlap: int = 1,
+    max_shingles: int | None = None,
+) -> DataFrame:
+    """Benchmark decontamination: (doc, benchmark-doc) pairs sharing at
+    least ``min_overlap`` distinct k-word shingles, with the shared count.
+
+    The standard pretraining-hygiene operator — training documents that
+    textually overlap an evaluation set must be found (and usually
+    dropped) before training; k=8..13 word n-grams is the published
+    practice for benchmark contamination checks.
+
+    Plan: explode both sides' DISTINCT shingles, equi-join on the shingle
+    string, count per pair. Contact is confined to literally-shared
+    n-grams — never |docs| x |benchmark| — and the benchmark side is small
+    by nature, so its exploded table broadcasts; the docs side streams
+    through one shuffle-free map + join. Output: ``(id_col,
+    bench_id_col, n_shared)``.
+    """
+    d = _exploded_shingles(docs, text_col, id_col, k, max_shingles)
+    b = (
+        _exploded_shingles(benchmark, text_col, id_col, k, max_shingles)
+        .withColumnRenamed(id_col, bench_id_col)
+    )
+    return (
+        d.join(b, "shingle")
+        .groupBy(id_col, bench_id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_overlap)
+    )

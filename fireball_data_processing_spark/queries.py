@@ -948,6 +948,75 @@ def q_ingest_gate_near_new(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "benchmark_contamination",
+    """
+WITH words AS (
+  SELECT doc_id,
+    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 2), ' ') AS shingle
+  FROM words, UNNEST(generate_series(1, greatest(len(w) - 2, 0))) AS t(i)
+  WHERE len(w) >= 3
+)
+SELECT d.doc_id, b.doc_id AS bench_id, COUNT(*)::BIGINT AS n_shared
+FROM sh d JOIN sh b ON d.shingle = b.shingle
+WHERE d.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+GROUP BY d.doc_id, b.doc_id
+HAVING COUNT(*) >= 2
+""",
+)
+def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (pretraining hygiene): training docs
+    (doc_id % 10 != 0) sharing >= 2 distinct 3-word shingles with any
+    "benchmark" doc (doc_id % 10 == 0), with the shared count. Real runs
+    use k=8..13-word n-grams against the actual eval sets; k=3 here so the
+    synthetic corpus produces verifiable overlap. Contact is confined to
+    literally-shared n-grams (shingle equi-join), never docs x benchmark."""
+    from fireball_data_processing_spark.operators.dedup import ngram_overlap
+
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_overlap(
+        d.filter(F.col("doc_id") % 10 != 0),
+        d.filter(F.col("doc_id") % 10 == 0),
+        k=3,
+        min_overlap=2,
+    ).select("doc_id", "bench_id", F.col("n_shared").cast("bigint").alias("n_shared"))
+
+
+@query(
+    "doc_unigram_logprob",
+    """
+WITH words AS (
+  SELECT doc_id,
+    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, t.token FROM words, UNNEST(w) AS t(token) WHERE t.token <> ''
+),
+vocab AS (SELECT token, COUNT(*)::DOUBLE AS c FROM tok GROUP BY token),
+tot AS (SELECT SUM(c) AS total FROM vocab)
+SELECT doc_id,
+  ROUND(AVG(-LOG2(v.c / t.total)), 6) AS avg_neg_log2_prob,
+  COUNT(*)::BIGINT AS n_tokens
+FROM tok JOIN vocab v USING (token) CROSS JOIN tot t
+GROUP BY doc_id
+""",
+)
+def q_doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality signal: per-doc cross-entropy under the
+    corpus's own unigram distribution (high = garbage candidate, ultra-low
+    = repetitive). One token explode feeds both the vocabulary and the
+    scoring join; the grand total broadcasts as one row."""
+    from fireball_data_processing_spark.functions.textstats import unigram_logprob
+
+    d = load_table(spark, sf_dir, "documents")
+    return unigram_logprob(d)
+
+
+@query(
     "doc_truncate_preview",
     """
 SELECT doc_id,
@@ -2973,6 +3042,8 @@ _PRIORITY = [
     "ivf_topk_neighbors",
     # --- new this round ---
     "ingest_gate_near_new",
+    "benchmark_contamination",
+    "doc_unigram_logprob",
     # --- attested in round 1 only; rotate back in ---
     "lsh_candidate_pairs",
     "simhash_fingerprints",

@@ -426,3 +426,63 @@ def test_stream_near_new_documents_matches_batch_lsh(spark, tmp_path):
     # the gate actually gates: some docs pass, some are stopped
     n_in = incoming.select(content_hash()).distinct().count()
     assert 0 < len(got) < n_in
+
+
+def test_near_dup_gate_exactly_once_across_restart(spark, tmp_path):
+    # near-dup gate twin of the exact-gate restart test: an exact duplicate
+    # arriving in a later run is dropped by the checkpointed state store; a
+    # near-duplicate of an INDEXED doc is stopped by the band lookup; a
+    # fresh doc passes; earlier output is not re-emitted
+    from fireball_data_processing_spark.operators.dedup import minhash_signature
+    from fireball_data_processing_spark.streaming.dedup_stream import (
+        corpus_band_index,
+        stream_near_new_documents,
+    )
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    schema = "doc_id bigint, text string"
+    corpus = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")], schema
+    )
+    index = corpus_band_index(minhash_signature(corpus))
+
+    def run_once():
+        out = stream_near_new_documents(
+            spark, src, schema, index, ts_col=None, allow_unbounded_state=True
+        )
+        q = (
+            out.select("doc_id", "text", "content_hash")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [
+            (1, "completely different text about spark engines here"),
+            # near-dup of the indexed corpus doc (long shared prefix ->
+            # shares every band): stopped by the index lookup
+            (2, "the quick brown fox jumps over the lazy dog today"),
+        ],
+        schema,
+    ).write.mode("append").parquet(src)
+    run_once()
+
+    spark.createDataFrame(
+        [
+            (3, "completely different text about spark engines here"),  # exact dup of 1
+            (4, "some wholly novel document body with original words"),
+        ],
+        schema,
+    ).write.mode("append").parquet(src)
+    run_once()
+
+    got = sorted(r["doc_id"] for r in spark.read.parquet(sink).collect())
+    assert got == [1, 4]

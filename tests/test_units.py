@@ -668,3 +668,27 @@ def test_minhash_sig_expr_matches_grouped_signature(spark, sf_dir):
     # docs the grouped form omits (no shingles) are all-null per-row
     for doc_id in set(per_row) - set(grouped):
         assert per_row[doc_id] == [None] * 8
+
+
+def test_ngram_overlap_counts_shared_shingles(spark):
+    from fireball_data_processing_spark.operators.dedup import ngram_overlap
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated text body with original words"),
+        ],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox jumps high"), (101, "nothing in common here at all")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        (r["doc_id"], r["bench_id"]): r["n_shared"]
+        for r in ngram_overlap(docs, bench, k=3).collect()
+    }
+    # doc1 x bench100 share exactly 'quick brown fox' and 'brown fox jumps'
+    assert got == {(1, 100): 2}
+    # min_overlap filters below-threshold pairs
+    assert ngram_overlap(docs, bench, k=3, min_overlap=3).count() == 0
