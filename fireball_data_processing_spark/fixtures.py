@@ -446,3 +446,21 @@ def combat_values_sql() -> str:
     return (
         "(VALUES\n    " + rows + "\n) AS t(combat_id, update_seq, dm, combatants)"
     )
+
+
+# ---------------------------------------------------------------------
+# PII scrub fixture: every pattern kind, adjacency/order interactions,
+# clean text, empty and null content.
+# ---------------------------------------------------------------------
+PII_ROWS = [
+    (1, "contact me at alice.smith+spam@example.co.uk or bob@test.io"),
+    (2, "call 555-123-4567 or 555.987.6543 after 5pm"),
+    (3, "server at 192.168.1.254 and 10.0.0.1 went down"),
+    (4, "mixed: eve@corp.com, 212-555-0123, host 8.8.8.8"),
+    (5, "no pii here, just words and numbers like 12345 and 3.14"),
+    (6, "version 1.2.3.4 of the parser"),  # ipv4-shaped version string
+    (7, ""),
+    (8, None),
+]
+PII_SCHEMA = "id int, content string"
+PII_COLUMNS = ["id", "content"]

@@ -170,3 +170,61 @@ def unigram_logprob(
         avg.alias("avg_neg_log2_prob"),
         F.count(F.lit(1)).alias("n_tokens"),
     )
+
+
+def repetition_features(c: Column, n: int = 2) -> dict[str, Column]:
+    """Gopher/MassiveText-style within-document repetition signals over
+    word n-grams (default bigrams): documents dominated by repeated
+    n-grams are template/boilerplate candidates.
+
+    - ``n_ngrams``: total (non-distinct) n-gram occurrences
+    - ``dup_ngram_frac``: 1 - distinct/total — mass held by repeats
+    - ``top_ngram_frac``: most frequent n-gram's share of all occurrences
+
+    Everything is per-row array math — NO shuffle, unlike the equivalent
+    explode+groupBy. The top-n-gram count is a sorted-run-length fold
+    (``aggregate`` over ``array_sort``) rather than a count-per-distinct
+    nested loop: the fold's input array is evaluated once (it sits outside
+    the lambda), where a filter-per-distinct-gram formulation would
+    rebuild the gram array once per distinct gram (HOF lambdas get no
+    subexpression elimination). Docs with no n-grams report zeros.
+    """
+    from fireball_data_processing_spark.functions.text import normalize_text
+
+    words = F.split(normalize_text(c), " ")
+    size = F.size(words)
+    grams = F.when(
+        size >= n,
+        F.transform(
+            F.sequence(F.lit(0), size - n),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    # longest run of equal adjacent elements in the sorted array == max count
+    run_state = F.aggregate(
+        F.array_sort(grams),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    tot_d = total.cast("double")
+    return {
+        "n_ngrams": total.cast("bigint"),
+        "dup_ngram_frac": F.when(
+            total > 0, F.round(F.lit(1.0) - distinct.cast("double") / tot_d, 6)
+        ).otherwise(F.lit(0.0)),
+        "top_ngram_frac": F.when(
+            total > 0, F.round(run_state.cast("double") / tot_d, 6)
+        ).otherwise(F.lit(0.0)),
+    }

@@ -48,3 +48,34 @@ def deterministic_split(
             F.lit("train")
         ),
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    bucket: Column,
+    rates: dict[str, float],
+    key: Column,
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Data-mixture construction: deterministic per-bucket downsampling.
+
+    Training corpora are blended from sources at target proportions
+    ("2 parts web, 1 part code, 0.1 parts forums"); the distributed form
+    is a per-bucket keep-rate applied with the same hash-rank primitive as
+    ``deterministic_split`` — stable under repartitioning/retries, no RNG
+    state, reproducible by any engine with md5 (oracle-checkable). Keeps a
+    row iff ``hash_rank(key, salt) < rates[bucket]`` (``default_rate`` for
+    unlisted buckets); rates >= 1.0 keep everything. The rate map enters
+    the plan as one literal ``map``, so the filter is codegen-resident and
+    pushes down past column pruning like any scalar predicate.
+    """
+    if rates:
+        mapping = F.create_map(
+            *[F.lit(x) for k, v in rates.items() for x in (k, float(v))]
+        )
+        rate = F.coalesce(mapping[bucket], F.lit(float(default_rate)))
+    else:
+        # empty create_map() is map<void,void> and cannot be indexed
+        rate = F.lit(float(default_rate))
+    return df.filter(hash_rank(key, salt) < rate)

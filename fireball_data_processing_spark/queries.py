@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from fireball_data_processing_spark import fixtures as FX
 from fireball_data_processing_spark.schema import SYNTHETIC_STREAM
 from fireball_data_processing_spark.sources.tables import load_table
 from fireball_data_processing_spark.plans.heuristics import heuristics_matrix, HEURISTICS
@@ -1014,6 +1015,112 @@ def q_doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return unigram_logprob(d)
+
+
+@query(
+    "fb_pii_redact",
+    f"""
+WITH t AS (SELECT * FROM {FX.values_sql(FX.PII_ROWS, FX.PII_COLUMNS)})
+SELECT id,
+  regexp_replace(regexp_replace(regexp_replace(content,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '[EMAIL]', 'g'),
+    '\\b\\d{{3}}[-.]\\d{{3}}[-.]\\d{{4}}\\b', '[PHONE]', 'g'),
+    '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '[IP]', 'g') AS redacted,
+  len(regexp_extract_all(content,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))::BIGINT AS n_email,
+  len(regexp_extract_all(content,
+    '\\b\\d{{3}}[-.]\\d{{3}}[-.]\\d{{4}}\\b'))::BIGINT AS n_phone,
+  len(regexp_extract_all(content,
+    '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b'))::BIGINT AS n_ip
+FROM t
+""",
+)
+def q_fb_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub stage (pretraining hygiene; generalizes the reference's
+    author-id anonymization, scripts/anonymize.py, to free-text PII):
+    typed placeholders for emails/phones/IPv4s plus per-kind counts, all
+    chained JVM regexes — no UDF. Fixture pins pattern order, the
+    ipv4-shaped version string, empty and null content."""
+    from fireball_data_processing_spark.functions.pii import pii_counts, redact_pii
+
+    df = FX.spark_df(spark, FX.PII_ROWS, FX.PII_SCHEMA)
+    counts = pii_counts(F.col("content"))
+    return df.select(
+        "id",
+        redact_pii(F.col("content")).alias("redacted"),
+        *[col.alias(name) for name, col in counts.items()],
+    )
+
+
+@query(
+    "doc_repetition",
+    """
+WITH words AS (
+  SELECT doc_id,
+    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(list_slice(w, i, i + 1), ' ') AS g
+  FROM words, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 2
+),
+counts AS (
+  SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g
+),
+stats AS (
+  SELECT doc_id, SUM(c) AS total, COUNT(*) AS n_distinct, MAX(c) AS top
+  FROM counts GROUP BY doc_id
+)
+SELECT d.doc_id,
+  COALESCE(s.total, 0)::BIGINT AS n_ngrams,
+  COALESCE(ROUND(1.0 - s.n_distinct::DOUBLE / s.total::DOUBLE, 6), 0.0) AS dup_ngram_frac,
+  COALESCE(ROUND(s.top::DOUBLE / s.total::DOUBLE, 6), 0.0) AS top_ngram_frac
+FROM documents d LEFT JOIN stats s ON d.doc_id = s.doc_id
+""",
+)
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-doc repetition signals over word bigrams
+    (duplicate-mass and top-bigram share) — per-row array math, zero
+    shuffles (the oracle's explode+groupBy formulation is the same
+    numbers computed the shuffling way)."""
+    from fireball_data_processing_spark.functions.textstats import (
+        repetition_features,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    feats = repetition_features(F.col("text"), n=2)
+    return d.select("doc_id", *[col.alias(name) for name, col in feats.items()])
+
+
+@query(
+    "mixture_sample_counts",
+    """
+SELECT event_type, COUNT(*)::BIGINT AS n_kept
+FROM events
+WHERE ('0x' || substr(md5('mix' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+      / 4294967296.0
+      < CASE event_type WHEN 'purchase' THEN 1.0 WHEN 'error' THEN 0.5
+                        WHEN 'view' THEN 0.25 ELSE 0.05 END
+GROUP BY event_type
+""",
+)
+def q_mixture_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture construction: deterministic per-bucket keep rates via
+    the md5 hash-rank primitive (stable under repartitioning/retries, no
+    RNG state). Per-type surviving counts verify every bucket's rate."""
+    from fireball_data_processing_spark.operators.sampling import mixture_sample
+
+    ev = load_table(spark, sf_dir, "events")
+    kept = mixture_sample(
+        ev,
+        F.col("event_type"),
+        {"purchase": 1.0, "error": 0.5, "view": 0.25},
+        F.col("event_id"),
+        default_rate=0.05,
+        salt="mix",
+    )
+    return kept.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_kept"))
 
 
 @query(
@@ -3044,6 +3151,9 @@ _PRIORITY = [
     "ingest_gate_near_new",
     "benchmark_contamination",
     "doc_unigram_logprob",
+    "fb_pii_redact",
+    "doc_repetition",
+    "mixture_sample_counts",
     # --- attested in round 1 only; rotate back in ---
     "lsh_candidate_pairs",
     "simhash_fingerprints",

@@ -692,3 +692,87 @@ def test_ngram_overlap_counts_shared_shingles(spark):
     assert got == {(1, 100): 2}
     # min_overlap filters below-threshold pairs
     assert ngram_overlap(docs, bench, k=3, min_overlap=3).count() == 0
+
+
+def test_redact_pii_goldens(spark):
+    from fireball_data_processing_spark import fixtures as FX
+    from fireball_data_processing_spark.functions.pii import pii_counts, redact_pii
+
+    df = FX.spark_df(spark, FX.PII_ROWS, FX.PII_SCHEMA)
+    counts = pii_counts(F.col("content"))
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            redact_pii(F.col("content")).alias("red"),
+            *[c.alias(n) for n, c in counts.items()],
+        ).collect()
+    }
+    assert rows[1]["red"] == "contact me at [EMAIL] or [EMAIL]"
+    assert rows[1]["n_email"] == 2 and rows[1]["n_phone"] == 0
+    assert rows[2]["red"] == "call [PHONE] or [PHONE] after 5pm"
+    assert rows[3]["red"] == "server at [IP] and [IP] went down"
+    assert rows[4]["red"] == "mixed: [EMAIL], [PHONE], host [IP]"
+    assert rows[5]["red"] == rows[5]["red"] and rows[5]["n_email"] == 0
+    # ipv4-shaped version string IS matched (documented conservatism)
+    assert rows[6]["red"] == "version [IP] of the parser"
+    assert rows[7]["red"] == "" and rows[8]["red"] is None
+    assert rows[8]["n_email"] is None  # null text -> unscanned, not zero
+
+
+def test_repetition_features_values(spark):
+    from fireball_data_processing_spark.functions.textstats import (
+        repetition_features,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam ham spam ham spam ham"),  # bigrams: 5 total, 2 distinct
+            (2, "all words here are unique tokens"),  # 5 total, 5 distinct
+            (3, "tiny"),  # no bigrams
+        ],
+        "doc_id bigint, text string",
+    )
+    feats = repetition_features(F.col("text"), n=2)
+    got = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", *[c.alias(n) for n, c in feats.items()]
+        ).collect()
+    }
+    # doc1: 'spam ham' x3 + 'ham spam' x2
+    assert got[1]["n_ngrams"] == 5
+    assert got[1]["dup_ngram_frac"] == pytest.approx(1 - 2 / 5)
+    assert got[1]["top_ngram_frac"] == pytest.approx(3 / 5)
+    assert got[2]["dup_ngram_frac"] == 0.0
+    assert got[2]["top_ngram_frac"] == pytest.approx(1 / 5)
+    assert got[3]["n_ngrams"] == 0
+    assert got[3]["dup_ngram_frac"] == 0.0 and got[3]["top_ngram_frac"] == 0.0
+
+
+def test_mixture_sample_rates_and_determinism(spark):
+    from fireball_data_processing_spark.operators.sampling import mixture_sample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(2000)],
+        "k bigint, bucket string",
+    )
+    kept = mixture_sample(
+        df, F.col("bucket"), {"a": 1.0, "b": 0.2}, F.col("k"), salt="s"
+    )
+    rows = kept.collect()
+    again = mixture_sample(
+        df, F.col("bucket"), {"a": 1.0, "b": 0.2}, F.col("k"), salt="s"
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))  # deterministic
+    n_a = sum(1 for r in rows if r["bucket"] == "a")
+    n_b = sum(1 for r in rows if r["bucket"] == "b")
+    assert n_a == 1000  # rate 1.0 keeps everything
+    assert 120 < n_b < 280  # hash-uniform around 200
+    # unlisted bucket takes default_rate
+    df2 = spark.createDataFrame([(1, "zz")], "k bigint, bucket string")
+    assert mixture_sample(df2, F.col("bucket"), {}, F.col("k")).count() == 0
+    assert (
+        mixture_sample(df2, F.col("bucket"), {}, F.col("k"), default_rate=1.0).count()
+        == 1
+    )
