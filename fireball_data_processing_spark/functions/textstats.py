@@ -147,10 +147,14 @@ def unigram_logprob(
 
     Plan: one token explode feeds BOTH the vocabulary count and the
     scoring join (token -> count), then a per-doc average. The vocabulary
-    is Zipf-bounded (token cardinality, not corpus size); the grand total
-    rides in as a one-row broadcast cross join, never a global window. At
-    100 TB, materialize the vocabulary once and broadcast its head with a
-    smoothed tail instead of equi-joining the full table.
+    is Zipf-bounded (token cardinality, not corpus size) and PERSISTED:
+    it has two consumers (the broadcast scoring join and the grand-total
+    aggregate), and without pinning, each re-derives it from a fresh
+    corpus scan — broadcast subtrees get no exchange reuse. The grand
+    total rides in as a one-row broadcast cross join, never a global
+    window. At 100 TB, materialize the vocabulary to parquet once and
+    broadcast its head with a smoothed tail instead of equi-joining the
+    full table.
     """
     from pyspark.sql import functions as F
 
@@ -160,7 +164,7 @@ def unigram_logprob(
         F.col(id_col),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("token"),
     ).filter(F.col("token") != "")
-    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("__c"))
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("__c")).persist()
     total = vocab.agg(F.sum("__c").cast("double").alias("__total"))
     scored = toks.join(vocab, "token").crossJoin(F.broadcast(total))
     avg = F.avg(-F.log2(F.col("__c").cast("double") / F.col("__total")))
