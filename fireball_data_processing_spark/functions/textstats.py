@@ -232,3 +232,48 @@ def repetition_features(c: Column, n: int = 2) -> dict[str, Column]:
             total > 0, F.round(run_state.cast("double") / tot_d, 6)
         ).otherwise(F.lit(0.0)),
     }
+
+
+def chunk_documents(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 256,
+    overlap: int = 32,
+):
+    """Sliding-window document chunking — the embedding/RAG prep stage:
+    long documents become overlapping fixed-budget chunks, each row
+    ``(id, chunk_idx, chunk_text, n_chunk_tokens)``.
+
+    Chunk i covers words ``[i*stride, i*stride + chunk_tokens)`` with
+    ``stride = chunk_tokens - overlap``; the final chunk may be shorter.
+    Pure per-row array math + one explode — no shuffle, no UDF; the words
+    array is built once per row and sliced per chunk. Token = whitespace
+    word of the normalized text (swap in a real tokenizer count upstream
+    if budgets must be model-exact).
+    """
+    from pyspark.sql import functions as F
+
+    from fireball_data_processing_spark.functions.text import normalize_text
+
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    n = F.size(words)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            (s / stride).cast("bigint").alias("chunk_idx"),
+            F.concat_ws(" ", F.slice(words, s + 1, chunk_tokens)).alias(
+                "chunk_text"
+            ),
+            F.least(F.lit(chunk_tokens), n - s).cast("bigint").alias(
+                "n_chunk_tokens"
+            ),
+        ),
+    )
+    return docs.select(F.col(id_col), F.explode(chunks).alias("c")).select(
+        id_col, "c.chunk_idx", "c.chunk_text", "c.n_chunk_tokens"
+    )

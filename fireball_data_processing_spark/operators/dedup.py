@@ -33,6 +33,7 @@ __all__ = [
     "shingles_of_words", "capped_shingles", "minhash_signature",
     "minhash_sig_expr", "band_structs", "build_minhash_index",
     "lsh_candidate_pairs", "jaccard_pairs", "simhash", "ngram_overlap",
+    "connected_components",
 ]
 
 
@@ -465,4 +466,68 @@ def ngram_overlap(
         .groupBy(id_col, bench_id_col)
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_overlap)
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a pair list -> ``(vertex, component)``
+    with the component labeled by its minimum vertex id. The survivor-
+    selection step of a dedup pipeline: candidate/verified pairs chain
+    (A~B, B~C), so keeping one doc per PAIR under-deletes — clusters must
+    be closed transitively first, then one canonical doc kept per cluster.
+
+    Iterative min-label propagation: each round every vertex takes the min
+    of its own label and its neighbors' labels; converged when a round
+    changes nothing. Rounds needed = cluster diameter — small for near-dup
+    clusters (pairs share LSH buckets, so clusters are dense). This is a
+    genuinely iterative algorithm (Spark has no recursive SQL):
+    per-round ``localCheckpoint`` truncates the lineage, which would
+    otherwise grow exponentially, and the convergence check is one count()
+    action per round — driver-side control flow, executor-side data.
+    ``max_iter`` guards pathological chain graphs; raises if unconverged.
+    """
+    e = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        e.select(F.col("src").alias("vertex"))
+        .distinct()
+        .withColumn("component", F.col("vertex"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            e.join(labels, e["dst"] == labels["vertex"])
+            .groupBy("src")
+            .agg(F.min("component").alias("__nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["vertex"] == neighbor_min["src"], "left")
+            .select(
+                "vertex",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("__nmin"), F.col("component"))
+                ).alias("component"),
+                (F.coalesce(F.col("__nmin"), F.col("component")) < F.col("component"))
+                .alias("__changed"),
+            )
+            .localCheckpoint()
+        )
+        n_changed = updated.filter(F.col("__changed")).count()
+        labels = updated.drop("__changed")
+        if n_changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds; "
+        "the pair graph has a longer chain than expected — raise max_iter"
     )

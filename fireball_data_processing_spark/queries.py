@@ -1124,6 +1124,31 @@ def q_mixture_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_chunks",
+    """
+WITH words AS (
+  SELECT doc_id,
+    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+)
+SELECT doc_id,
+  (st // 24)::BIGINT AS chunk_idx,
+  array_to_string(list_slice(w, st + 1, st + 32), ' ') AS chunk_text,
+  LEAST(32, len(w) - st)::BIGINT AS n_chunk_tokens
+FROM words, UNNEST(generate_series(0, greatest(len(w) - 1, 0), 24)) AS t(st)
+""",
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (embedding/RAG prep): 32-word chunks with
+    8-word overlap (stride 24). Per-row array slicing + one explode — no
+    shuffle, no UDF."""
+    from fireball_data_processing_spark.functions.textstats import chunk_documents
+
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_documents(d, chunk_tokens=32, overlap=8)
+
+
+@query(
     "doc_truncate_preview",
     """
 SELECT doc_id,
@@ -1196,6 +1221,44 @@ cand AS (
    AND a.doc_id < b.doc_id
 )
 """
+
+
+@query(
+    "near_dup_clusters",
+    # the shared minhash/LSH CTE chain, made RECURSIVE for the closure CTE
+    _LSH_PAIRS_CTE.replace("WITH words", "WITH RECURSIVE words", 1)
+    + """,
+e AS (
+  SELECT id_a AS a, id_b AS b FROM cand
+  UNION SELECT id_b, id_a FROM cand
+),
+reach(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+)
+SELECT a AS doc_id, LEAST(a, MIN(b)) AS canonical_id FROM reach GROUP BY a
+""",
+)
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection: LSH candidate pairs chain transitively (A~B,
+    B~C), so dedup keeps ONE doc per connected component, not per pair.
+    Components via iterative min-label propagation (the oracle closes the
+    same graph with a recursive CTE); canonical = min doc_id in the
+    cluster. Covers every doc that appears in any candidate pair."""
+    from fireball_data_processing_spark.operators.dedup import (
+        connected_components,
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signature(d, num_hashes=8, shingle_k=3)
+    pairs = lsh_candidate_pairs(sigs, num_hashes=8, band_size=2)
+    comp = connected_components(pairs)
+    return comp.select(
+        F.col("vertex").alias("doc_id"), F.col("component").alias("canonical_id")
+    )
 
 
 @query("lsh_candidate_pairs", _LSH_PAIRS_CTE + "SELECT id_a, id_b FROM cand")
@@ -3154,6 +3217,8 @@ _PRIORITY = [
     "fb_pii_redact",
     "doc_repetition",
     "mixture_sample_counts",
+    "near_dup_clusters",
+    "doc_chunks",
     # --- attested in round 1 only; rotate back in ---
     "lsh_candidate_pairs",
     "simhash_fingerprints",

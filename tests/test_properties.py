@@ -315,3 +315,47 @@ def test_asof_cols_match_naive_scan(spark, events):
         fwd = next((v for t, v in events[i:] if t == "s"), None)
         want[i] = (bwd, fwd)
     assert got == want
+
+
+# edge lists over a small vertex universe: chains, cliques, self-loops,
+# disconnected singletons all arise
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 15)), min_size=1, max_size=30
+)
+
+
+@given(edges=edge_lists)
+@settings(**SETTINGS)
+def test_connected_components_matches_union_find(spark, edges):
+    from fireball_data_processing_spark.operators.dedup import connected_components
+
+    # Python reference: classic union-find over the same edges
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    want = {v: find(v) for v in parent}
+    # canonical = min vertex of the component
+    comp_min: dict[int, int] = {}
+    for v, r in want.items():
+        comp_min[r] = min(comp_min.get(r, v), v)
+    want = {v: comp_min[find(v)] for v in parent}
+
+    df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    got = {
+        r["vertex"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    assert got == want

@@ -776,3 +776,27 @@ def test_mixture_sample_rates_and_determinism(spark):
         mixture_sample(df2, F.col("bucket"), {}, F.col("k"), default_rate=1.0).count()
         == 1
     )
+
+
+def test_chunk_documents_window_semantics(spark):
+    from fireball_data_processing_spark.functions.textstats import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, text), (2, "short doc")], "doc_id bigint, text string"
+    )
+    got = sorted(
+        map(tuple, chunk_documents(df, chunk_tokens=4, overlap=1).collect())
+    )
+    # doc1: stride 3 over 10 words -> starts 0,3,6,9
+    assert got == [
+        (1, 0, "w0 w1 w2 w3", 4),
+        (1, 1, "w3 w4 w5 w6", 4),
+        (1, 2, "w6 w7 w8 w9", 4),
+        (1, 3, "w9", 1),
+        (2, 0, "short doc", 2),
+    ]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
