@@ -133,3 +133,38 @@ def test_correlation_groups_single_scan_single_exchange(spark):
     phys = s[s.rindex("== Physical Plan =="):]
     assert phys.count("Scan parquet") == 1, phys
     assert _count_shuffles(df) == 1, s
+
+
+def test_doc_repetition_zero_shuffles(spark):
+    # per-row array math: the whole query is scan + project
+    df = catalog.REGISTRY["doc_repetition"].fn(spark, SMOKE)
+    assert _count_shuffles(df) == 0, _explain_str(df)
+    s = _explain_str(df)
+    assert "Join" not in s and "Generate" not in s
+
+
+def test_doc_chunks_zero_shuffles(spark):
+    # slicing + one explode, no exchange
+    df = catalog.REGISTRY["doc_chunks"].fn(spark, SMOKE)
+    assert _count_shuffles(df) == 0, _explain_str(df)
+
+
+def test_benchmark_contamination_broadcasts_benchmark(spark):
+    # the benchmark side broadcasts; no sort-merge join anywhere
+    df = catalog.REGISTRY["benchmark_contamination"].fn(spark, SMOKE)
+    s = _explain_str(df)
+    assert "BroadcastHashJoin" in s
+    assert "SortMergeJoin" not in s
+
+
+def test_mixture_sample_predicate_pushdown(spark):
+    # the rate filter is a scalar predicate over md5 + a literal map: it
+    # must not force a shuffle before filtering
+    from fireball_data_processing_spark.operators.sampling import mixture_sample
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SMOKE, "events")
+    kept = mixture_sample(
+        ev, F.col("event_type"), {"view": 0.5}, F.col("event_id"), salt="x"
+    )
+    assert _count_shuffles(kept) == 0, _explain_str(kept)
