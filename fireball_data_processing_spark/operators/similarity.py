@@ -384,3 +384,58 @@ def lsh_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------
+# scalar quantization (the ANN memory-compression path)
+# ---------------------------------------------------------------------
+
+
+def quantize_embedding(
+    vec: Column, levels: int = 255
+) -> dict[str, Column]:
+    """Per-vector min/max scalar quantization to ``levels+1`` integer codes
+    (default 0..255, i.e. uint8 storage) — the standard 4x memory
+    compression for embedding indexes; IVF/LSH bucket keys are unaffected
+    and exact re-rank can dequantize in place.
+
+    ``code_i = round((x_i - vmin) / scale)`` with
+    ``scale = (vmax - vmin) / levels``; constant vectors (scale 0) map to
+    all-zero codes. Everything is per-row ``transform``/``aggregate`` array
+    math in whole-stage codegen — no UDF, no shuffle. All arithmetic is
+    double-precision (inputs cast up front) so codes are bit-identical
+    across engines.
+
+    Returns columns: ``codes`` (array<int>), ``vmin``/``vmax`` (double),
+    and ``mse`` (mean squared reconstruction error; theory bounds max
+    per-element error by ``scale/2``, asserted by the property test).
+    """
+    v = F.transform(vec, lambda x: x.cast("double"))
+    vmin = F.array_min(v)
+    vmax = F.array_max(v)
+    scale = (vmax - vmin) / F.lit(float(levels))
+    codes = F.transform(
+        v,
+        lambda x: F.when(scale > 0, F.round((x - vmin) / scale, 0))
+        .otherwise(F.lit(0.0))
+        .cast("int"),
+    )
+    # reconstruction x_hat = vmin + code*scale, squared-error fold over
+    # (value, code) pairs; n>0 guarded by the caller's schema (empty vec -> null)
+    sq_err = F.zip_with(
+        v,
+        codes,
+        lambda x, q: F.pow(x - (vmin + q.cast("double") * scale), F.lit(2.0)),
+    )
+    n = F.size(v)
+    mse = F.when(
+        n > 0,
+        F.aggregate(sq_err, F.lit(0.0), lambda a, x: a + x) / n.cast("double"),
+    )
+    return {"codes": codes, "vmin": vmin, "vmax": vmax, "mse": mse}
+
+
+def dequantize_embedding(codes: Column, vmin: Column, vmax: Column, levels: int = 255) -> Column:
+    """Inverse of :func:`quantize_embedding`: ``x_hat_i = vmin + code_i*scale``."""
+    scale = (vmax - vmin) / F.lit(float(levels))
+    return F.transform(codes, lambda q: vmin + q.cast("double") * scale)

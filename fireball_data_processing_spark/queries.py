@@ -1149,6 +1149,113 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_clean_flags",
+    """
+WITH segs AS (
+  SELECT doc_id, text,
+    list_filter(list_transform(string_split(text, chr(10)), s -> trim(s)),
+                s -> s <> '') AS segments
+  FROM documents
+),
+kept AS (
+  SELECT doc_id, text, segments,
+    list_filter(segments,
+                s -> len(string_split_regex(s, '\\s+')) >= 50) AS keep
+  FROM segs
+)
+SELECT doc_id,
+  len(segments)::BIGINT AS n_segments,
+  len(keep)::BIGINT AS n_kept_segments,
+  COALESCE(array_to_string(keep, chr(10)), '') AS kept_text,
+  (contains(lower(text), 'lorem ipsum')
+   OR contains(lower(text), 'slow scan')) AS has_bad_phrase,
+  contains(text, '{') AS has_brace
+FROM kept
+""",
+)
+def q_doc_clean_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus cleaning: per-segment word-count gate (min 50 words;
+    terminal-punctuation rule off — the synthetic corpus has none) plus
+    document-level bad-phrase and brace flags. All per-row array math and
+    substring checks — zero shuffles, filter-ready output."""
+    from fireball_data_processing_spark.functions.clean import (
+        clean_segments,
+        doc_flags,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    seg = clean_segments(
+        F.col("text"), min_words=50, require_terminal_punct=False
+    )
+    flags = doc_flags(F.col("text"), bad_phrases=("lorem ipsum", "slow scan"))
+    return d.select(
+        "doc_id",
+        *[col.alias(name) for name, col in seg.items()],
+        *[col.alias(name) for name, col in flags.items()],
+    )
+
+
+@query(
+    "embedding_quantization",
+    """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, e, list_min(e) AS vmin, list_max(e) AS vmax,
+         (list_max(e) - list_min(e)) / 255.0 AS scale
+  FROM v
+),
+q AS (
+  SELECT vec_id, e, vmin, vmax, scale,
+    list_transform(e,
+      x -> (CASE WHEN scale > 0 THEN round((x - vmin) / scale, 0)
+                 ELSE 0 END)::INT) AS codes
+  FROM s
+)
+SELECT vec_id,
+  len(codes)::BIGINT AS n_dims,
+  list_sum(codes)::BIGINT AS code_sum,
+  list_min(codes)::INT AS code_min,
+  list_max(codes)::INT AS code_max,
+  ROUND(vmin, 6) AS vmin_r,
+  ROUND(vmax, 6) AS vmax_r,
+  ROUND(list_sum(list_transform(e,
+          x -> pow(x - (vmin + (CASE WHEN scale > 0
+                                     THEN round((x - vmin) / scale, 0)
+                                     ELSE 0 END) * scale), 2)))
+        / len(e), 6) AS mse_r
+FROM q
+""",
+)
+def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding table (the ANN index
+    memory-compression path): per-vector 0..255 codes with min/max range,
+    plus reconstruction-error audit. Per-row transform/aggregate array
+    math in whole-stage codegen — zero shuffles; double-precision
+    arithmetic end-to-end so codes hash-match any engine."""
+    from fireball_data_processing_spark.operators.similarity import (
+        quantize_embedding,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qz = quantize_embedding(F.col("embedding"))
+    return e.select(
+        "vec_id",
+        F.size(qz["codes"]).cast("bigint").alias("n_dims"),
+        F.aggregate(
+            qz["codes"], F.lit(0).cast("bigint"), lambda a, x: a + x.cast("bigint")
+        ).alias("code_sum"),
+        F.array_min(qz["codes"]).alias("code_min"),
+        F.array_max(qz["codes"]).alias("code_max"),
+        F.round(qz["vmin"], 6).alias("vmin_r"),
+        F.round(qz["vmax"], 6).alias("vmax_r"),
+        F.round(qz["mse"], 6).alias("mse_r"),
+    )
+
+
+@query(
     "doc_truncate_preview",
     """
 SELECT doc_id,
@@ -3219,6 +3326,8 @@ _PRIORITY = [
     "mixture_sample_counts",
     "near_dup_clusters",
     "doc_chunks",
+    "doc_clean_flags",
+    "embedding_quantization",
     # --- attested in round 1 only; rotate back in ---
     "lsh_candidate_pairs",
     "simhash_fingerprints",

@@ -168,3 +168,17 @@ def test_mixture_sample_predicate_pushdown(spark):
         ev, F.col("event_type"), {"view": 0.5}, F.col("event_id"), salt="x"
     )
     assert _count_shuffles(kept) == 0, _explain_str(kept)
+
+
+def test_doc_clean_flags_zero_shuffles(spark):
+    # segment filter + flags are per-row array/substring math
+    df = catalog.REGISTRY["doc_clean_flags"].fn(spark, SMOKE)
+    assert _count_shuffles(df) == 0, _explain_str(df)
+
+
+def test_embedding_quantization_zero_shuffles(spark):
+    # per-vector transform/aggregate folds: scan + project only
+    df = catalog.REGISTRY["embedding_quantization"].fn(spark, SMOKE)
+    s = _explain_str(df)
+    assert _count_shuffles(df) == 0, s
+    assert "Join" not in s

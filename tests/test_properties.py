@@ -359,3 +359,42 @@ def test_connected_components_matches_union_find(spark, edges):
         for r in connected_components(df).collect()
     }
     assert got == want
+
+
+@given(
+    vec=st.lists(
+        st.floats(
+            min_value=-100, max_value=100,
+            allow_nan=False, allow_infinity=False, width=32,
+        ),
+        min_size=1, max_size=32,
+    )
+)
+@settings(max_examples=30, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_quantization_error_bound_and_roundtrip(spark, vec):
+    """Scalar quantization invariants: codes in [0, 255]; max per-element
+    reconstruction error <= scale/2 (+ float slack); constant vectors map
+    to all-zero codes with zero error."""
+    from fireball_data_processing_spark.operators.similarity import (
+        dequantize_embedding,
+        quantize_embedding,
+    )
+
+    df = spark.createDataFrame([(vec,)], "v array<float>")
+    qz = quantize_embedding(F.col("v"))
+    row = df.select(
+        qz["codes"].alias("codes"),
+        qz["vmin"].alias("vmin"),
+        qz["vmax"].alias("vmax"),
+        qz["mse"].alias("mse"),
+        dequantize_embedding(qz["codes"], qz["vmin"], qz["vmax"]).alias("xhat"),
+        F.transform(F.col("v"), lambda x: x.cast("double")).alias("x"),
+    ).collect()[0]
+    assert all(0 <= c <= 255 for c in row["codes"])
+    scale = (row["vmax"] - row["vmin"]) / 255.0
+    tol = scale / 2 + 1e-9 + abs(row["vmax"]) * 1e-12
+    for x, xh in zip(row["x"], row["xhat"]):
+        assert abs(x - xh) <= tol, (x, xh, scale)
+    if row["vmax"] == row["vmin"]:
+        assert set(row["codes"]) == {0}
+    assert row["mse"] <= (scale / 2) ** 2 + 1e-9

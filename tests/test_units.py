@@ -800,3 +800,42 @@ def test_chunk_documents_window_semantics(spark):
 
     with _pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_clean_segments_c4_rules(spark):
+    from fireball_data_processing_spark.functions.clean import (
+        clean_segments,
+        doc_flags,
+    )
+
+    rows = [
+        # two good lines, one short, one without terminal punct, blanks
+        ("a", "This line has enough words to keep.\nshort one.\n"
+              "another line with plenty of words here\n\n  \n"
+              "Final good line stays in the output!"),
+        ("b", "lorem ipsum dolor { code }"),
+        ("c", ""),
+    ]
+    df = spark.createDataFrame(rows, "id string, text string")
+    seg = clean_segments(F.col("text"), min_words=5, require_terminal_punct=True)
+    flags = doc_flags(F.col("text"))
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            *[c.alias(n) for n, c in seg.items()],
+            *[c.alias(n) for n, c in flags.items()],
+        ).collect()
+    }
+    a = out["a"]
+    assert a["n_segments"] == 4
+    assert a["n_kept_segments"] == 2
+    assert a["kept_text"] == (
+        "This line has enough words to keep.\nFinal good line stays in the output!"
+    )
+    assert not a["has_bad_phrase"] and not a["has_brace"]
+    b = out["b"]
+    assert b["has_bad_phrase"] and b["has_brace"]
+    assert b["n_kept_segments"] == 0 and b["kept_text"] == ""
+    c = out["c"]
+    assert c["n_segments"] == 0 and c["kept_text"] == ""
