@@ -22,7 +22,7 @@ oracles exact.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -530,4 +530,86 @@ def connected_components(
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds; "
         "the pair graph has a longer chain than expected — raise max_iter"
+    )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document exact-substring spans (the ExactSubstr dedup mode of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better"): word positions covered by any ``k``-gram that also appears
+    in at least ``min_docs - 1`` OTHER documents, merged into maximal
+    spans. Downstream pipelines cut the spans out (suffix-array semantics
+    at n-gram resolution) instead of dropping whole near-dup documents.
+
+    Output: ``(id_col, span_start, span_end, span_words)`` — word offsets
+    over the normalized text, ``end`` exclusive; overlapping AND
+    contiguous gram hits merge into one span.
+
+    Plan: one scan -> per-row gram hashes (array math, the raw text never
+    leaves the row) -> explode -> the duplicate-gram set via groupBy on
+    the 32-char md5 (never gram text) -> join back co-partitioned on the
+    gram key -> per-doc gaps-and-islands (running max-end window, one
+    shuffle on the doc key) -> island aggregation reuses that exchange.
+    Candidate volume is bounded by truly-duplicated grams, not corpus
+    size; the quadratic blowup of pairwise comparison never appears.
+    """
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    grams = F.when(
+        F.size(words) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - k),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(words, i + 1, k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # materialize (id, grams) behind a pre-explode exchange (house pattern,
+    # see _exploded_shingles: the md5-gram HOF runs once per doc and the
+    # fan-out stays parallel under AQE), then decide duplicate-ness with a
+    # WINDOW over the gram key instead of groupBy+join-back — one consumer
+    # of the exploded rows, so nothing re-executes. countDistinct isn't a
+    # window function; max(dense_rank ordered by doc) over the gram
+    # partition counts distinct docs exactly, with no per-group set buffer.
+    parts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    pre = docs.select(F.col(id_col), grams.alias("__grams")).repartition(
+        parts, F.col(id_col)
+    )
+    hits = pre.select(F.col(id_col), F.posexplode("__grams").alias("pos", "gram"))
+    w_gram_rank = Window.partitionBy("gram").orderBy(id_col)
+    w_gram = Window.partitionBy("gram")
+    nd = F.max(F.dense_rank().over(w_gram_rank)).over(w_gram)
+    dup_hits = (
+        hits.withColumn("__nd", nd)
+        .filter(F.col("__nd") >= min_docs)
+        .select(id_col, "pos")
+    )
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev_end = F.coalesce(F.max(F.col("pos") + k).over(w_prev), F.lit(-1))
+    brk = F.when(F.col("pos") > prev_end, 1).otherwise(0)
+    islands = dup_hits.withColumn("__island", F.sum(brk).over(w_run))
+    return (
+        islands.groupBy(id_col, "__island")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + k).cast("bigint").alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_words"),
+        )
     )

@@ -1256,6 +1256,56 @@ def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "duplicate_substring_spans",
+    """
+WITH words AS (
+  SELECT doc_id,
+    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, i - 1 AS pos,
+    md5(array_to_string(list_slice(w, i, i + 7), ' ')) AS gram
+  FROM words, UNNEST(generate_series(1, len(w) - 7)) AS t(i)
+  WHERE len(w) >= 8
+),
+dup AS (
+  SELECT gram FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+),
+hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)),
+isl AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos > COALESCE(MAX(pos + 8) OVER (
+        PARTITION BY doc_id ORDER BY pos
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+      THEN 1 ELSE 0 END AS brk
+  FROM hits
+),
+grp AS (
+  SELECT doc_id, pos, SUM(brk) OVER (
+    PARTITION BY doc_id ORDER BY pos
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl
+)
+SELECT doc_id,
+  MIN(pos)::BIGINT AS span_start,
+  (MAX(pos) + 8)::BIGINT AS span_end,
+  (MAX(pos) + 8 - MIN(pos))::BIGINT AS span_words
+FROM grp GROUP BY doc_id, island
+""",
+)
+def q_duplicate_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style dedup: maximal word spans covered by 8-grams
+    shared with another document (cut the span, keep the document).
+    Gram hashes are per-row array math; candidates are bounded by
+    genuinely-duplicated grams; islands merge on one doc-key exchange."""
+    from fireball_data_processing_spark.operators.dedup import duplicate_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    return duplicate_spans(d, k=8, min_docs=2)
+
+
+@query(
     "doc_truncate_preview",
     """
 SELECT doc_id,
@@ -3328,6 +3378,7 @@ _PRIORITY = [
     "doc_chunks",
     "doc_clean_flags",
     "embedding_quantization",
+    "duplicate_substring_spans",
     # --- attested in round 1 only; rotate back in ---
     "lsh_candidate_pairs",
     "simhash_fingerprints",

@@ -1,8 +1,13 @@
 """Simulate the driver harness: vanilla SparkSession, import __spark_entry__,
 smoke entry() at sf0.001, run every queries() entry at sf0.01 and compare to
-oracle_sql() via DuckDB (row count + column names + sorted values)."""
+oracle_sql() via DuckDB (row count + column names + sorted values).
+
+Usage: python scripts/drive_contract.py [name_substring ...]
+With args, only queries whose name contains one of the substrings run
+(and the entry() smoke is skipped) — for fast dev iteration."""
 import sys, math
 sys.path.insert(0, "/root/repo")
+ONLY = [a for a in sys.argv[1:] if not a.startswith("-")]
 import duckdb
 from pyspark.sql import SparkSession
 
@@ -13,10 +18,11 @@ spark = (SparkSession.builder.master("local[4]")
          .config("spark.ui.enabled", "false").getOrCreate())
 
 # --- t1 smoke ---
-df = e.entry(spark)
-rows = df.collect()
-print("SMOKE entry() rows:", len(rows), "cols:", df.columns)
-assert len(rows) > 0
+if not ONLY:
+    df = e.entry(spark)
+    rows = df.collect()
+    print("SMOKE entry() rows:", len(rows), "cols:", df.columns)
+    assert len(rows) > 0
 
 # --- t2 correctness ---
 con = duckdb.connect()
@@ -25,6 +31,8 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem","ev
 
 qs, oracles = e.queries(), e.oracle_sql()
 for name, fn in qs.items():
+    if ONLY and not any(s in name for s in ONLY):
+        continue
     got = fn(spark, "/root/testdata/sf0.01").toPandas()
     if name not in oracles:
         print(f"{name}: rows-only, {len(got)} rows")

@@ -839,3 +839,73 @@ def test_clean_segments_c4_rules(spark):
     assert b["n_kept_segments"] == 0 and b["kept_text"] == ""
     c = out["c"]
     assert c["n_segments"] == 0 and c["kept_text"] == ""
+
+
+def test_quantized_rerank_matches_exact_topk(spark, sf_dir):
+    """Int8-quantized vectors must preserve cosine top-k almost exactly —
+    the compression is only useful if the re-rank on dequantized vectors
+    agrees with the full-precision answer (64-dim synthetic corpus: 255
+    levels is far finer than neighbor gaps)."""
+    from fireball_data_processing_spark.operators.similarity import (
+        brute_force_topk,
+        dequantize_embedding,
+        quantize_embedding,
+    )
+    from fireball_data_processing_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qz = quantize_embedding(F.col("embedding"))
+    deq = e.select(
+        "vec_id",
+        dequantize_embedding(qz["codes"], qz["vmin"], qz["vmax"]).alias(
+            "embedding"
+        ),
+    )
+    q_exact = e.filter(F.col("vec_id") < 5)
+    q_deq = deq.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(q_exact, e, k=3).collect()
+    }
+    quant = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(q_deq, deq, k=3).collect()
+    }
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.9, (recall, exact ^ quant)
+
+
+def test_duplicate_spans_merges_islands(spark):
+    """Two docs share an 8-word run; a third is disjoint. Spans must cover
+    exactly the shared run in both docs, merge overlapping gram hits, and
+    skip the unique doc entirely."""
+    from fireball_data_processing_spark.operators.dedup import duplicate_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, "one two three " + shared + " four five"),
+        (2, shared + " six seven eight"),
+        (3, "totally unique words that appear nowhere else at all ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["span_words"])
+        for r in duplicate_spans(df, k=8, min_docs=2).collect()
+    }
+    # doc 1: shared 10 words start at offset 3 -> [3, 13); doc 2: [0, 10)
+    assert got == {1: (3, 13, 10), 2: (0, 10, 10)}
+
+
+def test_duplicate_spans_contiguous_hits_merge(spark):
+    from fireball_data_processing_spark.operators.dedup import duplicate_spans
+
+    # doc 1 repeats doc 2's full text twice, back to back: the two copies'
+    # gram hits in doc 1 are contiguous and must merge into ONE span
+    base = "w1 w2 w3 w4 w5 w6 w7 w8"
+    rows = [(1, base + " " + base), (2, base)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicate_spans(df, k=8, min_docs=2).collect()
+    )
+    assert got == [(1, 0, 16), (2, 0, 8)]
