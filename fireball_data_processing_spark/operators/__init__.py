@@ -34,6 +34,14 @@ from fireball_data_processing_spark.operators.similarity import (
     ivf_query,
     lsh_topk,
 )
+from fireball_data_processing_spark.operators.sketches import (
+    bloom_might_contain,
+    bloom_prejoin,
+    cms_counters,
+    heavy_hitters,
+    hll_distinct,
+    hll_rollup,
+)
 
 __all__ = [
     "build_minhash_index",
@@ -59,4 +67,10 @@ __all__ = [
     "paginate",
     "deterministic_sample",
     "deterministic_split",
+    "bloom_might_contain",
+    "bloom_prejoin",
+    "cms_counters",
+    "heavy_hitters",
+    "hll_distinct",
+    "hll_rollup",
 ]

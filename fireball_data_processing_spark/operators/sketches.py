@@ -1,0 +1,328 @@
+"""Mergeable-sketch aggregation: HLL distinct rollups, count-min heavy
+hitters, and a bloom-filter join pre-filter.
+
+At 100 TB, exact distinct counts and exact membership checks force
+full shuffles of the raw values; sketches replace them with small,
+mergeable summaries. The patterns here are the three workhorses:
+
+- **HLL rollup** (:func:`hll_distinct`, :func:`hll_rollup`): sketch once
+  at the finest grain (e.g. per day), then roll up any coarser grain by
+  merging sketches — the raw data is scanned exactly once, and a
+  month/total/all-time estimate is a union of per-day 4 KB states, not a
+  rescan. This is what keeps "distinct users per X" dashboards linear at
+  scale; the reference computes `num_participants` exactly per instance
+  (small groups) — `distill.py`-era heuristics at corpus granularity need
+  the sketch form.
+- **Count-min heavy hitters** (:func:`heavy_hitters`): the distributed
+  two-phase exact top-k (house pattern in ``vocab_top_tokens``) verified
+  against a count-min sketch whose ``estimate >= true`` lower-bound
+  guarantee is checked per candidate. The sketch itself is built by one
+  distributed pass and merges to a driver-side summary of
+  ``depth x width`` counters — that bounded merge IS the point of the
+  sketch (same contract as ``ivf_query``'s probe-cell collect).
+- **Bloom pre-join** (:func:`bloom_bitmap`, :func:`bloom_might_contain`,
+  :func:`bloom_prejoin`): build a bitset over the small join side's keys,
+  ship it to the big side as ONE literal array (what Spark's runtime
+  bloom filters do internally — `bloom_filter_agg` is not exposed to
+  public SQL in Spark 4.1, so the bitset is built from public primitives:
+  explode k md5-derived positions -> bit_or per 64-bit word), and drop
+  non-matching rows BEFORE the join shuffle. No false negatives, so the
+  join result is exactly the plain join's — only the shuffled volume
+  shrinks.
+
+Determinism: every sketch here is seed-fixed and order-insensitive
+(HLL registers and bloom bits are max/or-folds; CMS counters are sums),
+so the oracle-checked tolerance/bound flags are stable across runs and
+partitionings.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hll_distinct(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    lgk: int = 12,
+) -> DataFrame:
+    """Approximate distinct ``value_col`` per ``keys`` via a DataSketches
+    HLL aggregate: ``(keys..., n_approx bigint)``. One shuffle on the
+    group keys; partial sketches merge map-side, so the exchange carries
+    ~``2^lgk`` bytes per group regardless of group size."""
+    return df.groupBy(*keys).agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.col(value_col), F.lit(lgk))
+        ).alias("n_approx")
+    )
+
+
+def hll_rollup(
+    df: DataFrame,
+    fine_keys: Sequence[str],
+    coarse_keys: Sequence[str],
+    value_col: str,
+    lgk: int = 12,
+) -> DataFrame:
+    """Sketch at ``fine_keys`` grain, then merge the per-group sketches up
+    to ``coarse_keys`` WITHOUT rescanning the input: the second aggregation
+    consumes 4 KB sketch states, not raw rows.
+
+    Returns ``(coarse_keys..., n_merged bigint)``. ``coarse_keys`` must be
+    a subset of ``fine_keys`` (a genuine rollup).
+
+    Note the merged estimate is not bit-identical to sketching the coarse
+    grain directly — DataSketches HLL switches from the HIP estimator to
+    the composite estimator after a union — but both stay within the
+    configured relative error, which is what the oracle-checked tolerance
+    flags assert.
+    """
+    missing = [k for k in coarse_keys if k not in fine_keys]
+    if missing:
+        raise ValueError(
+            f"coarse_keys {missing} not in fine_keys {list(fine_keys)}; "
+            "hll_rollup merges upward along a grouping hierarchy"
+        )
+    fine = df.groupBy(*fine_keys).agg(
+        F.hll_sketch_agg(F.col(value_col), F.lit(lgk)).alias("__sketch")
+    )
+    return fine.groupBy(*coarse_keys).agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("__sketch"))).alias(
+            "n_merged"
+        )
+    )
+
+
+def _cms_positions(value: Column, depth: int, width: int) -> Column:
+    """``depth`` counter columns for ``value`` as ``array<bigint>``, row
+    ``i``'s position derived from md5 of the value salted with ``i`` —
+    the repo's portable random primitive (same construction DuckDB can
+    reproduce, so CMS estimates are cross-engine oracle-able)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(depth - 1)),
+        lambda i: F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("#", value.cast("string"), i)), 1, 15
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(width),
+        ),
+    )
+
+
+def cms_counters(
+    df: DataFrame,
+    col: str,
+    depth: int = 5,
+    width: int = 2048,
+) -> DataFrame:
+    """Count-min sketch of ``col`` as a counter TABLE ``(row, pos, cnt)``
+    with at most ``depth * width`` rows — built in one distributed pass
+    (explode ``depth`` positions per input row, one groupBy whose partials
+    merge map-side). Spark 4 dropped the public ``stat.countMinSketch``
+    and ``count_min_sketch``'s binary is an opaque JVM format, so the
+    sketch lives as a DataFrame: it stays distributed, merges by unioning
+    and re-summing, and probes with a broadcast join — no driver-side
+    sketch object, no deserialization."""
+    vals = df.select(F.col(col).cast("string").alias("__v")).filter(
+        F.col("__v").isNotNull()
+    )
+    return (
+        vals.select(
+            F.posexplode(_cms_positions(F.col("__v"), depth, width)).alias(
+                "row", "pos"
+            )
+        )
+        .groupBy("row", "pos")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    k: int = 20,
+    depth: int = 5,
+    width: int = 2048,
+) -> DataFrame:
+    """Exact top-``k`` values of ``col`` with count-min-sketch bound
+    checks: ``(value, n_exact, rank, cms_est, cms_lower_ok, cms_upper_ok)``.
+
+    The exact top-k runs the distributed two-phase pattern (partial counts
+    map-side, then one shuffle); ties break on the value string so the
+    result is deterministic. Each candidate is probed against the
+    :func:`cms_counters` table via a broadcast join (the counter table is
+    ≤ ``depth * width`` rows) and its estimate is the min over the
+    ``depth`` rows:
+
+    - ``cms_lower_ok``: ``est >= true`` — a hard guarantee of CMS (every
+      counter a value touches includes all its occurrences), must always
+      hold;
+    - ``cms_upper_ok``: ``est <= true + (e / width) * N`` — the classic
+      error bound, holds with high probability per item.
+    """
+    exact = (
+        df.select(F.col(col).cast("string").alias("value"))
+        .filter(F.col("value").isNotNull())
+        .groupBy("value")
+        .agg(F.count("*").alias("n_exact"))
+        .select(
+            "value",
+            "n_exact",
+            F.row_number()
+            .over(Window.orderBy(F.desc("n_exact"), F.asc("value")))
+            .cast("bigint")
+            .alias("rank"),
+        )
+        .filter(F.col("rank") <= k)
+    )
+    counters = cms_counters(df, col, depth, width)
+    total = counters.filter(F.col("row") == 0).agg(
+        F.sum("cnt").alias("__n_total")
+    )
+    probes = exact.select(
+        "value",
+        "n_exact",
+        "rank",
+        F.posexplode(_cms_positions(F.col("value"), depth, width)).alias(
+            "row", "pos"
+        ),
+    )
+    est = (
+        probes.join(F.broadcast(counters), ["row", "pos"], "left")
+        .groupBy("value", "n_exact", "rank")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_est"))
+    )
+    bound = (F.lit(2.718281828 / width) * F.col("__n_total")).cast("bigint")
+    return est.crossJoin(F.broadcast(total)).select(
+        "value",
+        "n_exact",
+        "rank",
+        "cms_est",
+        (F.col("cms_est") >= F.col("n_exact")).alias("cms_lower_ok"),
+        (F.col("cms_est") <= F.col("n_exact") + bound).alias("cms_upper_ok"),
+    )
+
+
+def _bloom_positions(key: Column, num_bits: int, num_hashes: int) -> Column:
+    """``num_hashes`` bit positions for ``key`` as an ``array<bigint>``,
+    derived from md5 of the key salted with the hash index — the repo's
+    portable random primitive, JVM-side and deterministic."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("#", key.cast("string"), i)), 1, 15
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(num_bits),
+        ),
+    )
+
+
+def _bit_mask(bit: Column) -> Column:
+    """``2^bit`` as bigint for ``bit`` in [0, 62]: powers of two are exact
+    in doubles, so ``pow`` round-trips precisely — the shift functions'
+    Python wrappers only take a constant shift amount, this form takes a
+    Column and stays portable to the DuckDB oracles."""
+    return F.pow(F.lit(2.0), bit).cast("bigint")
+
+
+def bloom_bitmap(
+    df: DataFrame,
+    key_col: str,
+    num_bits: int = 1 << 16,
+    num_hashes: int = 5,
+) -> list[int]:
+    """Build a bloom bitset over ``df[key_col]`` and return it as words of
+    63 usable bits (positive-bigint packing: bit 63 never set, so the
+    words survive any signed representation, including the oracle's).
+
+    The build is distributed — explode each key's ``num_hashes`` positions,
+    ``bit_or`` the per-word masks in one aggregation (partials merge
+    map-side, the exchange carries at most ``num_bits/63 + 1`` rows) — and
+    the result is ONE bounded collect (~8 KB at the default ``num_bits``),
+    mirroring how Spark's internal runtime bloom filters ship build-side
+    state to the probe side. Eager by design; callers cache the list.
+    """
+    n_words = num_bits // 63 + 1
+    words = (
+        df.select(
+            F.explode(
+                _bloom_positions(F.col(key_col), num_bits, num_hashes)
+            ).alias("pos")
+        )
+        .select(
+            (F.col("pos") / 63).cast("int").alias("word"),
+            _bit_mask(F.col("pos") % 63).alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+        .collect()
+    )
+    bitmap = [0] * n_words
+    for r in words:
+        bitmap[r["word"]] = r["bits"]
+    return bitmap
+
+
+def bloom_might_contain(
+    key: Column,
+    bitmap: list[int],
+    num_bits: int,
+    num_hashes: int = 5,
+) -> Column:
+    """Pure-expression bloom membership probe against a literal bitmap:
+    true iff every hash position's bit is set. No join, no shuffle, no
+    Python — the bitmap enters the plan as ONE ``array<bigint>`` literal
+    (single parsed expression, constant-folded before codegen — the
+    ``_matrix_literal`` construction), and the probe is ``forall`` over
+    ``num_hashes`` element_at + mask tests, so it runs inside whole-stage
+    codegen on the probe side's scan."""
+    words = F.expr(
+        "array(" + ",".join(f"{int(w)}L" for w in bitmap) + ")"
+    )
+    return F.forall(
+        _bloom_positions(key, num_bits, num_hashes),
+        lambda p: (
+            F.element_at(words, (p / 63).cast("int") + 1).bitwiseAND(
+                _bit_mask(p % 63)
+            )
+            != 0
+        ),
+    )
+
+
+def bloom_prejoin(
+    large: DataFrame,
+    small: DataFrame,
+    large_key: str,
+    small_key: str,
+    num_bits: int = 1 << 16,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """``large`` filtered by a bloom filter built over ``small``'s keys,
+    ready to join: every row of ``large`` that has a partner in ``small``
+    survives (no false negatives), so ``bloom_prejoin(L, S).join(S, ...)``
+    equals ``L.join(S, ...)`` exactly — but the rows entering the join
+    (and its shuffle, when the join is too big to broadcast) are cut to
+    the matches plus the bloom's false-positive residue.
+
+    Locally a broadcast hash join makes this redundant; the operator
+    targets the 100 TB shape where BOTH sides shuffle and dropping the
+    large side's non-matching rows before the exchange is the win.
+    """
+    bitmap = bloom_bitmap(small, small_key, num_bits, num_hashes)
+    return large.filter(
+        bloom_might_contain(F.col(large_key), bitmap, num_bits, num_hashes)
+    )

@@ -1306,6 +1306,202 @@ def q_duplicate_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "approx_distinct_rollup",
+    """
+SELECT event_type,
+  COUNT(DISTINCT user_id)::BIGINT AS n_exact,
+  TRUE AS direct_ok,
+  TRUE AS merged_ok
+FROM events GROUP BY event_type
+""",
+)
+def q_approx_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct-user counts per event type, attested two ways against
+    the exact count: sketched directly at the type grain (`direct_ok`),
+    and sketched per (type, day) then MERGED up without rescanning
+    (`merged_ok`) — the mergeable-rollup property that keeps distinct
+    dashboards one-scan at 100 TB. Both estimates must land within 5% of
+    exact (at this cardinality the sketch is in sparse mode and exact,
+    but the flags assert the tolerance, not equality — the merged path
+    legitimately switches estimators after union)."""
+    from fireball_data_processing_spark.operators.sketches import (
+        hll_distinct,
+        hll_rollup,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr("ts div 86400000000000").alias("day")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_exact")
+    )
+    direct = hll_distinct(ev, ["event_type"], "user_id")
+    merged = hll_rollup(
+        ev.withColumn("day", day), ["event_type", "day"], ["event_type"],
+        "user_id",
+    )
+    tol = F.col("n_exact") * 0.05
+    return (
+        exact.join(F.broadcast(direct), "event_type")
+        .join(F.broadcast(merged), "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            (F.abs(F.col("n_approx") - F.col("n_exact")) <= tol).alias(
+                "direct_ok"
+            ),
+            (F.abs(F.col("n_merged") - F.col("n_exact")) <= tol).alias(
+                "merged_ok"
+            ),
+        )
+    )
+
+
+@query(
+    "cms_heavy_hitters",
+    """
+WITH toks AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS v FROM documents
+),
+exact AS (
+  SELECT v AS value, COUNT(*)::BIGINT AS n_exact,
+    ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, v ASC)::BIGINT AS rank
+  FROM toks GROUP BY v
+),
+pos AS (
+  SELECT v, i AS row,
+    ('0x' || substr(md5(v || '#' || i), 1, 15))::BIGINT % 2048 AS pos
+  FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS i)
+),
+counters AS (SELECT row, pos, COUNT(*)::BIGINT AS cnt FROM pos GROUP BY row, pos),
+total AS (SELECT SUM(cnt)::BIGINT AS n_total FROM counters WHERE row = 0),
+probe AS (
+  SELECT e.value, e.n_exact, e.rank, i AS row,
+    ('0x' || substr(md5(e.value || '#' || i), 1, 15))::BIGINT % 2048 AS pos
+  FROM exact e CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS i)
+  WHERE e.rank <= 20
+),
+est AS (
+  SELECT p.value, p.n_exact, p.rank, MIN(COALESCE(c.cnt, 0)) AS cms_est
+  FROM probe p LEFT JOIN counters c USING (row, pos)
+  GROUP BY p.value, p.n_exact, p.rank
+)
+SELECT value, n_exact, rank, cms_est,
+  cms_est >= n_exact AS cms_lower_ok,
+  cms_est <= n_exact + CAST(FLOOR(2.718281828 / 2048 * n_total) AS BIGINT)
+    AS cms_upper_ok
+FROM est, total
+""",
+)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters over document tokens: exact top-20
+    via the two-phase distributed count, each candidate probed against a
+    depth-5 x width-2048 CMS counter table built in one pass. The md5
+    position hashing is the repo's portable random primitive, so the
+    oracle rebuilds the IDENTICAL sketch in SQL and the estimates match
+    cell-exact — plus the lower/upper CMS error-bound flags."""
+    from fireball_data_processing_spark.operators.sketches import heavy_hitters
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+    return heavy_hitters(toks, "tok", k=20, depth=5, width=2048)
+
+
+@query(
+    "bloom_filtered_join",
+    """
+SELECT p_brand,
+  COUNT(*) AS n_items,
+  ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size = 1
+GROUP BY p_brand
+""",
+)
+def q_bloom_filtered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-side bloom pre-filter before a dimension join: a bitset built
+    over the filtered part keys drops non-matching lineitem rows at the
+    scan (pure-expression probe, whole-stage codegen) BEFORE any join
+    machinery. No false negatives, so the result equals the plain join —
+    the oracle IS the plain join. Locally the join is broadcast anyway;
+    at 100 TB with a build side too big to broadcast, this is the
+    standard runtime-filter trick that cuts the fact shuffle to matches
+    plus the bloom's false-positive residue."""
+    from fireball_data_processing_spark.operators.sketches import bloom_prejoin
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") == 1)
+        .select("p_partkey", "p_brand")
+    )
+    pre = bloom_prejoin(li, pt, "l_partkey", "p_partkey")
+    return (
+        pre.join(pt, pre["l_partkey"] == pt["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "purchase_view_interval_join",
+    """
+WITH p AS (
+  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us
+  FROM events WHERE event_type = 'purchase'
+),
+v AS (
+  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us
+  FROM events WHERE event_type = 'view'
+)
+SELECT p.user_id,
+  p.event_id AS anchor_id,
+  v.event_id AS match_id,
+  p.us - v.us AS gap_micros
+FROM p JOIN v
+  ON p.user_id = v.user_id
+ AND v.us >= p.us - 3600000000
+ AND v.us <= p.us
+""",
+)
+def q_purchase_view_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval self-join: ALL views within one hour before each
+    purchase, per user (vs `nearest_purchase`'s one-match as-of form).
+    Equality key + bounded range — exactly the shape Spark's stream-stream
+    join executes with watermark-bounded state; this batch twin is the
+    oracle for `streaming/join_stream.py`. The range rides the user_id
+    hash join (one shuffle per side, no cross product)."""
+    ev = load_table(spark, sf_dir, "events")
+    gap_us = 60 * 60 * 1_000_000
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("anchor_id"),
+        F.expr("ts div 1000").alias("p_us"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("match_id"),
+        F.expr("ts div 1000").alias("v_us"),
+    )
+    return (
+        p.join(
+            v,
+            (F.col("user_id") == F.col("v_user"))
+            & (F.col("v_us") >= F.col("p_us") - F.lit(gap_us))
+            & (F.col("v_us") <= F.col("p_us")),
+        )
+        .select(
+            "user_id",
+            "anchor_id",
+            "match_id",
+            (F.col("p_us") - F.col("v_us")).alias("gap_micros"),
+        )
+    )
+
+
+@query(
     "doc_truncate_preview",
     """
 SELECT doc_id,
@@ -3379,6 +3575,10 @@ _PRIORITY = [
     "doc_clean_flags",
     "embedding_quantization",
     "duplicate_substring_spans",
+    "approx_distinct_rollup",
+    "cms_heavy_hitters",
+    "bloom_filtered_join",
+    "purchase_view_interval_join",
     # --- attested in round 1 only; rotate back in ---
     "lsh_candidate_pairs",
     "simhash_fingerprints",

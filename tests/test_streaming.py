@@ -486,3 +486,66 @@ def test_near_dup_gate_exactly_once_across_restart(spark, tmp_path):
 
     got = sorted(r["doc_id"] for r in spark.read.parquet(sink).collect())
     assert got == [1, 4]
+
+
+def test_interval_join_stream_matches_batch(spark, tmp_path):
+    """Stream-stream interval join parity: replaying the events file
+    through two watermarked stream sides must produce exactly the batch
+    interval join's pairs (the `purchase_view_interval_join` semantics).
+    availableNow drains everything, so append mode emits every pair."""
+    import pyspark.sql.functions as F
+
+    from fireball_data_processing_spark.streaming.join_stream import (
+        interval_join_stream,
+    )
+
+    src = str(tmp_path / "join_stream_src")
+    os.makedirs(src)
+    shutil.copy("/root/testdata/sf0.001/events.parquet", src)
+    ev = load_table(spark, SMOKE, "events")
+
+    out = interval_join_stream(
+        spark,
+        src,
+        ev.schema,
+        SYNTHETIC_STREAM,
+        anchor_type="purchase",
+        match_type="view",
+        max_gap="60 minutes",
+        watermark="30 minutes",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("interval_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["anchor_id"], r["match_id"], r["gap_micros"])
+        for r in spark.sql("SELECT * FROM interval_join").collect()
+    }
+
+    gap_us = 60 * 60 * 1_000_000
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("anchor_id"),
+        "user_id",
+        F.expr("ts div 1000").alias("p_us"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("match_id"),
+        F.col("user_id").alias("v_user"),
+        F.expr("ts div 1000").alias("v_us"),
+    )
+    want = {
+        (r["anchor_id"], r["match_id"], r["p_us"] - r["v_us"])
+        for r in p.join(
+            v,
+            (F.col("user_id") == F.col("v_user"))
+            & (F.col("v_us") >= F.col("p_us") - gap_us)
+            & (F.col("v_us") <= F.col("p_us")),
+        ).collect()
+    }
+    assert want, "batch twin found no pairs — test data assumption broken"
+    assert got == want
