@@ -167,6 +167,12 @@ def heavy_hitters(
       hold;
     - ``cms_upper_ok``: ``est <= true + (e / width) * N`` — the classic
       error bound, holds with high probability per item.
+
+    This is the verification harness, and it deliberately reads the
+    input three times (exact counts, counter build, total) — at scale,
+    the production artifact is :func:`cms_counters` alone (ONE pass;
+    persist its ≤ depth x width rows and probe any candidate set against
+    the materialized table).
     """
     exact = (
         df.select(F.col(col).cast("string").alias("value"))

@@ -182,3 +182,37 @@ def test_embedding_quantization_zero_shuffles(spark):
     s = _explain_str(df)
     assert _count_shuffles(df) == 0, s
     assert "Join" not in s
+
+
+def test_duplicate_spans_single_scan_bounded_shuffles(spark):
+    # one corpus scan; gram-key window + doc-key window/groupBy = ≤3
+    # exchanges; no join (window count-distinct instead of groupBy+join-back)
+    df = catalog.REGISTRY["duplicate_substring_spans"].fn(spark, SMOKE)
+    s = _explain_str(df)
+    phys = s[s.index("== Physical Plan ==") :]
+    assert len(re.findall(r"Scan parquet|FileScan", phys)) == 1, phys
+    assert _count_shuffles(df) <= 3, phys
+    assert "Join" not in phys
+
+
+def test_bloom_filtered_join_probe_at_scan(spark):
+    # the bloom probe must sit in a Filter directly over the lineitem
+    # scan (pure expression, no probe-side join/exchange); one shuffle
+    # total (the final groupBy)
+    df = catalog.REGISTRY["bloom_filtered_join"].fn(spark, SMOKE)
+    s = _explain_str(df)
+    phys = s[s.index("== Physical Plan ==") :]
+    assert _count_shuffles(df) <= 1, phys
+    # probe markers: the literal bitmap forall compiles to element_at over
+    # the md5-derived positions
+    assert "element_at" in s and "md5" in s
+
+
+def test_interval_join_uses_equality_key(spark):
+    # the time-range predicate must ride the user_id hash join — a
+    # nested-loop (pure theta) join would be quadratic per instance
+    df = catalog.REGISTRY["purchase_view_interval_join"].fn(spark, SMOKE)
+    s = _explain_str(df)
+    phys = s[s.index("== Physical Plan ==") :]
+    assert "NestedLoop" not in phys, phys
+    assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", phys)
