@@ -398,3 +398,107 @@ def test_quantization_error_bound_and_roundtrip(spark, vec):
     if row["vmax"] == row["vmin"]:
         assert set(row["codes"]) == {0}
     assert row["mse"] <= (scale / 2) ** 2 + 1e-9
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.integers(0, 9), min_size=0, max_size=30),
+        min_size=0,
+        max_size=6,
+    ),
+    k=st.integers(2, 4),
+)
+@settings(**SETTINGS)
+def test_duplicate_spans_match_naive_gram_sets(spark, docs, k):
+    """duplicate_spans == a literal Python computation: positions covered
+    by k-grams appearing in >= 2 docs, merged into maximal contiguous/
+    overlapping islands."""
+    from fireball_data_processing_spark.operators.dedup import duplicate_spans
+
+    texts = [" ".join(f"w{t}" for t in toks) for toks in docs]
+    rows = [(i, s) for i, s in enumerate(texts)]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicate_spans(df, k=k, min_docs=2).collect()
+    }
+
+    # naive reference
+    from collections import defaultdict
+
+    where = defaultdict(set)  # gram -> set(doc)
+    grams = []  # (doc, pos, gram)
+    for i, toks in enumerate(docs):
+        toks = [f"w{t}" for t in toks if True]
+        for p in range(len(toks) - k + 1):
+            g = " ".join(toks[p : p + k])
+            where[g].add(i)
+            grams.append((i, p, g))
+    want = set()
+    for i in range(len(docs)):
+        hits = sorted(p for d, p, g in grams if d == i and len(where[g]) >= 2)
+        cur = None
+        for p in hits:
+            if cur is None or p > cur[1]:
+                if cur:
+                    want.add((i, cur[0], cur[1]))
+                cur = [p, p + k]
+            else:
+                cur[1] = max(cur[1], p + k)
+        if cur:
+            want.add((i, cur[0], cur[1]))
+    assert got == want
+
+
+@given(
+    members=st.sets(st.integers(-(10**9), 10**9), min_size=0, max_size=40),
+    probes=st.sets(st.integers(-(10**9), 10**9), min_size=0, max_size=40),
+)
+@settings(**SETTINGS)
+def test_bloom_membership_superset(spark, members, probes):
+    """Bloom never refuses a member (hard guarantee) — probes that ARE
+    members must all pass regardless of key distribution, including
+    negative keys."""
+    from fireball_data_processing_spark.operators.sketches import (
+        bloom_bitmap,
+        bloom_might_contain,
+    )
+
+    if not members:
+        return
+    mdf = spark.createDataFrame([(int(m),) for m in members], "k bigint")
+    bm = bloom_bitmap(mdf, "k", num_bits=1 << 12, num_hashes=3)
+    pdf = spark.createDataFrame(
+        [(int(p),) for p in probes | members], "k bigint"
+    )
+    passed = {
+        r["k"]
+        for r in pdf.filter(
+            bloom_might_contain(F.col("k"), bm, 1 << 12, 3)
+        ).collect()
+    }
+    assert members <= passed
+
+
+@given(
+    vals=st.lists(st.integers(0, 15), min_size=1, max_size=60),
+)
+@settings(**SETTINGS)
+def test_cms_lower_bound_all_values(spark, vals):
+    """CMS estimate >= true count for every distinct value, at a width
+    small enough to force collisions."""
+    from collections import Counter
+
+    from fireball_data_processing_spark.operators.sketches import heavy_hitters
+
+    df = spark.createDataFrame([(f"v{v}",) for v in vals], "x string")
+    true = Counter(f"v{v}" for v in vals)
+    got = {
+        r["value"]: (r["n_exact"], r["cms_est"])
+        for r in heavy_hitters(df, "x", k=20, depth=3, width=8).collect()
+    }
+    for v, (n_exact, est) in got.items():
+        assert n_exact == true[v]
+        assert est >= true[v], (v, est, true[v])
