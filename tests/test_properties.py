@@ -417,8 +417,6 @@ def test_duplicate_spans_match_naive_gram_sets(spark, docs, k):
 
     texts = [" ".join(f"w{t}" for t in toks) for toks in docs]
     rows = [(i, s) for i, s in enumerate(texts)]
-    if not rows:
-        return
     df = spark.createDataFrame(rows, "doc_id bigint, text string")
     got = {
         (r["doc_id"], r["span_start"], r["span_end"])
@@ -431,7 +429,7 @@ def test_duplicate_spans_match_naive_gram_sets(spark, docs, k):
     where = defaultdict(set)  # gram -> set(doc)
     grams = []  # (doc, pos, gram)
     for i, toks in enumerate(docs):
-        toks = [f"w{t}" for t in toks if True]
+        toks = [f"w{t}" for t in toks]
         for p in range(len(toks) - k + 1):
             g = " ".join(toks[p : p + k])
             where[g].add(i)
@@ -499,6 +497,7 @@ def test_cms_lower_bound_all_values(spark, vals):
         r["value"]: (r["n_exact"], r["cms_est"])
         for r in heavy_hitters(df, "x", k=20, depth=3, width=8).collect()
     }
+    assert set(got) == set(true)
     for v, (n_exact, est) in got.items():
         assert n_exact == true[v]
         assert est >= true[v], (v, est, true[v])
