@@ -1502,6 +1502,59 @@ def q_purchase_view_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "approx_percentile_check",
+    """
+SELECT event_type,
+  COUNT(*)::BIGINT AS n,
+  TRUE AS p50_rank_ok,
+  TRUE AS p95_rank_ok
+FROM events GROUP BY event_type
+""",
+)
+def q_approx_percentile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path for percentiles (`value_percentiles` is the exact
+    twin): per-type approx_percentile (mergeable Greenwald-Khanna-style
+    summary — partial sketches combine map-side, unlike exact holistic
+    percentiles) attested by its actual contract, RANK error: the
+    fraction of values at or below the sketch's p-th percentile must sit
+    within ``p ± (1/accuracy + slack)``. Value-difference checks would
+    be wrong — the sketch returns a real element, not an interpolation.
+    One aggregation for the sketches, one conditional re-aggregation for
+    the ranks (count <= quantile), joined broadcast."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    acc = 1000
+    q = ev.groupBy("event_type").agg(
+        F.expr(f"approx_percentile(value, 0.5, {acc})").alias("q50"),
+        F.expr(f"approx_percentile(value, 0.95, {acc})").alias("q95"),
+    )
+    ranked = (
+        ev.join(F.broadcast(q), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("value") <= F.col("q50"), 1).otherwise(0)).alias(
+                "le50"
+            ),
+            F.sum(F.when(F.col("value") <= F.col("q95"), 1).otherwise(0)).alias(
+                "le95"
+            ),
+        )
+    )
+    tol = 1.0 / acc + 0.01
+    return ranked.select(
+        "event_type",
+        "n",
+        (
+            F.abs(F.col("le50") / F.col("n") - 0.5) <= tol
+        ).alias("p50_rank_ok"),
+        (
+            (F.col("le95") / F.col("n") >= 0.95 - tol)
+            & (F.col("le95") / F.col("n") <= 1.0)
+        ).alias("p95_rank_ok"),
+    )
+
+
+@query(
     "doc_truncate_preview",
     """
 SELECT doc_id,
@@ -3579,6 +3632,7 @@ _PRIORITY = [
     "cms_heavy_hitters",
     "bloom_filtered_join",
     "purchase_view_interval_join",
+    "approx_percentile_check",
     # --- attested in round 1 only; rotate back in ---
     "lsh_candidate_pairs",
     "simhash_fingerprints",

@@ -549,3 +549,80 @@ def test_interval_join_stream_matches_batch(spark, tmp_path):
     }
     assert want, "batch twin found no pairs — test data assumption broken"
     assert got == want
+
+
+def test_interval_join_stream_drops_late_matches(spark, tmp_path):
+    """Watermark semantics: a match arriving after the watermark has
+    passed it is dropped — the pair is NOT emitted — while fresh pairs
+    keep flowing. This is the bounded-state contract: state for old
+    anchors is reclaimable precisely because late matches are refused."""
+    import pandas as pd
+
+    from fireball_data_processing_spark.streaming.join_stream import (
+        interval_join_stream,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    schema = (
+        "event_id bigint, ts bigint, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+
+    def write_batch(name, rows):
+        pd.DataFrame(rows, columns=cols).astype({"ts": "int64"}).to_parquet(
+            os.path.join(src, name)
+        )
+
+    minute = 60_000_000_000  # ns
+    t0 = 1_700_000_000_000_000_000
+
+    sink = str(tmp_path / "sink")
+
+    def run_once():
+        out = interval_join_stream(
+            spark, src, schema, SYNTHETIC_STREAM,
+            max_gap="10 minutes", watermark="30 minutes",
+        )
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        try:
+            return {
+                (r["anchor_id"], r["match_id"])
+                for r in spark.read.parquet(sink).collect()
+            }
+        except Exception:
+            return set()  # sink has no data files yet
+
+    # batch 1: purchase P(id=1) at t0, view V1(id=2) 5 min earlier -> pair
+    write_batch("b1.parquet", [
+        (1, t0, 7, "purchase", 1.0, "{}"),
+        (2, t0 - 5 * minute, 7, "view", 1.0, "{}"),
+    ])
+    got1 = run_once()
+    assert (1, 2) in got1
+
+    # batch 2: events 3 hours later advance the watermark way past t0
+    write_batch("b2.parquet", [
+        (3, t0 + 180 * minute, 7, "purchase", 1.0, "{}"),
+        (4, t0 + 178 * minute, 7, "view", 1.0, "{}"),
+    ])
+    got2 = run_once()
+    assert (3, 4) in got2  # fresh pair flows
+
+    # batch 3: a LATE view 2 min before the original purchase — behind
+    # the watermark, must be dropped, never joined to anchor 1
+    write_batch("b3.parquet", [
+        (5, t0 - 2 * minute, 7, "view", 1.0, "{}"),
+    ])
+    got3 = run_once()
+    assert (1, 5) not in got3
