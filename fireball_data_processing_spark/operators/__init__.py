@@ -34,6 +34,10 @@ from fireball_data_processing_spark.operators.similarity import (
     ivf_query,
     lsh_topk,
 )
+from fireball_data_processing_spark.operators.packing import (
+    pack_sequences,
+    token_count_col,
+)
 from fireball_data_processing_spark.operators.sketches import (
     bloom_might_contain,
     bloom_prejoin,
@@ -73,4 +77,6 @@ __all__ = [
     "heavy_hitters",
     "hll_distinct",
     "hll_rollup",
+    "pack_sequences",
+    "token_count_col",
 ]

@@ -1555,6 +1555,55 @@ def q_approx_percentile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_packing",
+    """
+WITH sized AS (
+  SELECT source, doc_id,
+    CASE WHEN trim(text) = '' THEN 0
+      ELSE len(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '))
+    END::BIGINT AS n
+  FROM documents
+),
+cum AS (
+  SELECT source, doc_id, n,
+    SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING)::BIGINT AS e
+  FROM sized WHERE n > 0
+),
+spans AS (SELECT source, doc_id, e - n AS s, e FROM cum),
+bins AS (
+  SELECT source, doc_id, s, e, b.bin_idx
+  FROM spans, UNNEST(generate_series(s // 256, (e - 1) // 256)) AS b(bin_idx)
+)
+SELECT source, doc_id, bin_idx,
+  GREATEST(bin_idx * 256 - s, 0) AS tok_start,
+  LEAST(bin_idx * 256 + 256, e) - s AS tok_end,
+  GREATEST(s - bin_idx * 256, 0) AS offset_in_bin
+FROM bins
+""",
+)
+def q_doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing of the corpus into 256-token
+    bins per source shard — the LM-pretraining batch layout. The
+    seemingly-sequential packing is a window prefix sum plus integer
+    math (one shuffle on the shard key), so it distributes; every bin
+    except a shard's last is exactly full."""
+    from fireball_data_processing_spark.operators.packing import (
+        pack_sequences,
+        token_count_col,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return pack_sequences(
+        d,
+        max_tokens=256,
+        shard_col="source",
+        order_col="doc_id",
+        n_tokens=token_count_col(F.col("text")),
+    )
+
+
+@query(
     "doc_truncate_preview",
     """
 SELECT doc_id,
@@ -3633,6 +3682,7 @@ _PRIORITY = [
     "bloom_filtered_join",
     "purchase_view_interval_join",
     "approx_percentile_check",
+    "doc_packing",
     # --- attested in round 1 only; rotate back in ---
     "lsh_candidate_pairs",
     "simhash_fingerprints",

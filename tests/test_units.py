@@ -909,3 +909,63 @@ def test_duplicate_spans_contiguous_hits_merge(spark):
         for r in duplicate_spans(df, k=8, min_docs=2).collect()
     )
     assert got == [(1, 0, 16), (2, 0, 8)]
+
+
+def test_pack_sequences_bins_tile_exactly(spark):
+    """Packing invariants: every bin except a shard's last is exactly
+    full; within a bin the slices tile [0, fill) with no gaps or
+    overlaps; every document's tokens are fully covered in order; empty
+    docs are dropped."""
+    from collections import defaultdict
+
+    from fireball_data_processing_spark.operators.packing import (
+        pack_sequences,
+        token_count_col,
+    )
+
+    rows = [
+        ("s1", 1, " ".join(["a"] * 10)),
+        ("s1", 2, " ".join(["b"] * 7)),
+        ("s1", 3, ""),                      # dropped
+        ("s1", 4, " ".join(["c"] * 13)),
+        ("s2", 5, " ".join(["d"] * 3)),
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id bigint, text string")
+    out = pack_sequences(
+        df, max_tokens=8, shard_col="source", order_col="doc_id",
+        n_tokens=token_count_col(F.col("text")),
+    ).collect()
+
+    assert not any(r["doc_id"] == 3 for r in out)
+
+    per_doc = defaultdict(int)
+    bins = defaultdict(list)
+    for r in out:
+        assert 0 <= r["tok_start"] < r["tok_end"]
+        per_doc[r["doc_id"]] += r["tok_end"] - r["tok_start"]
+        bins[(r["source"], r["bin_idx"])].append(
+            (r["offset_in_bin"], r["offset_in_bin"] + r["tok_end"] - r["tok_start"])
+        )
+    assert per_doc == {1: 10, 2: 7, 4: 13, 5: 3}
+
+    for (src, b), slices in bins.items():
+        slices.sort()
+        assert slices[0][0] == 0
+        for (_, e1), (s2, _) in zip(slices, slices[1:]):
+            assert e1 == s2, (src, b, slices)
+        fill = slices[-1][1]
+        last_bin = max(bb for (ss, bb) in bins if ss == src)
+        assert fill == 8 or b == last_bin, (src, b, fill)
+
+    # s1 has 30 tokens -> bins 0..3 (8+8+8+6); s2 has 3 -> one bin
+    assert {b for (s, b) in bins if s == "s1"} == {0, 1, 2, 3}
+    assert {b for (s, b) in bins if s == "s2"} == {0}
+
+
+def test_pack_sequences_rejects_bad_max():
+    import pytest
+
+    from fireball_data_processing_spark.operators.packing import pack_sequences
+
+    with pytest.raises(ValueError, match="max_tokens"):
+        pack_sequences(None, 0, "s", "o", "n")
