@@ -1,0 +1,113 @@
+"""End-to-end training-corpus pipeline: clean -> dedup -> quality gate ->
+sequence packing, as ONE lazy DataFrame composition.
+
+The capstone composition of the LLM-data operators (each stage is its
+own tested module — this plan only wires them): C4 segment cleaning
+(``functions/clean.py``), exact-hash deduplication (the
+``operators/dedup.py`` semantics, survivor = smallest id), token-count
+quality gates, and concat-and-chunk packing (``operators/packing.py``).
+Mirrors the reference's distill chain shape (filter -> transform ->
+assemble, ``distill1..4``) applied to corpus prep instead of RP triples.
+
+Every stage is a pure ``DataFrame -> DataFrame`` function of the
+previous one, so Catalyst sees the WHOLE pipeline as one plan: stage
+boundaries cost nothing, pushdown crosses them, and a caller who only
+consumes the packed manifest never materializes intermediates. Callers
+doing multi-output runs (write every stage) should ``.persist()`` the
+stages they fan out from — same rule as the minhash index split.
+
+Near-dup removal (MinHash/LSH) deliberately sits outside this plan: its
+candidate generation is corpus-global and belongs on the materialized
+``build_minhash_index`` path, composed upstream when needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from fireball_data_processing_spark.functions.clean import (
+    clean_segments,
+    doc_flags,
+)
+from fireball_data_processing_spark.operators.packing import (
+    pack_sequences,
+    token_count_col,
+)
+
+
+def clean_stage(
+    docs: DataFrame,
+    min_words_per_segment: int = 50,
+    bad_phrases: tuple[str, ...] = ("lorem ipsum", "slow scan"),
+) -> DataFrame:
+    """C4 cleaning: keep surviving segments as the new text, drop
+    documents that end up empty or carry a bad phrase."""
+    seg = clean_segments(
+        F.col("text"),
+        min_words=min_words_per_segment,
+        require_terminal_punct=False,
+    )
+    flags = doc_flags(F.col("text"), bad_phrases=bad_phrases)
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            seg["kept_text"].alias("clean_text"),
+            flags["has_bad_phrase"].alias("__bad"),
+        )
+        .filter((F.col("clean_text") != "") & ~F.col("__bad"))
+        .drop("__bad")
+    )
+
+
+def dedup_stage(cleaned: DataFrame) -> DataFrame:
+    """Exact dedup on the CLEANED text (post-clean duplicates are the
+    ones that matter): survivor = smallest doc_id per content hash. One
+    shuffle on the 32-char md5, never on the text."""
+    w_min = F.min("doc_id").over(Window.partitionBy("__h"))
+    return (
+        cleaned.withColumn("__h", F.md5(F.col("clean_text")))
+        .withColumn("__keep", F.col("doc_id") == w_min)
+        .filter("__keep")
+        .drop("__h", "__keep")
+    )
+
+
+def quality_stage(
+    deduped: DataFrame, min_tokens: int = 5, max_tokens: int = 5000
+) -> DataFrame:
+    """Token-count band gate (the P4/P7 guards at corpus scale)."""
+    n = token_count_col(F.col("clean_text"))
+    return deduped.withColumn("n_tokens", n).filter(
+        (F.col("n_tokens") >= min_tokens) & (F.col("n_tokens") <= max_tokens)
+    )
+
+
+def build_training_corpus(
+    docs: DataFrame,
+    max_tokens_per_bin: int = 256,
+    min_words_per_segment: int = 50,
+    min_tokens: int = 5,
+    max_tokens: int = 5000,
+) -> dict[str, DataFrame]:
+    """The full pipeline; returns every stage (all lazy):
+    ``{"cleaned", "deduped", "quality", "packed"}`` — ``packed`` is the
+    training manifest ``(source, doc_id, bin_idx, tok_start, tok_end,
+    offset_in_bin)``."""
+    cleaned = clean_stage(docs, min_words_per_segment)
+    deduped = dedup_stage(cleaned)
+    quality = quality_stage(deduped, min_tokens, max_tokens)
+    packed = pack_sequences(
+        quality,
+        max_tokens=max_tokens_per_bin,
+        shard_col="source",
+        order_col="doc_id",
+        n_tokens=F.col("n_tokens"),
+    )
+    return {
+        "cleaned": cleaned,
+        "deduped": deduped,
+        "quality": quality,
+        "packed": packed,
+    }

@@ -1604,6 +1604,81 @@ def q_doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "training_corpus_summary",
+    """
+WITH cleaned AS (
+  SELECT doc_id, source,
+    COALESCE(array_to_string(
+      list_filter(list_transform(string_split(text, chr(10)), s -> trim(s)),
+                  s -> s <> '' AND len(string_split_regex(s, '\\s+')) >= 50),
+      chr(10)), '') AS clean_text
+  FROM documents
+  WHERE NOT (contains(lower(text), 'lorem ipsum')
+             OR contains(lower(text), 'slow scan'))
+),
+nonempty AS (SELECT * FROM cleaned WHERE clean_text <> ''),
+deduped AS (
+  SELECT doc_id, source, clean_text FROM (
+    SELECT *, MIN(doc_id) OVER (PARTITION BY md5(clean_text)) AS keeper
+    FROM nonempty
+  ) WHERE doc_id = keeper
+),
+quality AS (
+  SELECT doc_id, source,
+    len(string_split_regex(trim(clean_text), '\\s+'))::BIGINT AS n_tokens
+  FROM deduped
+  WHERE len(string_split_regex(trim(clean_text), '\\s+')) BETWEEN 5 AND 5000
+)
+SELECT n.source,
+  n.n_cleaned,
+  d.n_deduped,
+  q.n_quality,
+  q.total_tokens,
+  (q.total_tokens + 255) // 256 AS n_bins
+FROM (SELECT source, COUNT(*)::BIGINT AS n_cleaned FROM nonempty GROUP BY source) n
+JOIN (SELECT source, COUNT(*)::BIGINT AS n_deduped FROM deduped GROUP BY source) d USING (source)
+JOIN (SELECT source, COUNT(*)::BIGINT AS n_quality,
+             SUM(n_tokens)::BIGINT AS total_tokens
+      FROM quality GROUP BY source) q USING (source)
+""",
+)
+def q_training_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus pipeline (clean -> exact dedup -> quality
+    band -> packing) audited per source: document counts after each
+    stage, total surviving tokens, and the packed bin count. The Spark
+    side counts bins from the ACTUAL packed manifest while the oracle
+    computes ceil(tokens/256) — equal only if packing is dense, so the
+    attestation covers the pipeline counts AND the packing invariant."""
+    from fireball_data_processing_spark.plans.corpus_pipeline import (
+        build_training_corpus,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    stages = build_training_corpus(d)
+    per = lambda df, name: df.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias(name)
+    )
+    cleaned = per(stages["cleaned"], "n_cleaned")
+    deduped = per(stages["deduped"], "n_deduped")
+    quality = stages["quality"].groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_quality"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
+    bins = stages["packed"].groupBy("source").agg(
+        F.countDistinct("bin_idx").cast("bigint").alias("n_bins")
+    )
+    return (
+        cleaned.join(deduped, "source")
+        .join(quality, "source")
+        .join(bins, "source")
+        .select(
+            "source", "n_cleaned", "n_deduped", "n_quality",
+            "total_tokens", "n_bins",
+        )
+    )
+
+
+@query(
     "doc_truncate_preview",
     """
 SELECT doc_id,
@@ -3683,6 +3758,7 @@ _PRIORITY = [
     "purchase_view_interval_join",
     "approx_percentile_check",
     "doc_packing",
+    "training_corpus_summary",
     # --- attested in round 1 only; rotate back in ---
     "lsh_candidate_pairs",
     "simhash_fingerprints",

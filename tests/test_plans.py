@@ -216,3 +216,29 @@ def test_interval_join_uses_equality_key(spark):
     phys = s[s.index("== Physical Plan ==") :]
     assert "NestedLoop" not in phys, phys
     assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", phys)
+
+
+def test_doc_packing_single_shuffle(spark):
+    # the packing layout is a prefix-sum window on the shard key plus
+    # per-row bin math: exactly one exchange, no join
+    df = catalog.REGISTRY["doc_packing"].fn(spark, SMOKE)
+    s = _explain_str(df)
+    phys = s[s.index("== Physical Plan ==") :]
+    assert _count_shuffles(df) == 1, phys
+    assert "Join" not in phys
+
+
+def test_corpus_pipeline_packed_single_scan(spark):
+    # the training manifest path: one corpus scan, dedup-hash window +
+    # packing window = two exchanges, no join anywhere
+    from fireball_data_processing_spark.plans.corpus_pipeline import (
+        build_training_corpus,
+    )
+
+    d = load_table(spark, SMOKE, "documents")
+    packed = build_training_corpus(d)["packed"]
+    s = _explain_str(packed)
+    phys = s[s.index("== Physical Plan ==") :]
+    assert len(re.findall(r"Scan parquet|FileScan", phys)) == 1, phys
+    assert _count_shuffles(packed) <= 2, phys
+    assert "Join" not in phys

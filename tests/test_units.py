@@ -969,3 +969,36 @@ def test_pack_sequences_rejects_bad_max():
 
     with pytest.raises(ValueError, match="max_tokens"):
         pack_sequences(None, 0, "s", "o", "n")
+
+
+def test_corpus_pipeline_stages(spark):
+    """Stage semantics end-to-end on a fixture corpus: bad-phrase doc
+    dropped at clean, exact duplicate (post-clean) dropped at dedup
+    keeping the smallest id, short doc dropped at quality, and the
+    packed manifest covers exactly the surviving tokens."""
+    from fireball_data_processing_spark.plans.corpus_pipeline import (
+        build_training_corpus,
+    )
+
+    seg = " ".join(f"w{i}" for i in range(50))  # one 50-word segment
+    rows = [
+        (1, seg + "\nshort line", "s1"),        # survives; clean drops line 2
+        (2, seg, "s1"),                          # duplicate of 1 post-clean
+        (3, seg + " lorem ipsum", "s1"),         # bad phrase -> dropped
+        (4, "tiny", "s1"),                       # clean leaves empty -> dropped
+        (5, " ".join(f"u{i}" for i in range(60)), "s2"),  # unique, survives
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    stages = build_training_corpus(df, max_tokens_per_bin=32)
+
+    assert {r["doc_id"] for r in stages["cleaned"].collect()} == {1, 2, 5}
+    assert {r["doc_id"] for r in stages["deduped"].collect()} == {1, 5}
+    q = {r["doc_id"]: r["n_tokens"] for r in stages["quality"].collect()}
+    assert q == {1: 50, 5: 60}
+    packed = stages["packed"].collect()
+    covered = {}
+    for r in packed:
+        covered[r["doc_id"]] = covered.get(r["doc_id"], 0) + (
+            r["tok_end"] - r["tok_start"]
+        )
+    assert covered == {1: 50, 5: 60}
