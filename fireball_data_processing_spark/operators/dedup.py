@@ -559,7 +559,22 @@ def duplicate_spans(
     Candidate volume is bounded by truly-duplicated grams, not corpus
     size; the quadratic blowup of pairwise comparison never appears.
     """
-    words = F.split(normalize_text(F.col(text_col)), " ")
+    # materialize the split words BEHIND a pre-explode exchange (house
+    # pattern, see _exploded_shingles: HOF lambdas get no subexpression
+    # elimination, so the gram lambda must reference a materialized
+    # column, not the split expression — otherwise normalize+split
+    # re-executes per gram index, O(words^2) per document), then decide
+    # duplicate-ness with a WINDOW over the gram key instead of
+    # groupBy+join-back — one consumer of the exploded rows, so nothing
+    # re-executes. countDistinct isn't a window function; max(dense_rank
+    # ordered by doc) over the gram partition counts distinct docs
+    # exactly, with no per-group set buffer.
+    parts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    pre = docs.select(
+        F.col(id_col),
+        F.split(normalize_text(F.col(text_col)), " ").alias("__words"),
+    ).repartition(parts, F.col(id_col))
+    words = F.col("__words")
     grams = F.when(
         F.size(words) >= k,
         F.transform(
@@ -567,18 +582,7 @@ def duplicate_spans(
             lambda i: F.md5(F.concat_ws(" ", F.slice(words, i + 1, k))),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    # materialize (id, grams) behind a pre-explode exchange (house pattern,
-    # see _exploded_shingles: the md5-gram HOF runs once per doc and the
-    # fan-out stays parallel under AQE), then decide duplicate-ness with a
-    # WINDOW over the gram key instead of groupBy+join-back — one consumer
-    # of the exploded rows, so nothing re-executes. countDistinct isn't a
-    # window function; max(dense_rank ordered by doc) over the gram
-    # partition counts distinct docs exactly, with no per-group set buffer.
-    parts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    pre = docs.select(F.col(id_col), grams.alias("__grams")).repartition(
-        parts, F.col(id_col)
-    )
-    hits = pre.select(F.col(id_col), F.posexplode("__grams").alias("pos", "gram"))
+    hits = pre.select(F.col(id_col), F.posexplode(grams).alias("pos", "gram"))
     w_gram_rank = Window.partitionBy("gram").orderBy(id_col)
     w_gram = Window.partitionBy("gram")
     nd = F.max(F.dense_rank().over(w_gram_rank)).over(w_gram)

@@ -97,13 +97,15 @@ def hll_rollup(
     )
 
 
-def _cms_positions(value: Column, depth: int, width: int) -> Column:
-    """``depth`` counter columns for ``value`` as ``array<bigint>``, row
-    ``i``'s position derived from md5 of the value salted with ``i`` —
-    the repo's portable random primitive (same construction DuckDB can
-    reproduce, so CMS estimates are cross-engine oracle-able)."""
+def _hash_positions(value: Column, count: int, modulus: int) -> Column:
+    """``count`` hash positions in ``[0, modulus)`` for ``value`` as an
+    ``array<bigint>``, position ``i`` derived from md5 of the value
+    salted with ``i`` — the repo's portable random primitive (the same
+    construction DuckDB reproduces, so sketch contents are cross-engine
+    oracle-able). Shared by the CMS counter rows and the bloom bits —
+    ONE copy, because the DuckDB oracle SQL mirrors it literally."""
     return F.transform(
-        F.sequence(F.lit(0), F.lit(depth - 1)),
+        F.sequence(F.lit(0), F.lit(count - 1)),
         lambda i: F.pmod(
             F.conv(
                 F.substring(
@@ -112,7 +114,7 @@ def _cms_positions(value: Column, depth: int, width: int) -> Column:
                 16,
                 10,
             ).cast("bigint"),
-            F.lit(width),
+            F.lit(modulus),
         ),
     )
 
@@ -136,7 +138,7 @@ def cms_counters(
     )
     return (
         vals.select(
-            F.posexplode(_cms_positions(F.col("__v"), depth, width)).alias(
+            F.posexplode(_hash_positions(F.col("__v"), depth, width)).alias(
                 "row", "pos"
             )
         )
@@ -174,20 +176,25 @@ def heavy_hitters(
     persist its ≤ depth x width rows and probe any candidate set against
     the materialized table).
     """
-    exact = (
+    from fireball_data_processing_spark.operators.windows import paginate
+
+    # distributed top-k: paginate compiles to TakeOrderedAndProject
+    # (per-partition top-k merged over k rows) — the vocabulary-sized
+    # global row_number window would sort every distinct value in ONE
+    # task; only the k survivors get ranked here.
+    counts = (
         df.select(F.col(col).cast("string").alias("value"))
         .filter(F.col("value").isNotNull())
         .groupBy("value")
         .agg(F.count("*").alias("n_exact"))
-        .select(
-            "value",
-            "n_exact",
-            F.row_number()
-            .over(Window.orderBy(F.desc("n_exact"), F.asc("value")))
-            .cast("bigint")
-            .alias("rank"),
-        )
-        .filter(F.col("rank") <= k)
+    )
+    exact = paginate(counts, [("n_exact", False)], "value", 0, k).select(
+        "value",
+        "n_exact",
+        F.row_number()
+        .over(Window.orderBy(F.desc("n_exact"), F.asc("value")))
+        .cast("bigint")
+        .alias("rank"),
     )
     counters = cms_counters(df, col, depth, width)
     total = counters.filter(F.col("row") == 0).agg(
@@ -197,7 +204,7 @@ def heavy_hitters(
         "value",
         "n_exact",
         "rank",
-        F.posexplode(_cms_positions(F.col("value"), depth, width)).alias(
+        F.posexplode(_hash_positions(F.col("value"), depth, width)).alias(
             "row", "pos"
         ),
     )
@@ -214,25 +221,6 @@ def heavy_hitters(
         "cms_est",
         (F.col("cms_est") >= F.col("n_exact")).alias("cms_lower_ok"),
         (F.col("cms_est") <= F.col("n_exact") + bound).alias("cms_upper_ok"),
-    )
-
-
-def _bloom_positions(key: Column, num_bits: int, num_hashes: int) -> Column:
-    """``num_hashes`` bit positions for ``key`` as an ``array<bigint>``,
-    derived from md5 of the key salted with the hash index — the repo's
-    portable random primitive, JVM-side and deterministic."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.pmod(
-            F.conv(
-                F.substring(
-                    F.md5(F.concat_ws("#", key.cast("string"), i)), 1, 15
-                ),
-                16,
-                10,
-            ).cast("bigint"),
-            F.lit(num_bits),
-        ),
     )
 
 
@@ -265,7 +253,7 @@ def bloom_bitmap(
     words = (
         df.select(
             F.explode(
-                _bloom_positions(F.col(key_col), num_bits, num_hashes)
+                _hash_positions(F.col(key_col), num_hashes, num_bits)
             ).alias("pos")
         )
         .select(
@@ -299,7 +287,7 @@ def bloom_might_contain(
         "array(" + ",".join(f"{int(w)}L" for w in bitmap) + ")"
     )
     return F.forall(
-        _bloom_positions(key, num_bits, num_hashes),
+        _hash_positions(key, num_hashes, num_bits),
         lambda p: (
             F.element_at(words, (p / 63).cast("int") + 1).bitwiseAND(
                 _bit_mask(p % 63)

@@ -1532,25 +1532,33 @@ def q_approx_percentile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("value") < F.col("q50"), 1).otherwise(0)).alias(
+                "lt50"
+            ),
             F.sum(F.when(F.col("value") <= F.col("q50"), 1).otherwise(0)).alias(
                 "le50"
+            ),
+            F.sum(F.when(F.col("value") < F.col("q95"), 1).otherwise(0)).alias(
+                "lt95"
             ),
             F.sum(F.when(F.col("value") <= F.col("q95"), 1).otherwise(0)).alias(
                 "le95"
             ),
         )
     )
+    # tie-robust straddle form: the returned element's rank RANGE
+    # [count(<q), count(<=q)] must straddle the target within tolerance —
+    # a one-sided count(<=q) bound would flip on tied medians while the
+    # oracle hardcodes TRUE.
     tol = 1.0 / acc + 0.01
+    ok = lambda lt, le, p: (F.col(lt) / F.col("n") <= p + tol) & (
+        F.col(le) / F.col("n") >= p - tol
+    )
     return ranked.select(
         "event_type",
         "n",
-        (
-            F.abs(F.col("le50") / F.col("n") - 0.5) <= tol
-        ).alias("p50_rank_ok"),
-        (
-            (F.col("le95") / F.col("n") >= 0.95 - tol)
-            & (F.col("le95") / F.col("n") <= 1.0)
-        ).alias("p95_rank_ok"),
+        ok("lt50", "le50", 0.5).alias("p50_rank_ok"),
+        ok("lt95", "le95", 0.95).alias("p95_rank_ok"),
     )
 
 

@@ -53,15 +53,14 @@ def overwrite_partitions(
     """Replace exactly the partitions present in ``df`` (dynamic
     partition overwrite), leaving all other partitions untouched —
     idempotent reprocessing of one day/source without truncating the
-    table. The mode flip is scoped to this write and restored after."""
-    spark = df.sparkSession
-    key = "spark.sql.sources.partitionOverwriteMode"
-    prev = spark.conf.get(key, "static")
-    spark.conf.set(key, "dynamic")
-    try:
-        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
-    finally:
-        spark.conf.set(key, prev)
+    table. The mode is a WRITER option, not a session conf flip, so
+    concurrent writers in the same session are unaffected."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
 
 
 def partition_stats(
@@ -113,7 +112,11 @@ def compact_partitions(
     for r in todo:
         clause = F.lit(True)
         for c in partition_cols:
-            clause = clause & (F.col(c) == r[c])
+            # eqNullSafe: a null partition value (__HIVE_DEFAULT_PARTITION__)
+            # must still select its rows — plain == yields NULL and the
+            # partition would be silently skipped while the report claims
+            # it was compacted
+            clause = clause & F.col(c).eqNullSafe(F.lit(r[c]))
         cond = clause if cond is None else (cond | clause)
     fragment = df.filter(cond)
     compacted = fragment.repartition(

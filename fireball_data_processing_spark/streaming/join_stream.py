@@ -51,7 +51,7 @@ def interval_join_stream(
     Both sides are filtered projections of ONE file stream (Spark re-reads
     the source per side; with a message bus each side would subscribe
     independently). Output columns:
-    ``(instance, anchor_id, match_id, anchor_ts, match_ts, gap_seconds)``
+    ``(instance, anchor_id, match_id, anchor_ts, match_ts, gap_micros)``
     in append mode — a pair is emitted exactly once, when both events have
     arrived and neither can be retracted by late data.
     """

@@ -88,3 +88,30 @@ def test_compaction_noop_when_healthy(spark, tmp_path):
     path = str(tmp_path / "t")
     write_partitioned(_events(spark, [1, 2]).coalesce(1), path, ["day"])
     assert compact_partitions(spark, path, ["day"]) == []
+
+
+def test_compaction_handles_null_partition_value(spark, tmp_path):
+    """A null partition key (__HIVE_DEFAULT_PARTITION__) must be selected
+    with null-safe equality — plain == would silently skip it while the
+    report claims it was compacted."""
+    path = str(tmp_path / "t")
+    rows = [(i, None, f"x{i}") for i in range(40)] + [(100, 1, "keep")]
+    frag = spark.createDataFrame(
+        rows, "event_id bigint, day int, payload string"
+    ).repartition(6)
+    write_partitioned(frag, path, ["day"])
+    before = {
+        r["day"]: r["n_files"]
+        for r in partition_stats(spark, path, ["day"]).collect()
+    }
+    assert before[None] > 1
+
+    report = compact_partitions(spark, path, ["day"], min_files_to_compact=1)
+    assert [r["day"] for r in report] == [None]
+    assert report[0]["files_after"] == 1
+    after = {
+        r["day"]: (r["n_files"], r["n_rows"])
+        for r in partition_stats(spark, path, ["day"]).collect()
+    }
+    assert after[None] == (1, 40)
+    assert after[1] == (1, 1)  # non-null partition untouched

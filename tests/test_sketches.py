@@ -166,3 +166,18 @@ def test_heavy_hitters_deterministic_ties(spark):
         heavy_hitters(df, "x", k=3).orderBy("rank").collect()
     ]
     assert got == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_heavy_hitters_topk_is_distributed(spark):
+    """The exact top-k must compile to TakeOrderedAndProject (per-partition
+    top-k), never a vocabulary-wide single-task row_number sort."""
+    import contextlib
+    import io
+
+    df = spark.createDataFrame([(f"v{i % 7}",) for i in range(50)], "x string")
+    hh = heavy_hitters(df, "x", k=3)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        hh.explain("extended")
+    s = buf.getvalue()
+    assert "TakeOrderedAndProject" in s, s
