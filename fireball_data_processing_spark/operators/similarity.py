@@ -28,11 +28,20 @@ from pyspark.sql.window import Window
 
 
 def dot(a: Column, b: Column) -> Column:
-    """JVM-side dot product of two float arrays (whole-stage codegen).
+    """JVM-side dot product of two float arrays, dimension-agnostic.
 
     Elements are cast to double BEFORE the multiply: float32*float32
     rounds the product to float32, which both loses precision and
     diverges from any engine that promotes first.
+
+    Higher-order functions run on Catalyst's INTERPRETED path (never
+    whole-stage codegen), so in per-pair hot loops (n^2 similarity)
+    hoist everything hoistable OUT of the pair expression (precompute
+    norms per vector — see ``embedding_near_dup_pairs``). Measured
+    dead end: unrolling the fold into a static sum of 64 ``element_at``
+    products was ~2x SLOWER than this fold at sf0.1 (the giant
+    expression spills out of codegen's method limits and the per-term
+    null-checked fallback loses to the tight interpreted fold).
     """
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),

@@ -3234,13 +3234,29 @@ def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs form as the correctness baseline; the LSH-bucketed form
     (operators.similarity.lsh_topk / rh_signature buckets) is the 100 TB
     path and is recall-tested against this in unit tests."""
-    from fireball_data_processing_spark.operators.similarity import cosine
+    from fireball_data_processing_spark.operators.similarity import dot, norm
 
+    # per-pair work is this query's whole cost (n^2 pairs): norms are
+    # precomputed ONCE per vector (identical fold arithmetic to
+    # cosine(), so the 6dp oracle parity is unchanged) — cosine()
+    # inline would pay 3 interpreted 64-dim HOF folds per PAIR instead
+    # of 1 (measured 64 s -> 25 s at sf0.1; see dot()'s docstring for
+    # the unrolled-expression dead end)
     e = load_table(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb"))
+    a = e.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("__va"),
+        norm(F.col("embedding")).alias("__na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("__vb"),
+        norm(F.col("embedding")).alias("__nb"),
+    )
     pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-    sim = F.round(cosine(F.col("__va"), F.col("__vb")), 6)
+    sim = F.round(
+        dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")), 6
+    )
     return (
         pairs.select("id_a", "id_b", sim.alias("cosine_sim"))
         .filter(F.col("cosine_sim") > 0.45)

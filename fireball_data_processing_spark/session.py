@@ -43,6 +43,12 @@ def get_spark(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or int(_DEFAULT_CPUS) * 2),
         )
+        # --- scan split sizing: explicit so the 100-TB math is visible —
+        #     128 MiB splits keep a task's working set inside executor
+        #     memory even with wide rows; raise for many-small-columns
+        #     tables, lower for mega-document corpora (the reference's
+        #     250 MB instances would otherwise pin single tasks)
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         # --- Arrow for all pandas UDF edges ------------------------------
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
