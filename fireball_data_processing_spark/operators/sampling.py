@@ -79,3 +79,42 @@ def mixture_sample(
         # empty create_map() is map<void,void> and cannot be indexed
         rate = F.lit(float(default_rate))
     return df.filter(hash_rank(key, salt) < rate)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata: Column,
+    fraction: Column | float,
+    key: Column,
+    salt: str = "",
+    keep_col: str | None = None,
+) -> DataFrame:
+    """Deterministic stratified sampling: keep ~``fraction`` of each
+    stratum, selected by hash threshold.
+
+    ``fraction`` may be a float (uniform across strata) or a Column
+    derived from the stratum (per-stratum targets — e.g. a broadcast-
+    joined rate table or a ``create_map`` literal like
+    :func:`mixture_sample`). Selection is ``hash_rank(key) < fraction``:
+    a pure scan-local filter — **zero shuffles, zero windows** — which is
+    the property that makes it the 100 TB form. The exact-count
+    alternative (rank rows within each stratum and take ``ceil(f*n)``)
+    needs a per-stratum sort; a hot stratum (half the corpus speaking
+    English) serializes onto one task, so exact-count stratification
+    does not survive skew. The hash threshold's per-stratum count is
+    Binomial(n_s, f) — within 3 sigma = +/-3*sqrt(n_s*f(1-f)) of target,
+    i.e. 0.1% relative error at a billion rows — and, unlike
+    ``DataFrame.sampleBy``, identical across retries, repartitioning and
+    engines (DuckDB-oracle-checkable).
+
+    With ``keep_col`` set, returns all rows with a boolean flag instead
+    of filtering (for audit queries that count kept vs total).
+    """
+    frac = fraction if isinstance(fraction, Column) else F.lit(float(fraction))
+    keep = hash_rank(key, salt) < frac
+    # strata only documents intent when fraction is a float; when it is a
+    # Column the caller has already folded the stratum into the rate.
+    _ = strata
+    if keep_col is not None:
+        return df.withColumn(keep_col, keep)
+    return df.filter(keep)

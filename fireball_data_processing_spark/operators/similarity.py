@@ -448,3 +448,79 @@ def dequantize_embedding(codes: Column, vmin: Column, vmax: Column, levels: int 
     """Inverse of :func:`quantize_embedding`: ``x_hat_i = vmin + code_i*scale``."""
     scale = (vmax - vmin) / F.lit(float(levels))
     return F.transform(codes, lambda q: vmin + q.cast("double") * scale)
+
+
+def sign_bucket(vec: Column, bits: int = 8) -> Column:
+    """Deterministic hyperplane bucket for semantic dedup.
+
+    Bit ``i`` (0-based) is 1 iff ``vec[i+1] >= vec[bits+i+1]`` (1-based
+    element access) — i.e. the sign of the dot product with the
+    axis-pair hyperplane ``e_i - e_{i+bits}``. For embeddings with
+    roughly isotropic coordinates this behaves like random-hyperplane
+    LSH (near-identical vectors agree on every bit), while staying pure
+    arithmetic that any engine reproduces exactly — unlike
+    :func:`rh_signature`'s seeded Gaussian planes, which are
+    reproducible only through this library. Use ``rh_signature`` when
+    recall matters (planes are data-independent Gaussians); use this
+    when cross-engine determinism matters (oracle-checked dedup).
+    """
+    bit = lambda i: F.when(
+        F.element_at(vec, i + 1).cast("double")
+        >= F.element_at(vec, bits + i + 1).cast("double"),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    out = F.lit(0)
+    for i in range(bits):
+        out = out + bit(i) * F.lit(1 << i)
+    return out
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+    tau: float = 0.9,
+    bucket_col: str = "bucket",
+    cos_col: str = "cos_to_rep",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication, Spark-first.
+
+    Partition the corpus into hyperplane buckets (:func:`sign_bucket`),
+    elect the min-id row of each bucket as its representative, and drop
+    every other member whose cosine to the representative exceeds
+    ``tau``. Returns the survivors: ``(id, bucket, cos_to_rep)`` where
+    the representative's cosine is 1.0 by construction (reported as
+    null for the rep to keep the column honest when the rep's norm is
+    0).
+
+    Plan shape: ONE exchange. The representative's id and vector are
+    both whole-partition window aggregates (``min`` / ``min_by``) over
+    the bucket key, so rep election and member comparison ride the same
+    hash partitioning — no join, no second shuffle, no driver collect.
+    At 100 TB the bucket count (2^bits) is chosen so a bucket fits a
+    task comfortably; skewed buckets degrade gracefully (the window is
+    an aggregate, not a sort).
+
+    This trades recall for determinism/cost exactly like published
+    SemDeDup (one representative per cluster, single cosine test);
+    the cluster family here is fixed hyperplanes rather than k-means,
+    which is what makes the result engine-reproducible (DuckDB oracle).
+    """
+    b = embeddings.withColumn(bucket_col, sign_bucket(F.col(vec_col), bits))
+    w = Window.partitionBy(bucket_col)
+    rep_id = F.min(id_col).over(w)
+    rep_vec = F.expr(f"min_by({vec_col}, {id_col})").over(w)
+    cos = cosine(F.col(vec_col), rep_vec)
+    scored = b.select(
+        F.col(id_col),
+        F.col(bucket_col),
+        rep_id.alias("__rep_id"),
+        F.round(cos, 6).alias(cos_col),
+    )
+    is_rep = F.col(id_col) == F.col("__rep_id")
+    return scored.filter(is_rep | (F.col(cos_col) <= tau)).select(
+        id_col,
+        bucket_col,
+        F.when(~is_rep, F.col(cos_col)).alias(cos_col),
+    )
