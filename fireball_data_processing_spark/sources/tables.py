@@ -16,6 +16,8 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType, TimestampType
 
 TABLES = (
     "region",
@@ -31,19 +33,70 @@ TABLES = (
 )
 
 
+def normalize_event_time(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Normalize a timestamp-typed event-time column to int64 epoch nanos.
+
+    No-op when the column is absent or already numeric (older corpora
+    encode TIMESTAMP(NANOS) parquet, which is read as int64 directly via
+    ``nanosAsLong``; the FIREBALL stream keeps float epoch seconds). The
+    NTZ conversion is wall-clock arithmetic — session-timezone-independent
+    and bit-identical to DuckDB's ``epoch_ns`` on the same file. Works on
+    both batch and streaming DataFrames (pure projection).
+    """
+    if ts_col not in df.columns:
+        return df
+    ts_type = df.schema[ts_col].dataType
+    if isinstance(ts_type, TimestampNTZType):
+        return df.withColumn(
+            ts_col,
+            F.expr(
+                f"timestampdiff(MICROSECOND,"
+                f" TIMESTAMP_NTZ '1970-01-01 00:00:00', {ts_col}) * 1000"
+            ),
+        )
+    if isinstance(ts_type, TimestampType):
+        return df.withColumn(ts_col, F.unix_micros(F.col(ts_col)) * F.lit(1000))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table from the scale-factor directory.
 
-    The ``events`` table carries TIMESTAMP(NANOS) parquet, which Spark 4
-    rejects by default; we read it as int64 nanoseconds
-    (``spark.sql.legacy.parquet.nanosAsLong``) — the engine's stream
-    operators treat event time as an exact integer, which is also what
-    keeps timestamp arithmetic bit-identical with the DuckDB oracle
-    (DuckDB truncates the same column to whole microseconds).
+    The ``events`` table's ``ts`` is normalized to **int64 epoch
+    nanoseconds** regardless of how the corpus encoded it:
+
+    - TIMESTAMP(NANOS) parquet (older corpora) is read as int64 directly
+      (``spark.sql.legacy.parquet.nanosAsLong``) — already nanos.
+    - TIMESTAMP(MICROS) parquet (current corpora) arrives as
+      TIMESTAMP_NTZ; it is converted with ``timestampdiff(MICROSECOND,
+      epoch, ts) * 1000`` — pure wall-clock arithmetic, independent of the
+      session time zone, and bit-identical to DuckDB's ``epoch_ns(ts)``
+      on the same file.
+
+    Every stream operator treats event time as an exact integer
+    (``StreamSchema.ts_unit == 'nanos_long'``), which keeps timestamp
+    deltas reproducible across engines — the reason the oracle checks
+    hash-match.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        df = normalize_event_time(df, "ts")
+    return df
+
+
+def raw_table_schema(spark: SparkSession, sf_dir: str, name: str):
+    """On-disk schema of a table, BEFORE event-time normalization.
+
+    Streaming readers must declare the file schema exactly as written
+    (``readStream.schema(...)``); the stream builders then apply
+    ``normalize_event_time`` themselves, so batch and streaming plans see
+    the same int64-nanos event time.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")).schema
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

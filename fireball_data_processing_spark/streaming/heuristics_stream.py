@@ -27,6 +27,7 @@ from fireball_data_processing_spark.plans.heuristics import (
     heuristic_exprs,
 )
 from fireball_data_processing_spark.schema import StreamSchema
+from fireball_data_processing_spark.sources.tables import normalize_event_time
 
 
 def stream_heuristics(
@@ -51,7 +52,10 @@ def stream_heuristics(
             f"not streamable: {unstreamable} — exact distinct aggregations "
             "cannot run incrementally; use the *_approx variants"
         )
-    stream = spark.readStream.schema(file_schema).format(fmt).load(source_dir)
+    stream = normalize_event_time(
+        spark.readStream.schema(file_schema).format(fmt).load(source_dir),
+        s.ts_col,
+    )
     exprs = heuristic_exprs(s, names)
     return stream.groupBy(F.col(s.instance_col)).agg(*exprs.values())
 
@@ -124,7 +128,10 @@ def stateful_buffer_flush_stream(
         ).astype({"anchor_id": "int64", "n_buffered": "int64",
                   "buffered_sum": "float64"})
 
-    stream = spark.readStream.schema(file_schema).format(fmt).load(source_dir)
+    stream = normalize_event_time(
+        spark.readStream.schema(file_schema).format(fmt).load(source_dir),
+        s.ts_col,
+    )
     return stream.groupBy(F.col(s.instance_col)).applyInPandasWithState(
         fn,
         outputStructType=out_schema,

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from fireball_data_processing_spark.schema import StreamSchema
+from fireball_data_processing_spark.sources.tables import normalize_event_time
 
 
 def interval_join_stream(
@@ -55,7 +56,10 @@ def interval_join_stream(
     in append mode — a pair is emitted exactly once, when both events have
     arrived and neither can be retracted by late data.
     """
-    stream = spark.readStream.schema(file_schema).format(fmt).load(source_dir)
+    stream = normalize_event_time(
+        spark.readStream.schema(file_schema).format(fmt).load(source_dir),
+        s.ts_col,
+    )
     if s.ts_unit == "nanos_long":
         ts = F.timestamp_micros(F.expr(f"{s.ts_col} div 1000"))
     elif s.ts_unit == "double_seconds":

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from fireball_data_processing_spark.schema import StreamSchema
+from fireball_data_processing_spark.sources.tables import normalize_event_time
 
 
 def windowed_counts_stream(
@@ -35,7 +36,10 @@ def windowed_counts_stream(
     (micros) for the event-time clock; other encodings pass through
     ``timestamp_seconds`` / native timestamps.
     """
-    stream = spark.readStream.schema(file_schema).format(fmt).load(source_dir)
+    stream = normalize_event_time(
+        spark.readStream.schema(file_schema).format(fmt).load(source_dir),
+        s.ts_col,
+    )
     if s.ts_unit == "nanos_long":
         ts = F.timestamp_micros(F.expr(f"{s.ts_col} div 1000"))
     elif s.ts_unit == "double_seconds":

@@ -12,7 +12,7 @@ from fireball_data_processing_spark.plans.heuristics import (
     heuristics_matrix,
 )
 from fireball_data_processing_spark.schema import SYNTHETIC_STREAM
-from fireball_data_processing_spark.sources.tables import load_table
+from fireball_data_processing_spark.sources.tables import load_table, raw_table_schema
 from fireball_data_processing_spark.streaming.heuristics_stream import (
     stream_heuristics,
 )
@@ -25,7 +25,7 @@ def test_stream_heuristics_matches_batch(spark):
     try:
         shutil.copy(os.path.join(SMOKE, "events.parquet"), src)
         batch_df = load_table(spark, SMOKE, "events")
-        file_schema = batch_df.schema
+        file_schema = raw_table_schema(spark, SMOKE, "events")
 
         stream = stream_heuristics(
             spark, src, file_schema, SYNTHETIC_STREAM, names=STREAM_SAFE
@@ -78,7 +78,7 @@ def test_stateful_fsm_stream_matches_batch(spark):
         batch_df = load_table(spark, SMOKE, "events")
 
         stream = stateful_buffer_flush_stream(
-            spark, src, batch_df.schema, SYNTHETIC_STREAM,
+            spark, src, raw_table_schema(spark, SMOKE, "events"), SYNTHETIC_STREAM,
             buffer_types=("view",), flush_types=("purchase",),
         )
         q = (
@@ -507,7 +507,7 @@ def test_interval_join_stream_matches_batch(spark, tmp_path):
     out = interval_join_stream(
         spark,
         src,
-        ev.schema,
+        raw_table_schema(spark, SMOKE, "events"),
         SYNTHETIC_STREAM,
         anchor_type="purchase",
         match_type="view",
