@@ -3725,6 +3725,112 @@ def q_words_per_signup_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =====================================================================
+# Text retrieval (LLM-pipeline extension): BM25 search + TF-IDF summary
+# =====================================================================
+
+_BM25_QUERIES = (
+    (1, "spark window aggregation"),
+    (2, "hash join shuffle partition"),
+    (3, "stream batch query"),
+)
+
+_BM25_ORACLE = """
+WITH q(query_id, query_text) AS (
+  VALUES (1, 'spark window aggregation'),
+         (2, 'hash join shuffle partition'),
+         (3, 'stream batch query')
+),
+qt AS (
+  SELECT DISTINCT query_id, unnest(regexp_extract_all(lower(query_text), '[a-z0-9]+')) AS term
+  FROM q
+),
+tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents
+),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(len(toks)) AS avgdl FROM tok),
+exploded AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tok),
+post AS (
+  SELECT doc_id, dl, term, COUNT(*) AS tf FROM exploded
+  WHERE term IN (SELECT term FROM qt)
+  GROUP BY doc_id, dl, term
+),
+dft AS (SELECT term, COUNT(*) AS df FROM post GROUP BY term),
+scored AS (
+  SELECT qt.query_id, post.doc_id,
+    ROUND(SUM(
+      LN(1 + (stats.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+      * (post.tf * (1.2 + 1.0))
+        / (post.tf + 1.2 * (1 - 0.75 + 0.75 * post.dl / stats.avgdl))
+    ), 6) AS score
+  FROM post
+  JOIN dft USING (term) CROSS JOIN stats JOIN qt USING (term)
+  GROUP BY qt.query_id, post.doc_id
+)
+SELECT query_id,
+       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id)
+         AS "rank",
+       doc_id, score
+FROM scored
+QUALIFY "rank" <= 5
+"""
+
+
+@query("bm25_search", _BM25_ORACLE)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranked retrieval over the document corpus — the lexical
+    search layer a training-data pipeline needs for contamination
+    forensics and topical slicing (extends the reference's per-doc corpus
+    stats, `count_num_chars_in_dataset.py`, to corpus-wide ranked search).
+    Query terms broadcast; postings filtered to them right after the
+    explode, so cost tracks matches, not corpus vocabulary."""
+    from fireball_data_processing_spark.operators.retrieval import bm25_search
+
+    d = load_table(spark, sf_dir, "documents")
+    q = spark.createDataFrame(list(_BM25_QUERIES), ["query_id", "query_text"])
+    return bm25_search(d, q, k=5).withColumn(
+        "rank", F.col("rank").cast("bigint")
+    )
+
+
+_TFIDF_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents
+),
+exploded AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tok),
+post AS (
+  SELECT doc_id, dl, term, COUNT(*) AS tf FROM exploded GROUP BY doc_id, dl, term
+),
+dft AS (SELECT term, COUNT(*) AS df FROM post GROUP BY term HAVING COUNT(*) >= 2),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+weighted AS (
+  SELECT post.doc_id, post.term,
+    ROUND((post.tf::DOUBLE / post.dl) * LN(n.n_docs::DOUBLE / dft.df), 6)
+      AS weight
+  FROM post JOIN dft USING (term) CROSS JOIN n
+)
+SELECT doc_id,
+       ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY weight DESC, term)
+         AS "rank",
+       term, weight
+FROM weighted
+QUALIFY "rank" <= 3
+"""
+
+
+@query("tf_idf_top_terms", _TFIDF_ORACLE)
+def q_tf_idf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document: the "what is this doc about"
+    summary used for corpus browsing and mixture audits. Full-vocabulary
+    document frequency is one self-aggregation of the postings."""
+    from fireball_data_processing_spark.operators.retrieval import tf_idf_top_terms
+
+    d = load_table(spark, sf_dir, "documents")
+    return tf_idf_top_terms(d, top_n=3, min_df=2).withColumn(
+        "rank", F.col("rank").cast("bigint")
+    )
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
@@ -3783,6 +3889,8 @@ _PRIORITY = [
     "approx_percentile_check",
     "doc_packing",
     "training_corpus_summary",
+    "bm25_search",
+    "tf_idf_top_terms",
     # --- attested in round 1 only; rotate back in ---
     "lsh_candidate_pairs",
     "simhash_fingerprints",
