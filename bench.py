@@ -9,7 +9,7 @@ Each query is forced end-to-end with a noop sink (full computation, no
 driver collect). The set covers every engine subsystem: the one-pass
 heuristics suite, sessionization/as-of/nearest joins, star joins, window
 analytics, near-dedup (MinHash+LSH+Jaccard), SimHash, similarity search,
-and text analysis.
+text analysis, and BM25 lexical retrieval.
 """
 
 from __future__ import annotations
@@ -37,6 +37,7 @@ HEADLINE = (
     "near_dup_pairs",
     "simhash_fingerprints",
     "ann_cosine_topk",
+    "bm25_search",
 )
 
 

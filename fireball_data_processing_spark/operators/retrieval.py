@@ -120,8 +120,21 @@ def bm25_search(
     )
     distinct_terms = q_terms.select("term").distinct()
 
-    post = _postings(docs, text_col, id_col).join(
-        F.broadcast(distinct_terms), "term"
+    # the broadcast term filter must sit BETWEEN the explode and the tf
+    # aggregation — joined above a pre-built postings aggregate, the full
+    # corpus vocabulary would be shuffled and aggregated first (Catalyst
+    # cannot push a join below an aggregation), so the filter is applied
+    # manually at token level: only query-term tokens reach the exchange
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
+    )
+    post = (
+        tok.select(
+            "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
+        )
+        .join(F.broadcast(distinct_terms), "term")
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
     )
     # df as a count-over-window on the SAME postings subtree (postings
     # have one row per (doc, term), so count over the term partition IS

@@ -141,6 +141,13 @@ def test_bm25_plan_broadcasts_query_side(spark):
     # only the postings aggregations shuffle
     assert s.count("BroadcastHashJoin") >= 2
     assert "BroadcastNestedLoopJoin" in s  # 1-row stats cross join
+    # df must come from a count-over-window on the one postings subtree,
+    # never a groupBy+join-back (that duplicates the tokenize subtree and
+    # shows up as a shuffle join here)
+    assert "SortMergeJoin" not in s
+    # postings tf agg + df window + score agg + rank window, plus the
+    # distinct() on the few-row query-terms frame
+    assert len(re.findall(r"Exchange (hash|range)partitioning", s)) <= 5
 
 
 def test_index_search_prunes_term_buckets(spark, tmp_path):
