@@ -3831,6 +3831,46 @@ def q_tf_idf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PMI_ORACLE = """
+WITH tok AS (
+  SELECT list_slice(list_sort(list_distinct(
+           regexp_extract_all(lower(text), '[a-z0-9]+'))), 1, 128) AS terms,
+         ROW_NUMBER() OVER () AS rid
+  FROM documents
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+tt AS (SELECT rid, unnest(terms) AS term FROM tok),
+singles AS (SELECT term, COUNT(*) AS df FROM tt GROUP BY term),
+pairs AS (
+  SELECT a.term AS ta, b.term AS tb, COUNT(*) AS n_ab
+  FROM tt a JOIN tt b ON a.rid = b.rid AND a.term < b.term
+  GROUP BY a.term, b.term
+  HAVING COUNT(*) >= 5
+)
+SELECT pairs.ta, pairs.tb, pairs.n_ab, sa.df AS df_a, sb.df AS df_b,
+  ROUND(LN(pairs.n_ab::DOUBLE * n.n_docs / (sa.df::DOUBLE * sb.df)), 6)
+    AS pmi
+FROM pairs
+JOIN singles sa ON sa.term = pairs.ta
+JOIN singles sb ON sb.term = pairs.tb
+CROSS JOIN n
+"""
+
+
+@query("token_pmi_collocations", _PMI_ORACLE)
+def q_token_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level PMI collocations over the corpus vocabulary —
+    phrase/merge-pair mining for tokenizer and vocabulary work (extends
+    the reference's corpus statistics). Pairs are generated per row with
+    higher-order functions (no self-join, no duplicated tokenize
+    subtree); term document frequencies ride the same single aggregation
+    and reach pair rows via windows."""
+    from fireball_data_processing_spark.operators.collocations import doc_pmi
+
+    d = load_table(spark, sf_dir, "documents")
+    return doc_pmi(d, min_pair_count=5, max_terms=128)
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
@@ -3891,6 +3931,7 @@ _PRIORITY = [
     "training_corpus_summary",
     "bm25_search",
     "tf_idf_top_terms",
+    "token_pmi_collocations",
     # --- attested in round 1 only; rotate back in ---
     "lsh_candidate_pairs",
     "simhash_fingerprints",
