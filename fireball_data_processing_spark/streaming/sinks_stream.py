@@ -1,0 +1,115 @@
+"""Streaming sinks: exactly-once parquet output and multi-way routing.
+
+Structured Streaming's file sink is append-only and relies on its own
+transaction log; production pipelines routinely need (a) exactly-once
+parquet output that survives micro-batch REPLAY (a failed batch is
+re-run with the same epoch id after restart), and (b) one input pass
+fanned out to several destinations (keep/reject routing by a quality
+predicate). Both are `foreachBatch` patterns:
+
+- **Idempotent sink**: every micro-batch is written to a
+  ``batch_id=<epoch>`` partition with dynamic partition overwrite
+  (:func:`..sources.maintenance.overwrite_partitions` semantics) — a
+  replayed epoch REPLACES its own partition instead of appending a
+  duplicate, which upgrades the file sink's at-least-once replay to
+  exactly-once output without any table-format dependency. Readers
+  just scan the directory; the epoch partition column also gives free
+  per-batch lineage/debugging.
+- **Routing sink**: the micro-batch frame is persisted once, each
+  route filters and writes from the cached frame (one source pass per
+  batch, not one per destination), and every route is epoch-partition
+  idempotent the same way.
+
+Checkpointing: pass ``checkpoint_dir`` — offsets commit only after
+``foreachBatch`` returns, so a crash mid-write replays the epoch and
+the overwrite makes the replay harmless.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+__all__ = [
+    "write_epoch_partition",
+    "idempotent_parquet_sink",
+    "routed_parquet_sink",
+]
+
+
+def write_epoch_partition(batch_df: DataFrame, epoch_id: int, path: str) -> None:
+    """Write one micro-batch to ``batch_id=<epoch_id>`` with dynamic
+    partition overwrite: re-running the same epoch replaces its own
+    partition (idempotent replay), touching no other epoch's output."""
+    (
+        batch_df.withColumn("batch_id", F.lit(int(epoch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(path)
+    )
+
+
+def idempotent_parquet_sink(
+    stream: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Exactly-once parquet sink via epoch-partitioned overwrite."""
+    writer = (
+        stream.writeStream.foreachBatch(
+            lambda df, epoch: write_epoch_partition(df, epoch, path)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def routed_parquet_sink(
+    stream: DataFrame,
+    routes: Mapping[str, Column] | Mapping[str, Callable[[], Column]],
+    paths: Mapping[str, str],
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Fan one stream out to several parquet destinations in a single
+    input pass per micro-batch.
+
+    ``routes`` maps route name -> boolean Column (evaluated against the
+    micro-batch); ``paths`` maps the same names -> output directories.
+    The batch frame is persisted once and each route filters from the
+    cache, so the upstream plan (source read + transforms) executes once
+    per batch regardless of route count. Rows matching several routes go
+    to each (filtering is independent); each destination is
+    epoch-partition idempotent.
+    """
+    missing = set(routes) - set(paths)
+    if missing:
+        raise ValueError(f"routes without a path: {sorted(missing)}")
+
+    def _write(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.persist()
+        try:
+            for name, cond in routes.items():
+                pred = cond() if callable(cond) else cond
+                write_epoch_partition(
+                    batch_df.filter(pred), epoch_id, paths[name]
+                )
+        finally:
+            batch_df.unpersist()
+
+    writer = (
+        stream.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
