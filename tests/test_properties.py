@@ -501,3 +501,92 @@ def test_cms_lower_bound_all_values(spark, vals):
     for v, (n_exact, est) in got.items():
         assert n_exact == true[v]
         assert est >= true[v], (v, est, true[v])
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=0, max_size=8).map(
+            lambda ws: " ".join(ws)
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    query=st.lists(st.sampled_from("abcd"), min_size=1, max_size=3).map(
+        lambda ws: " ".join(ws)
+    ),
+)
+@settings(**SETTINGS)
+def test_bm25_matches_python_reference(spark, docs, query):
+    """BM25 scores agree with a literal Python computation on arbitrary
+    tiny corpora (empty docs, all-identical docs, query terms absent)."""
+    import math
+    from collections import Counter
+
+    from fireball_data_processing_spark.operators.retrieval import bm25_search
+
+    d = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id bigint, text string"
+    )
+    q = spark.createDataFrame([(0, query)], "query_id bigint, query_text string")
+    got = {
+        r["doc_id"]: r["score"]
+        for r in bm25_search(d, q, k=len(docs) + 1).collect()
+    }
+
+    toks = {i: t.split() for i, t in enumerate(docs)}
+    n = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    k1, b = 1.2, 0.75
+    want = {}
+    for term in set(query.split()):
+        df = sum(1 for v in toks.values() if term in v)
+        if df == 0:
+            continue
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        for i, v in toks.items():
+            tf = Counter(v)[term]
+            if tf:
+                want[i] = want.get(i, 0.0) + idf * (tf * (k1 + 1)) / (
+                    tf + k1 * (1 - b + b * len(v) / avgdl)
+                )
+    want = {i: round(s, 6) for i, s in want.items()}
+    assert set(got) == set(want)
+    for i in want:
+        assert abs(got[i] - want[i]) <= 1e-6, (i, got[i], want[i])
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcde"), min_size=0, max_size=8).map(
+            lambda ws: " ".join(ws)
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+)
+@settings(**SETTINGS)
+def test_doc_pmi_matches_python_reference(spark, docs):
+    """PMI pair/df counts agree with itertools.combinations on arbitrary
+    corpora, including docs with duplicate words and empty docs."""
+    import itertools
+    import math
+    from collections import Counter
+
+    from fireball_data_processing_spark.operators.collocations import doc_pmi
+
+    d = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id bigint, text string"
+    )
+    got = {
+        (r["ta"], r["tb"]): (r["n_ab"], r["df_a"], r["df_b"], r["pmi"])
+        for r in doc_pmi(d, min_pair_count=1).collect()
+    }
+    term_sets = [sorted(set(t.split())) for t in docs]
+    n = len(docs)
+    df = Counter(t for s in term_sets for t in s)
+    pair_n = Counter(p for s in term_sets for p in itertools.combinations(s, 2))
+    want = {
+        (a, b): (c, df[a], df[b], round(math.log(c * n / (df[a] * df[b])), 6))
+        for (a, b), c in pair_n.items()
+    }
+    assert got == want
