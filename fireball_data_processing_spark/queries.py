@@ -3871,6 +3871,63 @@ def q_token_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_pmi(d, min_pair_count=5, max_terms=128)
 
 
+_DSIR_B = 512
+
+_DSIR_ORACLE = f"""
+WITH raw AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+),
+tgt AS (SELECT toks FROM raw JOIN documents USING (doc_id)
+        WHERE lang = 'en' AND source = 'src1'),
+rg AS (
+  SELECT doc_id,
+    ('0x' || substr(md5(toks[i] || ' ' || toks[i+1]), 1, 8))::BIGINT % {_DSIR_B}
+      AS bucket
+  FROM raw, unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS t(i)
+),
+tg AS (
+  SELECT ('0x' || substr(md5(toks[i] || ' ' || toks[i+1]), 1, 8))::BIGINT
+           % {_DSIR_B} AS bucket
+  FROM tgt, unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS t(i)
+),
+rd AS (SELECT bucket, COUNT(*) AS r_n FROM rg GROUP BY bucket),
+td AS (SELECT bucket, COUNT(*) AS t_n FROM tg GROUP BY bucket),
+merged AS (
+  SELECT COALESCE(rd.bucket, td.bucket) AS bucket,
+         COALESCE(r_n, 0) AS r_n, COALESCE(t_n, 0) AS t_n
+  FROM rd FULL JOIN td ON rd.bucket = td.bucket
+),
+ratios AS (
+  SELECT bucket,
+    LN((t_n + 1)::DOUBLE / (SUM(t_n) OVER () + {_DSIR_B}))
+      - LN((r_n + 1)::DOUBLE / (SUM(r_n) OVER () + {_DSIR_B})) AS log_ratio
+  FROM merged
+)
+SELECT rg.doc_id, COUNT(*) AS n_grams,
+       ROUND(SUM(log_ratio), 6) AS log_weight
+FROM rg JOIN ratios USING (bucket)
+GROUP BY rg.doc_id
+"""
+
+
+@query("dsir_selection_weights", _DSIR_ORACLE)
+def q_dsir_selection_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-resampling data selection (Xie et al. 2023 DSIR):
+    hashed-bigram importance log-weights of every document against a
+    target domain sample (here: lang='en' AND source='src1'). The bucket
+    distributions are aggregate-sized and broadcast; scoring is one
+    explode + one broadcast join + one groupBy. Selection = keep the
+    top-weight slice."""
+    from fireball_data_processing_spark.operators.selection import (
+        dsir_log_weights,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    target = d.filter((F.col("lang") == "en") & (F.col("source") == "src1"))
+    return dsir_log_weights(d, target, n_buckets=_DSIR_B, gram_n=2)
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
@@ -3932,6 +3989,7 @@ _PRIORITY = [
     "bm25_search",
     "tf_idf_top_terms",
     "token_pmi_collocations",
+    "dsir_selection_weights",
     # --- attested in round 1 only; rotate back in ---
     "lsh_candidate_pairs",
     "simhash_fingerprints",
