@@ -3928,6 +3928,48 @@ def q_dsir_selection_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_log_weights(d, target, n_buckets=_DSIR_B, gram_n=2)
 
 
+_DRIFT_ORACLE = """
+WITH b AS (SELECT source AS bucket, COUNT(*) AS n_before FROM documents
+           WHERE doc_id % 2 = 0 GROUP BY source),
+a AS (SELECT source AS bucket, COUNT(*) AS n_after FROM documents
+      WHERE doc_id % 2 = 1 GROUP BY source),
+m AS (
+  SELECT COALESCE(b.bucket, a.bucket) AS bucket,
+         COALESCE(n_before, 0) AS n_before,
+         COALESCE(n_after, 0) AS n_after
+  FROM b FULL JOIN a ON b.bucket = a.bucket
+),
+s AS (
+  SELECT *,
+    (n_before + 1)::DOUBLE / (SUM(n_before) OVER () + COUNT(*) OVER ()) AS p,
+    (n_after + 1)::DOUBLE / (SUM(n_after) OVER () + COUNT(*) OVER ()) AS q
+  FROM m
+)
+SELECT bucket, n_before, n_after,
+       ROUND(p, 6) AS p_before, ROUND(q, 6) AS p_after,
+       ROUND((q - p) * LN(q / p), 6) AS psi_term,
+       ROUND(p * LN(p / q), 6) AS kl_term
+FROM s
+"""
+
+
+@query("source_distribution_drift", _DRIFT_ORACLE)
+def q_source_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift (PSI + KL per bucket) of the corpus source mix
+    between two snapshots — here the deterministic even/odd doc_id halves
+    stand in for consecutive ingests. Both sides reduce to aggregate-
+    sized share tables; smoothing keeps appearing/vanishing sources
+    finite. Total PSI = sum(psi_term)."""
+    from fireball_data_processing_spark.operators.drift import (
+        distribution_drift,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    before = d.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+    after = d.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1)
+    return distribution_drift(before, after, F.col("source"))
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
@@ -3990,6 +4032,7 @@ _PRIORITY = [
     "tf_idf_top_terms",
     "token_pmi_collocations",
     "dsir_selection_weights",
+    "source_distribution_drift",
     # --- attested in round 1 only; rotate back in ---
     "lsh_candidate_pairs",
     "simhash_fingerprints",
