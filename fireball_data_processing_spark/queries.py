@@ -3970,6 +3970,32 @@ def q_source_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distribution_drift(before, after, F.col("source"))
 
 
+@query("bpe_token_stats", None)  # iterative merge training: rows-only check
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer round trip at corpus scale: ONE distributed pass
+    counts word frequencies (vocabulary-sized result), greedy merge
+    training runs on that compact table driver-side (the same split
+    single-node tokenizer libraries use), and application is an
+    Arrow-batched pandas UDF. Iterative training is not SQL-expressible,
+    so this entry is rows-only; the algorithm itself is golden-tested
+    (tests/test_bpe.py)."""
+    from fireball_data_processing_spark.functions.bpe import (
+        bpe_tokens_udf,
+        train_bpe,
+        word_frequencies,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    wf = [(r.word, r.n) for r in word_frequencies(d).collect()]
+    merges = train_bpe(sorted(wf), n_merges=64)
+    toks = bpe_tokens_udf(merges)(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_words"),
+    )
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
@@ -4033,6 +4059,7 @@ _PRIORITY = [
     "token_pmi_collocations",
     "dsir_selection_weights",
     "source_distribution_drift",
+    "bpe_token_stats",
     # --- attested in round 1 only; rotate back in ---
     "lsh_candidate_pairs",
     "simhash_fingerprints",
