@@ -103,6 +103,7 @@ def bm25_search(
     id_col: str = "doc_id",
     query_id_col: str = "query_id",
     query_text_col: str = "query_text",
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """Okapi BM25 top-k documents per query, as one declarative plan.
 
@@ -113,6 +114,13 @@ def bm25_search(
     docs that define df, which is counted per term over the filtered
     postings themselves — identical because df only involves docs that
     DO contain the term).
+
+    ``stats``: optional one-row (n_docs, avgdl) frame. The default
+    (None) computes it with a second projection-only pass over
+    ``docs``; callers searching repeatedly should pass the persisted
+    stats (e.g. ``spark.read.parquet(index/stats)`` from
+    :func:`build_postings_index`) — corpus constants don't need
+    re-deriving per query batch.
     """
     q_terms = queries.select(
         F.col(query_id_col).alias("query_id"),
@@ -143,9 +151,11 @@ def bm25_search(
     # twice
     df_t = F.count(F.lit(1)).over(Window.partitionBy("term"))
 
+    if stats is None:
+        stats = _corpus_stats(docs, text_col)
     scored = (
         post.withColumn("df", df_t)
-        .join(F.broadcast(_corpus_stats(docs, text_col)))
+        .join(F.broadcast(stats))
         .withColumn("contrib", _bm25_contrib(k1, b))
         .join(F.broadcast(q_terms), "term")
         .groupBy("query_id", "doc_id")

@@ -124,6 +124,13 @@ def test_index_path_equals_direct_search(spark, tmp_path):
         for r in bm25_search_from_index(spark, path, q, k=5, n_buckets=16).collect()
     }
     assert direct == via_index
+    # precomputed stats skip the second corpus pass but change nothing
+    stats = spark.read.parquet(path + "/stats")
+    with_stats = {
+        (r.query_id, r.rank): (r.doc_id, r.score)
+        for r in bm25_search(d, q, k=5, stats=stats).collect()
+    }
+    assert direct == with_stats
 
 
 def _explain_str(df) -> str:
