@@ -3996,6 +3996,66 @@ def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_INCR_ORACLE = """
+SELECT user_id,
+  COUNT(*) AS event_count,
+  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS message_count,
+  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS command_count,
+  CASE WHEN COUNT(CASE WHEN event_type = 'view' THEN 1 END) > 0 THEN
+    COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)::DOUBLE
+      / COUNT(CASE WHEN event_type = 'view' THEN 1 END)::DOUBLE END
+    AS message_to_command_ratio,
+  ROUND(CASE WHEN COUNT(CASE WHEN event_type = 'view' THEN 1 END) > 0 THEN
+    COALESCE(SUM(CASE WHEN event_type = 'view' THEN value END), 0)::DOUBLE
+      / COUNT(CASE WHEN event_type = 'view' THEN 1 END)::DOUBLE
+    ELSE 0.0 END, 6) AS average_message_length,
+  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS num_turns,
+  ROUND(COALESCE(SUM(CASE WHEN event_type = 'view' THEN value END), 0)::DOUBLE
+    / (COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) + 1)::DOUBLE, 6)
+    AS avg_words_between_commands
+FROM events
+GROUP BY user_id
+"""
+
+
+@query("incremental_heuristics_merge", _INCR_ORACLE)
+def q_incremental_heuristics_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus growth without recompute: heuristic PARTIALS
+    computed separately on two interleaved chunks (instances cut
+    mid-stream — the hard case), merged (sums add, sketches union), and
+    finalized. The oracle aggregates the events directly: merge
+    invariance IS the property under test. The mergeable-sketch
+    participants estimate is exercised in tests (DuckDB has no
+    DataSketches HLL to compare against)."""
+    from fireball_data_processing_spark.plans.incremental import (
+        finalize_heuristics,
+        heuristic_partials,
+        merge_heuristic_partials,
+    )
+    from fireball_data_processing_spark.schema import SYNTHETIC_STREAM as S
+
+    ev = load_table(spark, sf_dir, "events")
+    c1 = ev.filter(F.pmod(F.col("event_id"), F.lit(3)) != 0)
+    c2 = ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == 0)
+    out = finalize_heuristics(
+        merge_heuristic_partials(
+            S, heuristic_partials(c1, S), heuristic_partials(c2, S)
+        )
+    )
+    return out.select(
+        "user_id",
+        "event_count",
+        "message_count",
+        "command_count",
+        "message_to_command_ratio",
+        F.round("average_message_length", 6).alias("average_message_length"),
+        "num_turns",
+        F.round("avg_words_between_commands", 6).alias(
+            "avg_words_between_commands"
+        ),
+    )
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
@@ -4060,6 +4120,7 @@ _PRIORITY = [
     "dsir_selection_weights",
     "source_distribution_drift",
     "bpe_token_stats",
+    "incremental_heuristics_merge",
     # --- attested in round 1 only; rotate back in ---
     "lsh_candidate_pairs",
     "simhash_fingerprints",
