@@ -92,6 +92,11 @@ def dsir_log_weights(
     smoothed so unseen buckets are defined. Positive = more target-like
     than the raw average. Selection = order by log_weight (descending)
     and keep the head, or threshold at 0.
+
+    Size ``n_buckets`` well below the TARGET sample's gram count: the
+    smoothing adds B pseudo-counts per side, so B >> T flattens the
+    target distribution and drowns its signal. The 4096 default assumes
+    corpus-scale gram counts; shrink it for small pilot samples.
     """
     from pyspark.sql.window import Window
 

@@ -84,30 +84,76 @@ def quality_stage(
     )
 
 
+def selection_stage(
+    quality: DataFrame,
+    target: DataFrame,
+    min_log_weight: float = 0.0,
+    n_buckets: int = 4096,
+    text_col: str = "clean_text",
+    target_text_col: str = "text",
+) -> DataFrame:
+    """Optional DSIR domain targeting (:mod:`..operators.selection`):
+    keep documents whose hashed-bigram importance log-weight against the
+    ``target`` sample clears ``min_log_weight`` (0 = "more target-like
+    than the raw average"). A value threshold keeps the stage fully lazy
+    and shuffle-light; derive a keep-fraction threshold offline from an
+    approx quantile of the weights when a fixed budget is needed.
+
+    The DSIR pass consumes ``quality`` several times (distribution build
+    + scoring); callers running selection should ``.persist()`` the
+    quality frame — the same fan-out rule as the module docstring."""
+    from fireball_data_processing_spark.operators.selection import (
+        dsir_log_weights,
+    )
+
+    # the target sample arrives with its own text column (raw docs by
+    # default); project it onto the pipeline's text column name
+    weights = dsir_log_weights(
+        quality,
+        target.select(F.col(target_text_col).alias(text_col)),
+        n_buckets=n_buckets,
+        text_col=text_col,
+    )
+    return quality.join(
+        weights.filter(F.col("log_weight") >= min_log_weight).select(
+            "doc_id", "log_weight"
+        ),
+        "doc_id",
+    )
+
+
 def build_training_corpus(
     docs: DataFrame,
     max_tokens_per_bin: int = 256,
     min_words_per_segment: int = 50,
     min_tokens: int = 5,
     max_tokens: int = 5000,
+    target: DataFrame | None = None,
+    dsir_min_log_weight: float = 0.0,
+    dsir_n_buckets: int = 4096,
 ) -> dict[str, DataFrame]:
     """The full pipeline; returns every stage (all lazy):
-    ``{"cleaned", "deduped", "quality", "packed"}`` — ``packed`` is the
-    training manifest ``(source, doc_id, bin_idx, tok_start, tok_end,
-    offset_in_bin)``."""
+    ``{"cleaned", "deduped", "quality"[, "selected"], "packed"}`` —
+    ``packed`` is the training manifest ``(source, doc_id, bin_idx,
+    tok_start, tok_end, offset_in_bin)``. Passing a ``target`` sample
+    inserts the DSIR domain-selection stage between the quality gate and
+    packing (the modern pretraining-pipeline shape: clean -> dedup ->
+    quality -> select -> pack)."""
     cleaned = clean_stage(docs, min_words_per_segment)
     deduped = dedup_stage(cleaned)
     quality = quality_stage(deduped, min_tokens, max_tokens)
-    packed = pack_sequences(
-        quality,
+    stages = {"cleaned": cleaned, "deduped": deduped, "quality": quality}
+    pack_input = quality
+    if target is not None:
+        pack_input = selection_stage(
+            quality, target, dsir_min_log_weight, dsir_n_buckets
+        )
+        stages["selected"] = pack_input
+    stages["packed"] = pack_sequences(
+        pack_input,
         max_tokens=max_tokens_per_bin,
         shard_col="source",
         order_col="doc_id",
         n_tokens=F.col("n_tokens"),
     )
-    return {
-        "cleaned": cleaned,
-        "deduped": deduped,
-        "quality": quality,
-        "packed": packed,
-    }
+    return stages

@@ -1002,3 +1002,46 @@ def test_corpus_pipeline_stages(spark):
             r["tok_end"] - r["tok_start"]
         )
     assert covered == {1: 50, 5: 60}
+
+
+def test_corpus_pipeline_with_dsir_selection(spark):
+    """Passing a target sample inserts the DSIR stage: only docs whose
+    bigram mix resembles the target survive to packing; without a
+    target the stages dict is unchanged (no 'selected' key)."""
+    from pyspark.sql import functions as F
+
+    from fireball_data_processing_spark.plans.corpus_pipeline import (
+        build_training_corpus,
+    )
+
+    seg_a = " ".join(["alpha beta"] * 30)   # target-flavored bigrams
+    seg_b = " ".join(["gamma delta"] * 30)  # off-domain bigrams
+    rows = [
+        (1, seg_a, "s1"),
+        (2, seg_a + " alpha beta", "s1"),
+        (3, seg_b, "s1"),
+        (4, seg_b + " gamma delta", "s2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    target = df.filter(F.col("doc_id") == 1)
+
+    # n_buckets must be small relative to the corpus gram count: add-one
+    # smoothing spreads 1/B of probability everywhere, so B >> grams
+    # drowns a tiny target sample's signal (production default 4096
+    # assumes corpus-scale gram counts)
+    stages = build_training_corpus(
+        df,
+        max_tokens_per_bin=32,
+        min_words_per_segment=10,
+        target=target,
+        dsir_n_buckets=64,
+    )
+    selected = {r["doc_id"] for r in stages["selected"].collect()}
+    assert selected == {1, 2}  # the alpha-beta docs clear log_weight >= 0
+    packed_docs = {r["doc_id"] for r in stages["packed"].collect()}
+    assert packed_docs == {1, 2}
+    # log_weight rides into the selected frame for downstream audits
+    assert "log_weight" in stages["selected"].columns
+
+    no_target = build_training_corpus(df, max_tokens_per_bin=32)
+    assert "selected" not in no_target
