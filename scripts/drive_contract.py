@@ -5,9 +5,12 @@ oracle_sql() via DuckDB (row count + column names + sorted values).
 Usage: python scripts/drive_contract.py [name_substring ...]
 With args, only queries whose name contains one of the substrings run
 (and the entry() smoke is skipped) — for fast dev iteration."""
-import sys, math
+import os, sys, math
 sys.path.insert(0, "/root/repo")
 ONLY = [a for a in sys.argv[1:] if not a.startswith("-")]
+# override the comparison scale factor (driver uses sf0.01); e.g.
+#   DRIVE_SF_DIR=/root/testdata/sf0.1 python scripts/drive_contract.py bm25
+SF_DIR = os.environ.get("DRIVE_SF_DIR", "/root/testdata/sf0.01")
 import duckdb
 from pyspark.sql import SparkSession
 
@@ -27,13 +30,13 @@ if not ONLY:
 # --- t2 correctness ---
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('/root/testdata/sf0.01/{t}.parquet')")
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
 
 qs, oracles = e.queries(), e.oracle_sql()
 for name, fn in qs.items():
     if ONLY and not any(s in name for s in ONLY):
         continue
-    got = fn(spark, "/root/testdata/sf0.01").toPandas()
+    got = fn(spark, SF_DIR).toPandas()
     if name not in oracles:
         print(f"{name}: rows-only, {len(got)} rows")
         continue
