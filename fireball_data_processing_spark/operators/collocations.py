@@ -83,6 +83,15 @@ def doc_pmi(
     # the per-term document frequency is visible to pair rows from a
     # window on either key: two aggregate-sized window exchanges, zero
     # joins, one corpus scan.
+    #
+    # Known bounded skew: the off-orientation singles share a NULL
+    # partition key under each window, so each window has ONE partition
+    # of exactly |vocabulary| short rows handled by a single task (a
+    # simple running max; WindowExec spills if needed). That straggler is
+    # vocabulary-sized, never pair- or corpus-sized. The alternatives
+    # cost more: persisting `counts` caches the full pre-filter PAIR
+    # table (can dwarf the vocabulary), and split-frame windows re-plan
+    # the aggregation per consumer.
     singles = F.flatten(
         F.transform(
             F.col("terms"),

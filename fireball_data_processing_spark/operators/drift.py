@@ -47,8 +47,14 @@ def distribution_drift(
     """
     b = bucket_shares(before, bucket).withColumnRenamed("n", "n_before")
     a = bucket_shares(after, bucket).withColumnRenamed("n", "n_after")
-    merged = b.join(a, "bucket", "full").select(
-        "bucket",
+    # null-safe join key: a NULL bucket (missing source/lang) is a real
+    # category — an equi-join would never match the two NULL rows and
+    # split them into two half-counted buckets, inflating the bucket
+    # count and skewing every share
+    merged = b.join(
+        a, b["bucket"].eqNullSafe(a["bucket"]), "full"
+    ).select(
+        F.coalesce(b["bucket"], a["bucket"]).alias("bucket"),
         F.coalesce("n_before", F.lit(0)).alias("n_before"),
         F.coalesce("n_after", F.lit(0)).alias("n_after"),
     )

@@ -66,16 +66,29 @@ def _corpus_stats(docs: DataFrame, text_col: str) -> DataFrame:
     )
 
 
-def _postings(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(doc_id, dl, term, tf) for every distinct term of every doc."""
+def _postings(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    term_filter: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, dl, term, tf) for every distinct term of every doc.
+
+    ``term_filter`` (a one-column ``term`` frame, broadcast) is applied
+    BETWEEN the explode and the tf aggregation — joined above a built
+    postings aggregate instead, the full corpus vocabulary would be
+    shuffled first (Catalyst cannot push a join below an aggregation)."""
     tok = docs.select(
         F.col(id_col).alias("doc_id"),
         tokens(F.col(text_col)).alias("toks"),
     )
-    return (
-        tok.select("doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term"))
-        .groupBy("doc_id", "dl", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    exploded = tok.select(
+        "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
+    )
+    if term_filter is not None:
+        exploded = exploded.join(F.broadcast(term_filter), "term")
+    return exploded.groupBy("doc_id", "dl", "term").agg(
+        F.count(F.lit(1)).alias("tf")
     )
 
 
@@ -128,22 +141,7 @@ def bm25_search(
     )
     distinct_terms = q_terms.select("term").distinct()
 
-    # the broadcast term filter must sit BETWEEN the explode and the tf
-    # aggregation — joined above a pre-built postings aggregate, the full
-    # corpus vocabulary would be shuffled and aggregated first (Catalyst
-    # cannot push a join below an aggregation), so the filter is applied
-    # manually at token level: only query-term tokens reach the exchange
-    tok = docs.select(
-        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
-    )
-    post = (
-        tok.select(
-            "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
-        )
-        .join(F.broadcast(distinct_terms), "term")
-        .groupBy("doc_id", "dl", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    post = _postings(docs, text_col, id_col, term_filter=distinct_terms)
     # df as a count-over-window on the SAME postings subtree (postings
     # have one row per (doc, term), so count over the term partition IS
     # document frequency) — a groupBy+join-back would duplicate the whole

@@ -114,11 +114,15 @@ def selection_stage(
         n_buckets=n_buckets,
         text_col=text_col,
     )
+    # LEFT join: a doc with fewer than two tokens has no bigram evidence
+    # and no weights row — that is "no information", not "off-domain",
+    # so such docs are KEPT with a NULL log_weight rather than silently
+    # dropped (an inner join would delete them regardless of threshold)
     return quality.join(
-        weights.filter(F.col("log_weight") >= min_log_weight).select(
-            "doc_id", "log_weight"
-        ),
-        "doc_id",
+        weights.select("doc_id", "log_weight"), "doc_id", "left"
+    ).filter(
+        F.col("log_weight").isNull()
+        | (F.col("log_weight") >= min_log_weight)
     )
 
 

@@ -44,6 +44,7 @@ _SUM_COLS = (
     "n_messages",
     "n_commands",
     "n_utterances",
+    "n_utter_measured",
     "sum_utter_measure",
 )
 
@@ -57,6 +58,12 @@ def heuristic_partials(events: DataFrame, s: StreamSchema) -> DataFrame:
         F.count(F.when(_is_message(s), 1)).alias("n_messages"),
         F.count(F.when(_is_command(s), 1)).alias("n_commands"),
         F.count(F.when(_is_utterance(s), 1)).alias("n_utterances"),
+        # denominator for the average must count only rows F.avg would:
+        # utterances with a NON-NULL measure (attachment-only messages
+        # carry none) — dividing by all utterances breaks batch parity
+        F.count(F.when(_is_utterance(s), _measure(s))).alias(
+            "n_utter_measured"
+        ),
         F.coalesce(
             F.sum(F.when(_is_utterance(s), _measure(s))), F.lit(0.0)
         ).alias("sum_utter_measure"),
@@ -93,7 +100,7 @@ def finalize_heuristics(partials: DataFrame) -> DataFrame:
     what tests pin)."""
     n_msg = F.col("n_messages")
     n_cmd = F.col("n_commands")
-    n_utt = F.col("n_utterances")
+    n_utt = F.col("n_utter_measured")
     return partials.select(
         partials.columns[0],
         F.col("n_events").alias("event_count"),

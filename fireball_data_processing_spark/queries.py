@@ -3937,7 +3937,7 @@ m AS (
   SELECT COALESCE(b.bucket, a.bucket) AS bucket,
          COALESCE(n_before, 0) AS n_before,
          COALESCE(n_after, 0) AS n_after
-  FROM b FULL JOIN a ON b.bucket = a.bucket
+  FROM b FULL JOIN a ON b.bucket IS NOT DISTINCT FROM a.bucket
 ),
 s AS (
   SELECT *,
@@ -3970,6 +3970,9 @@ def q_source_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distribution_drift(before, after, F.col("source"))
 
 
+_BPE_MERGES_CACHE: dict[str, list] = {}
+
+
 @query("bpe_token_stats", None)  # iterative merge training: rows-only check
 def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer round trip at corpus scale: ONE distributed pass
@@ -3986,8 +3989,13 @@ def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents")
-    wf = [(r.word, r.n) for r in word_frequencies(d).collect()]
-    merges = train_bpe(sorted(wf), n_merges=64)
+    # training requires materialized word counts before a plan can exist
+    # (inherent to BPE); memoize per corpus so repeated catalog
+    # enumeration (plan audit, driver smoke) pays the job once
+    if sf_dir not in _BPE_MERGES_CACHE:
+        wf = [(r.word, r.n) for r in word_frequencies(d).collect()]
+        _BPE_MERGES_CACHE[sf_dir] = train_bpe(sorted(wf), n_merges=64)
+    merges = _BPE_MERGES_CACHE[sf_dir]
     toks = bpe_tokens_udf(merges)(F.col("text"))
     return d.select(
         "doc_id",
@@ -4005,9 +4013,9 @@ SELECT user_id,
     COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)::DOUBLE
       / COUNT(CASE WHEN event_type = 'view' THEN 1 END)::DOUBLE END
     AS message_to_command_ratio,
-  ROUND(CASE WHEN COUNT(CASE WHEN event_type = 'view' THEN 1 END) > 0 THEN
+  ROUND(CASE WHEN COUNT(CASE WHEN event_type = 'view' THEN value END) > 0 THEN
     COALESCE(SUM(CASE WHEN event_type = 'view' THEN value END), 0)::DOUBLE
-      / COUNT(CASE WHEN event_type = 'view' THEN 1 END)::DOUBLE
+      / COUNT(CASE WHEN event_type = 'view' THEN value END)::DOUBLE
     ELSE 0.0 END, 6) AS average_message_length,
   COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS num_turns,
   ROUND(COALESCE(SUM(CASE WHEN event_type = 'view' THEN value END), 0)::DOUBLE

@@ -27,7 +27,7 @@ the overwrite makes the replay harmless.
 
 from __future__ import annotations
 
-from collections.abc import Callable, Mapping
+from collections.abc import Mapping
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -74,7 +74,7 @@ def idempotent_parquet_sink(
 
 def routed_parquet_sink(
     stream: DataFrame,
-    routes: Mapping[str, Column] | Mapping[str, Callable[[], Column]],
+    routes: Mapping[str, Column],
     paths: Mapping[str, str],
     checkpoint_dir: str,
     trigger_available_now: bool = True,
@@ -98,9 +98,8 @@ def routed_parquet_sink(
         batch_df.persist()
         try:
             for name, cond in routes.items():
-                pred = cond() if callable(cond) else cond
                 write_epoch_partition(
-                    batch_df.filter(pred), epoch_id, paths[name]
+                    batch_df.filter(cond), epoch_id, paths[name]
                 )
         finally:
             batch_df.unpersist()

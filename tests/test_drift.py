@@ -51,6 +51,22 @@ def test_drift_matches_naive_with_new_and_gone_buckets(spark):
     assert all(v[4] >= 0 for v in got.values())
 
 
+def test_drift_null_bucket_is_one_category(spark):
+    # NULL buckets (missing source/lang) must merge across snapshots,
+    # not split into two half-counted rows
+    before = ["en", None, None, None]
+    after = ["en", "en", None, None]
+    b = spark.createDataFrame([(x,) for x in before], "lang string")
+    a = spark.createDataFrame([(x,) for x in after], "lang string")
+    got = {
+        r.bucket: (r.n_before, r.n_after)
+        for r in distribution_drift(b, a, F.col("lang")).collect()
+    }
+    assert set(got) == {"en", None}
+    assert got[None] == (3, 2)
+    assert got["en"] == (1, 2)
+
+
 def test_drift_identical_distributions_score_zero(spark):
     rows = [("en",), ("de",), ("en",)]
     b = spark.createDataFrame(rows, ["lang"])

@@ -62,6 +62,25 @@ def test_finalized_matches_batch_matrix_exactly(spark):
         assert abs(est[r[0]] - r.n) <= max(2, 0.05 * r.n), (r[0], est[r[0]], r.n)
 
 
+def test_null_measure_parity_with_batch_avg(spark):
+    # an utterance with a NULL measure (attachment-only message) must not
+    # enter the average's denominator — F.avg skips NULLs, so must we
+    rows = [
+        (1, 10, "view", 10.0),
+        (1, 11, "view", None),
+        (1, 12, "purchase", 1.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, event_type string, value double"
+    )
+    out = finalize_heuristics(heuristic_partials(ev, S)).collect()[0]
+    assert out.average_message_length == 10.0  # not 5.0
+    batch = heuristics_matrix(
+        ev, S, names=("average_message_length",)
+    ).collect()[0]
+    assert out.average_message_length == batch.average_message_length
+
+
 def test_merge_is_associative_ish(spark):
     ev = load_table(spark, SMOKE, "events")
     chunks = [
