@@ -4064,6 +4064,65 @@ def q_incremental_heuristics_merge(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+_WDRIFT_ORACLE = """
+WITH wc AS (
+  SELECT epoch_ns(ts) // 3600000000000 AS window_start,
+         event_type AS bucket, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+base AS (SELECT event_type AS bucket, COUNT(*) AS n FROM events GROUP BY 1),
+buckets AS (SELECT bucket FROM base UNION SELECT bucket FROM wc),
+grid AS (
+  SELECT w.window_start, b.bucket
+  FROM (SELECT DISTINCT window_start FROM wc) w CROSS JOIN buckets b
+),
+filled AS (
+  SELECT g.window_start, g.bucket,
+         COALESCE(base.n, 0) AS n_base, COALESCE(wc.n, 0) AS n_win
+  FROM grid g
+  LEFT JOIN base ON base.bucket = g.bucket
+  LEFT JOIN wc ON wc.window_start = g.window_start AND wc.bucket = g.bucket
+),
+shares AS (
+  SELECT *,
+    (n_base + 1)::DOUBLE
+      / (SUM(n_base) OVER (PARTITION BY window_start)
+         + COUNT(*) OVER (PARTITION BY window_start)) AS p,
+    (n_win + 1)::DOUBLE
+      / (SUM(n_win) OVER (PARTITION BY window_start)
+         + COUNT(*) OVER (PARTITION BY window_start)) AS q
+  FROM filled
+)
+SELECT window_start, bucket, n_base, n_win,
+       ROUND((q - p) * LN(q / p), 6) AS psi_term,
+       ROUND(p * LN(p / q), 6) AS kl_term
+FROM shares
+"""
+
+
+@query("windowed_mix_drift", _WDRIFT_ORACLE)
+def q_windowed_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour ingest-mix drift vs the whole-corpus baseline — the batch
+    twin of `streaming/drift_stream.py` (same `score_windows_psi` math
+    the monitor applies to each watermark-closed window), on engine-exact
+    integer hour buckets."""
+    from fireball_data_processing_spark.streaming.drift_stream import (
+        score_windows_psi,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    wc = (
+        ev.groupBy(
+            F.expr("ts div 3600000000000").alias("window_start"),
+            F.col("event_type").alias("bucket"),
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )
+    base = ev.groupBy(F.col("event_type").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return score_windows_psi(wc, base)
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
@@ -4129,6 +4188,7 @@ _PRIORITY = [
     "source_distribution_drift",
     "bpe_token_stats",
     "incremental_heuristics_merge",
+    "windowed_mix_drift",
     # --- attested in round 1 only; rotate back in ---
     "lsh_candidate_pairs",
     "simhash_fingerprints",
