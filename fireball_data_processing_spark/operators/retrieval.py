@@ -43,6 +43,7 @@ __all__ = [
     "tokens",
     "bm25_search",
     "tf_idf_top_terms",
+    "rrf_fuse",
     "build_postings_index",
     "bm25_search_from_index",
 ]
@@ -213,6 +214,43 @@ def tf_idf_top_terms(
         weighted.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top_n)
         .select("doc_id", "rank", "term", "weight")
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 60,
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of ranked retrieval lists — the standard
+    hybrid-search combiner (lexical BM25 + embedding cosine, or any mix):
+    ``rrf = sum over lists of 1 / (k + rank)``, robust to incomparable
+    score scales because only ranks enter the sum.
+
+    Each input frame needs (query_id, doc_id, rank). Returns (query_id,
+    rank, doc_id, rrf_score) with the fused rank ordering on the ROUNDED
+    score + doc_id (engine-deterministic, same contract as
+    :func:`bm25_search`). A doc absent from one list simply contributes
+    no term — no outer-join scaffolding. Cost: one union of
+    already-top-k-sized frames, one aggregation, one ranking window.
+    """
+    if not rankings:
+        raise ValueError("need at least one ranking frame")
+    u = rankings[0].select("query_id", "doc_id", "rank")
+    for r in rankings[1:]:
+        u = u.unionByName(r.select("query_id", "doc_id", "rank"))
+    fused = u.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum(F.lit(1.0) / (F.lit(k) + F.col("rank"))), 6).alias(
+            "rrf_score"
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "rank", "doc_id", "rrf_score")
     )
 
 

@@ -4123,6 +4123,103 @@ def q_windowed_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_windows_psi(wc, base)
 
 
+_HYBRID_ORACLE = f"""
+WITH q(query_id, query_text) AS (
+  VALUES (1, 'spark window aggregation'),
+         (2, 'hash join shuffle partition'),
+         (3, 'stream batch query')
+),
+qt AS (
+  SELECT DISTINCT query_id, unnest(regexp_extract_all(lower(query_text), '[a-z0-9]+')) AS term
+  FROM q
+),
+tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents
+),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(len(toks)) AS avgdl FROM tok),
+exploded AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tok),
+post AS (
+  SELECT doc_id, dl, term, COUNT(*) AS tf FROM exploded
+  WHERE term IN (SELECT term FROM qt)
+  GROUP BY doc_id, dl, term
+),
+dft AS (SELECT term, COUNT(*) AS df FROM post GROUP BY term),
+bm_scored AS (
+  SELECT qt.query_id, post.doc_id,
+    ROUND(SUM(
+      LN(1 + (stats.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+      * (post.tf * (1.2 + 1.0))
+        / (post.tf + 1.2 * (1 - 0.75 + 0.75 * post.dl / stats.avgdl))
+    ), 6) AS score
+  FROM post JOIN dft USING (term) CROSS JOIN stats JOIN qt USING (term)
+  GROUP BY qt.query_id, post.doc_id
+),
+bm_ranked AS (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS "rank"
+  FROM bm_scored QUALIFY "rank" <= 20
+),
+eq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id IN (1, 2, 3)),
+cos_scored AS (
+  SELECT eq.query_id, c.vec_id AS doc_id,
+    ROUND({_COSINE_EXPR.replace('q.qv', 'eq.qv')}, 6) AS cosine_sim
+  FROM eq, embeddings c
+  WHERE c.vec_id <> eq.query_id
+),
+cos_ranked AS (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim DESC, doc_id) AS "rank"
+  FROM cos_scored QUALIFY "rank" <= 20
+),
+unioned AS (
+  SELECT * FROM bm_ranked UNION ALL SELECT * FROM cos_ranked
+),
+fused AS (
+  SELECT query_id, doc_id,
+         ROUND(SUM(1.0 / (60 + "rank")), 6) AS rrf_score
+  FROM unioned GROUP BY query_id, doc_id
+)
+SELECT query_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY rrf_score DESC, doc_id) AS BIGINT)
+         AS "rank",
+       doc_id, rrf_score
+FROM fused
+QUALIFY "rank" <= 10
+"""
+
+
+@query("hybrid_search_rrf", _HYBRID_ORACLE)
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-20 and embedding-cosine top-20
+    per query, combined with reciprocal-rank fusion (the standard RAG
+    retrieval pattern — rank-based fusion sidesteps incomparable score
+    scales). Both legs reuse their independently-oracled operators; the
+    fusion is one union + aggregation + ranking window over
+    top-k-sized frames."""
+    from fireball_data_processing_spark.operators.retrieval import (
+        bm25_search,
+        rrf_fuse,
+    )
+    from fireball_data_processing_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    q_texts = spark.createDataFrame(
+        list(_BM25_QUERIES), ["query_id", "query_text"]
+    )
+    lexical = bm25_search(d, q_texts, k=20)
+    semantic = brute_force_topk(
+        e.filter(F.col("vec_id").isin(1, 2, 3)), e, k=20, round_dp=6
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    out = rrf_fuse([lexical, semantic], k=60, topk=10)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
@@ -4189,6 +4286,7 @@ _PRIORITY = [
     "bpe_token_stats",
     "incremental_heuristics_merge",
     "windowed_mix_drift",
+    "hybrid_search_rrf",
     # --- attested in round 1 only; rotate back in ---
     "lsh_candidate_pairs",
     "simhash_fingerprints",

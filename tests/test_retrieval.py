@@ -133,6 +133,32 @@ def test_index_path_equals_direct_search(spark, tmp_path):
     assert direct == with_stats
 
 
+def test_rrf_fuse_matches_naive(spark):
+    from fireball_data_processing_spark.operators.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 10, 1), (1, 20, 2), (1, 30, 3)], ["query_id", "doc_id", "rank"]
+    )
+    sem = spark.createDataFrame(
+        [(1, 20, 1), (1, 40, 2)], ["query_id", "doc_id", "rank"]
+    )
+    got = {
+        r.doc_id: (r.rank, r.rrf_score)
+        for r in rrf_fuse([lex, sem], k=60, topk=4).collect()
+    }
+    want_scores = {
+        10: round(1 / 61, 6),
+        20: round(1 / 62 + 1 / 61, 6),  # in both lists: two terms
+        30: round(1 / 63, 6),
+        40: round(1 / 62, 6),
+    }
+    order = sorted(want_scores, key=lambda d: (-want_scores[d], d))
+    for pos, doc in enumerate(order, start=1):
+        assert got[doc] == (pos, want_scores[doc])
+    # doc in both lists outranks every single-list doc
+    assert got[20][0] == 1
+
+
 def _explain_str(df) -> str:
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
