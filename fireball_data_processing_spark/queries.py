@@ -4259,6 +4259,7 @@ _PRIORITY = [
     "event_type_pivot",
     "anonymized_props",
     "ivf_topk_neighbors",
+    "lsh_candidate_pairs",
     # --- new this round ---
     "ingest_gate_near_new",
     "benchmark_contamination",
@@ -4288,7 +4289,6 @@ _PRIORITY = [
     "windowed_mix_drift",
     "hybrid_search_rrf",
     # --- attested in round 1 only; rotate back in ---
-    "lsh_candidate_pairs",
     "simhash_fingerprints",
     "ann_cosine_topk",
     "pricing_summary",
