@@ -331,7 +331,11 @@ def bm25_search_from_index(
         .withColumn("contrib", _bm25_contrib(k1, b))
         .join(F.broadcast(q_terms.select("query_id", "term")), "term")
         .groupBy("query_id", "doc_id")
-        .agg(F.sum("contrib").alias("score"))
+        # rank on the ROUNDED score, same contract as bm25_search: tied
+        # docs differ bitwise across summation orders but agree after
+        # rounding, so the doc_id tie-break fires identically on every
+        # engine and this path stays order-equal to the direct search
+        .agg(F.round(F.sum("contrib"), 6).alias("score"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id")
@@ -339,7 +343,5 @@ def bm25_search_from_index(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(
-            "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
-        )
+        .select("query_id", "rank", "doc_id", "score")
     )

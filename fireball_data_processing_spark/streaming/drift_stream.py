@@ -80,12 +80,29 @@ def score_windows_psi(
     ).distinct()
     wins = window_counts.select("window_start").distinct()
     grid = wins.crossJoin(buckets)
+    # null-safe join keys, mirroring batch distribution_drift: a NULL
+    # bucket (missing source/lang) is a real category — an equi-join on
+    # "bucket" would never match it, silently zeroing its n_base/n_win
+    # and undercounting the window totals
+    base = F.broadcast(
+        baseline.select(F.col("bucket").alias("b_bucket"), F.col("n").alias("n_base"))
+    )
+    wc = window_counts.select(
+        F.col("window_start").alias("w_start"),
+        F.col("bucket").alias("w_bucket"),
+        F.col("n").alias("n_win"),
+    )
     full = (
-        grid.join(F.broadcast(baseline.withColumnRenamed("n", "n_base")), "bucket", "left")
-        .join(window_counts.withColumnRenamed("n", "n_win"), ["window_start", "bucket"], "left")
+        grid.join(base, grid["bucket"].eqNullSafe(base["b_bucket"]), "left")
+        .join(
+            wc,
+            grid["bucket"].eqNullSafe(wc["w_bucket"])
+            & (grid["window_start"] == wc["w_start"]),
+            "left",
+        )
         .select(
-            "window_start",
-            "bucket",
+            grid["window_start"],
+            grid["bucket"],
             F.coalesce("n_base", F.lit(0)).alias("n_base"),
             F.coalesce("n_win", F.lit(0)).alias("n_win"),
         )

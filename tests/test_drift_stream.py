@@ -54,6 +54,26 @@ def test_score_windows_psi_missing_bucket_contributes(spark):
     assert rows["b"].psi_term > 0  # disappearance registers as drift
 
 
+def test_score_windows_psi_null_bucket_is_one_category(spark):
+    # mirror of the batch test: a NULL bucket is a real category and
+    # must keep its counts through the (null-safe) grid joins, not be
+    # zeroed by an equi-join that never matches NULL
+    base = spark.createDataFrame(
+        [("en", 1), (None, 3)], "bucket string, n int"
+    )
+    wc = spark.createDataFrame(
+        [("w1", "en", 2), ("w1", None, 2)],
+        "window_start string, bucket string, n int",
+    )
+    got = {
+        r.bucket: (r.n_base, r.n_win)
+        for r in score_windows_psi(wc, base).collect()
+    }
+    assert set(got) == {"en", None}
+    assert got[None] == (3, 2)
+    assert got["en"] == (1, 2)
+
+
 def test_drift_monitor_stream_end_to_end(spark, tmp_path):
     src = str(tmp_path / "src")
     os.makedirs(src)
