@@ -1255,6 +1255,60 @@ def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEMANTIC_DEDUP_ORACLE = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings
+),
+b AS (
+  SELECT vec_id, e,
+    (CASE WHEN e[1] >= e[9]  THEN 1   ELSE 0 END)
+  + (CASE WHEN e[2] >= e[10] THEN 2   ELSE 0 END)
+  + (CASE WHEN e[3] >= e[11] THEN 4   ELSE 0 END)
+  + (CASE WHEN e[4] >= e[12] THEN 8   ELSE 0 END)
+  + (CASE WHEN e[5] >= e[13] THEN 16  ELSE 0 END)
+  + (CASE WHEN e[6] >= e[14] THEN 32  ELSE 0 END)
+  + (CASE WHEN e[7] >= e[15] THEN 64  ELSE 0 END)
+  + (CASE WHEN e[8] >= e[16] THEN 128 ELSE 0 END) AS bucket
+  FROM v
+),
+reps AS (
+  SELECT bucket, min(vec_id) AS rep_id, arg_min(e, vec_id) AS rep_vec
+  FROM b GROUP BY bucket
+),
+scored AS (
+  SELECT b.vec_id, b.bucket, r.rep_id,
+    ROUND(
+      list_sum(list_transform(generate_series(1, 64),
+               i -> b.e[i] * r.rep_vec[i]))
+      / (sqrt(list_sum(list_transform(generate_series(1, 64),
+               i -> b.e[i] * b.e[i])))
+       * sqrt(list_sum(list_transform(generate_series(1, 64),
+               i -> r.rep_vec[i] * r.rep_vec[i])))), 6) AS cos_to_rep
+  FROM b JOIN reps r USING (bucket)
+)
+SELECT vec_id, bucket,
+  CASE WHEN vec_id = rep_id THEN NULL ELSE cos_to_rep END AS cos_to_rep
+FROM scored
+WHERE vec_id = rep_id OR cos_to_rep <= 0.3
+"""
+
+
+@query("semantic_dedup_survivors", _SEMANTIC_DEDUP_ORACLE)
+def q_semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup over the embeddings table: fixed
+    hyperplane buckets (sign_bucket, engine-deterministic), min-id
+    representative per bucket via window min/min_by on ONE hash
+    exchange, survivors = reps plus members whose cosine to the rep is
+    <= tau. The rep's cosine is reported null (its norm may be 0).
+    tau=0.3 here (operator default 0.9): the synthetic embeddings are
+    near-isotropic (max cos-to-rep ~0.37 at sf0.01), so a production
+    tau would never drop a row and leave the drop path unexercised."""
+    from fireball_data_processing_spark.operators.similarity import semantic_dedup
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(e, tau=0.3)
+
+
 @query(
     "duplicate_substring_spans",
     """
