@@ -38,14 +38,37 @@ __all__ = ["word_frequencies", "train_bpe", "apply_merges", "bpe_tokens_udf"]
 END = "</w>"  # end-of-word marker, per the original BPE formulation
 
 
-def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def word_frequencies(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 2,
+    top_n: int | None = None,
+) -> DataFrame:
     """(word, n) corpus word counts — the one corpus-sized pass of BPE
-    training. Explode + groupBy; output is vocabulary-sized."""
-    return (
+    training. Explode + groupBy; output is vocabulary-sized.
+
+    Scale bound: this table is COLLECTED by training callers, and a web
+    corpus's distinct-"word" cardinality (typos, noise tokens) grows
+    ~unboundedly with corpus size — 10^8+ at 100 TB, which would OOM
+    the driver. ``min_count`` (default 2) floors the frequency before
+    anything leaves the cluster — singleton noise cannot win a merge
+    against any repeated pair anyway, so training is barely affected
+    while the table shrinks by the (dominant) hapax mass. ``top_n``
+    adds a hard cap: keep only the ``top_n`` most frequent words
+    (ties broken by word for determinism), bounding the collect
+    regardless of corpus shape. Pass ``min_count=1, top_n=None`` to get
+    the raw unbounded table when the corpus is known-small."""
+    wf = (
         docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    if min_count > 1:
+        wf = wf.filter(F.col("n") >= min_count)
+    if top_n is not None:
+        # distributed top-k (sort is partial-agg'd via TakeOrderedAndProject)
+        wf = wf.orderBy(F.col("n").desc(), F.col("word")).limit(top_n)
+    return wf
 
 
 def _symbols(word: str) -> tuple[str, ...]:

@@ -4045,9 +4045,12 @@ def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     # training requires materialized word counts before a plan can exist
     # (inherent to BPE); memoize per corpus so repeated catalog
-    # enumeration (plan audit, driver smoke) pays the job once
+    # enumeration (plan audit, driver smoke) pays the job once.
+    # min_count + top_n bound the driver-side collect: vocabulary-sized
+    # by construction, never corpus-cardinality-sized
     if sf_dir not in _BPE_MERGES_CACHE:
-        wf = [(r.word, r.n) for r in word_frequencies(d).collect()]
+        wf_df = word_frequencies(d, min_count=2, top_n=65_536)
+        wf = [(r.word, r.n) for r in wf_df.collect()]
         _BPE_MERGES_CACHE[sf_dir] = train_bpe(sorted(wf), n_merges=64)
     merges = _BPE_MERGES_CACHE[sf_dir]
     toks = bpe_tokens_udf(merges)(F.col("text"))

@@ -42,7 +42,7 @@ def test_word_frequencies_and_udf_roundtrip(spark):
         [(1, "low low lower newest"), (2, "newest newest widest low")],
         ["doc_id", "text"],
     )
-    wf = {r.word: r.n for r in word_frequencies(docs).collect()}
+    wf = {r.word: r.n for r in word_frequencies(docs, min_count=1).collect()}
     assert wf == {"low": 3, "lower": 1, "newest": 3, "widest": 1}
 
     merges = train_bpe(sorted(wf.items()), 6)
@@ -58,3 +58,19 @@ def test_word_frequencies_and_udf_roundtrip(spark):
     for doc_id, text in [(1, "low low lower newest")]:
         joined = "".join(got[doc_id]).replace(END, " ").strip()
         assert joined == text.replace(" ", " ")
+
+
+def test_word_frequencies_bounds(spark):
+    docs = spark.createDataFrame(
+        [(1, "aa aa aa bb bb cc dd dd dd dd")], ["doc_id", "text"]
+    )
+    # min_count floors hapax noise before anything can reach a collect
+    floored = {r.word: r.n for r in word_frequencies(docs, min_count=2).collect()}
+    assert floored == {"aa": 3, "bb": 2, "dd": 4}
+    # top_n caps the table regardless of corpus shape, count-desc with
+    # deterministic word tie-break
+    top = [
+        (r.word, r.n)
+        for r in word_frequencies(docs, min_count=1, top_n=2).collect()
+    ]
+    assert sorted(top) == [("aa", 3), ("dd", 4)]
