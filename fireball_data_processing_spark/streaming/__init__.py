@@ -6,5 +6,8 @@ from fireball_data_processing_spark.streaming.dedup_stream import (
 from fireball_data_processing_spark.streaming.heuristics_stream import (
     stream_heuristics,
 )
+from fireball_data_processing_spark.streaming.sources_stream import (
+    open_event_stream,
+)
 
-__all__ = ["stream_heuristics", "stream_new_documents"]
+__all__ = ["open_event_stream", "stream_heuristics", "stream_new_documents"]

@@ -1,0 +1,117 @@
+"""Connector-seam source adapter: batch/stream parity through
+open_event_stream for a file source (event-time normalization applied)
+and for a message-bus payload envelope (Kinesis/Kafka shape)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from fireball_data_processing_spark.plans.heuristics import (
+    STREAM_SAFE,
+    heuristic_exprs,
+    heuristics_matrix,
+)
+from fireball_data_processing_spark.schema import SYNTHETIC_STREAM
+from fireball_data_processing_spark.sources.tables import (
+    load_table,
+    raw_table_schema,
+)
+from fireball_data_processing_spark.streaming.sources_stream import (
+    open_event_stream,
+)
+
+SMOKE = "/root/testdata/sf0.001"
+S = SYNTHETIC_STREAM
+
+
+def _run_to_memory(spark, df, name, mode="complete"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def _assert_rows_equal(got, want):
+    assert got.keys() == want.keys()
+    for k, row in want.items():
+        for col, val in row.items():
+            g = got[k][col]
+            if isinstance(val, float):
+                assert abs(g - val) < 1e-9, (k, col, g, val)
+            else:
+                assert g == val, (k, col, g, val)
+
+
+def test_open_event_stream_file_source_batch_parity(spark):
+    # the batch heuristic EXPRESSIONS run unchanged on the adapter's
+    # stream — the seam's whole contract
+    src = tempfile.mkdtemp(prefix="fb_seam_")
+    try:
+        shutil.copy(os.path.join(SMOKE, "events.parquet"), src)
+        stream = open_event_stream(
+            spark,
+            fmt="parquet",
+            schema=raw_table_schema(spark, SMOKE, "events"),
+            path=src,
+        )
+        # ts must arrive normalized to int64 nanos, same as load_table
+        assert dict(stream.dtypes)["ts"] == "bigint"
+        exprs = heuristic_exprs(S, STREAM_SAFE)
+        agg = stream.groupBy(F.col(S.instance_col)).agg(*exprs.values())
+        got = {
+            r[S.instance_col]: r.asDict()
+            for r in _run_to_memory(spark, agg, "seam_parity").collect()
+        }
+        batch = load_table(spark, SMOKE, "events")
+        want = {
+            r[S.instance_col]: r.asDict()
+            for r in heuristics_matrix(batch, S, STREAM_SAFE).collect()
+        }
+        _assert_rows_equal(got, want)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
+def test_open_event_stream_payload_envelope(spark):
+    # Kinesis/Kafka shape: events ride an opaque payload column as JSON
+    # records inside a transport envelope. The text source stands in for
+    # the connector (one record per line in a `value` column, exactly
+    # Kafka's column name); open_event_stream decodes with the declared
+    # event schema and drops the envelope.
+    src = tempfile.mkdtemp(prefix="fb_envelope_")
+    try:
+        batch = load_table(spark, SMOKE, "events").limit(200)
+        event_schema = (
+            "event_id bigint, ts bigint, user_id bigint,"
+            " event_type string, value double, props string"
+        )
+        batch.coalesce(1).write.mode("overwrite").json(src)
+        stream = open_event_stream(
+            spark,
+            fmt="text",
+            schema=event_schema,
+            path=src,
+            payload="value",
+        )
+        assert stream.columns == [
+            "event_id", "ts", "user_id", "event_type", "value", "props",
+        ]
+        got = {
+            r["event_id"]: r.asDict()
+            for r in _run_to_memory(
+                spark, stream, "seam_envelope", mode="append"
+            ).collect()
+        }
+        want = {r["event_id"]: r.asDict() for r in batch.collect()}
+        _assert_rows_equal(got, want)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
