@@ -242,3 +242,48 @@ def test_corpus_pipeline_packed_single_scan(spark):
     assert len(re.findall(r"Scan parquet|FileScan", phys)) == 1, phys
     assert _count_shuffles(packed) <= 2, phys
     assert "Join" not in phys
+
+
+def _phys(df) -> str:
+    s = _explain_str(df)
+    return s[s.index("== Physical Plan ==") :]
+
+
+def _corpus_explodes(phys: str) -> int:
+    # the postings explode over the corpus token array ("toks") — the
+    # expensive Generate; the query-side explodes take a tiny local
+    # relation and are allowed to appear per consumer
+    return len(
+        [ln for ln in phys.split("\n") if re.search(r"Generate explode\(toks#", ln)]
+    )
+
+
+def test_bm25_one_postings_subtree_broadcast_queries(spark):
+    # df-via-count-over-window promise: the corpus is tokenized ONCE (a
+    # groupBy+join-back for document frequency would plan the explode
+    # subtree twice); query terms and corpus stats enter via broadcast,
+    # never a sort-merge join
+    phys = _phys(catalog.REGISTRY["bm25_search"].fn(spark, SMOKE))
+    assert _corpus_explodes(phys) == 1, phys
+    assert phys.count("SortMergeJoin") == 0, phys
+    # postings pass + projection-only stats pass; a third scan means a
+    # duplicated corpus subtree
+    assert len(re.findall(r"Scan parquet[^\n]*documents", phys)) <= 2, phys
+    assert len(re.findall(r"Exchange (?:hash|range)partitioning", phys)) <= 5, phys
+
+
+def test_tf_idf_one_postings_subtree(spark):
+    phys = _phys(catalog.REGISTRY["tf_idf_top_terms"].fn(spark, SMOKE))
+    assert _corpus_explodes(phys) == 1, phys
+    assert phys.count("SortMergeJoin") == 0, phys
+    assert len(re.findall(r"Scan parquet[^\n]*documents", phys)) <= 2, phys
+    assert len(re.findall(r"Exchange (?:hash|range)partitioning", phys)) <= 3, phys
+
+
+def test_hybrid_rrf_single_corpus_tokenize(spark):
+    # fusing the lexical and semantic legs must not re-tokenize the
+    # corpus or introduce an SMJ around the tiny top-k frames
+    phys = _phys(catalog.REGISTRY["hybrid_search_rrf"].fn(spark, SMOKE))
+    assert _corpus_explodes(phys) == 1, phys
+    assert phys.count("SortMergeJoin") == 0, phys
+    assert len(re.findall(r"Exchange (?:hash|range)partitioning", phys)) <= 6, phys
