@@ -474,6 +474,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    shortcut: bool = False,
 ) -> DataFrame:
     """Connected components over a pair list -> ``(vertex, component)``
     with the component labeled by its minimum vertex id. The survivor-
@@ -490,6 +491,24 @@ def connected_components(
     otherwise grow exponentially, and the convergence check is one count()
     action per round — driver-side control flow, executor-side data.
     ``max_iter`` guards pathological chain graphs; raises if unconverged.
+
+    **Escape hatch for chain-shaped graphs** (``max_iter`` exceeded, or
+    known-adversarial inputs): ``shortcut=True`` adds pointer jumping —
+    after each propagation round every label is replaced by its OWN
+    label (``component := component[component]``, one label⋈label
+    self-join), so label chains halve each round and convergence drops
+    from O(diameter) to O(log diameter) rounds: a million-vertex path
+    finishes in ~20 rounds instead of a million. The per-round cost adds
+    one join of two label-sized frames; for typical LSH near-dup graphs
+    (dense, tiny diameter) plain propagation does fewer total shuffles,
+    which is why shortcutting is opt-in. The shuffle-optimal published
+    alternative at adversarial extreme scale is alternating
+    large-star/small-star (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC '14) — the same O(log) round bound via
+    edge relinking; pointer jumping is implemented here instead because
+    it reuses the label frame this loop already maintains and keeps one
+    code path. Both modes return identical (vertex, min-id component)
+    output.
     """
     e = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -523,13 +542,36 @@ def connected_components(
             )
             .localCheckpoint()
         )
+        if shortcut:
+            # pointer jump: component := component's own label. A label
+            # value is always a vertex id present in `updated` (labels
+            # start as vertex ids and only min-fold over them), so the
+            # left join always matches; coalesce is belt-and-braces.
+            # __changed must see jump-only progress too, else a round
+            # that only shortcuts would look converged one round early.
+            l2 = updated.select(
+                F.col("vertex").alias("__v2"), F.col("component").alias("__c2")
+            )
+            updated = (
+                updated.join(l2, updated["component"] == l2["__v2"], "left")
+                .select(
+                    "vertex",
+                    F.coalesce("__c2", "component").alias("component"),
+                    (
+                        F.col("__changed")
+                        | (F.coalesce("__c2", "component") < F.col("component"))
+                    ).alias("__changed"),
+                )
+                .localCheckpoint()
+            )
         n_changed = updated.filter(F.col("__changed")).count()
         labels = updated.drop("__changed")
         if n_changed == 0:
             return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds; "
-        "the pair graph has a longer chain than expected — raise max_iter"
+        "the pair graph has a longer chain than expected — raise max_iter "
+        "or pass shortcut=True (pointer jumping: O(log diameter) rounds)"
     )
 
 

@@ -361,6 +361,46 @@ def test_connected_components_matches_union_find(spark, edges):
     assert got == want
 
 
+def test_connected_components_chain_graph_shortcut(spark):
+    """The docstring's escape-hatch guidance, exercised: a pure path
+    graph (worst case — diameter = n) blows past a small max_iter under
+    plain min-label propagation, and shortcut=True (pointer jumping)
+    closes the same graph within O(log n) rounds with identical
+    min-id labeling."""
+    import pytest
+
+    from fireball_data_processing_spark.operators.dedup import (
+        connected_components,
+    )
+
+    n = 64  # path 0-1-2-...-63: diameter 63, log2 = 6
+    edges = [(i, i + 1) for i in range(n - 1)]
+    df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+
+    # adversarial chain defeats plain propagation at a budget that the
+    # shortcut mode sails through
+    with pytest.raises(RuntimeError, match="shortcut=True"):
+        connected_components(df, max_iter=10).collect()
+
+    got = {
+        r["vertex"]: r["component"]
+        for r in connected_components(df, max_iter=10, shortcut=True).collect()
+    }
+    assert got == {v: 0 for v in range(n)}
+
+    # both modes agree on a mixed graph (two cliques + a bridge + isolate pair)
+    mixed = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6), (8, 9)]
+    mdf = spark.createDataFrame(mixed, "id_a bigint, id_b bigint")
+    plain = {
+        r["vertex"]: r["component"] for r in connected_components(mdf).collect()
+    }
+    jumped = {
+        r["vertex"]: r["component"]
+        for r in connected_components(mdf, shortcut=True).collect()
+    }
+    assert plain == jumped
+
+
 @given(
     vec=st.lists(
         st.floats(
