@@ -3847,6 +3847,35 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_INDEX_CACHE: dict[str, str] = {}
+
+
+@query("bm25_search_indexed", _BM25_ORACLE)
+def q_bm25_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The amortized BM25 path: the corpus is tokenized ONCE into a
+    term-bucketed postings index (parquet, pmod(hash(term)) partition
+    column) and every later search prunes its scan to the partitions
+    holding the query vocabulary — what makes repeated search affordable
+    on a 100 TB corpus. Must rank identically to the direct bm25_search
+    (same oracle); the index build is memoized per corpus like the BPE
+    merges, so catalog enumeration pays the build once."""
+    import tempfile
+
+    from fireball_data_processing_spark.operators.retrieval import (
+        bm25_search_from_index,
+        build_postings_index,
+    )
+
+    if sf_dir not in _BM25_INDEX_CACHE:
+        path = tempfile.mkdtemp(prefix="fb_bm25_index_")
+        build_postings_index(load_table(spark, sf_dir, "documents"), path)
+        _BM25_INDEX_CACHE[sf_dir] = path
+    q = spark.createDataFrame(list(_BM25_QUERIES), ["query_id", "query_text"])
+    return bm25_search_from_index(
+        spark, _BM25_INDEX_CACHE[sf_dir], q, k=5
+    ).withColumn("rank", F.col("rank").cast("bigint"))
+
+
 _TFIDF_ORACLE = """
 WITH tok AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents
@@ -4310,6 +4339,7 @@ _PRIORITY = [
     # --- never driver-attested (r3 position 51) + new this round ---
     "hybrid_search_rrf",
     "semantic_dedup_survivors",
+    "bm25_search_indexed",
     "bpe_token_stats",
     # --- attested in round 1 only; rotate back in for fresh rows ---
     "simhash_fingerprints",
@@ -4346,8 +4376,8 @@ _PRIORITY = [
     "per_key_group_stats",
     "event_stats_rollup",
     "feature_label_join",
-    "fb_struct_key_join",
     # --- round-3 rows (most recent; follow in declaration order) ---
+    "fb_struct_key_join",
     "eval_metric_averages",
     "ingest_gate_near_new",
     "benchmark_contamination",
