@@ -326,7 +326,10 @@ def bm25_search_from_index(
     stats = spark.read.parquet(os.path.join(path, "stats"))
 
     scored = (
-        post.join(df_t.select("term", "df"), "term")
+        # df_t is already semi-joined to the query vocabulary, so it is
+        # query-terms-sized — broadcast it; an SMJ here would shuffle
+        # the (much larger) postings stream on term for no reason
+        post.join(F.broadcast(df_t.select("term", "df")), "term")
         .join(F.broadcast(stats))
         .withColumn("contrib", _bm25_contrib(k1, b))
         .join(F.broadcast(q_terms.select("query_id", "term")), "term")

@@ -33,6 +33,7 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem","ev
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
 
 qs, oracles = e.queries(), e.oracle_sql()
+n_fail = 0
 for name, fn in qs.items():
     if ONLY and not any(s in name for s in ONLY):
         continue
@@ -55,4 +56,10 @@ for name, fn in qs.items():
                 if bad <= 3:
                     print("  mismatch", c, repr(a), repr(b))
     status = "MATCH" if (ok_rows and ok_cols and bad == 0) else "FAIL"
+    if status == "FAIL":
+        n_fail += 1
     print(f"{name}: {status} rows={len(got)}/{len(want)} cols_ok={ok_cols} value_mismatches={bad}")
+
+# non-zero exit on any mismatch so callers can trust the exit code
+# (a truncated log can otherwise hide a FAIL line)
+sys.exit(1 if n_fail else 0)

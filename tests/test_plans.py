@@ -287,3 +287,13 @@ def test_hybrid_rrf_single_corpus_tokenize(spark):
     assert _corpus_explodes(phys) == 1, phys
     assert phys.count("SortMergeJoin") == 0, phys
     assert len(re.findall(r"Exchange (?:hash|range)partitioning", phys)) <= 6, phys
+
+
+def test_bm25_indexed_broadcasts_df_and_prunes_partitions(spark):
+    # the amortized path: df table broadcast (query-vocabulary-sized
+    # after the semi-join — an SMJ would shuffle the postings stream),
+    # and the postings/df scans carry term_bucket partition filters
+    phys = _phys(catalog.REGISTRY["bm25_search_indexed"].fn(spark, SMOKE))
+    assert phys.count("SortMergeJoin") == 0, phys
+    assert "PartitionFilters: [" in phys, phys
+    assert len(re.findall(r"Exchange (?:hash|range)partitioning", phys)) <= 5, phys
