@@ -1045,3 +1045,28 @@ def test_corpus_pipeline_with_dsir_selection(spark):
 
     no_target = build_training_corpus(df, max_tokens_per_bin=32)
     assert "selected" not in no_target
+
+
+def test_semantic_dedup_drops_near_identical_keeps_distinct(spark):
+    from fireball_data_processing_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    # 16-dim vectors, bits=8: bucket bit i set iff e[i+1] >= e[i+9].
+    # v1/v2/v3 land in bucket 255 (first half dominates), v4 in bucket 0.
+    v1 = [2.0] * 8 + [1.0] * 8
+    v2 = [4.0] * 8 + [2.0] * 8          # v1 scaled: cos=1 -> dropped
+    v3 = [10.0] + [1.0] * 7 + [0.5] * 8  # same bucket, cos~0.58 -> kept
+    v4 = [1.0] * 8 + [2.0] * 8          # bucket 0, its own rep
+    df = spark.createDataFrame(
+        [(1, v1), (2, v2), (3, v3), (4, v4)],
+        "vec_id bigint, embedding array<double>",
+    )
+    got = {
+        r.vec_id: (r.bucket, r.cos_to_rep)
+        for r in semantic_dedup(df, tau=0.9).collect()
+    }
+    assert set(got) == {1, 3, 4}  # 2 is a semantic dup of rep 1
+    assert got[1] == (255, None)  # reps report null cosine
+    assert got[4] == (0, None)
+    assert got[3][0] == 255 and got[3][1] is not None and got[3][1] <= 0.9
