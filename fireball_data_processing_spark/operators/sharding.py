@@ -72,9 +72,13 @@ def write_shards(
     pseudo-random order. Exactly one exchange (the shard repartition);
     the within-shard sort is partition-local."""
     out = shuffle_shards(df, key, n_shards, salt)
+    # sort by (shard, order): the leading shard key satisfies the
+    # partitioned write's required ordering, so Spark's planned-write
+    # machinery does not inject its own (non-stable) sort on top — which
+    # would destroy the within-shard order the layout promises
     (
         out.repartition(n_shards, F.col("shard"))
-        .sortWithinPartitions("shard_order")
+        .sortWithinPartitions("shard", "shard_order")
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(path)

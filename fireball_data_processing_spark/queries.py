@@ -4306,6 +4306,122 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
+# =====================================================================
+# Training-export layout + corpus maintenance (operators/sharding.py,
+# operators/snapshots.py)
+# =====================================================================
+
+_SHARD_ORACLE = """
+WITH s AS (
+  SELECT doc_id,
+         md5('v1' || doc_id::VARCHAR) AS shard_order,
+         CAST(('0x' || substr(md5('v1' || doc_id::VARCHAR), 1, 8)) AS BIGINT)
+           % 8 AS shard
+  FROM documents
+)
+SELECT CAST(shard AS INT) AS shard,
+       COUNT(*) AS n_docs,
+       MIN(shard_order) AS first_key,
+       MAX(shard_order) AS last_key,
+       MIN(doc_id) AS min_doc_id
+FROM s
+GROUP BY shard
+"""
+
+
+@query("corpus_shard_layout", _SHARD_ORACLE)
+def q_corpus_shard_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard layout: every document gets a shard id
+    and a within-shard pseudo-random order key from ONE md5 — stable
+    under repartitioning/retries, no global sort, no driver index
+    (operators/sharding.py; the reference's seeded random.shuffle intent,
+    finetune_prep.py:174-186, re-expressed scale-first). The per-shard
+    rollup attests both the hash permutation and the modulo placement."""
+    from fireball_data_processing_spark.operators.sharding import (
+        shuffle_shards,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    s = shuffle_shards(d, F.col("doc_id"), n_shards=8, salt="v1")
+    return s.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.min("shard_order").alias("first_key"),
+        F.max("shard_order").alias("last_key"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
+_SNAPSHOT_DIFF_ORACLE = """
+WITH old AS (
+  SELECT doc_id,
+         md5(concat_ws(chr(31),
+             CASE WHEN text IS NULL THEN '0' ELSE '1' || text END,
+             CASE WHEN lang IS NULL THEN '0' ELSE '1' || lang END,
+             CASE WHEN source IS NULL THEN '0' ELSE '1' || source END)) AS fp
+  FROM documents WHERE doc_id % 7 <> 0
+),
+new AS (
+  SELECT doc_id,
+         md5(concat_ws(chr(31),
+             CASE WHEN t IS NULL THEN '0' ELSE '1' || t END,
+             CASE WHEN lang IS NULL THEN '0' ELSE '1' || lang END,
+             CASE WHEN source IS NULL THEN '0' ELSE '1' || source END)) AS fp
+  FROM (SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0 THEN text || '!' ELSE text END AS t,
+               lang, source
+        FROM documents WHERE doc_id % 11 <> 0)
+),
+diff AS (
+  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+         CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'removed'
+              WHEN o.fp = n.fp THEN 'unchanged'
+              ELSE 'changed' END AS status
+  FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+)
+SELECT status, COUNT(*) AS n_keys,
+       MIN(doc_id) AS min_key, MAX(doc_id) AS max_key
+FROM diff GROUP BY status
+"""
+
+
+@query("snapshot_diff_counts", _SNAPSHOT_DIFF_ORACLE)
+def q_snapshot_diff_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot diff (operators/snapshots.py): two corpus snapshots
+    are reduced to (key, md5-fingerprint) relations — payload bytes never
+    enter the shuffle — and ONE key-partitioned full outer join
+    classifies every key added/removed/changed/unchanged. Deterministic
+    doc_id residues stand in for consecutive crawls: %7 keys are new,
+    %11 keys were dropped, %5 texts changed. The per-status rollup
+    attests the fingerprint encoding (presence-bit + 0x1F separators)
+    and all four join-classification branches."""
+    from fireball_data_processing_spark.operators.snapshots import (
+        fingerprint,
+        snapshot_diff,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    fp = fingerprint([F.col("text"), F.col("lang"), F.col("source")])
+    old = d.filter(F.pmod(F.col("doc_id"), F.lit(7)) != 0).withColumn("fp", fp)
+    new = (
+        d.filter(F.pmod(F.col("doc_id"), F.lit(11)) != 0)
+        .withColumn(
+            "text",
+            F.when(
+                F.pmod(F.col("doc_id"), F.lit(5)) == 0,
+                F.concat(F.col("text"), F.lit("!")),
+            ).otherwise(F.col("text")),
+        )
+        .withColumn("fp", fp)
+    )
+    diff = snapshot_diff(old, new, "doc_id")
+    return diff.groupBy("status").agg(
+        F.count("*").alias("n_keys"),
+        F.min("doc_id").alias("min_key"),
+        F.max("doc_id").alias("max_key"),
+    )
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
@@ -4340,6 +4456,8 @@ _PRIORITY = [
     "hybrid_search_rrf",
     "semantic_dedup_survivors",
     "bm25_search_indexed",
+    "corpus_shard_layout",
+    "snapshot_diff_counts",
     "bpe_token_stats",
     # --- attested in round 1 only; rotate back in for fresh rows ---
     "simhash_fingerprints",
