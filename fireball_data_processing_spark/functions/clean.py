@@ -1,5 +1,7 @@
 """C4-style corpus cleaning: segment-level keep/drop rules and document-level
-flags, all JVM-side Column expressions (no UDFs, no shuffles).
+flags, all JVM-side Column expressions (no UDFs, no shuffles) — plus
+unicode NFC/NFKC normalization, the one rule with no JVM builtin, as an
+Arrow-batched pandas UDF (the sanctioned Python edge).
 
 Extends the reference's content-filter surface (P4 short-message filter,
 P6 empty discard, P7 abnormal-length guard — ``heuristics/filters.py`` in
@@ -11,6 +13,7 @@ pipelines can tune per source.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -80,3 +83,38 @@ def doc_flags(
         "has_bad_phrase": hit,
         "has_brace": c.contains("{"),
     }
+
+
+def strip_control_chars(c: Column) -> Column:
+    """Remove C0/C1 control characters (keeping tab/newline/CR) — crawl
+    text routinely carries stray BEL/NUL/escape bytes that break
+    tokenizers downstream. One JVM regex, codegen-resident."""
+    return F.regexp_replace(c, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F]", "")
+
+
+def normalize_unicode(form: str = "NFC"):
+    """Column factory: unicode-normalize a string column to ``form``.
+
+    Mixed-crawl corpora carry the same word in composed and decomposed
+    encodings ("café" as 4 or 5 codepoints); every downstream exact-match
+    operator (exact dedup hashes, gram hashes, BPE vocabulary) silently
+    fragments unless text is normalized first, so this belongs at the
+    head of the cleaning pipeline. Spark has no normalization builtin, so
+    this is an Arrow-batched pandas UDF over :mod:`unicodedata` — the
+    same UAX#15 algorithm engines like DuckDB expose as
+    ``nfc_normalize`` (which is what the catalog oracle checks against).
+    Per-row cost is a single C-implemented library call; bytes cross the
+    JVM/Python boundary once per Arrow batch.
+    """
+    if form not in {"NFC", "NFD", "NFKC", "NFKD"}:
+        raise ValueError(f"unknown normalization form: {form!r}")
+
+    @F.pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda x: None if x is None else unicodedata.normalize(form, x)
+        )
+
+    return _norm

@@ -33,7 +33,7 @@ __all__ = [
     "shingles_of_words", "capped_shingles", "minhash_signature",
     "minhash_sig_expr", "band_structs", "build_minhash_index",
     "lsh_candidate_pairs", "jaccard_pairs", "simhash", "ngram_overlap",
-    "connected_components",
+    "connected_components", "duplicate_spans", "remove_duplicate_spans",
 ]
 
 
@@ -658,4 +658,60 @@ def duplicate_spans(
             "span_end",
             (F.col("span_end") - F.col("span_start")).alias("span_words"),
         )
+    )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cut :func:`duplicate_spans` hits out of the text — the second half
+    of the ExactSubstr recipe (Lee et al.: remove the duplicated
+    substring, KEEP the document; dropping whole near-dup docs loses the
+    unique remainder).
+
+    Output: ``(id_col, clean_text, n_words, n_removed_words)`` where
+    ``clean_text`` is the normalized text with every span's words
+    removed and ``n_words`` counts the pre-removal words. Word offsets
+    follow the same normalization ``duplicate_spans`` used, so spans
+    index cleanly.
+
+    Plan: spans collapse to one per-doc struct list (bounded by spans
+    per doc, not corpus size), LEFT-join back on the doc key — most
+    docs carry no spans and pass through untouched — and the cut is a
+    single indexed ``filter`` HOF over the materialized word array
+    (per-row array math, zero extra shuffles beyond the span rollup's
+    doc-key exchange, which co-partitions the join).
+    """
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    # materialize the split BEFORE the HOF consumes it (house rule: HOF
+    # lambdas get no subexpression elimination)
+    pre = docs.select(
+        F.col(id_col),
+        F.split(normalize_text(F.col(text_col)), " ").alias("__words"),
+    ).join(per_doc, on=id_col, how="left")
+    words = F.col("__words")
+    covered = lambda _w, i: F.exists(  # noqa: E731
+        F.col("__spans"),
+        lambda s: (i >= s["span_start"]) & (i < s["span_end"]),
+    )
+    kept = F.when(F.col("__spans").isNull(), words).otherwise(
+        F.filter(words, lambda w, i: ~covered(w, i))
+    )
+    sized = pre.select(
+        F.col(id_col),
+        words.alias("__words"),
+        kept.alias("__kept"),
+    )
+    return sized.select(
+        F.col(id_col),
+        F.concat_ws(" ", F.col("__kept")).alias("clean_text"),
+        F.size("__words").cast("bigint").alias("n_words"),
+        (F.size("__words") - F.size("__kept"))
+        .cast("bigint")
+        .alias("n_removed_words"),
     )

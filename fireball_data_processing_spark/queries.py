@@ -1360,6 +1360,128 @@ def q_duplicate_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "span_scrubbed_docs",
+    """
+WITH words AS (
+  SELECT doc_id,
+    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, i - 1 AS pos,
+    md5(array_to_string(list_slice(w, i, i + 7), ' ')) AS gram
+  FROM words, UNNEST(generate_series(1, len(w) - 7)) AS t(i)
+  WHERE len(w) >= 8
+),
+dup AS (
+  SELECT gram FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+),
+hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)),
+isl AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos > COALESCE(MAX(pos + 8) OVER (
+        PARTITION BY doc_id ORDER BY pos
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+      THEN 1 ELSE 0 END AS brk
+  FROM hits
+),
+grp AS (
+  SELECT doc_id, pos, SUM(brk) OVER (
+    PARTITION BY doc_id ORDER BY pos
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl
+),
+islands AS (
+  SELECT doc_id, [MIN(pos), MAX(pos) + 8] AS r
+  FROM grp GROUP BY doc_id, island
+),
+spans AS (SELECT doc_id, list(r) AS sp FROM islands GROUP BY doc_id),
+cut AS (
+  SELECT w.doc_id, w.w,
+    CASE WHEN s.sp IS NULL THEN w.w
+         ELSE list_filter(w.w, (x, i) -> NOT len(list_filter(s.sp,
+              r -> i - 1 >= r[1] AND i - 1 < r[2])) > 0)
+    END AS kept
+  FROM words w LEFT JOIN spans s USING (doc_id)
+)
+SELECT doc_id,
+  md5(COALESCE(array_to_string(kept, ' '), '')) AS clean_hash,
+  len(w)::BIGINT AS n_words,
+  (len(w) - len(kept))::BIGINT AS n_removed_words
+FROM cut
+""",
+)
+def q_span_scrubbed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second half of ExactSubstr dedup: CUT the duplicated spans out
+    of each document and keep the unique remainder (Lee et al.'s removal
+    semantics — `remove_duplicate_spans`). Spans collapse to a per-doc
+    struct list and LEFT-join back on the doc key; the cut itself is one
+    indexed filter HOF over the materialized word array, so the only
+    exchanges are the span pipeline's own. Hashing the cleaned text
+    keeps the attestation value-exact without shipping full documents."""
+    from fireball_data_processing_spark.operators.dedup import (
+        duplicate_spans,
+        remove_duplicate_spans,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    spans = duplicate_spans(d, k=8, min_docs=2)
+    out = remove_duplicate_spans(d, spans)
+    return out.select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_hash"),
+        "n_words",
+        "n_removed_words",
+    )
+
+
+@query(
+    "doc_unicode_nfc",
+    """
+SELECT doc_id,
+  length(text || ' cafe' || chr(769) || chr(7) || ' fin') AS len_raw,
+  length(nfc_normalize(regexp_replace(
+      text || ' cafe' || chr(769) || chr(7) || ' fin',
+      '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F]', '', 'g'))) AS len_clean,
+  md5(nfc_normalize(regexp_replace(
+      text || ' cafe' || chr(769) || chr(7) || ' fin',
+      '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F]', '', 'g'))) AS clean_hash
+FROM documents
+""",
+)
+def q_doc_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode hygiene at the head of the cleaning pipeline: strip C0/C1
+    control characters (JVM regex) then NFC-normalize (Arrow-batched
+    pandas UDF — Spark has no normalization builtin; the oracle is
+    DuckDB's nfc_normalize, so the check proves the UDF implements the
+    same UAX#15 composition). The synthetic corpus is ASCII, so a
+    decomposed 'e'+COMBINING-ACUTE and a BEL byte are appended to every
+    row to force both rules to fire; hashes are value-exact only if
+    composition and stripping agree byte-for-byte cross-engine."""
+    from fireball_data_processing_spark.functions.clean import (
+        normalize_unicode,
+        strip_control_chars,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    # decomposed e+U+0301 plus a BEL control byte: forces both rules
+    injected = F.concat(F.col("text"), F.lit(" cafe\u0301\u0007 fin"))
+    pre = d.select("doc_id", injected.alias("__raw"))
+    clean = normalize_unicode("NFC")(strip_control_chars(F.col("__raw")))
+    sized = pre.select(
+        "doc_id",
+        F.length("__raw").cast("bigint").alias("len_raw"),
+        clean.alias("__clean"),
+    )
+    return sized.select(
+        "doc_id",
+        "len_raw",
+        F.length("__clean").cast("bigint").alias("len_clean"),
+        F.md5("__clean").alias("clean_hash"),
+    )
+
+
+@query(
     "approx_distinct_rollup",
     """
 SELECT event_type,
@@ -4422,6 +4544,84 @@ def q_snapshot_diff_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_REFRESH_ORACLE = """
+WITH new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || '!' ELSE text END AS text,
+         source
+  FROM documents WHERE doc_id % 11 <> 0
+),
+feat AS (
+  SELECT doc_id, source,
+    len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_words,
+    md5(text) AS text_hash,
+    CASE WHEN doc_id % 7 = 0 OR doc_id % 5 = 0
+         THEN 'refreshed' ELSE 'carried' END AS origin
+  FROM new
+)
+SELECT source, origin, COUNT(*) AS n_docs,
+  SUM(CAST(('0x' || substr(text_hash, 1, 8)) AS BIGINT))::BIGINT
+    AS content_sum,
+  SUM(n_words)::BIGINT AS sum_words
+FROM feat GROUP BY source, origin
+"""
+
+
+@query("incremental_refresh_counts", _REFRESH_ORACLE)
+def q_incremental_refresh_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-driven selective recompute (plans/refresh.py): the snapshot
+    diff names added/changed keys, ONLY that slice re-runs the
+    per-document pipeline, unchanged keys carry their prior outputs
+    forward. The oracle computes the FULL reprocess of the new snapshot
+    directly and classifies origin from the residues — so a hash-exact
+    match proves both halves: recomputed rows equal a fresh run AND
+    carried rows were safe to reuse (content checksums cover every
+    output byte). Residues: %7 keys are new, %11 keys dropped, %5 texts
+    changed — same snapshot fixture as snapshot_diff_counts."""
+    from fireball_data_processing_spark.operators.snapshots import fingerprint
+    from fireball_data_processing_spark.plans.refresh import (
+        incremental_refresh,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    fp = fingerprint([F.col("text"), F.col("source")])
+    old = d.filter(F.pmod(F.col("doc_id"), F.lit(7)) != 0).withColumn("fp", fp)
+    new = (
+        d.filter(F.pmod(F.col("doc_id"), F.lit(11)) != 0)
+        .withColumn(
+            "text",
+            F.when(
+                F.pmod(F.col("doc_id"), F.lit(5)) == 0,
+                F.concat(F.col("text"), F.lit("!")),
+            ).otherwise(F.col("text")),
+        )
+        .withColumn("fp", fp)
+    )
+
+    def process(docs: DataFrame) -> DataFrame:
+        return docs.select(
+            "doc_id",
+            "source",
+            F.size(F.split(F.trim(F.col("text")), r"\s+"))
+            .cast("bigint")
+            .alias("n_words"),
+            F.md5("text").alias("text_hash"),
+        )
+
+    out = incremental_refresh(
+        new, old, process(old), process, origin_col="origin"
+    )
+    return out.groupBy("source", "origin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            F.conv(F.substring("text_hash", 1, 8), 16, 10).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("content_sum"),
+        F.sum("n_words").cast("bigint").alias("sum_words"),
+    )
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
@@ -4458,6 +4658,9 @@ _PRIORITY = [
     "bm25_search_indexed",
     "corpus_shard_layout",
     "snapshot_diff_counts",
+    "span_scrubbed_docs",
+    "doc_unicode_nfc",
+    "incremental_refresh_counts",
     "bpe_token_stats",
     # --- attested in round 1 only; rotate back in for fresh rows ---
     "simhash_fingerprints",

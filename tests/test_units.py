@@ -911,6 +911,76 @@ def test_duplicate_spans_contiguous_hits_merge(spark):
     assert got == [(1, 0, 16), (2, 0, 8)]
 
 
+def test_normalize_unicode_forms_and_control_strip(spark):
+    """NFC composes, NFKC folds compatibility chars (ligature/fullwidth),
+    nulls pass through, and the control-strip keeps tab/newline while
+    dropping C0/C1 bytes."""
+    from fireball_data_processing_spark.functions.clean import (
+        normalize_unicode,
+        strip_control_chars,
+    )
+    import pytest as _pytest
+
+    rows = [
+        (1, "cafe\u0301"),  # decomposed -> NFC composes
+        (2, "\ufb01le \uff21"),  # fi-ligature + fullwidth A -> NFKC folds
+        (3, None),
+        (4, "ab\tc\u0007\u008a\nde"),  # BEL + C1 stripped, tab/newline kept
+    ]
+    df = spark.createDataFrame(rows, "id int, t string")
+    nfc = {
+        r.id: r.v
+        for r in df.select(
+            "id", normalize_unicode("NFC")(F.col("t")).alias("v")
+        ).collect()
+    }
+    assert nfc[1] == "caf\u00e9"
+    assert nfc[2] == "\ufb01le \uff21"  # NFC leaves compatibility chars
+    assert nfc[3] is None
+    nfkc = {
+        r.id: r.v
+        for r in df.select(
+            "id", normalize_unicode("NFKC")(F.col("t")).alias("v")
+        ).collect()
+    }
+    assert nfkc[2] == "file A"
+    stripped = {
+        r.id: r.v
+        for r in df.select(
+            "id", strip_control_chars(F.col("t")).alias("v")
+        ).collect()
+    }
+    assert stripped[4] == "ab\tc\nde"
+    with _pytest.raises(ValueError):
+        normalize_unicode("NFX")
+
+
+def test_remove_duplicate_spans_cuts_and_passes_through(spark):
+    """Removal semantics (Lee et al. cut-the-span): spanned words vanish,
+    unspanned docs pass through normalized-intact, a fully-duplicated doc
+    reduces to the empty string (kept, not dropped)."""
+    from fireball_data_processing_spark.operators.dedup import (
+        duplicate_spans,
+        remove_duplicate_spans,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, "one two three " + shared + " four five"),
+        (2, shared),  # duplicated in full -> everything removed
+        (3, "totally unique words that appear nowhere else at all ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    spans = duplicate_spans(df, k=8, min_docs=2)
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_words"], r["n_removed_words"])
+        for r in remove_duplicate_spans(df, spans).collect()
+    }
+    assert got[1] == ("one two three four five", 15, 10)
+    assert got[2] == ("", 10, 10)
+    assert got[3] == (rows[2][1], 10, 0)
+
+
 def test_pack_sequences_bins_tile_exactly(spark):
     """Packing invariants: every bin except a shard's last is exactly
     full; within a bin the slices tile [0, fill) with no gaps or
