@@ -66,7 +66,13 @@ def incremental_refresh(
     ('refreshed' for recomputed rows, 'carried' for reused ones) so
     build reports can attest how much work the diff saved.
     """
-    diff = snapshot_diff(old_docs, new_docs, key, fingerprint_col)
+    # the diff feeds TWO consumers (stale + fresh semi joins); without a
+    # persist the full-outer-join subtree — including both snapshot
+    # fingerprint scans — plans and executes twice. The diff is narrow
+    # (key + status, ~50 B/row), so caching it is the cheap side of that
+    # trade at any scale; spill-to-disk covers corpora whose key set
+    # outgrows executor memory.
+    diff = snapshot_diff(old_docs, new_docs, key, fingerprint_col).persist()
     stale = diff.filter(F.col("status").isin("added", "changed")).select(key)
     fresh = diff.filter(F.col("status") == "unchanged").select(key)
     refreshed = process(new_docs.join(stale, on=key, how="left_semi"))

@@ -297,3 +297,51 @@ def test_bm25_indexed_broadcasts_df_and_prunes_partitions(spark):
     assert phys.count("SortMergeJoin") == 0, phys
     assert "PartitionFilters: [" in phys, phys
     assert len(re.findall(r"Exchange (?:hash|range)partitioning", phys)) <= 5, phys
+
+
+def test_corpus_shard_layout_single_exchange(spark):
+    # shard layout = column math + one groupBy exchange, no global sort
+    df = catalog.REGISTRY["corpus_shard_layout"].fn(spark, SMOKE)
+    s = _explain_str(df)
+    assert _count_shuffles(df) == 1, s
+    assert "Exchange rangepartitioning" not in s  # no total sort anywhere
+
+
+def test_snapshot_diff_fingerprints_before_join(spark):
+    # the join carries (key, fp) only: the diff plan must not ship text
+    df = catalog.REGISTRY["snapshot_diff_counts"].fn(spark, SMOKE)
+    s = _explain_str(df)
+    m = re.findall(r"ReadSchema: struct<([^>]*)>", s)
+    assert m
+    for schema in m:
+        cols = {c.split(":")[0] for c in schema.split(",")}
+        # text/lang/source are consumed by the scan-local md5 projection;
+        # the join itself only moves doc_id + fp, so every scan reads the
+        # fingerprint inputs and nothing else survives to the exchange
+        assert cols <= {"doc_id", "text", "lang", "source"}
+    # one full-outer sort-merge join on the key, no broadcast of a corpus
+    assert s.count("SortMergeJoin") >= 1, s
+
+
+def test_span_scrub_reuses_span_pipeline_exchanges(spark):
+    # removal adds ONE extra join on the doc key over the span pipeline's
+    # own exchanges; nothing re-tokenizes the corpus
+    spans_df = catalog.REGISTRY["duplicate_substring_spans"].fn(spark, SMOKE)
+    scrub_df = catalog.REGISTRY["span_scrubbed_docs"].fn(spark, SMOKE)
+    assert _count_shuffles(scrub_df) <= _count_shuffles(spans_df) + 2, (
+        _explain_str(scrub_df)
+    )
+
+
+def test_incremental_refresh_diff_cached_once(spark):
+    # the persisted diff must appear as InMemoryRelation consumers, not as
+    # two full re-executions of the outer-join subtree
+    df = catalog.REGISTRY["incremental_refresh_counts"].fn(spark, SMOKE)
+    s = _explain_str(df)
+    phys = s.split("== Physical Plan ==")[1]
+    # both diff consumers read the cache...
+    assert phys.count("InMemoryTableScan") == 2, phys
+    # ...and every FullOuter occurrence is the cached plan's own print
+    # (one per InMemoryTableScan), i.e. the outer-join subtree is never
+    # re-planned outside the cache
+    assert phys.count("FullOuter") == phys.count("InMemoryTableScan"), phys

@@ -630,3 +630,48 @@ def test_doc_pmi_matches_python_reference(spark, docs):
         for (a, b), c in pair_n.items()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------
+# snapshot diff == a literal dict diff
+# ---------------------------------------------------------------------
+snapshot_maps = st.tuples(
+    st.dictionaries(st.integers(0, 15), st.text(max_size=4), max_size=12),
+    st.dictionaries(st.integers(0, 15), st.text(max_size=4), max_size=12),
+)
+
+
+@given(snaps=snapshot_maps)
+@settings(**SETTINGS)
+def test_snapshot_diff_matches_dict_diff(spark, snaps):
+    """snapshot_diff == the literal Python dict comparison, for arbitrary
+    key overlaps and value collisions (including empty snapshots)."""
+    from fireball_data_processing_spark.operators.snapshots import (
+        fingerprint,
+        snapshot_diff,
+    )
+
+    old_map, new_map = snaps
+
+    def df_of(m):
+        rows = [(k, v) for k, v in m.items()]
+        d = spark.createDataFrame(rows, "k int, v string") if rows else (
+            spark.createDataFrame([], "k int, v string")
+        )
+        return d.withColumn("fp", fingerprint([F.col("v")]))
+
+    got = {
+        r["k"]: r["status"]
+        for r in snapshot_diff(df_of(old_map), df_of(new_map), "k").collect()
+    }
+    want = {}
+    for k in set(old_map) | set(new_map):
+        if k not in old_map:
+            want[k] = "added"
+        elif k not in new_map:
+            want[k] = "removed"
+        elif old_map[k] == new_map[k]:
+            want[k] = "unchanged"
+        else:
+            want[k] = "changed"
+    assert got == want
