@@ -118,3 +118,85 @@ def stratified_sample(
     if keep_col is not None:
         return df.withColumn(keep_col, keep)
     return df.filter(keep)
+
+
+def capped_sample(
+    df: DataFrame,
+    bucket: Column,
+    cap: int,
+    key: Column,
+    salt: str = "",
+) -> DataFrame:
+    """Per-bucket ABSOLUTE cap: keep at most ``cap`` rows per bucket,
+    chosen deterministically by hash rank (ties broken by the key).
+
+    The quota complement to :func:`stratified_sample`'s fractions — the
+    C4-style "no domain contributes more than N documents" rule, where
+    the bound must be exact, not expected. One window (rank within
+    bucket by md5 order) = one exchange on the bucket key.
+
+    Skew note: an exact per-bucket count is inherently a per-bucket
+    sort, so one hot bucket serializes onto one task. When ``cap`` is
+    far below the hot bucket's size, pre-thin with
+    ``stratified_sample(df, bucket, rate, key)`` at a rate that keeps
+    ~4x ``cap`` of the hot bucket first (hash-threshold, scan-local,
+    skew-immune), then apply the exact cap to the thinned remainder —
+    the two-phase form trims the sorted volume to O(cap) per bucket.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(bucket).orderBy(hash_rank(key, salt), key)
+    return (
+        df.withColumn("__cap_rank", F.row_number().over(w))
+        .filter(F.col("__cap_rank") <= cap)
+        .drop("__cap_rank")
+    )
+
+
+def temperature_mixture_rates(
+    df: DataFrame,
+    bucket: Column,
+    alpha: float = 0.5,
+    target_rows: int | None = None,
+) -> DataFrame:
+    """Temperature-scaled mixture plan: per-bucket keep rates that
+    rebalance the corpus toward ``share ** alpha`` proportions (the
+    multilingual-training sampling rule — alpha=1 preserves the natural
+    mix, alpha=0 forces uniform, 0<alpha<1 up-weights tail buckets).
+
+    Returns one row per bucket: ``(bucket, n_rows, share, weight,
+    keep_rate)`` where ``weight = share^alpha / sum(share^alpha)`` and
+    ``keep_rate = min(1, target_rows * weight / n_rows)`` (with
+    ``target_rows`` defaulting to the corpus size). Feed the result into
+    :func:`mixture_sample` / :func:`stratified_sample` (as a rate map or
+    broadcast-joined rate column) to materialize the blend.
+
+    The whole computation is aggregate-sized: one groupBy on the bucket
+    plus unpartitioned windows over the bucket-count table — never the
+    corpus. Rates are rounded to 6 dp so the plan is reproducible
+    cross-engine (DuckDB-oracle-checkable).
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").cast("bigint").alias("n_rows")
+    )
+    w = Window.partitionBy()
+    share = F.col("n_rows") / F.sum("n_rows").over(w)
+    shared = counts.withColumn("share", share)
+    weight = F.pow(F.col("share"), F.lit(float(alpha)))
+    weighted = shared.withColumn(
+        "weight", weight / F.sum(weight).over(w)
+    )
+    total = F.sum("n_rows").over(w) if target_rows is None else F.lit(
+        int(target_rows)
+    )
+    return weighted.select(
+        "bucket",
+        "n_rows",
+        F.round("share", 6).alias("share"),
+        F.round("weight", 6).alias("weight"),
+        F.round(
+            F.least(F.lit(1.0), total * F.col("weight") / F.col("n_rows")), 6
+        ).alias("keep_rate"),
+    )

@@ -4622,6 +4622,89 @@ def q_incremental_refresh_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DOMAIN_CAP_ORACLE = """
+WITH ranked AS (
+  SELECT source, doc_id,
+    ROW_NUMBER() OVER (
+      PARTITION BY source
+      ORDER BY ('0x' || substr(md5('cap' || CAST(doc_id AS VARCHAR)), 1, 8))
+                 ::BIGINT / 4294967296.0,
+               doc_id) AS rnk
+  FROM documents
+)
+SELECT source,
+  COUNT(*) AS n_kept,
+  SUM(doc_id)::BIGINT AS id_sum,
+  MIN(doc_id) AS min_id,
+  MAX(doc_id) AS max_id
+FROM ranked WHERE rnk <= 30
+GROUP BY source
+"""
+
+
+@query("domain_capped_sample", _DOMAIN_CAP_ORACLE)
+def q_domain_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style per-domain quota: each source contributes at most 30
+    documents, chosen by deterministic md5 rank (stable under retries /
+    repartitioning, engine-reproducible — the absolute-cap complement to
+    the fraction-based mixture/stratified samplers). One window = one
+    exchange on the domain key; the per-source id-sum makes the check
+    membership-exact, not just count-exact."""
+    from fireball_data_processing_spark.operators.sampling import (
+        capped_sample,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    kept = capped_sample(d, F.col("source"), cap=30, key=F.col("doc_id"), salt="cap")
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+_TEMPERATURE_ORACLE = """
+WITH counts AS (
+  SELECT lang AS bucket, COUNT(*)::BIGINT AS n_rows
+  FROM documents GROUP BY lang
+),
+shared AS (
+  SELECT bucket, n_rows,
+    n_rows::DOUBLE / SUM(n_rows) OVER () AS share_raw
+  FROM counts
+),
+weighted AS (
+  SELECT bucket, n_rows, share_raw,
+    POWER(share_raw, 0.5) / SUM(POWER(share_raw, 0.5)) OVER () AS weight_raw,
+    SUM(n_rows) OVER () AS total
+  FROM shared
+)
+SELECT bucket, n_rows,
+  ROUND(share_raw, 6) AS share,
+  ROUND(weight_raw, 6) AS weight,
+  ROUND(LEAST(1.0, total * weight_raw / n_rows), 6) AS keep_rate
+FROM weighted
+"""
+
+
+@query("temperature_mixture_plan", _TEMPERATURE_ORACLE)
+def q_temperature_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture plan (the multilingual-training
+    sampling rule): per-language keep rates rebalancing the corpus
+    toward share^0.5 proportions — tail languages up-weighted, the head
+    capped at rate 1. Aggregate-sized end to end: one groupBy on the
+    bucket, then windows over the bucket-count table, never the corpus.
+    Feed the rates into mixture_sample/stratified_sample to materialize
+    the blend."""
+    from fireball_data_processing_spark.operators.sampling import (
+        temperature_mixture_rates,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return temperature_mixture_rates(d, F.col("lang"), alpha=0.5)
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
@@ -4661,6 +4744,8 @@ _PRIORITY = [
     "span_scrubbed_docs",
     "doc_unicode_nfc",
     "incremental_refresh_counts",
+    "domain_capped_sample",
+    "temperature_mixture_plan",
     "bpe_token_stats",
     # --- attested in round 1 only; rotate back in for fresh rows ---
     "simhash_fingerprints",

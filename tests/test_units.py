@@ -1140,3 +1140,57 @@ def test_semantic_dedup_drops_near_identical_keeps_distinct(spark):
     assert got[1] == (255, None)  # reps report null cosine
     assert got[4] == (0, None)
     assert got[3][0] == 255 and got[3][1] is not None and got[3][1] <= 0.9
+
+
+def test_capped_sample_exact_quota_and_determinism(spark):
+    from fireball_data_processing_spark.operators.sampling import capped_sample
+
+    rows = [(i, "big" if i < 80 else "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "k bigint, b string")
+    kept = capped_sample(df, F.col("b"), cap=10, key=F.col("k"), salt="s")
+    got = kept.collect()
+    from collections import Counter
+
+    by_bucket = Counter(r["b"] for r in got)
+    assert by_bucket == {"big": 10, "small": 10}
+    # deterministic under repartitioning
+    again = capped_sample(
+        df.repartition(7), F.col("b"), cap=10, key=F.col("k"), salt="s"
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+    # a bucket smaller than the cap survives whole
+    tiny = capped_sample(df, F.col("b"), cap=25, key=F.col("k"), salt="s")
+    assert Counter(r["b"] for r in tiny.collect())["small"] == 20
+
+
+def test_temperature_mixture_rates_limits(spark):
+    from fireball_data_processing_spark.operators.sampling import (
+        temperature_mixture_rates,
+    )
+
+    rows = [(i, "en" if i < 90 else "is") for i in range(100)]
+    df = spark.createDataFrame(rows, "k bigint, lang string")
+    # alpha=1: natural mix, every keep_rate == 1 (identity plan)
+    nat = {
+        r["bucket"]: r
+        for r in temperature_mixture_rates(df, F.col("lang"), alpha=1.0).collect()
+    }
+    assert nat["en"]["keep_rate"] == 1.0 and nat["is"]["keep_rate"] == 1.0
+    assert nat["en"]["weight"] == 0.9
+    # alpha=0: uniform weights -> the head language is downsampled toward
+    # 50/50 while the tail is capped at 1
+    uni = {
+        r["bucket"]: r
+        for r in temperature_mixture_rates(df, F.col("lang"), alpha=0.0).collect()
+    }
+    assert uni["en"]["weight"] == 0.5 and uni["is"]["weight"] == 0.5
+    assert uni["en"]["keep_rate"] == pytest.approx(50 / 90, abs=1e-6)
+    assert uni["is"]["keep_rate"] == 1.0
+    # explicit target_rows scales expected kept volume
+    half = {
+        r["bucket"]: r
+        for r in temperature_mixture_rates(
+            df, F.col("lang"), alpha=1.0, target_rows=50
+        ).collect()
+    }
+    assert half["en"]["keep_rate"] == pytest.approx(0.5, abs=1e-6)
