@@ -49,6 +49,7 @@ EXTRA = (
     "hybrid_search_rrf",
     "incremental_refresh_counts",
     "domain_capped_sample",
+    "corpus_pipeline_v2_summary",
 )
 
 

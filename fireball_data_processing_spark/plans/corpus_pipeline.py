@@ -16,9 +16,10 @@ consumes the packed manifest never materializes intermediates. Callers
 doing multi-output runs (write every stage) should ``.persist()`` the
 stages they fan out from — same rule as the minhash index split.
 
-Near-dup removal (MinHash/LSH) deliberately sits outside this plan: its
-candidate generation is corpus-global and belongs on the materialized
-``build_minhash_index`` path, composed upstream when needed.
+Near-dup removal (MinHash/LSH) and ExactSubstr span scrubbing
+deliberately sit outside this plan: their candidate generation is
+corpus-global and belongs on the materialized ``build_minhash_index`` /
+``duplicate_spans`` paths, composed upstream when needed.
 """
 
 from __future__ import annotations
@@ -135,24 +136,46 @@ def build_training_corpus(
     target: DataFrame | None = None,
     dsir_min_log_weight: float = 0.0,
     dsir_n_buckets: int = 4096,
+    normalize_form: str | None = None,
+    domain_cap: int | None = None,
+    mixture_alpha: float | None = None,
+    mixture_target_rows: int | None = None,
 ) -> dict[str, DataFrame]:
     """The full pipeline; returns every stage (all lazy):
-    ``{"cleaned", "deduped", "quality"[, "selected"], "packed"}`` —
-    ``packed`` is the training manifest ``(source, doc_id, bin_idx,
-    tok_start, tok_end, offset_in_bin)``. Passing a ``target`` sample
-    inserts the DSIR domain-selection stage between the quality gate and
-    packing (the modern pretraining-pipeline shape: clean -> dedup ->
-    quality -> select -> pack)."""
+    ``{["normalized",] "cleaned", "deduped", "quality"[, "selected"]
+    [, "capped"][, "mixed"], "packed"}`` — ``packed`` is the training
+    manifest ``(source, doc_id, bin_idx, tok_start, tok_end,
+    offset_in_bin)``.
+
+    Optional stages, in pipeline order: ``normalize_form`` prepends
+    unicode hygiene before anything hashes text; ``target`` inserts DSIR
+    domain selection after the quality gate; ``domain_cap`` applies the
+    per-source quota; ``mixture_alpha`` temperature-rebalances the
+    source mix just before packing (the full modern pretraining shape:
+    normalize -> clean -> dedup -> quality -> select -> cap -> mix ->
+    pack)."""
+    if normalize_form is not None:
+        docs = normalize_stage(docs, normalize_form)
     cleaned = clean_stage(docs, min_words_per_segment)
     deduped = dedup_stage(cleaned)
     quality = quality_stage(deduped, min_tokens, max_tokens)
     stages = {"cleaned": cleaned, "deduped": deduped, "quality": quality}
+    if normalize_form is not None:
+        stages = {"normalized": docs, **stages}
     pack_input = quality
     if target is not None:
         pack_input = selection_stage(
             quality, target, dsir_min_log_weight, dsir_n_buckets
         )
         stages["selected"] = pack_input
+    if domain_cap is not None:
+        pack_input = domain_cap_stage(pack_input, domain_cap)
+        stages["capped"] = pack_input
+    if mixture_alpha is not None:
+        pack_input = mixture_stage(
+            pack_input, mixture_alpha, mixture_target_rows
+        )
+        stages["mixed"] = pack_input
     stages["packed"] = pack_sequences(
         pack_input,
         max_tokens=max_tokens_per_bin,
@@ -161,3 +184,60 @@ def build_training_corpus(
         n_tokens=F.col("n_tokens"),
     )
     return stages
+
+
+def normalize_stage(docs: DataFrame, form: str = "NFC") -> DataFrame:
+    """Unicode hygiene ahead of everything hash-based: strip C0/C1
+    control bytes (JVM regex) and unicode-normalize (Arrow-batched UDF)
+    so composed/decomposed encodings of the same word cannot fragment
+    dedup hashes, gram hashes, or the BPE vocabulary downstream."""
+    from fireball_data_processing_spark.functions.clean import (
+        normalize_unicode,
+        strip_control_chars,
+    )
+
+    return docs.withColumn(
+        "text", normalize_unicode(form)(strip_control_chars(F.col("text")))
+    )
+
+
+def domain_cap_stage(
+    quality: DataFrame, cap: int, salt: str = "cap"
+) -> DataFrame:
+    """C4-style per-source quota (:func:`..operators.sampling.
+    capped_sample`): no source contributes more than ``cap`` documents,
+    chosen by deterministic md5 rank. One window exchange on the source
+    key."""
+    from fireball_data_processing_spark.operators.sampling import (
+        capped_sample,
+    )
+
+    return capped_sample(quality, F.col("source"), cap, F.col("doc_id"), salt)
+
+
+def mixture_stage(
+    capped: DataFrame,
+    alpha: float = 0.5,
+    target_rows: int | None = None,
+    salt: str = "mix",
+) -> DataFrame:
+    """Temperature-scaled source rebalancing: keep rates from
+    :func:`..operators.sampling.temperature_mixture_rates` (share^alpha
+    proportions), applied with the scan-local hash threshold. The rate
+    table is aggregate-sized and broadcast; computing it re-executes the
+    upstream subtree once, so callers running this stage should
+    ``.persist()`` the frame they pass in — the same fan-out rule as
+    the DSIR stage."""
+    from fireball_data_processing_spark.operators.sampling import (
+        hash_rank,
+        temperature_mixture_rates,
+    )
+
+    rates = temperature_mixture_rates(
+        capped, F.col("source"), alpha, target_rows
+    ).select(F.col("bucket").alias("source"), "keep_rate")
+    return (
+        capped.join(F.broadcast(rates), "source")
+        .filter(hash_rank(F.col("doc_id"), salt) < F.col("keep_rate"))
+        .drop("keep_rate")
+    )

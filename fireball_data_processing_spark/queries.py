@@ -4705,6 +4705,116 @@ def q_temperature_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_mixture_rates(d, F.col("lang"), alpha=0.5)
 
 
+_CORPUS_V2_ORACLE = """
+WITH normalized AS (
+  SELECT doc_id, source,
+    nfc_normalize(regexp_replace(text,
+      '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F]', '', 'g')) AS text
+  FROM documents
+),
+cleaned AS (
+  SELECT doc_id, source,
+    COALESCE(array_to_string(
+      list_filter(list_transform(string_split(text, chr(10)), s -> trim(s)),
+                  s -> s <> '' AND len(string_split_regex(s, '\\s+')) >= 50),
+      chr(10)), '') AS clean_text
+  FROM normalized
+  WHERE NOT (contains(lower(text), 'lorem ipsum')
+             OR contains(lower(text), 'slow scan'))
+),
+nonempty AS (SELECT * FROM cleaned WHERE clean_text <> ''),
+deduped AS (
+  SELECT doc_id, source, clean_text FROM (
+    SELECT *, MIN(doc_id) OVER (PARTITION BY md5(clean_text)) AS keeper
+    FROM nonempty
+  ) WHERE doc_id = keeper
+),
+quality AS (
+  SELECT doc_id, source,
+    len(string_split_regex(trim(clean_text), '\\s+'))::BIGINT AS n_tokens
+  FROM deduped
+  WHERE len(string_split_regex(trim(clean_text), '\\s+')) BETWEEN 5 AND 5000
+),
+capped AS (
+  SELECT doc_id, source, n_tokens FROM (
+    SELECT q.*, ROW_NUMBER() OVER (
+      PARTITION BY source
+      ORDER BY ('0x' || substr(md5('cap' || CAST(doc_id AS VARCHAR)), 1, 8))
+                 ::BIGINT / 4294967296.0, doc_id) AS rnk
+    FROM quality q
+  ) WHERE rnk <= 30
+),
+cap_counts AS (
+  SELECT source, COUNT(*)::BIGINT AS n FROM capped GROUP BY source
+),
+cap_tot AS (SELECT source, n, SUM(n) OVER () AS total FROM cap_counts),
+cap_w AS (
+  SELECT source, n, total, POWER(n::DOUBLE / total, 0.5) AS w FROM cap_tot
+),
+rates AS (
+  SELECT source,
+    ROUND(LEAST(1.0, total * (w / SUM(w) OVER ()) / n), 6) AS keep_rate
+  FROM cap_w
+),
+mixed AS (
+  SELECT c.* FROM capped c JOIN rates r USING (source)
+  WHERE ('0x' || substr(md5('mix' || CAST(c.doc_id AS VARCHAR)), 1, 8))
+          ::BIGINT / 4294967296.0 < r.keep_rate
+)
+SELECT q.source, q.n_quality, c.n_capped, m.n_mixed, m.total_tokens,
+  (m.total_tokens + 255) // 256 AS n_bins
+FROM (SELECT source, COUNT(*)::BIGINT AS n_quality
+      FROM quality GROUP BY source) q
+JOIN (SELECT source, COUNT(*)::BIGINT AS n_capped
+      FROM capped GROUP BY source) c USING (source)
+JOIN (SELECT source, COUNT(*)::BIGINT AS n_mixed,
+             SUM(n_tokens)::BIGINT AS total_tokens
+      FROM mixed GROUP BY source) m USING (source)
+"""
+
+
+@query("corpus_pipeline_v2_summary", _CORPUS_V2_ORACLE)
+def q_corpus_pipeline_v2_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The extended capstone: unicode normalize -> C4 clean -> exact
+    dedup -> quality band -> per-source cap (30) -> temperature mixture
+    (alpha=0.5) -> packing, as ONE lazy composition
+    (plans/corpus_pipeline.py build_training_corpus with every optional
+    batch stage on). Audited per source: counts after the quality, cap
+    and mixture stages, surviving tokens, and the packed bin count (the
+    Spark side counts bins from the ACTUAL manifest; the oracle computes
+    ceil(tokens/256), equal only if packing stays dense through the new
+    stages)."""
+    from fireball_data_processing_spark.plans.corpus_pipeline import (
+        build_training_corpus,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    stages = build_training_corpus(
+        d, normalize_form="NFC", domain_cap=30, mixture_alpha=0.5
+    )
+    count_per = lambda df, name: df.groupBy("source").agg(  # noqa: E731
+        F.count(F.lit(1)).cast("bigint").alias(name)
+    )
+    quality = count_per(stages["quality"], "n_quality")
+    capped = count_per(stages["capped"], "n_capped")
+    mixed = stages["mixed"].groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_mixed"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
+    bins = stages["packed"].groupBy("source").agg(
+        F.countDistinct("bin_idx").cast("bigint").alias("n_bins")
+    )
+    return (
+        quality.join(capped, "source")
+        .join(mixed, "source")
+        .join(bins, "source")
+        .select(
+            "source", "n_quality", "n_capped", "n_mixed",
+            "total_tokens", "n_bins",
+        )
+    )
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
@@ -4746,6 +4856,7 @@ _PRIORITY = [
     "incremental_refresh_counts",
     "domain_capped_sample",
     "temperature_mixture_plan",
+    "corpus_pipeline_v2_summary",
     "bpe_token_stats",
     # --- attested in round 1 only; rotate back in for fresh rows ---
     "simhash_fingerprints",
