@@ -4792,6 +4792,13 @@ def q_corpus_pipeline_v2_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     stages = build_training_corpus(
         d, normalize_form="NFC", domain_cap=30, mixture_alpha=0.5
     )
+    # this audit fans out to FOUR stages; per the module's fan-out rule,
+    # persist the frames consumed more than once so the normalize UDF +
+    # clean/dedup subtree runs once, not once per consumer (Spark's cache
+    # is keyed by logical plan, so downstream stages built from these
+    # same objects hit it too)
+    stages["quality"].persist()
+    stages["capped"].persist()
     count_per = lambda df, name: df.groupBy("source").agg(  # noqa: E731
         F.count(F.lit(1)).cast("bigint").alias(name)
     )
