@@ -4822,6 +4822,80 @@ def q_corpus_pipeline_v2_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_UPSERT_ORACLE = """
+WITH existing AS (
+  SELECT doc_id, source, text, 0 AS version FROM documents
+),
+ups AS (
+  SELECT doc_id, source, text || '~' AS text, 1 AS version
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id, source, text || '~~' AS text, 2 AS version
+  FROM documents WHERE doc_id % 6 = 0
+),
+lww AS (
+  SELECT doc_id, source, text, version FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY doc_id ORDER BY version DESC) AS rn
+    FROM ups
+  ) WHERE rn = 1
+),
+merged AS (
+  SELECT e.doc_id, e.source, e.text, e.version FROM existing e
+  WHERE NOT EXISTS (SELECT 1 FROM lww l WHERE l.doc_id = e.doc_id)
+  UNION ALL
+  SELECT doc_id, source, text, version FROM lww
+)
+SELECT source, COUNT(*)::BIGINT AS n_rows,
+  SUM(version)::BIGINT AS version_sum,
+  SUM(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT))::BIGINT
+    AS content_sum
+FROM merged GROUP BY source
+"""
+
+
+@query("upsert_merge_counts", _UPSERT_ORACLE)
+def q_upsert_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keyed-upsert merge (batch twin of the streaming upsert sink,
+    streaming/upsert_stream.py): a batch carrying TWO versions of some
+    keys collapses last-write-wins, untouched rows survive an anti
+    join, and the union is the new table state. Residues: every %3 key
+    is updated, every %6 key twice in one batch (version 2 must win).
+    The per-source version sums + content checksums make the check
+    row-exact: a wrong LWW choice or a dropped/duplicated key moves
+    both."""
+    from fireball_data_processing_spark.streaming.upsert_stream import (
+        upsert_merge,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    existing = d.select(
+        "doc_id", "source", "text", F.lit(0).alias("version")
+    )
+    u1 = d.filter(F.pmod(F.col("doc_id"), F.lit(3)) == 0).select(
+        "doc_id",
+        "source",
+        F.concat(F.col("text"), F.lit("~")).alias("text"),
+        F.lit(1).alias("version"),
+    )
+    u2 = d.filter(F.pmod(F.col("doc_id"), F.lit(6)) == 0).select(
+        "doc_id",
+        "source",
+        F.concat(F.col("text"), F.lit("~~")).alias("text"),
+        F.lit(2).alias("version"),
+    )
+    merged = upsert_merge(existing, u1.unionByName(u2), "doc_id", "version")
+    return merged.groupBy("source").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("version").cast("bigint").alias("version_sum"),
+        F.sum(
+            F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("content_sum"),
+    )
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
@@ -4864,6 +4938,7 @@ _PRIORITY = [
     "domain_capped_sample",
     "temperature_mixture_plan",
     "corpus_pipeline_v2_summary",
+    "upsert_merge_counts",
     "bpe_token_stats",
     # --- attested in round 1 only; rotate back in for fresh rows ---
     "simhash_fingerprints",
