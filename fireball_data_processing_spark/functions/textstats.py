@@ -277,3 +277,36 @@ def chunk_documents(
     return docs.select(F.col(id_col), F.explode(chunks).alias("c")).select(
         id_col, "c.chunk_idx", "c.chunk_text", "c.n_chunk_tokens"
     )
+
+
+def script_counts(
+    c: Column,
+    scripts: tuple[str, ...] = ("Latin", "Cyrillic", "Han", "Arabic"),
+) -> dict[str, Column]:
+    """Per-script character counts — the writing-system complement to the
+    marker-lexicon language ID (a multilingual crawl needs both: script
+    tells Cyrillic from Latin for free; the lexicon separates languages
+    sharing a script). Each count is ``len(s) - len(s with that script's
+    chars removed)`` — one JVM regex per script, zero shuffles,
+    RE2-portable (Java ``\\p{IsX}`` == RE2 ``\\p{X}``, which is what the
+    DuckDB oracle uses)."""
+    out: dict[str, Column] = {}
+    for s in scripts:
+        out[s.lower()] = F.length(c) - F.length(
+            F.regexp_replace(c, f"\\p{{Is{s}}}", "")
+        )
+    return out
+
+
+def dominant_script(counts: dict[str, Column]) -> Column:
+    """Argmax over :func:`script_counts` (first-listed wins ties, so the
+    result is deterministic and cross-engine reproducible as a chained
+    CASE)."""
+    names = list(counts)
+    expr = F.lit(names[-1])
+    for i in range(len(names) - 2, -1, -1):
+        cond = F.lit(True)
+        for other in names[i + 1 :]:
+            cond = cond & (counts[names[i]] >= counts[other])
+        expr = F.when(cond, F.lit(names[i])).otherwise(expr)
+    return expr

@@ -4896,6 +4896,115 @@ def q_upsert_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SCRIPT_SUFFIX = " Привет 你好 møre"
+
+_SCRIPT_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, text || '{_SCRIPT_SUFFIX}' AS s FROM documents
+),
+c AS (
+  SELECT doc_id,
+    (length(s) - length(regexp_replace(s, '\\p{{Latin}}', '', 'g')))::BIGINT
+      AS n_latin,
+    (length(s) - length(regexp_replace(s, '\\p{{Cyrillic}}', '', 'g')))::BIGINT
+      AS n_cyrillic,
+    (length(s) - length(regexp_replace(s, '\\p{{Han}}', '', 'g')))::BIGINT
+      AS n_han,
+    (length(s) - length(regexp_replace(s, '\\p{{Arabic}}', '', 'g')))::BIGINT
+      AS n_arabic
+  FROM t
+)
+SELECT doc_id, n_latin, n_cyrillic, n_han, n_arabic,
+  CASE WHEN n_latin >= n_cyrillic AND n_latin >= n_han
+            AND n_latin >= n_arabic THEN 'latin'
+       WHEN n_cyrillic >= n_han AND n_cyrillic >= n_arabic THEN 'cyrillic'
+       WHEN n_han >= n_arabic THEN 'han'
+       ELSE 'arabic' END AS dominant
+FROM c
+"""
+
+
+@query("doc_script_profile", _SCRIPT_ORACLE)
+def q_doc_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writing-system detection: per-script character counts (one JVM
+    regex per script, zero shuffles) + deterministic argmax — the
+    complement to the marker-lexicon language ID for multilingual
+    crawls (script separates Cyrillic from Latin for free; the lexicon
+    separates languages sharing a script). The synthetic corpus is
+    ASCII, so a mixed Cyrillic/Han/Latin suffix is appended to every
+    row; the oracle re-counts with RE2's script classes, proving the
+    Java/RE2 class tables agree on these ranges."""
+    from fireball_data_processing_spark.functions.textstats import (
+        dominant_script,
+        script_counts,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    pre = d.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(_SCRIPT_SUFFIX)).alias("__s"),
+    )
+    counts = script_counts(F.col("__s"))
+    sized = pre.select(
+        "doc_id",
+        *[
+            c.cast("bigint").alias(f"n_{name}")
+            for name, c in counts.items()
+        ],
+    )
+    renamed = {
+        name: F.col(f"n_{name}") for name in counts
+    }
+    return sized.withColumn("dominant", dominant_script(renamed))
+
+
+_PROFILE_ORACLE = """
+SELECT 'doc_id' AS "column", COUNT(*)::BIGINT AS n_rows,
+  SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+  COUNT(DISTINCT doc_id)::BIGINT AS n_distinct,
+  MIN(doc_id)::VARCHAR AS min_value, MAX(doc_id)::VARCHAR AS max_value
+FROM documents
+UNION ALL
+SELECT 'text', COUNT(*)::BIGINT,
+  SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END)::BIGINT,
+  COUNT(DISTINCT text)::BIGINT, MIN(text), MAX(text)
+FROM documents
+UNION ALL
+SELECT 'lang', COUNT(*)::BIGINT,
+  SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)::BIGINT,
+  COUNT(DISTINCT lang)::BIGINT, MIN(lang), MAX(lang)
+FROM documents
+UNION ALL
+SELECT 'source', COUNT(*)::BIGINT,
+  SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END)::BIGINT,
+  COUNT(DISTINCT source)::BIGINT, MIN(source), MAX(source)
+FROM documents
+UNION ALL
+SELECT 'n_chars', COUNT(*)::BIGINT,
+  SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)::BIGINT,
+  COUNT(DISTINCT n_chars)::BIGINT,
+  MIN(n_chars)::VARCHAR, MAX(n_chars)::VARCHAR
+FROM documents
+"""
+
+
+@query("table_profile", _PROFILE_ORACLE)
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table datasheet (operators/profile.py): every column's
+    null count, cardinality, and min/max from a SINGLE scan+agg — the
+    intake profile drift monitors and quality gates consume. This
+    catalog entry uses exact distincts so DuckDB reproduces the values
+    bit-for-bit; the operator defaults to the HLL sketch at corpus
+    scale (the exact path EXPANDs the input once per distinct
+    column)."""
+    from fireball_data_processing_spark.operators.profile import (
+        profile_columns,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return profile_columns(d, exact_distinct=True)
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
@@ -4939,6 +5048,8 @@ _PRIORITY = [
     "temperature_mixture_plan",
     "corpus_pipeline_v2_summary",
     "upsert_merge_counts",
+    "doc_script_profile",
+    "table_profile",
     "bpe_token_stats",
     # --- attested in round 1 only; rotate back in for fresh rows ---
     "simhash_fingerprints",

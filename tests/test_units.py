@@ -1194,3 +1194,60 @@ def test_temperature_mixture_rates_limits(spark):
         ).collect()
     }
     assert half["en"]["keep_rate"] == pytest.approx(0.5, abs=1e-6)
+
+
+def test_script_counts_and_dominant(spark):
+    from fireball_data_processing_spark.functions.textstats import (
+        dominant_script,
+        script_counts,
+    )
+
+    rows = [
+        (1, "hello world"),
+        (2, "Привет мир"),  # cyrillic
+        (3, "你好 ok"),  # han 2 == latin 2 -> tie, first wins
+        (4, "12345 !!!"),  # no script chars at all
+    ]
+    df = spark.createDataFrame(rows, "id int, t string")
+    counts = script_counts(F.col("t"))
+    got = {
+        r.id: (r.latin, r.cyrillic, r.han, r.dom)
+        for r in df.select(
+            "id",
+            counts["latin"].alias("latin"),
+            counts["cyrillic"].alias("cyrillic"),
+            counts["han"].alias("han"),
+            dominant_script(counts).alias("dom"),
+        ).collect()
+    }
+    assert got[1] == (10, 0, 0, "latin")
+    assert got[2][1] == 9 and got[2][3] == "cyrillic"
+    assert got[3] == (2, 0, 2, "latin")  # tie -> first-listed
+    assert got[4] == (0, 0, 0, "latin")  # degenerate: all zero -> first
+
+
+def test_profile_columns_nulls_and_sketch_path(spark):
+    from fireball_data_processing_spark.operators.profile import (
+        profile_columns,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (4, None)], "k bigint, v string"
+    )
+    got = {
+        r["column"]: r
+        for r in profile_columns(df, exact_distinct=True).collect()
+    }
+    assert got["k"]["n_rows"] == 4 and got["k"]["n_null"] == 0
+    assert got["k"]["n_distinct"] == 4
+    assert (got["k"]["min_value"], got["k"]["max_value"]) == ("1", "4")
+    assert got["v"]["n_null"] == 2 and got["v"]["n_distinct"] == 1
+    assert got["v"]["min_value"] == "a"
+    # HLL path: same shape, cardinalities within the sketch's error band
+    approx = {
+        r["column"]: r["n_distinct"] for r in profile_columns(df).collect()
+    }
+    assert abs(approx["k"] - 4) <= 1 and abs(approx["v"] - 1) <= 1
+    # column subset
+    only = profile_columns(df, cols=["v"], exact_distinct=True).collect()
+    assert [r["column"] for r in only] == ["v"]
