@@ -5005,6 +5005,41 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_columns(d, exact_distinct=True)
 
 
+_ROLLUP_ORACLE = """
+SELECT event_type, (user_id % 4)::INT AS cohort,
+  GROUPING(event_type, user_id % 4)::BIGINT AS gid,
+  COUNT(*)::BIGINT AS n_events,
+  ROUND(SUM(value), 4) AS sum_value
+FROM events
+GROUP BY ROLLUP(event_type, user_id % 4)
+"""
+
+
+@query("event_type_rollup", _ROLLUP_ORACLE)
+def q_event_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical grouping sets via Spark's native ROLLUP: per
+    (event_type, cohort) cells, per-type subtotals, and the grand total
+    in ONE aggregation pass (partial aggregation covers all levels —
+    no per-level re-scan), with grouping_id disambiguating real NULL
+    keys from rolled-up levels. The engine-native OLAP surface the
+    reference computes with ad-hoc per-level loops; the oracle is
+    DuckDB's GROUP BY ROLLUP + GROUPING, whose bit encoding must agree
+    exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    cohort = F.pmod(F.col("user_id"), F.lit(4)).cast("int")
+    return (
+        ev.select(
+            "event_type", cohort.alias("cohort"), "value"
+        )
+        .rollup("event_type", "cohort")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
@@ -5050,6 +5085,7 @@ _PRIORITY = [
     "upsert_merge_counts",
     "doc_script_profile",
     "table_profile",
+    "event_type_rollup",
     "bpe_token_stats",
     # --- attested in round 1 only; rotate back in for fresh rows ---
     "simhash_fingerprints",

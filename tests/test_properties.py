@@ -675,3 +675,48 @@ def test_snapshot_diff_matches_dict_diff(spark, snaps):
         else:
             want[k] = "changed"
     assert got == want
+
+
+# ---------------------------------------------------------------------
+# temperature mixture rates == literal Python math
+# ---------------------------------------------------------------------
+bucket_counts = st.dictionaries(
+    st.sampled_from(["a", "b", "c", "d"]),
+    st.integers(1, 50),
+    min_size=1,
+    max_size=4,
+)
+
+
+@given(counts=bucket_counts, alpha=st.sampled_from([0.0, 0.3, 0.5, 1.0]))
+@settings(**SETTINGS)
+def test_temperature_rates_match_python(spark, counts, alpha):
+    from fireball_data_processing_spark.operators.sampling import (
+        temperature_mixture_rates,
+    )
+
+    rows = [(f"{b}{i}", b) for b, n in counts.items() for i in range(n)]
+    df = spark.createDataFrame(rows, "k string, bucket string")
+    got = {
+        r["bucket"]: (r["n_rows"], r["share"], r["weight"], r["keep_rate"])
+        for r in temperature_mixture_rates(
+            df, F.col("bucket"), alpha=alpha
+        ).collect()
+    }
+    total = sum(counts.values())
+    wraw = {b: (n / total) ** alpha for b, n in counts.items()}
+    wsum = sum(wraw.values())
+    for b, n in counts.items():
+        share = round(n / total, 6)
+        weight = round(wraw[b] / wsum, 6)
+        rate = round(min(1.0, total * (wraw[b] / wsum) / n), 6)
+        gn, gs, gw, gr = got[b]
+        assert gn == n
+        assert abs(gs - share) < 2e-6 and abs(gw - weight) < 2e-6
+        assert abs(gr - rate) < 2e-6
+    # expected kept volume stays within one doc of the corpus size when
+    # every rate is < 1, and never exceeds it
+    expected = sum(
+        got[b][3] * n for b, n in counts.items()
+    )
+    assert expected <= total + 1e-6 * total
