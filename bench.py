@@ -50,6 +50,9 @@ EXTRA = (
     "incremental_refresh_counts",
     "domain_capped_sample",
     "corpus_pipeline_v2_summary",
+    "cross_doc_line_dedup",
+    "set_similarity_pairs",
+    "doc_bigram_logprob",
 )
 
 

@@ -310,3 +310,81 @@ def dominant_script(counts: dict[str, Column]) -> Column:
             cond = cond & (counts[names[i]] >= counts[other])
         expr = F.when(cond, F.lit(names[i])).otherwise(expr)
     return expr
+
+
+def bigram_logprob(
+    docs,
+    alpha: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int | None = 6,
+):
+    """Corpus-bigram cross-entropy per document — the order-2 upgrade of
+    :func:`unigram_logprob` (CCNet scores with a 5-gram KenLM; a
+    self-trained smoothed bigram model is the engine-native analog):
+    average ``-log2 P(w_i | w_{i-1})`` under add-alpha smoothing,
+
+        P(w | v) = (c(v, w) + alpha) / (c(v, ·) + alpha * V)
+
+    with ``V`` the corpus vocabulary size. Low probability = unusual
+    word TRANSITIONS (word salad, shuffled boilerplate) that a unigram
+    model cannot see; ultra-high probability = repetitive text.
+
+    Output: ``(id_col, avg_neg_log2_bigram_prob, n_bigrams)``; docs with
+    fewer than two tokens are absent (no transition to score).
+
+    Plan: ONE bigram explode feeds everything — corpus bigram counts and
+    continuation totals are WINDOWS over it (partition by (prev, cur)
+    and by prev), so the corpus is tokenized exactly once and there is
+    no count-table join-back; the vocabulary size rides in as a one-row
+    broadcast cross join (house pattern, see unigram_logprob). Two
+    window exchanges + the per-doc rollup. At 100 TB, persist the bigram
+    count table to parquet once and equi-join (the window form
+    re-shuffles the occurrence rows; the table form shuffles only
+    distinct bigrams) — same math, swap documented here.
+    """
+    from pyspark.sql import Window
+
+    from fireball_data_processing_spark.functions.text import normalize_text
+
+    parts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    pre = docs.select(
+        F.col(id_col),
+        F.filter(
+            F.split(normalize_text(F.col(text_col)), " "), lambda s: s != ""
+        ).alias("__words"),
+    ).repartition(parts, F.col(id_col))
+    words = F.col("__words")
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - 2),
+            lambda i: F.struct(
+                F.element_at(words, i + 1).alias("prev"),
+                F.element_at(words, i + 2).alias("cur"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+    occ = pre.select(F.col(id_col), F.explode(bigrams).alias("bg")).select(
+        id_col, F.col("bg.prev").alias("__prev"), F.col("bg.cur").alias("__cur")
+    )
+    vocab_size = (
+        pre.select(F.explode(words).alias("__t"))
+        .agg(F.countDistinct("__t").cast("double").alias("__v"))
+    )
+    w_bigram = Window.partitionBy("__prev", "__cur")
+    w_prev = Window.partitionBy("__prev")
+    counted = occ.withColumn(
+        "__cb", F.count(F.lit(1)).over(w_bigram).cast("double")
+    ).withColumn("__cp", F.count(F.lit(1)).over(w_prev).cast("double"))
+    scored = counted.crossJoin(F.broadcast(vocab_size))
+    neg_log2 = -F.log2(
+        (F.col("__cb") + alpha) / (F.col("__cp") + alpha * F.col("__v"))
+    )
+    avg = F.avg(neg_log2)
+    if round_dp is not None:
+        avg = F.round(avg, round_dp)
+    return scored.groupBy(id_col).agg(
+        avg.alias("avg_neg_log2_bigram_prob"),
+        F.count(F.lit(1)).alias("n_bigrams"),
+    )

@@ -34,6 +34,7 @@ __all__ = [
     "minhash_sig_expr", "band_structs", "build_minhash_index",
     "lsh_candidate_pairs", "jaccard_pairs", "simhash", "ngram_overlap",
     "connected_components", "duplicate_spans", "remove_duplicate_spans",
+    "aligned_segments", "line_dedup",
 ]
 
 
@@ -714,4 +715,103 @@ def remove_duplicate_spans(
         (F.size("__words") - F.size("__kept"))
         .cast("bigint")
         .alias("n_removed_words"),
+    )
+
+
+def aligned_segments(
+    docs: DataFrame,
+    seg_words: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic segmentation for cross-document line dedup: the
+    normalized text cut into NON-overlapping ``seg_words``-word windows
+    (the trailing remainder is its own, shorter, segment). Corpora with
+    real line structure should segment with
+    :func:`fireball_data_processing_spark.functions.clean.split_segments`
+    instead; this word-aligned form is the fallback for single-line text.
+
+    Output: ``(id_col, seg_idx, segment)``. Per-row array math + one
+    explode; the words array is materialized behind an id-keyed exchange
+    (house rule: HOF lambdas get no subexpression elimination, so the
+    slice lambda must reference a materialized column — and the explode
+    consumer's doc-key stages reuse this partitioning).
+    """
+    parts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    pre = docs.select(
+        F.col(id_col),
+        F.filter(
+            F.split(normalize_text(F.col(text_col)), " "), lambda s: s != ""
+        ).alias("__words"),
+    ).repartition(parts, F.col(id_col))
+    words = F.col("__words")
+    segs = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - 1, F.lit(0)), F.lit(seg_words)),
+        lambda st: F.concat_ws(" ", F.slice(words, st + 1, seg_words)),
+    )
+    return pre.select(
+        F.col(id_col),
+        F.posexplode(segs).alias("seg_idx", "segment"),
+    ).withColumn("seg_idx", F.col("seg_idx").cast("bigint"))
+
+
+def line_dedup(
+    docs: DataFrame,
+    seg_words: int = 8,
+    min_docs: int = 2,
+    keep_first: bool = True,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document line/segment deduplication — the C4 / RefinedWeb
+    pipeline stage (Raffel et al. 2020 removed any three-sentence span
+    occurring more than once in C4; RefinedWeb drops repeated lines):
+    a segment occurring in at least ``min_docs`` DISTINCT documents is
+    removed from every document — except, when ``keep_first``, from the
+    lowest-``id_col`` document holding it (C4 keeps one occurrence;
+    ``keep_first=False`` is the RefinedWeb remove-everywhere form).
+
+    Output: ``(id_col, n_segments, n_removed_segments, kept_text)`` —
+    ``kept_text`` re-joins the surviving segments in document order, so
+    unique content inside mostly-boilerplate documents survives (the
+    whole point vs doc-level dedup).
+
+    Plan: one scan -> aligned segments (no shuffle) -> duplicate-ness
+    decided by WINDOWS over the segment hash (house pattern: max of
+    dense_rank counts distinct docs with no per-group set buffer; min
+    over the partition elects the keeper) -> per-doc rollup. Two
+    shuffles total (segment-hash key, then doc key); candidate volume
+    is corpus segments, never pairs. At 100 TB the segment-hash
+    exchange partitions on md5 — uniform by construction — and the
+    rollup's doc-key exchange is the same one a downstream write-back
+    join would need.
+    """
+    segs = aligned_segments(docs, seg_words, text_col, id_col).withColumn(
+        "__h", F.md5(F.col("segment"))
+    )
+    w_rank = Window.partitionBy("__h").orderBy(id_col)
+    w_seg = Window.partitionBy("__h")
+    n_docs = F.max(F.dense_rank().over(w_rank)).over(w_seg)
+    keeper = F.min(id_col).over(w_seg)
+    removed = F.col("__nd") >= min_docs
+    if keep_first:
+        removed = removed & (F.col(id_col) != F.col("__keeper"))
+    marked = (
+        segs.withColumn("__nd", n_docs)
+        .withColumn("__keeper", keeper)
+        .withColumn("__removed", removed)
+    )
+    kept_structs = F.sort_array(
+        F.collect_list(
+            F.when(
+                ~F.col("__removed"), F.struct("seg_idx", "segment")
+            )
+        )
+    )
+    return marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        F.sum(F.col("__removed").cast("bigint")).alias("n_removed_segments"),
+        F.concat_ws(
+            " ", F.transform(kept_structs, lambda s: s["segment"])
+        ).alias("kept_text"),
     )

@@ -1,0 +1,160 @@
+"""Exact set-similarity join with prefix filtering (PPJoin-family).
+
+The n-gram-Jaccard near-dup method as a standalone, EXACT threshold join:
+unlike the MinHash/LSH path in :mod:`.dedup` (probabilistic — band
+collisions admit false negatives below the band curve), prefix filtering
+(Chaudhuri et al. 2006 "A Primitive Operator for Similarity Joins";
+Xiao et al. 2008 PPJoin) guarantees every pair with Jaccard >= tau is
+produced, while still never comparing all pairs:
+
+  sort every document's shingle set in one global canonical order
+  (ascending document frequency, ties by value — rarest first); two sets
+  with Jaccard >= tau MUST share at least one shingle among the first
+  ``|x| - ceil(tau * |x|) + 1`` of each (else the overlap bound
+  ``|A ∩ B| >= ceil(tau/(1+tau) * (|A|+|B|))`` is violated). So only
+  prefix shingles are exploded into the join, and — because prefixes are
+  rare-first — prefix buckets are the SMALLEST document-frequency
+  buckets in the corpus.
+
+Scale shape: every stage is shuffle-bounded (distinct shingles, one
+document-frequency aggregate, one per-doc window, the prefix equi-join,
+pair distinct, verification joins); nothing is corpus-quadratic. The
+verification joins carry the full sorted shingle arrays — bounded per
+row by document length; at 100 TB cap shingles per doc exactly as the
+MinHash path does (``capped_shingles``) and verify on the capped sets.
+
+Reference parity: the reference has no similarity join at all — this is
+part of the training-data-pipeline surface (task brief: "n-gram
+Jaccard" dedup) built Spark-first.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from fireball_data_processing_spark.operators.dedup import _exploded_shingles
+
+__all__ = ["shingle_sets", "prefix_candidates", "set_similarity_join"]
+
+
+def shingle_sets(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distinct ``(id_col, shingle)`` rows — the set representation the
+    join runs on. Reuses the dedup family's explode helper (words
+    materialized behind an exchange so the shingle HOF never re-splits;
+    ``shingles_of_words`` already emits per-doc-distinct shingles)."""
+    return _exploded_shingles(docs, text_col, id_col, k)
+
+
+def prefix_candidates(
+    sets: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate ``(id_a, id_b)`` pairs via prefix filtering + length
+    filter. Lossless for Jaccard >= ``threshold``: the returned set is a
+    superset of the true result and a (usually tiny) subset of all pairs.
+    """
+    df_tok = sets.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    ordered = sets.join(df_tok, "shingle")
+    w_doc = Window.partitionBy(id_col)
+    w_rank = w_doc.orderBy("__df", "shingle")
+    ranked = ordered.select(
+        F.col(id_col),
+        "shingle",
+        F.row_number().over(w_rank).alias("__rn"),
+        F.count(F.lit(1)).over(w_doc).alias("__n"),
+    )
+    # prefix length |x| - ceil(tau*|x|) + 1; ceil on DOUBLE column math
+    prefix_len = F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
+    pre = ranked.filter(F.col("__rn") <= prefix_len).select(id_col, "shingle", "__n")
+    a = pre.select(
+        F.col(id_col).alias("id_a"), F.col("shingle"), F.col("__n").alias("__na")
+    )
+    b = pre.select(
+        F.col(id_col).alias("id_b"), F.col("shingle"), F.col("__n").alias("__nb")
+    )
+    # length filter: Jaccard >= tau forces tau <= |A|/|B| <= 1/tau
+    return (
+        a.join(b, "shingle")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("__nb") * threshold <= F.col("__na"))
+            & (F.col("__na") * threshold <= F.col("__nb"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def set_similarity_join(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT Jaccard threshold self-join over word ``k``-shingle sets.
+
+    Output: ``(id_a, id_b, n_a, n_b, n_inter, jaccard)`` for every pair
+    with shingle-set Jaccard >= ``threshold`` (``jaccard`` rounded 6dp
+    for cross-engine hash compare; the FILTER runs on the unrounded
+    value, so boundary pairs resolve identically everywhere — a single
+    IEEE division has no summation-order ambiguity).
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    sets = shingle_sets(docs, k, text_col, id_col).persist()
+    try:
+        cands = prefix_candidates(sets, threshold, id_col)
+        arrs = sets.groupBy(id_col).agg(
+            F.sort_array(F.collect_list("shingle")).alias("__toks"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        a = arrs.select(
+            F.col(id_col).alias("id_a"),
+            F.col("__toks").alias("__ta"),
+            F.col("__n").alias("n_a"),
+        )
+        b = arrs.select(
+            F.col(id_col).alias("id_b"),
+            F.col("__toks").alias("__tb"),
+            F.col("__n").alias("n_b"),
+        )
+        inter = F.size(F.array_intersect("__ta", "__tb"))
+        jac = inter / (F.col("n_a") + F.col("n_b") - inter)
+        out = (
+            cands.join(a, "id_a")
+            .join(b, "id_b")
+            .withColumn("n_inter", inter.cast("bigint"))
+            .filter(jac >= threshold)
+            .select(
+                "id_a",
+                "id_b",
+                F.col("n_a").cast("bigint").alias("n_a"),
+                F.col("n_b").cast("bigint").alias("n_b"),
+                "n_inter",
+                F.round(
+                    F.col("n_inter")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                    6,
+                ).alias("jaccard"),
+            )
+        )
+        # force the plan while `sets` is pinned; callers get a plain frame
+        out = out.localCheckpoint(eager=True)
+    finally:
+        sets.unpersist()
+    return out
+
+
+def _prefix_length(n: int, threshold: float) -> int:
+    """Reference-math twin for tests: prefix length on the driver."""
+    return n - math.ceil(threshold * n) + 1

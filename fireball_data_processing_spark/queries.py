@@ -5040,6 +5040,139 @@ def q_event_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LINE_DEDUP_ORACLE = """
+WITH words AS (
+  SELECT doc_id,
+    list_filter(list_transform(
+      string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+      s -> trim(s)), s -> s <> '') AS w
+  FROM documents
+),
+segs AS (
+  SELECT doc_id, (st // 8)::BIGINT AS seg_idx,
+         array_to_string(list_slice(w, st + 1, st + 8), ' ') AS seg
+  FROM words, UNNEST(generate_series(0, greatest(len(w) - 1, 0), 8)) AS t(st)
+),
+st AS (
+  SELECT seg, COUNT(DISTINCT doc_id) AS nd, MIN(doc_id) AS keeper
+  FROM segs GROUP BY seg
+),
+marked AS (
+  SELECT s.doc_id, s.seg_idx, s.seg,
+    (st.nd >= 2 AND s.doc_id <> st.keeper) AS removed
+  FROM segs s JOIN st ON s.seg = st.seg
+)
+SELECT doc_id,
+  COUNT(*)::BIGINT AS n_segments,
+  SUM(CASE WHEN removed THEN 1 ELSE 0 END)::BIGINT AS n_removed_segments,
+  COALESCE(array_to_string(
+    list(seg ORDER BY seg_idx) FILTER (WHERE NOT removed), ' '), '')
+    AS kept_text
+FROM marked
+GROUP BY doc_id
+"""
+
+
+@query("cross_doc_line_dedup", _LINE_DEDUP_ORACLE)
+def q_cross_doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style cross-document line dedup (operators/dedup.py
+    line_dedup): 8-word aligned segments occurring in >= 2 distinct docs
+    are removed everywhere except the lowest-doc_id holder (C4
+    keep-one-occurrence semantics); surviving segments re-join in
+    document order so unique content inside mostly-duplicated documents
+    is retained. Two shuffles: segment-hash window, per-doc rollup."""
+    from fireball_data_processing_spark.operators.dedup import line_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    return line_dedup(d, seg_words=8, min_docs=2, keep_first=True)
+
+
+_SETJOIN_ORACLE = """
+WITH words AS (
+  SELECT doc_id,
+    list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                s -> s <> '') AS w
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 2), ' ') AS shingle
+  FROM words, UNNEST(generate_series(1, greatest(len(w) - 2, 1))) AS t(i)
+  WHERE len(w) >= 3
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+  sa.n::BIGINT AS n_a, sb.n::BIGINT AS n_b, n_inter::BIGINT AS n_inter,
+  ROUND(n_inter * 1.0 / (sa.n + sb.n - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= 0.5
+"""
+
+
+@query("set_similarity_pairs", _SETJOIN_ORACLE)
+def q_set_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard>=0.5 threshold self-join over 3-word shingle sets via
+    prefix filtering (operators/setjoin.py, PPJoin family): only the
+    rare-first prefix of each set enters the join, yet no qualifying
+    pair can be missed — so this Spark plan must equal the oracle's
+    brute-force all-pairs join exactly. The lossless complement to the
+    probabilistic MinHash/LSH path."""
+    from fireball_data_processing_spark.operators.setjoin import set_similarity_join
+
+    d = load_table(spark, sf_dir, "documents")
+    return set_similarity_join(d, threshold=0.5, k=3)
+
+
+_BIGRAM_LM_ORACLE = """
+WITH words AS (
+  SELECT doc_id,
+    list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                s -> s <> '') AS w
+  FROM documents
+),
+v AS (
+  SELECT COUNT(DISTINCT t)::DOUBLE AS vsz
+  FROM (SELECT UNNEST(w) AS t FROM words)
+),
+big AS (
+  SELECT doc_id, w[i] AS prev, w[i + 1] AS cur
+  FROM words, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 2
+),
+cnt AS (
+  SELECT doc_id,
+    COUNT(*) OVER (PARTITION BY prev, cur)::DOUBLE AS cb,
+    COUNT(*) OVER (PARTITION BY prev)::DOUBLE AS cp
+  FROM big
+)
+SELECT doc_id,
+  ROUND(AVG(-log2((cb + 0.5) / (cp + 0.5 * vsz))), 6)
+    AS avg_neg_log2_bigram_prob,
+  COUNT(*)::BIGINT AS n_bigrams
+FROM cnt, v
+GROUP BY doc_id
+"""
+
+
+@query("doc_bigram_logprob", _BIGRAM_LM_ORACLE)
+def q_doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-bigram cross-entropy per document (functions/textstats.py
+    bigram_logprob) — the order-2 LM quality signal (CCNet-style):
+    add-0.5-smoothed P(w|prev) from the corpus's own bigram counts, both
+    count tables as windows over ONE bigram explode (corpus tokenized
+    once, no join-back), vocabulary size as a one-row broadcast."""
+    from fireball_data_processing_spark.functions.textstats import bigram_logprob
+
+    d = load_table(spark, sf_dir, "documents")
+    return bigram_logprob(d, alpha=0.5)
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
@@ -5086,6 +5219,9 @@ _PRIORITY = [
     "doc_script_profile",
     "table_profile",
     "event_type_rollup",
+    "cross_doc_line_dedup",
+    "set_similarity_pairs",
+    "doc_bigram_logprob",
     "bpe_token_stats",
     # --- attested in round 1 only; rotate back in for fresh rows ---
     "simhash_fingerprints",

@@ -1,0 +1,249 @@
+"""Unit tests for the round-4 additions: cross-document line dedup,
+prefix-filtered exact set-similarity join, and the bigram LM scorer —
+each against a literal Python re-computation on constructed fixtures."""
+
+from __future__ import annotations
+
+import itertools
+import math
+
+import pytest
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+# ---------------------------------------------------------------------------
+# line_dedup
+# ---------------------------------------------------------------------------
+
+SEG = "a b c d"  # 4-word segment shared across docs (seg_words=4 below)
+FIXTURE = [
+    (1, "a b c d unique one here now"),   # holds SEG at position 0 (keeper)
+    (2, "a b c d other words go here"),   # holds SEG -> removed
+    (3, "totally different content words x y z w"),
+    (4, "a b c d"),                       # holds ONLY SEG -> emptied
+]
+
+
+def test_line_dedup_keep_first(spark):
+    from fireball_data_processing_spark.operators.dedup import line_dedup
+
+    out = {
+        r["doc_id"]: r
+        for r in line_dedup(_docs(spark, FIXTURE), seg_words=4).collect()
+    }
+    # doc 1 is the lowest doc_id holding SEG -> keeps it
+    assert out[1]["n_removed_segments"] == 0
+    assert out[1]["kept_text"] == "a b c d unique one here now"
+    # docs 2 and 4 lose the duplicated segment, keep their unique tail
+    assert out[2]["n_removed_segments"] == 1
+    assert out[2]["kept_text"] == "other words go here"
+    assert out[4]["n_removed_segments"] == 1
+    assert out[4]["kept_text"] == ""
+    # untouched doc passes through whole
+    assert out[3]["n_removed_segments"] == 0
+    assert out[3]["kept_text"] == FIXTURE[2][1]
+    # n_segments counts all aligned windows (ceil(words/4))
+    assert out[1]["n_segments"] == 2 and out[4]["n_segments"] == 1
+
+
+def test_line_dedup_remove_everywhere_and_min_docs(spark):
+    from fireball_data_processing_spark.operators.dedup import line_dedup
+
+    out = {
+        r["doc_id"]: r
+        for r in line_dedup(
+            _docs(spark, FIXTURE), seg_words=4, keep_first=False
+        ).collect()
+    }
+    # RefinedWeb form: the keeper loses the segment too
+    assert out[1]["n_removed_segments"] == 1
+    assert out[1]["kept_text"] == "unique one here now"
+
+    # min_docs=4 > the 3 holders -> nothing removed anywhere
+    out3 = {
+        r["doc_id"]: r
+        for r in line_dedup(
+            _docs(spark, FIXTURE), seg_words=4, min_docs=4
+        ).collect()
+    }
+    assert all(r["n_removed_segments"] == 0 for r in out3.values())
+
+
+def test_line_dedup_within_doc_repeat_not_cross_doc(spark):
+    from fireball_data_processing_spark.operators.dedup import line_dedup
+
+    # the same segment twice in ONE doc is not a cross-doc duplicate
+    rows = [(1, "p q r s p q r s"), (2, "different words entirely here")]
+    out = {
+        r["doc_id"]: r for r in line_dedup(_docs(spark, rows), seg_words=4).collect()
+    }
+    assert out[1]["n_removed_segments"] == 0
+    assert out[1]["kept_text"] == "p q r s p q r s"
+
+
+# ---------------------------------------------------------------------------
+# set_similarity_join
+# ---------------------------------------------------------------------------
+
+
+def _py_shingles(text: str, k: int = 3) -> frozenset[str]:
+    w = text.lower().split()
+    return frozenset(
+        " ".join(w[i : i + k]) for i in range(len(w) - k + 1)
+    ) if len(w) >= k else frozenset()
+
+
+def _py_pairs(rows, threshold, k=3):
+    sets = {i: _py_shingles(t, k) for i, t in rows}
+    out = {}
+    for (ia, sa), (ib, sb) in itertools.combinations(sorted(sets.items()), 2):
+        if not sa or not sb:
+            continue
+        inter = len(sa & sb)
+        union = len(sa) + len(sb) - inter
+        if union and inter / union >= threshold:
+            out[(ia, ib)] = (len(sa), len(sb), inter, round(inter / union, 6))
+    return out
+
+
+SIM_ROWS = [
+    (1, "the cat sat on the mat today in the sun"),
+    (2, "the cat sat on the mat today in the rain"),   # near-dup of 1
+    (3, "the cat sat on the mat today in the sun"),    # exact dup of 1
+    (4, "dogs bark loudly at the postman every single morning"),
+    (5, "a completely unrelated string of words goes right here"),
+    (6, "the cat sat on a mat"),                       # partial overlap
+]
+
+
+@pytest.mark.parametrize("threshold", [0.3, 0.5, 0.9, 1.0])
+def test_set_similarity_join_matches_all_pairs(spark, threshold):
+    from fireball_data_processing_spark.operators.setjoin import set_similarity_join
+
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_a"], r["n_b"], r["n_inter"], r["jaccard"])
+        for r in set_similarity_join(
+            _docs(spark, SIM_ROWS), threshold=threshold, k=3
+        ).collect()
+    }
+    assert got == _py_pairs(SIM_ROWS, threshold)
+
+
+def test_set_similarity_exact_dup_is_jaccard_one(spark):
+    from fireball_data_processing_spark.operators.setjoin import set_similarity_join
+
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in set_similarity_join(_docs(spark, SIM_ROWS), threshold=0.99).collect()
+    }
+    assert got == {(1, 3): 1.0}
+
+
+def test_prefix_length_math():
+    from fireball_data_processing_spark.operators.setjoin import _prefix_length
+
+    # tau=1.0: only the first element need be checked; tau->0: whole set
+    assert _prefix_length(10, 1.0) == 1
+    assert _prefix_length(10, 0.5) == 6
+    for n in range(1, 30):
+        for tau in (0.3, 0.5, 0.8, 1.0):
+            p = _prefix_length(n, tau)
+            assert 1 <= p <= n
+
+
+def test_set_similarity_bad_threshold(spark):
+    from fireball_data_processing_spark.operators.setjoin import set_similarity_join
+
+    with pytest.raises(ValueError):
+        set_similarity_join(_docs(spark, SIM_ROWS), threshold=0.0)
+
+
+# ---------------------------------------------------------------------------
+# bigram_logprob
+# ---------------------------------------------------------------------------
+
+LM_ROWS = [
+    (1, "a b a b c"),
+    (2, "a b c"),
+    (3, "c c c c"),
+    (4, "solo"),  # single token -> no bigram -> absent from output
+]
+
+
+def _py_bigram(rows, alpha=0.5):
+    toks = {i: t.lower().split() for i, t in rows}
+    vocab = {w for ws in toks.values() for w in ws}
+    cb: dict[tuple[str, str], int] = {}
+    cp: dict[str, int] = {}
+    for ws in toks.values():
+        for a, b in zip(ws, ws[1:]):
+            cb[(a, b)] = cb.get((a, b), 0) + 1
+            cp[a] = cp.get(a, 0) + 1
+    out = {}
+    for i, ws in toks.items():
+        scores = [
+            -math.log2(
+                (cb[(a, b)] + alpha) / (cp[a] + alpha * len(vocab))
+            )
+            for a, b in zip(ws, ws[1:])
+        ]
+        if scores:
+            out[i] = (round(sum(scores) / len(scores), 6), len(scores))
+    return out
+
+
+def test_bigram_logprob_matches_literal(spark):
+    from fireball_data_processing_spark.functions.textstats import bigram_logprob
+
+    got = {
+        r["doc_id"]: (r["avg_neg_log2_bigram_prob"], r["n_bigrams"])
+        for r in bigram_logprob(_docs(spark, LM_ROWS)).collect()
+    }
+    want = _py_bigram(LM_ROWS)
+    assert set(got) == set(want) == {1, 2, 3}
+    for i in want:
+        assert got[i][1] == want[i][1]
+        assert got[i][0] == pytest.approx(want[i][0], abs=2e-6)
+
+
+def test_bigram_logprob_repetitive_doc_scores_lower(spark):
+    from fireball_data_processing_spark.functions.textstats import bigram_logprob
+
+    got = {
+        r["doc_id"]: r["avg_neg_log2_bigram_prob"]
+        for r in bigram_logprob(_docs(spark, LM_ROWS)).collect()
+    }
+    # "c c c c" repeats one high-count transition -> more probable than
+    # doc 2's unique path
+    assert got[3] < got[1]
+
+
+def test_prefix_filter_prunes_on_real_corpus(spark, sf_dir):
+    """Scale property on the synthetic corpus: prefix filtering admits a
+    small fraction of all doc pairs (it is the whole point of the
+    operator), while remaining a superset of the true result."""
+    from pyspark.sql import functions as F
+
+    from fireball_data_processing_spark.operators.setjoin import (
+        prefix_candidates,
+        set_similarity_join,
+        shingle_sets,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = d.count()
+    all_pairs = n_docs * (n_docs - 1) // 2
+    sets = shingle_sets(d, 3)
+    cands = {
+        (r["id_a"], r["id_b"])
+        for r in prefix_candidates(sets, 0.5).collect()
+    }
+    assert len(cands) < 0.02 * all_pairs, (len(cands), all_pairs)
+    true_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in set_similarity_join(d, threshold=0.5, k=3).collect()
+    }
+    assert true_pairs <= cands
