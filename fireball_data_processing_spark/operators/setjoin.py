@@ -108,13 +108,35 @@ def set_similarity_join(
     for cross-engine hash compare; the FILTER runs on the unrounded
     value, so boundary pairs resolve identically everywhere — a single
     IEEE division has no summation-order ambiguity).
+
+    The verification stage builds sorted shingle arrays only for docs
+    named by some candidate pair (semi join on the pinned shingle rows).
+    On a tiny corpus this costs a little wall-clock vs verifying every
+    doc (the candidate list becomes a critical-path dependency — a few
+    extra scheduler rounds); at corpus scale it is the difference
+    between materializing arrays for 0.1% of documents and for all of
+    them, so the candidate-bounded form is the only path.
     """
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     sets = shingle_sets(docs, k, text_col, id_col).persist()
+    cands = None
     try:
-        cands = prefix_candidates(sets, threshold, id_col)
-        arrs = sets.groupBy(id_col).agg(
+        # the candidate list has TWO consumers below (the id semi join and
+        # the verification join) and is pair-count-sized — pin it, or the
+        # whole prefix pipeline re-executes per consumer
+        cands = prefix_candidates(sets, threshold, id_col).persist()
+        # verification arrays ONLY for docs that appear in some candidate
+        # pair — at corpus scale candidates are a sliver of the corpus
+        # (0.6% of pairs on the synthetic data), so materializing sorted
+        # shingle arrays for every document would dominate the job for
+        # nothing. The semi join runs on the pinned `sets`.
+        # no .distinct(): a left_semi probe side needs no dedup, and the
+        # skipped exchange is one less stage on the critical path
+        cand_ids = cands.select(
+            F.explode(F.array("id_a", "id_b")).alias(id_col)
+        )
+        arrs = sets.join(cand_ids, id_col, "left_semi").groupBy(id_col).agg(
             F.sort_array(F.collect_list("shingle")).alias("__toks"),
             F.count(F.lit(1)).alias("__n"),
         )
@@ -152,6 +174,8 @@ def set_similarity_join(
         out = out.localCheckpoint(eager=True)
     finally:
         sets.unpersist()
+        if cands is not None:
+            cands.unpersist()
     return out
 
 
