@@ -345,3 +345,40 @@ def test_incremental_refresh_diff_cached_once(spark):
     # (one per InMemoryTableScan), i.e. the outer-join subtree is never
     # re-planned outside the cache
     assert phys.count("FullOuter") == phys.count("InMemoryTableScan"), phys
+
+
+def test_line_dedup_no_joins_bounded_exchanges(spark):
+    # duplicate-ness is decided by windows over the segment hash — a
+    # groupBy+join-back formulation would re-plan the segment explode
+    # twice and add a join; the whole query is scan -> explode ->
+    # windows -> rollup
+    phys = _phys(catalog.REGISTRY["cross_doc_line_dedup"].fn(spark, SMOKE))
+    assert "Join" not in phys, phys
+    assert len(re.findall(r"Scan parquet[^\n]*documents", phys)) == 1, phys
+    assert len(re.findall(r"Exchange (?:hash|range)partitioning", phys)) <= 3, phys
+
+
+def test_bigram_logprob_windows_not_joinback(spark):
+    # both count tables are windows over ONE bigram explode; the vocab
+    # scalar enters via broadcast (never an SMJ / extra shuffle of the
+    # occurrence rows)
+    phys = _phys(catalog.REGISTRY["doc_bigram_logprob"].fn(spark, SMOKE))
+    assert phys.count("SortMergeJoin") == 0, phys
+    assert "BroadcastNestedLoopJoin" in phys, phys
+    assert len(re.findall(r"Scan parquet[^\n]*documents", phys)) <= 2, phys
+    assert len(re.findall(r"Exchange (?:hash|range)partitioning", phys)) <= 5, phys
+
+
+def test_prefix_candidate_plan_no_cartesian(spark):
+    # the candidate generator must stay an equi-join on the shingle —
+    # never a cartesian / nested-loop pairing of documents
+    from fireball_data_processing_spark.operators.setjoin import (
+        prefix_candidates,
+        shingle_sets,
+    )
+
+    d = load_table(spark, SMOKE, "documents")
+    phys = _phys(prefix_candidates(shingle_sets(d, 3), 0.5))
+    assert "CartesianProduct" not in phys, phys
+    assert "BroadcastNestedLoopJoin" not in phys, phys
+    assert "BatchEvalPython" not in phys and "ArrowEvalPython" not in phys, phys
