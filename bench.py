@@ -53,6 +53,7 @@ EXTRA = (
     "cross_doc_line_dedup",
     "set_similarity_pairs",
     "doc_bigram_logprob",
+    "segment_scrub_gate",
 )
 
 

@@ -5173,6 +5173,61 @@ def q_doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob(d, alpha=0.5)
 
 
+_SEG_SCRUB_ORACLE = """
+WITH words AS (
+  SELECT doc_id,
+    list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                s -> s <> '') AS w
+  FROM documents
+),
+segs AS (
+  SELECT doc_id, (st // 8)::BIGINT AS seg_idx,
+         array_to_string(list_slice(w, st + 1, st + 8), ' ') AS seg
+  FROM words, UNNEST(generate_series(0, greatest(len(w) - 1, 0), 8)) AS t(st)
+),
+idx AS (
+  SELECT DISTINCT seg FROM segs WHERE doc_id % 4 = 0
+),
+marked AS (
+  SELECT s.doc_id, s.seg_idx, s.seg, (idx.seg IS NOT NULL) AS hit
+  FROM segs s LEFT JOIN idx ON s.seg = idx.seg
+  WHERE s.doc_id % 4 <> 0
+)
+SELECT doc_id,
+  COUNT(*)::BIGINT AS n_segments,
+  SUM(CASE WHEN hit THEN 1 ELSE 0 END)::BIGINT AS n_removed_segments,
+  COALESCE(array_to_string(
+    list(seg ORDER BY seg_idx) FILTER (WHERE NOT hit), ' '), '') AS text
+FROM marked
+GROUP BY doc_id
+"""
+
+
+@query("segment_scrub_gate", _SEG_SCRUB_ORACLE)
+def q_segment_scrub_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming segment-scrub gate
+    (streaming/dedup_stream.py `stream_scrub_segments`): incoming docs
+    (doc_id % 4 != 0) leave with every aligned segment already present
+    in the corpus partition (doc_id % 4 == 0, min_docs=1: 'the corpus
+    has it') removed, unique remainder kept. The stream runs this exact
+    plan per micro-batch inside foreachBatch (a pure function of the
+    static index needs no watermark); parity + replay tests in
+    tests/test_streaming.py."""
+    from fireball_data_processing_spark.streaming.dedup_stream import (
+        corpus_segment_index,
+        scrub_segments,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    idx = corpus_segment_index(
+        d.filter(F.col("doc_id") % 4 == 0), seg_words=8, min_docs=1
+    )
+    return scrub_segments(
+        d.filter(F.col("doc_id") % 4 != 0).select("doc_id", "text"), idx,
+        seg_words=8,
+    )
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
@@ -5222,6 +5277,7 @@ _PRIORITY = [
     "cross_doc_line_dedup",
     "set_similarity_pairs",
     "doc_bigram_logprob",
+    "segment_scrub_gate",
     "bpe_token_stats",
     # --- attested in round 1 only; rotate back in for fresh rows ---
     "simhash_fingerprints",

@@ -212,3 +212,133 @@ def stream_near_new_documents(
         fresh = fresh.withWatermark(ts_col, watermark)
         return fresh.dropDuplicatesWithinWatermark(["content_hash"])
     return fresh.dropDuplicates(["content_hash"])
+
+
+# --- segment-scrub gate (streaming line dedup) --------------------------
+
+
+def corpus_segment_index(
+    corpus: DataFrame,
+    seg_words: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Boilerplate-segment index: distinct md5 hashes of aligned segments
+    held by at least ``min_docs`` DISTINCT corpus documents — the static
+    side of the streaming segment scrub. One row per boilerplate segment
+    (32-byte hash, never text), far smaller than the corpus; materialize
+    to parquet for a long-running stream and refresh it from the batch
+    :func:`~fireball_data_processing_spark.operators.dedup.line_dedup`
+    job's cadence."""
+    from fireball_data_processing_spark.operators.dedup import aligned_segments
+
+    return (
+        aligned_segments(corpus, seg_words, text_col, id_col)
+        .groupBy(F.md5("segment").alias("seg_hash"))
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("seg_hash")
+    )
+
+
+def scrub_segments(
+    docs: DataFrame,
+    seg_index: DataFrame,
+    seg_words: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove every indexed segment from ``docs`` — the RefinedWeb-style
+    scrub of INCOMING documents against the existing corpus's boilerplate
+    (the batch :func:`~...operators.dedup.line_dedup` decides duplicates
+    WITHIN a corpus; this applies an already-built index to new rows).
+
+    Output: all original columns, with ``text_col`` replaced by the
+    scrubbed text plus ``n_segments``/``n_removed_segments`` counters.
+    Docs reduced to nothing keep an empty string (callers drop or route
+    them; the counters make the predicate trivial).
+
+    Plan: segment explode -> LEFT join the hash index (hit flags, never
+    row multiplication — the index is distinct) -> per-doc rollup ->
+    join back on the doc key to re-attach untouched payload columns (the
+    rollup's exchange co-partitions that join). Pure function of (row,
+    static index): no watermark, no state — which is what makes the
+    streaming form below a stateless ``foreachBatch``.
+    """
+    from fireball_data_processing_spark.operators.dedup import aligned_segments
+
+    segs = aligned_segments(docs.select(id_col, text_col), seg_words, text_col, id_col)
+    marked = segs.join(
+        seg_index.withColumn("__hit", F.lit(True)),
+        F.md5(F.col("segment")) == F.col("seg_hash"),
+        "left",
+    )
+    kept_structs = F.sort_array(
+        F.collect_list(F.when(F.col("__hit").isNull(), F.struct("seg_idx", "segment")))
+    )
+    scrubbed = marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        F.sum(F.col("__hit").isNotNull().cast("bigint")).alias(
+            "n_removed_segments"
+        ),
+        F.concat_ws(" ", F.transform(kept_structs, lambda s: s["segment"])).alias(
+            "__scrubbed"
+        ),
+    )
+    passthrough = [c for c in docs.columns if c != text_col]
+    return (
+        docs.join(scrubbed, id_col)
+        .select(
+            *passthrough,
+            F.col("__scrubbed").alias(text_col),
+            "n_segments",
+            "n_removed_segments",
+        )
+    )
+
+
+def stream_scrub_segments(
+    spark: SparkSession,
+    source_dir: str,
+    file_schema: StructType | str,
+    seg_index: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    seg_words: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fmt: str = "parquet",
+    trigger_available_now: bool = True,
+):
+    """Streaming segment scrub: every incoming document leaves with the
+    corpus's boilerplate segments removed, written exactly-once.
+
+    The scrub re-groups a doc's exploded segments, which as a direct
+    streaming aggregation would demand watermark-delayed emission for
+    what is a PURE per-document function of a static index — so it runs
+    as the batch :func:`scrub_segments` inside ``foreachBatch`` (zero
+    cross-batch state, zero emission latency), composed with the
+    epoch-partitioned idempotent sink: a replayed micro-batch replaces
+    its own ``batch_id=`` partition, keeping the gate exactly-once.
+    """
+    from fireball_data_processing_spark.streaming.sinks_stream import (
+        write_epoch_partition,
+    )
+
+    stream = spark.readStream.schema(file_schema).format(fmt).load(source_dir)
+
+    def _scrub_and_write(batch_df: DataFrame, epoch_id: int) -> None:
+        out = scrub_segments(
+            batch_df, seg_index, seg_words, text_col, id_col
+        )
+        write_epoch_partition(out, epoch_id, out_path)
+
+    writer = (
+        stream.writeStream.foreachBatch(_scrub_and_write)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -626,3 +626,74 @@ def test_interval_join_stream_drops_late_matches(spark, tmp_path):
     ])
     got3 = run_once()
     assert (1, 5) not in got3
+
+
+def test_stream_scrub_segments_matches_batch(spark, tmp_path):
+    # segment-scrub gate: streamed output (epoch-partitioned parquet)
+    # must equal the batch scrub of the same files against the same index
+    from fireball_data_processing_spark.streaming.dedup_stream import (
+        corpus_segment_index,
+        scrub_segments,
+        stream_scrub_segments,
+    )
+
+    corpus = load_table(spark, SMOKE, "documents")
+    index = corpus_segment_index(corpus, seg_words=8, min_docs=1)
+
+    src = str(tmp_path / "scrub_src")
+    os.makedirs(src)
+    shutil.copy("/root/testdata/sf0.01/documents.parquet", src)
+    incoming = load_table(spark, "/root/testdata/sf0.01", "documents")
+
+    out_dir = str(tmp_path / "scrub_out")
+    q = stream_scrub_segments(
+        spark, src, incoming.schema, index, out_dir,
+        str(tmp_path / "scrub_ckpt"), seg_words=8,
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(out_dir)
+            .select("doc_id", "text", "n_segments", "n_removed_segments")
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            scrub_segments(incoming, index, seg_words=8)
+            .select("doc_id", "text", "n_segments", "n_removed_segments")
+            .collect(),
+        )
+    )
+    assert got == want
+    assert len(got) == incoming.count()
+    # the gate actually scrubs something against the smoke corpus
+    assert any(r[3] > 0 for r in got)
+
+
+def test_stream_scrub_replay_is_idempotent(spark, tmp_path):
+    # a re-run with a FRESH checkpoint replays every file into the same
+    # epoch partitions; dynamic overwrite must leave one copy, not two
+    from fireball_data_processing_spark.streaming.dedup_stream import (
+        corpus_segment_index,
+        stream_scrub_segments,
+    )
+
+    corpus = load_table(spark, SMOKE, "documents")
+    index = corpus_segment_index(corpus, seg_words=8, min_docs=1)
+    src = str(tmp_path / "replay_src")
+    os.makedirs(src)
+    shutil.copy("/root/testdata/sf0.001/documents.parquet", src)
+    incoming = load_table(spark, SMOKE, "documents")
+    out_dir = str(tmp_path / "replay_out")
+
+    for attempt in range(2):
+        q = stream_scrub_segments(
+            spark, src, incoming.schema, index, out_dir,
+            str(tmp_path / f"replay_ckpt{attempt}"), seg_words=8,
+        )
+        q.awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == incoming.count()
