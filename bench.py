@@ -54,6 +54,7 @@ EXTRA = (
     "set_similarity_pairs",
     "doc_bigram_logprob",
     "segment_scrub_gate",
+    "corpus_pipeline_v3_summary",
 )
 
 

@@ -62,6 +62,44 @@ def clean_stage(
     )
 
 
+def segment_dedup_stage(
+    cleaned: DataFrame, seg_words: int = 8, min_docs: int = 2
+) -> DataFrame:
+    """Optional cross-document segment dedup between cleaning and
+    doc-level dedup — the modern pipeline order (C4/RefinedWeb scrub
+    boilerplate SEGMENTS first, so document hashes downstream compare
+    unique content, and near-identical docs that differ only in shared
+    boilerplate collapse into exact duplicates).
+
+    Applies :func:`~...operators.dedup.line_dedup` to the pipeline's
+    text, re-attaches the payload columns on the doc key (co-partitioned
+    with the rollup's exchange), and drops docs scrubbed to nothing.
+    The surviving text is line_dedup's normalized form (lowercase,
+    collapsed whitespace) — hash-canonical for every downstream stage.
+    ``n_seg_removed`` rides along for stage audits."""
+    from fireball_data_processing_spark.operators.dedup import line_dedup
+
+    ld = line_dedup(
+        cleaned,
+        seg_words=seg_words,
+        min_docs=min_docs,
+        keep_first=True,
+        text_col="clean_text",
+    )
+    return (
+        cleaned.drop("clean_text")
+        .join(
+            ld.select(
+                "doc_id",
+                F.col("kept_text").alias("clean_text"),
+                F.col("n_removed_segments").alias("n_seg_removed"),
+            ),
+            "doc_id",
+        )
+        .filter(F.col("clean_text") != "")
+    )
+
+
 def dedup_stage(cleaned: DataFrame) -> DataFrame:
     """Exact dedup on the CLEANED text (post-clean duplicates are the
     ones that matter): survivor = smallest doc_id per content hash. One
@@ -137,6 +175,8 @@ def build_training_corpus(
     dsir_min_log_weight: float = 0.0,
     dsir_n_buckets: int = 4096,
     normalize_form: str | None = None,
+    segment_dedup_min_docs: int | None = None,
+    segment_words: int = 8,
     domain_cap: int | None = None,
     mixture_alpha: float | None = None,
     mixture_target_rows: int | None = None,
@@ -148,18 +188,34 @@ def build_training_corpus(
     offset_in_bin)``.
 
     Optional stages, in pipeline order: ``normalize_form`` prepends
-    unicode hygiene before anything hashes text; ``target`` inserts DSIR
-    domain selection after the quality gate; ``domain_cap`` applies the
-    per-source quota; ``mixture_alpha`` temperature-rebalances the
+    unicode hygiene before anything hashes text;
+    ``segment_dedup_min_docs`` scrubs cross-document boilerplate
+    segments between cleaning and doc-level dedup; ``target`` inserts
+    DSIR domain selection after the quality gate; ``domain_cap`` applies
+    the per-source quota; ``mixture_alpha`` temperature-rebalances the
     source mix just before packing (the full modern pretraining shape:
-    normalize -> clean -> dedup -> quality -> select -> cap -> mix ->
-    pack)."""
+    normalize -> clean -> segment-dedup -> dedup -> quality -> select ->
+    cap -> mix -> pack)."""
     if normalize_form is not None:
         docs = normalize_stage(docs, normalize_form)
     cleaned = clean_stage(docs, min_words_per_segment)
-    deduped = dedup_stage(cleaned)
+    dedup_input = cleaned
+    seg_deduped = None
+    if segment_dedup_min_docs is not None:
+        seg_deduped = segment_dedup_stage(
+            cleaned, segment_words, segment_dedup_min_docs
+        )
+        dedup_input = seg_deduped
+    deduped = dedup_stage(dedup_input)
     quality = quality_stage(deduped, min_tokens, max_tokens)
     stages = {"cleaned": cleaned, "deduped": deduped, "quality": quality}
+    if seg_deduped is not None:
+        stages = {
+            "cleaned": cleaned,
+            "segment_deduped": seg_deduped,
+            "deduped": deduped,
+            "quality": quality,
+        }
     if normalize_form is not None:
         stages = {"normalized": docs, **stages}
     pack_input = quality

@@ -5228,6 +5228,117 @@ def q_segment_scrub_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CORPUS_V3_ORACLE = """
+WITH cleaned AS (
+  SELECT doc_id, source,
+    COALESCE(array_to_string(
+      list_filter(list_transform(string_split(text, chr(10)), s -> trim(s)),
+                  s -> s <> '' AND len(string_split_regex(s, '\\s+')) >= 50),
+      chr(10)), '') AS clean_text
+  FROM documents
+  WHERE NOT (contains(lower(text), 'lorem ipsum')
+             OR contains(lower(text), 'slow scan'))
+),
+nonempty AS (SELECT * FROM cleaned WHERE clean_text <> ''),
+segwords AS (
+  SELECT doc_id, source,
+    list_filter(string_split(trim(regexp_replace(lower(clean_text), '\\s+', ' ', 'g')), ' '),
+                s -> s <> '') AS w
+  FROM nonempty
+),
+segs AS (
+  SELECT doc_id, source, (st // 8)::BIGINT AS seg_idx,
+         array_to_string(list_slice(w, st + 1, st + 8), ' ') AS seg
+  FROM segwords, UNNEST(generate_series(0, greatest(len(w) - 1, 0), 8)) AS t(st)
+),
+segstats AS (
+  SELECT seg, COUNT(DISTINCT doc_id) AS nd, MIN(doc_id) AS keeper
+  FROM segs GROUP BY seg
+),
+marked AS (
+  SELECT s.doc_id, s.source, s.seg_idx, s.seg,
+    (ss.nd >= 2 AND s.doc_id <> ss.keeper) AS removed
+  FROM segs s JOIN segstats ss ON s.seg = ss.seg
+),
+segd AS (
+  SELECT doc_id, source,
+    COALESCE(array_to_string(
+      list(seg ORDER BY seg_idx) FILTER (WHERE NOT removed), ' '), '')
+      AS clean_text,
+    SUM(CASE WHEN removed THEN 1 ELSE 0 END)::BIGINT AS n_seg_removed
+  FROM marked GROUP BY doc_id, source
+),
+segd_live AS (SELECT * FROM segd WHERE clean_text <> ''),
+deduped AS (
+  SELECT doc_id, source, clean_text FROM (
+    SELECT *, MIN(doc_id) OVER (PARTITION BY md5(clean_text)) AS keeper
+    FROM segd_live
+  ) WHERE doc_id = keeper
+),
+quality AS (
+  SELECT doc_id, source,
+    len(string_split_regex(trim(clean_text), '\\s+'))::BIGINT AS n_tokens
+  FROM deduped
+  WHERE len(string_split_regex(trim(clean_text), '\\s+')) BETWEEN 5 AND 5000
+)
+SELECT c.source, c.n_cleaned, s.n_seg_deduped, s.seg_removed,
+  q.n_quality, q.total_tokens,
+  (q.total_tokens + 255) // 256 AS n_bins
+FROM (SELECT source, COUNT(*)::BIGINT AS n_cleaned
+      FROM nonempty GROUP BY source) c
+JOIN (SELECT source, COUNT(*)::BIGINT AS n_seg_deduped,
+             SUM(n_seg_removed)::BIGINT AS seg_removed
+      FROM segd_live GROUP BY source) s USING (source)
+JOIN (SELECT source, COUNT(*)::BIGINT AS n_quality,
+             SUM(n_tokens)::BIGINT AS total_tokens
+      FROM quality GROUP BY source) q USING (source)
+"""
+
+
+@query("corpus_pipeline_v3_summary", _CORPUS_V3_ORACLE)
+def q_corpus_pipeline_v3_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone with the round-4 segment-dedup stage switched on:
+    C4 clean -> CROSS-DOC SEGMENT DEDUP (line_dedup, min_docs=2) ->
+    exact dedup -> quality band -> packing, one lazy composition
+    (plans/corpus_pipeline.py build_training_corpus,
+    segment_dedup_min_docs=2). Isolates the new stage: per-source counts
+    before/after it, segments removed, survivors through quality, and
+    the packed bin count (Spark counts bins from the ACTUAL manifest;
+    the oracle computes ceil(tokens/256) — equal only while packing
+    stays dense downstream of the scrub)."""
+    from fireball_data_processing_spark.plans.corpus_pipeline import (
+        build_training_corpus,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    stages = build_training_corpus(d, segment_dedup_min_docs=2, segment_words=8)
+    stages["segment_deduped"].persist()
+    stages["quality"].persist()
+    cleaned = stages["cleaned"].groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cleaned")
+    )
+    segd = stages["segment_deduped"].groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_seg_deduped"),
+        F.sum("n_seg_removed").cast("bigint").alias("seg_removed"),
+    )
+    quality = stages["quality"].groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_quality"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
+    bins = stages["packed"].groupBy("source").agg(
+        F.countDistinct("bin_idx").cast("bigint").alias("n_bins")
+    )
+    return (
+        cleaned.join(segd, "source")
+        .join(quality, "source")
+        .join(bins, "source")
+        .select(
+            "source", "n_cleaned", "n_seg_deduped", "seg_removed",
+            "n_quality", "total_tokens", "n_bins",
+        )
+    )
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
@@ -5278,6 +5389,7 @@ _PRIORITY = [
     "set_similarity_pairs",
     "doc_bigram_logprob",
     "segment_scrub_gate",
+    "corpus_pipeline_v3_summary",
     "bpe_token_stats",
     # --- attested in round 1 only; rotate back in for fresh rows ---
     "simhash_fingerprints",

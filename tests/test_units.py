@@ -1251,3 +1251,51 @@ def test_profile_columns_nulls_and_sketch_path(spark):
     # column subset
     only = profile_columns(df, cols=["v"], exact_distinct=True).collect()
     assert [r["column"] for r in only] == ["v"]
+
+
+def test_capstone_segment_dedup_stage(spark):
+    """Segment dedup ahead of doc-level dedup: every cross-doc duplicated
+    segment (boilerplate AND shared content) survives in exactly one
+    document; a doc composed entirely of segments kept elsewhere is
+    scrubbed to nothing and dropped — which doc-level dedup alone could
+    never do, since no two of these docs hash equal."""
+    from pyspark.sql import functions as F
+
+    from fireball_data_processing_spark.plans.corpus_pipeline import (
+        build_training_corpus,
+    )
+
+    b1 = "visit our great site now for more offers today friends"
+    b2 = "subscribe to the list right here for weekly news updates"
+    content = "the dragon turned slowly toward the open mountain pass"
+    rows = [
+        (1, "web", f"{b1}"),                 # boiler1 keeper
+        (2, "web", f"{b2}"),                 # boiler2 keeper
+        (3, "web", f"{b1} {content}"),       # loses boiler1, keeps content
+        (4, "web", f"{b2} {content}"),       # loses boiler2 AND content -> empty
+        (5, "web", "totally unrelated words about a quiet harbor evening"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    stages = build_training_corpus(
+        docs,
+        min_words_per_segment=1,
+        min_tokens=1,
+        segment_dedup_min_docs=2,
+        segment_words=10,
+    )
+    assert list(stages) == [
+        "cleaned", "segment_deduped", "deduped", "quality", "packed",
+    ]
+    segd = {r["doc_id"]: r for r in stages["segment_deduped"].collect()}
+    # keepers hold their boilerplate; doc 3 is scrubbed to the content;
+    # doc 4 (boiler kept in 2, content kept in 3) empties out and is gone
+    assert segd[1]["clean_text"] == b1 and segd[1]["n_seg_removed"] == 0
+    assert segd[3]["clean_text"] == content and segd[3]["n_seg_removed"] == 1
+    assert 4 not in segd
+    kept_ids = sorted(r["doc_id"] for r in stages["deduped"].collect())
+    assert kept_ids == [1, 2, 3, 5]
+    # without the stage, 3 and 4 both survive doc-level dedup
+    plain = build_training_corpus(docs, min_words_per_segment=1, min_tokens=1)
+    assert sorted(
+        r["doc_id"] for r in plain["deduped"].collect()
+    ) == [1, 2, 3, 4, 5]
