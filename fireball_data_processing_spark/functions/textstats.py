@@ -388,3 +388,62 @@ def bigram_logprob(
         avg.alias("avg_neg_log2_bigram_prob"),
         F.count(F.lit(1)).alias("n_bigrams"),
     )
+
+
+def winnow_fingerprints(
+    docs,
+    k: int = 4,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS algorithm): the distinct minima of every ``window``-wide
+    span of word-``k``-gram hashes. The selection guarantee: any two
+    documents sharing a run of at least ``k + window - 1`` words share a
+    fingerprint — so near-copy detection needs only an equi-join on the
+    fingerprint column, with index size ~``2/(window+1)`` of the gram
+    count instead of every gram (the full-gram form is
+    :func:`rolling_hash`/the MinHash path).
+
+    Output: ``(id_col, fingerprint)`` distinct rows — the posting list a
+    copy-detection index stores. Docs shorter than ``k`` words emit
+    nothing (no gram to fingerprint); docs with fewer than ``window``
+    grams emit the single global minimum.
+
+    Plan: per-row array math (gram hashes + window minima behind ONE
+    materialized words column) -> explode of the per-doc DISTINCT
+    fingerprint array -> global distinct rides the downstream consumer.
+    Hashes are md5-hex (lexicographic min, cross-engine exact — same
+    convention as MinHash).
+    """
+    from pyspark.sql import functions as F
+
+    from fireball_data_processing_spark.functions.text import normalize_text
+
+    parts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    pre = docs.select(
+        F.col(id_col),
+        F.filter(
+            F.split(normalize_text(F.col(text_col)), " "), lambda s: s != ""
+        ).alias("__words"),
+    ).repartition(parts, F.col(id_col))
+    words = F.col("__words")
+    grams = F.when(
+        F.size(words) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - k),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(words, i + 1, k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # materialize the gram array too: the window-min lambda slices it
+    # per window index (same no-CSE rule as the words column)
+    g = pre.select(F.col(id_col), grams.alias("__g")).filter(F.size("__g") > 0)
+    garr = F.col("__g")
+    mins = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(garr) - window, F.lit(0))),
+        lambda j: F.array_min(F.slice(garr, j + 1, window)),
+    )
+    return g.select(
+        F.col(id_col), F.explode(F.array_distinct(mins)).alias("fingerprint")
+    )

@@ -34,7 +34,7 @@ __all__ = [
     "minhash_sig_expr", "band_structs", "build_minhash_index",
     "lsh_candidate_pairs", "jaccard_pairs", "simhash", "ngram_overlap",
     "connected_components", "duplicate_spans", "remove_duplicate_spans",
-    "aligned_segments", "line_dedup",
+    "aligned_segments", "line_dedup", "ngram_containment",
 ]
 
 
@@ -814,4 +814,55 @@ def line_dedup(
         F.concat_ws(
             " ", F.transform(kept_structs, lambda s: s["segment"])
         ).alias("kept_text"),
+    )
+
+
+def ngram_containment(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_id_col: str = "bench_id",
+    k: int = 8,
+    min_containment: float = 0.0,
+    max_shingles: int | None = None,
+) -> DataFrame:
+    """Asymmetric contamination score — the normalized form of
+    :func:`ngram_overlap` used by published decontamination protocols
+    (GPT-3 appendix C / PaLM style): for each (training doc, benchmark
+    item) pair, the FRACTION of the benchmark item's distinct k-grams
+    present in the doc. Containment, not Jaccard — a long training doc
+    that swallows a short benchmark item whole scores 1.0 even though
+    its Jaccard is tiny, which is exactly the leak being hunted.
+
+    Output: ``(id_col, bench_id_col, n_bench_grams, n_shared,
+    containment)`` with containment rounded 6dp (the filter runs on the
+    unrounded single division, cross-engine exact).
+
+    Plan: the shared-gram counting of ``ngram_overlap`` plus a per-item
+    gram-count aggregate on the benchmark side, joined back broadcast
+    (the benchmark is small by nature). Contact stays confined to
+    literally-shared n-grams.
+    """
+    shared = ngram_overlap(
+        docs, benchmark, text_col, id_col, bench_id_col, k, 1, max_shingles
+    )
+    bench_sizes = (
+        _exploded_shingles(benchmark, text_col, id_col, k, max_shingles)
+        .groupBy(F.col(id_col).alias(bench_id_col))
+        .agg(F.count(F.lit(1)).alias("n_bench_grams"))
+    )
+    cont = F.col("n_shared") / F.col("n_bench_grams")
+    return (
+        shared.join(F.broadcast(bench_sizes), bench_id_col)
+        .filter(cont >= min_containment)
+        .select(
+            id_col,
+            bench_id_col,
+            F.col("n_bench_grams").cast("bigint").alias("n_bench_grams"),
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            F.round(F.col("n_shared") / F.col("n_bench_grams"), 6).alias(
+                "containment"
+            ),
+        )
     )

@@ -5339,6 +5339,90 @@ def q_corpus_pipeline_v3_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WINNOW_ORACLE = """
+WITH words AS (
+  SELECT doc_id,
+    list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                s -> s <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+    list_transform(generate_series(1, len(w) - 3),
+                   i -> md5(array_to_string(list_slice(w, i, i + 3), ' '))) AS g
+  FROM words WHERE len(w) >= 4
+)
+SELECT DISTINCT doc_id,
+  list_min(list_slice(g, j, j + 3)) AS fingerprint
+FROM grams,
+  UNNEST(generate_series(1, greatest(len(g) - 3, 1))) AS t(j)
+"""
+
+
+@query("winnow_fingerprint_index", _WINNOW_ORACLE)
+def q_winnow_fingerprint_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (the MOSS algorithm, functions/textstats.py
+    winnow_fingerprints): distinct minima of every 4-wide window of
+    4-word-gram md5s — any two docs sharing a run of >= 7 words share a
+    fingerprint, at ~2/(w+1) of the full gram-index size. Per-row array
+    math + one explode; this is the posting list a copy-detection index
+    stores."""
+    from fireball_data_processing_spark.functions.textstats import (
+        winnow_fingerprints,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return winnow_fingerprints(d, k=4, window=4).distinct()
+
+
+_CONTAINMENT_ORACLE = """
+WITH words AS (
+  SELECT doc_id,
+    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 2), ' ') AS shingle
+  FROM words, UNNEST(generate_series(1, greatest(len(w) - 2, 1))) AS t(i)
+  WHERE len(w) >= 3
+),
+bench AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 10 = 0),
+bsize AS (SELECT bench_id, COUNT(*) AS n_bench_grams FROM bench GROUP BY bench_id),
+train AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 10 <> 0),
+shared AS (
+  SELECT t.doc_id, b.bench_id, COUNT(*) AS n_shared
+  FROM train t JOIN bench b ON t.shingle = b.shingle
+  GROUP BY 1, 2
+)
+SELECT s.doc_id, s.bench_id,
+  z.n_bench_grams::BIGINT AS n_bench_grams,
+  s.n_shared::BIGINT AS n_shared,
+  ROUND(s.n_shared * 1.0 / z.n_bench_grams, 6) AS containment
+FROM shared s JOIN bsize z USING (bench_id)
+WHERE s.n_shared * 1.0 / z.n_bench_grams >= 0.2
+"""
+
+
+@query("benchmark_containment_scores", _CONTAINMENT_ORACLE)
+def q_benchmark_containment_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric decontamination scores (operators/dedup.py
+    ngram_containment, the GPT-3/PaLM-style protocol): fraction of each
+    benchmark item's distinct 3-word shingles present in a training doc
+    (doc_id % 10 partitions as in `benchmark_contamination`), kept at
+    containment >= 0.2. Containment, not Jaccard: a long doc that
+    swallows a short benchmark item scores 1.0 even when Jaccard is
+    tiny — exactly the leak being hunted."""
+    from fireball_data_processing_spark.operators.dedup import ngram_containment
+
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_containment(
+        d.filter(F.col("doc_id") % 10 != 0),
+        d.filter(F.col("doc_id") % 10 == 0),
+        k=3,
+        min_containment=0.2,
+    )
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
@@ -5390,6 +5474,8 @@ _PRIORITY = [
     "doc_bigram_logprob",
     "segment_scrub_gate",
     "corpus_pipeline_v3_summary",
+    "winnow_fingerprint_index",
+    "benchmark_containment_scores",
     "bpe_token_stats",
     # --- attested in round 1 only; rotate back in for fresh rows ---
     "simhash_fingerprints",

@@ -247,3 +247,89 @@ def test_prefix_filter_prunes_on_real_corpus(spark, sf_dir):
         for r in set_similarity_join(d, threshold=0.5, k=3).collect()
     }
     assert true_pairs <= cands
+
+
+# ---------------------------------------------------------------------------
+# winnow_fingerprints / ngram_containment
+# ---------------------------------------------------------------------------
+
+
+def _py_winnow(text: str, k: int, window: int) -> set[str]:
+    import hashlib
+
+    w = [t for t in text.lower().split() if t]
+    if len(w) < k:
+        return set()
+    grams = [
+        hashlib.md5(" ".join(w[i : i + k]).encode()).hexdigest()
+        for i in range(len(w) - k + 1)
+    ]
+    fps = set()
+    for j in range(max(len(grams) - window + 1, 1)):
+        fps.add(min(grams[j : j + window]))
+    return fps
+
+
+WINNOW_ROWS = [
+    (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (2, "x y alpha beta gamma delta epsilon zeta eta q r s"),  # shares a 7+ word run with 1
+    (3, "one two three"),                                      # shorter than k -> no grams
+    (4, "one two three four"),                                 # exactly one gram -> one fp
+    (5, "completely different words with no shared runs at all here"),
+]
+
+
+def test_winnow_matches_literal_python(spark):
+    from fireball_data_processing_spark.functions.textstats import (
+        winnow_fingerprints,
+    )
+
+    got: dict[int, set[str]] = {}
+    for r in winnow_fingerprints(_docs(spark, WINNOW_ROWS), k=4, window=4).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    for i, t in WINNOW_ROWS:
+        want = _py_winnow(t, 4, 4)
+        assert got.get(i, set()) == want, i
+    assert 3 not in got and len(got[4]) == 1
+
+
+def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
+    # docs 1 and 2 share an 8-word run >= k+window-1 = 7 words, so the
+    # winnowing guarantee promises at least one common fingerprint
+    from fireball_data_processing_spark.functions.textstats import (
+        winnow_fingerprints,
+    )
+
+    fps: dict[int, set[str]] = {}
+    for r in winnow_fingerprints(_docs(spark, WINNOW_ROWS), k=4, window=4).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert fps[1] & fps[2]
+    assert not (fps[1] & fps[5])
+
+
+def test_ngram_containment_full_swallow_scores_one(spark):
+    from fireball_data_processing_spark.operators.dedup import ngram_containment
+
+    bench = _docs(spark, [(100, "the quick brown fox jumps")])
+    train = _docs(
+        spark,
+        [
+            (1, "prefix words then the quick brown fox jumps and more after"),
+            (2, "the quick brown cat sleeps"),   # shares 1 of 3 shingles
+            (3, "nothing in common at all"),
+        ],
+    )
+    got = {
+        r["doc_id"]: (r["n_bench_grams"], r["n_shared"], r["containment"])
+        for r in ngram_containment(train, bench, k=3).collect()
+    }
+    # bench has 3 distinct 3-shingles; doc 1 contains the item verbatim
+    assert got[1] == (3, 3, 1.0)
+    assert got[2] == (3, 1, round(1 / 3, 6))
+    assert 3 not in got
+    # min_containment filters doc 2 out
+    kept = {
+        r["doc_id"]
+        for r in ngram_containment(train, bench, k=3, min_containment=0.5).collect()
+    }
+    assert kept == {1}
