@@ -5423,6 +5423,87 @@ def q_benchmark_containment_scores(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+_SELF_BLEU_ORACLE = """
+WITH pairs AS (
+  SELECT e.doc_id AS pair_id, e.text AS prediction, o.text AS reference
+  FROM documents e JOIN documents o ON o.doc_id = e.doc_id + 1
+  WHERE e.doc_id % 2 = 0
+),
+pw AS (
+  SELECT pair_id,
+    list_filter(string_split(trim(regexp_replace(lower(prediction), '\\s+', ' ', 'g')), ' '),
+                s -> s <> '') AS w
+  FROM pairs
+),
+rw AS (
+  SELECT pair_id,
+    list_filter(string_split(trim(regexp_replace(lower(reference), '\\s+', ' ', 'g')), ' '),
+                s -> s <> '') AS w
+  FROM pairs
+),
+occ AS (
+  SELECT pair_id, 1 AS n, t.g AS gram, 'p' AS side FROM pw, UNNEST(w) AS t(g)
+  UNION ALL
+  SELECT pair_id, 2, array_to_string(list_slice(w, i, i + 1), ' '), 'p'
+  FROM pw, UNNEST(generate_series(1, len(w) - 1)) AS t(i) WHERE len(w) >= 2
+  UNION ALL
+  SELECT pair_id, 1, t.g, 'r' FROM rw, UNNEST(w) AS t(g)
+  UNION ALL
+  SELECT pair_id, 2, array_to_string(list_slice(w, i, i + 1), ' '), 'r'
+  FROM rw, UNNEST(generate_series(1, len(w) - 1)) AS t(i) WHERE len(w) >= 2
+),
+counts AS (
+  SELECT pair_id, n, gram,
+    SUM(CASE WHEN side = 'p' THEN 1 ELSE 0 END) AS cp,
+    SUM(CASE WHEN side = 'r' THEN 1 ELSE 0 END) AS cr
+  FROM occ GROUP BY 1, 2, 3
+),
+per_n AS (
+  SELECT pair_id, n,
+    SUM(LEAST(cp, cr)) AS clipped, SUM(cp) AS denom,
+    ln((SUM(LEAST(cp, cr)) + 1) * 1.0 / (SUM(cp) + 1)) AS logp
+  FROM counts GROUP BY 1, 2
+),
+rolled AS (
+  SELECT pair_id,
+    SUM(CASE WHEN n = 1 THEN denom ELSE 0 END)::BIGINT AS pred_len,
+    SUM(logp) / 2 AS mean_logp,
+    ROUND(EXP(SUM(CASE WHEN n = 1 THEN logp END)), 6) AS p1,
+    ROUND(EXP(SUM(CASE WHEN n = 2 THEN logp END)), 6) AS p2
+  FROM per_n GROUP BY pair_id
+),
+rl AS (
+  SELECT pair_id, COUNT(*)::BIGINT AS ref_len
+  FROM occ WHERE side = 'r' AND n = 1 GROUP BY pair_id
+)
+SELECT r.pair_id, r.pred_len, rl.ref_len, r.p1, r.p2,
+  ROUND(LEAST(1.0, EXP(1 - rl.ref_len * 1.0 / r.pred_len))
+        * EXP(r.mean_logp), 6) AS bleu
+FROM rolled r JOIN rl USING (pair_id)
+WHERE r.pred_len > 0
+"""
+
+
+@query("self_bleu_pairs", _SELF_BLEU_ORACLE)
+def q_self_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed smoothed BLEU-2 (operators/evalmetrics.py bleu_pairs)
+    over fixed document pairings (each even doc scored against its odd
+    successor) — the self-BLEU corpus-diversity probe: high scores mean
+    repetitive / mode-collapsed text. Clipped modified precision via one
+    union-of-explodes pass (both sides, both orders, ONE exploded frame),
+    add-1 smoothing, brevity penalty; the model-based metrics
+    (perplexity/BLEURT) plug into plans/inference.py instead."""
+    from fireball_data_processing_spark.operators.evalmetrics import bleu_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    e = d.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("pair_id"), F.col("text").alias("prediction")
+    )
+    o = d.select((F.col("doc_id") - 1).alias("pair_id"), F.col("text").alias("reference"))
+    pairs = e.join(o, "pair_id")
+    return bleu_pairs(pairs, max_n=2)
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
@@ -5476,6 +5557,7 @@ _PRIORITY = [
     "corpus_pipeline_v3_summary",
     "winnow_fingerprint_index",
     "benchmark_containment_scores",
+    "self_bleu_pairs",
     "bpe_token_stats",
     # --- attested in round 1 only; rotate back in for fresh rows ---
     "simhash_fingerprints",

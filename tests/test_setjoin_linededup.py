@@ -333,3 +333,50 @@ def test_ngram_containment_full_swallow_scores_one(spark):
         for r in ngram_containment(train, bench, k=3, min_containment=0.5).collect()
     }
     assert kept == {1}
+
+
+# ---------------------------------------------------------------------------
+# bleu_pairs
+# ---------------------------------------------------------------------------
+
+BLEU_ROWS = [
+    (1, "the cat sat on the mat", "the cat sat on the mat"),      # identical
+    (2, "the cat sat on the mat", "a dog ran through a field"),   # disjoint
+    (3, "the cat sat on the mat today", "the cat sat on the mat"),# longer pred
+    (4, "the cat", "the cat sat on the mat in the warm sun"),     # short pred, BP < 1... (pred shorter)
+    (5, "one", "one"),                                            # single token, no bigram
+    (6, "", "anything at all"),                                   # empty pred -> absent
+]
+
+
+def test_bleu_pairs_matches_literal_python(spark):
+    from fireball_data_processing_spark.operators.evalmetrics import (
+        bleu_pairs,
+        py_bleu,
+    )
+
+    df = spark.createDataFrame(
+        BLEU_ROWS, "pair_id bigint, prediction string, reference string"
+    )
+    got = {r["pair_id"]: r for r in bleu_pairs(df, max_n=2).collect()}
+    assert set(got) == {1, 2, 3, 4, 5}  # empty prediction absent
+    for pid, p, r in BLEU_ROWS[:-1]:
+        assert got[pid]["bleu"] == pytest.approx(py_bleu(p, r), abs=2e-6), pid
+    # identical pair scores strictly higher than disjoint pair
+    assert got[1]["bleu"] > got[2]["bleu"]
+    # brevity penalty bites the short prediction
+    assert got[4]["pred_len"] == 2 and got[4]["ref_len"] == 10
+    assert got[4]["bleu"] < got[1]["bleu"]
+
+
+def test_bleu_identical_pair_is_bp_free(spark):
+    from fireball_data_processing_spark.operators.evalmetrics import bleu_pairs
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta", "alpha beta gamma delta")],
+        "pair_id bigint, prediction string, reference string",
+    )
+    row = bleu_pairs(df, max_n=2).collect()[0]
+    # all grams clip fully; only the add-1 smoothing keeps p_n below 1
+    assert row["p1"] == pytest.approx(5 / 5, abs=0.21)
+    assert row["bleu"] > 0.7
