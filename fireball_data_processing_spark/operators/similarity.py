@@ -524,3 +524,110 @@ def semantic_dedup(
         bucket_col,
         F.when(~is_rep, F.col(cos_col)).alias(cos_col),
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int = 10,
+    lam: float = 0.7,
+    query_col: str = "query_id",
+    id_col: str = "neighbor_id",
+    score_col: str = "cosine_sim",
+    vec_col: str = "embedding",
+    round_dp: int | None = 6,
+) -> DataFrame:
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein 1998) —
+    the diversity-aware selection stage after any top-k retrieval: pick
+    ``k`` results greedily by
+
+        argmax  lam * relevance - (1 - lam) * max cosine(x, selected)
+
+    so near-duplicate hits don't crowd the result list. The canonical
+    consumer of this engine's dedup-aware retrieval stack: feed it
+    ``brute_force_topk``/``ivf_topk``/``bm25_search`` candidates joined
+    to their vectors.
+
+    Greedy selection is inherently sequential PER QUERY but embarrassingly
+    parallel ACROSS queries, and the per-query candidate list is top-k
+    sized — exactly the sanctioned ``applyInPandas`` shape (one Arrow
+    batch per query group, numpy inside, never a corpus-sized collect).
+    Ties break on ascending id (deterministic, engine-independent).
+
+    Output: ``(query_col, id_col, mmr_rank, relevance, mmr_score)``;
+    ``mmr_score`` of the first pick is ``lam * relevance`` (nothing
+    selected yet to repel from).
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("doc_id", LongType()),
+            StructField("mmr_rank", LongType()),
+            StructField("relevance", DoubleType()),
+            StructField("mmr_score", DoubleType()),
+        ]
+    )
+
+    def _rerank(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("__id", ignore_index=True)
+        vecs = np.stack(pdf["__vec"].to_numpy())
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0] = 1.0
+        unit = vecs / norms[:, None]
+        sims = unit @ unit.T
+        rel = pdf["__score"].to_numpy().astype(float)
+        n = len(pdf)
+        selected: list[int] = []
+        max_sim = np.full(n, -np.inf)
+        rows = []
+        for rank in range(1, min(k, n) + 1):
+            if selected:
+                penalty = max_sim
+            else:
+                penalty = np.zeros(n)
+            mmr = lam * rel - (1 - lam) * penalty
+            mmr[selected] = -np.inf
+            # argmax with ascending-id tiebreak: ids are sorted, so the
+            # first max index is the smallest id among ties
+            pick = int(np.argmax(np.round(mmr, 9)))
+            rows.append(
+                (
+                    int(pdf["__q"].iloc[0]),
+                    int(pdf["__id"].iloc[pick]),
+                    rank,
+                    float(rel[pick]),
+                    float(mmr[pick]),
+                )
+            )
+            selected.append(pick)
+            max_sim = np.maximum(max_sim, sims[pick])
+            max_sim[selected] = np.inf  # never re-picked anyway
+        return pd.DataFrame(
+            rows, columns=["query_id", "doc_id", "mmr_rank", "relevance", "mmr_score"]
+        )
+
+    prepped = candidates.select(
+        F.col(query_col).cast("long").alias("__q"),
+        F.col(id_col).cast("long").alias("__id"),
+        F.col(score_col).cast("double").alias("__score"),
+        F.col(vec_col).alias("__vec"),
+    )
+    out = prepped.groupBy("__q").applyInPandas(_rerank, out_schema)
+    out = out.withColumnRenamed("query_id", query_col).withColumnRenamed(
+        "doc_id", id_col
+    )
+    if round_dp is not None:
+        out = out.withColumn(
+            "relevance", F.round("relevance", round_dp)
+        ).withColumn("mmr_score", F.round("mmr_score", round_dp))
+    return out

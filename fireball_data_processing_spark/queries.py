@@ -5504,6 +5504,33 @@ def q_self_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bleu_pairs(pairs, max_n=2)
 
 
+@query("mmr_diverse_topk", None)  # greedy sequential selection: the
+# per-step argmax depends on every prior pick, so no closed-form SQL —
+# rows-only by nature (same category as iterative BPE); semantics are
+# pinned by the literal-Python parity test instead
+def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware retrieval (operators/similarity.py mmr_rerank,
+    Maximal Marginal Relevance): brute-force cosine top-20 candidates per
+    query, greedily reranked to 5 picks trading relevance against
+    similarity-to-already-selected (lambda=0.7) — near-duplicate hits
+    stop crowding the list. Greedy is sequential per query but parallel
+    across queries: one Arrow batch per query group via applyInPandas,
+    candidate-list-sized, never a corpus collect."""
+    from fireball_data_processing_spark.operators.similarity import (
+        brute_force_topk,
+        mmr_rerank,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cands = brute_force_topk(e.filter(F.col("vec_id") < 10), e, k=20, round_dp=6)
+    with_vecs = cands.join(
+        e.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+        "neighbor_id",
+    )
+    out = mmr_rerank(with_vecs, k=5, lam=0.7)
+    return out.orderBy("query_id", "mmr_rank")
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
@@ -5558,6 +5585,7 @@ _PRIORITY = [
     "winnow_fingerprint_index",
     "benchmark_containment_scores",
     "self_bleu_pairs",
+    "mmr_diverse_topk",
     "bpe_token_stats",
     # --- attested in round 1 only; rotate back in for fresh rows ---
     "simhash_fingerprints",

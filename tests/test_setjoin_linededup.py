@@ -380,3 +380,82 @@ def test_bleu_identical_pair_is_bp_free(spark):
     # all grams clip fully; only the add-1 smoothing keeps p_n below 1
     assert row["p1"] == pytest.approx(5 / 5, abs=0.21)
     assert row["bleu"] > 0.7
+
+
+# ---------------------------------------------------------------------------
+# mmr_rerank
+# ---------------------------------------------------------------------------
+
+
+def _py_mmr(cands, k, lam):
+    """cands: list of (id, relevance, vector). Greedy MMR, ascending-id
+    tiebreak (mirrors the operator's contract)."""
+    import numpy as np
+
+    cands = sorted(cands)
+    ids = [c[0] for c in cands]
+    rel = np.array([c[1] for c in cands], dtype=float)
+    vecs = np.stack([np.array(c[2], dtype=float) for c in cands])
+    norms = np.linalg.norm(vecs, axis=1)
+    norms[norms == 0] = 1.0
+    unit = vecs / norms[:, None]
+    sims = unit @ unit.T
+    selected, out = [], []
+    max_sim = np.zeros(len(ids))
+    for rank in range(1, min(k, len(ids)) + 1):
+        mmr = lam * rel - (1 - lam) * (max_sim if selected else np.zeros(len(ids)))
+        mmr[selected] = -np.inf
+        pick = int(np.argmax(np.round(mmr, 9)))
+        out.append((ids[pick], rank, round(rel[pick], 6), round(mmr[pick], 6)))
+        selected.append(pick)
+        max_sim = np.maximum(max_sim, sims[pick])
+    return out
+
+
+def test_mmr_rerank_matches_literal_python(spark):
+    from fireball_data_processing_spark.operators.similarity import mmr_rerank
+
+    # two near-identical high-relevance docs + a diverse mid-relevance
+    # doc: pure relevance would take both twins; MMR must not
+    cands = [
+        (1, 101, 0.95, [1.0, 0.0, 0.0]),
+        (1, 102, 0.94, [0.99, 0.01, 0.0]),   # twin of 101
+        (1, 103, 0.80, [0.0, 1.0, 0.0]),     # diverse
+        (1, 104, 0.60, [0.0, 0.0, 1.0]),
+        (2, 201, 0.50, [1.0, 1.0, 0.0]),
+        (2, 202, 0.40, [1.0, 0.9, 0.0]),
+    ]
+    df = spark.createDataFrame(
+        cands,
+        "query_id bigint, neighbor_id bigint, cosine_sim double, embedding array<double>",
+    )
+    got = {
+        (r["query_id"], r["mmr_rank"]): (r["neighbor_id"], r["relevance"], r["mmr_score"])
+        for r in mmr_rerank(df, k=3, lam=0.7).collect()
+    }
+    for q in (1, 2):
+        want = _py_mmr([(i, s, v) for qq, i, s, v in cands if qq == q], 3, 0.7)
+        for doc, rank, rel, score in want:
+            assert got[(q, rank)] == (doc, rel, score), (q, rank)
+    # the diversity property itself: 103 outranks the twin 102
+    picks_q1 = [got[(1, r)][0] for r in (1, 2, 3)]
+    assert picks_q1[0] == 101 and picks_q1[1] == 103
+
+
+def test_mmr_lambda_one_is_pure_relevance(spark):
+    from fireball_data_processing_spark.operators.similarity import mmr_rerank
+
+    cands = [
+        (1, 11, 0.9, [1.0, 0.0]),
+        (1, 12, 0.8, [1.0, 0.0]),  # identical vector: irrelevant at lam=1
+        (1, 13, 0.7, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(
+        cands,
+        "query_id bigint, neighbor_id bigint, cosine_sim double, embedding array<double>",
+    )
+    order = [
+        r["neighbor_id"]
+        for r in mmr_rerank(df, k=3, lam=1.0).orderBy("mmr_rank").collect()
+    ]
+    assert order == [11, 12, 13]
