@@ -38,17 +38,10 @@ from fireball_data_processing_spark.functions.text import normalize_text
 __all__ = ["bleu_pairs", "py_bleu"]
 
 
-def _gram_rows(df: DataFrame, pair_col: str, text_col: str, side: str, max_n: int):
-    """(pair, n, gram, side) occurrence rows for every order 1..max_n,
-    from ONE materialized words array."""
-    parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    pre = df.select(
-        F.col(pair_col),
-        F.filter(
-            F.split(normalize_text(F.col(text_col)), " "), lambda s: s != ""
-        ).alias("__words"),
-    ).repartition(parts, F.col(pair_col))
-    words = F.col("__words")
+def _side_grams(words_col: str, side: str, max_n: int):
+    """Tagged (n, gram, side) struct array over one materialized words
+    column — every order 1..max_n."""
+    words = F.col(words_col)
 
     # CAUTION: a two-argument lambda given to F.transform is called as
     # (element, index) — a `lambda x, n=n:` default-arg closure silently
@@ -57,7 +50,9 @@ def _gram_rows(df: DataFrame, pair_col: str, text_col: str, side: str, max_n: in
         return lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))
 
     def _tagged(n):
-        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
+        return lambda g: F.struct(
+            F.lit(n).alias("n"), g.alias("gram"), F.lit(side).alias("side")
+        )
 
     per_n = []
     for n in range(1, max_n + 1):
@@ -66,15 +61,35 @@ def _gram_rows(df: DataFrame, pair_col: str, text_col: str, side: str, max_n: in
             F.transform(F.sequence(F.lit(0), F.size(words) - n), _gram_at(n)),
         ).otherwise(F.array().cast("array<string>"))
         per_n.append(F.transform(grams, _tagged(n)))
-    allgrams = F.flatten(F.array(*per_n))
-    return pre.select(
+    return F.flatten(F.array(*per_n))
+
+
+def _occurrence_rows(
+    pairs: DataFrame, pred_col: str, ref_col: str, pair_col: str, max_n: int
+):
+    """(pair, n, gram, side) occurrence rows for BOTH sides and every
+    order, from ONE scan of the pairs frame: both word arrays are
+    materialized behind a single pair-keyed exchange and both sides'
+    tagged grams ride one concat + one explode — the upstream pair
+    construction (often a join) is planned exactly once."""
+    parts = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    pre = pairs.select(
         F.col(pair_col),
-        F.explode(allgrams).alias("g"),
-    ).select(
+        F.filter(
+            F.split(normalize_text(F.col(pred_col)), " "), lambda s: s != ""
+        ).alias("__pw"),
+        F.filter(
+            F.split(normalize_text(F.col(ref_col)), " "), lambda s: s != ""
+        ).alias("__rw"),
+    ).repartition(parts, F.col(pair_col))
+    allgrams = F.concat(
+        _side_grams("__pw", "p", max_n), _side_grams("__rw", "r", max_n)
+    )
+    return pre.select(F.col(pair_col), F.explode(allgrams).alias("g")).select(
         pair_col,
         F.col("g.n").alias("n"),
         F.col("g.gram").alias("gram"),
-        F.lit(side).alias("side"),
+        F.col("g.side").alias("side"),
     )
 
 
@@ -92,15 +107,9 @@ def bleu_pairs(
     precisions and bleu rounded ``round_dp``; pairs whose prediction has
     no unigram (empty text) are absent (nothing to score).
     """
-    p = _gram_rows(
-        pairs.select(pair_col, pred_col), pair_col, pred_col, "p", max_n
-    )
-    r = _gram_rows(
-        pairs.select(pair_col, ref_col), pair_col, ref_col, "r", max_n
-    )
+    occ = _occurrence_rows(pairs, pred_col, ref_col, pair_col, max_n)
     counts = (
-        p.unionByName(r)
-        .groupBy(pair_col, "n", "gram")
+        occ.groupBy(pair_col, "n", "gram")
         .agg(
             F.sum(F.when(F.col("side") == "p", 1).otherwise(0)).alias("cp"),
             F.sum(F.when(F.col("side") == "r", 1).otherwise(0)).alias("cr"),
@@ -109,6 +118,7 @@ def bleu_pairs(
     per_n = counts.groupBy(pair_col, "n").agg(
         F.sum(F.least("cp", "cr")).alias("clipped"),
         F.sum("cp").alias("denom"),
+        F.sum("cr").alias("rdenom"),
     )
     # smoothed log-precision; a pair with no order-n pred grams (short
     # text) contributes ln((0+1)/(0+1)) = 0 for that order — neutral
@@ -116,6 +126,11 @@ def bleu_pairs(
     rolled = per_n.groupBy(pair_col).agg(
         F.sum(F.when(F.col("n") == 1, F.col("denom")).otherwise(0)).alias(
             "pred_len"
+        ),
+        # ref length rides the same rollup — no separate branch over the
+        # occurrence rows, so the whole metric is explode -> two groupBys
+        F.sum(F.when(F.col("n") == 1, F.col("rdenom")).otherwise(0)).alias(
+            "ref_len"
         ),
         (F.sum(logp) / max_n).alias("__mean_logp"),
         *[
@@ -128,11 +143,6 @@ def bleu_pairs(
             for i in range(1, max_n + 1)
         ],
     )
-    ref_len = (
-        r.filter(F.col("n") == 1)
-        .groupBy(pair_col)
-        .agg(F.count(F.lit(1)).alias("ref_len"))
-    )
     bp = F.least(
         F.lit(1.0), F.exp(1.0 - F.col("ref_len") / F.col("pred_len"))
     )
@@ -140,8 +150,7 @@ def bleu_pairs(
     if round_dp is not None:
         bleu = F.round(bleu, round_dp)
     return (
-        rolled.join(ref_len, pair_col)
-        .filter(F.col("pred_len") > 0)
+        rolled.filter(F.col("pred_len") > 0)
         .select(
             pair_col,
             F.col("pred_len").cast("bigint").alias("pred_len"),

@@ -382,3 +382,13 @@ def test_prefix_candidate_plan_no_cartesian(spark):
     assert "CartesianProduct" not in phys, phys
     assert "BroadcastNestedLoopJoin" not in phys, phys
     assert "BatchEvalPython" not in phys and "ArrowEvalPython" not in phys, phys
+
+
+def test_self_bleu_single_occurrence_pass(spark):
+    # both sides' n-grams of every order ride ONE explode over ONE scan
+    # of the pair join (2 documents scans = the join's two legs, nothing
+    # re-planned per side/order), and the tiny pair frames never SMJ
+    phys = _phys(catalog.REGISTRY["self_bleu_pairs"].fn(spark, SMOKE))
+    assert len(re.findall(r"Scan parquet[^\n]*documents", phys)) <= 2, phys
+    assert phys.count("SortMergeJoin") == 0, phys
+    assert phys.count("Generate explode") == 1, phys
