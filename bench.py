@@ -55,6 +55,10 @@ EXTRA = (
     "doc_bigram_logprob",
     "segment_scrub_gate",
     "corpus_pipeline_v3_summary",
+    "winnow_fingerprint_index",
+    "benchmark_containment_scores",
+    "self_bleu_pairs",
+    "mmr_diverse_topk",
 )
 
 

@@ -411,39 +411,49 @@ def winnow_fingerprints(
     nothing (no gram to fingerprint); docs with fewer than ``window``
     grams emit the single global minimum.
 
-    Plan: per-row array math (gram hashes + window minima behind ONE
-    materialized words column) -> explode of the per-doc DISTINCT
-    fingerprint array -> global distinct rides the downstream consumer.
-    Hashes are md5-hex (lexicographic min, cross-engine exact — same
-    convention as MinHash).
+    Plan: posexplode words -> LEAD-composed gram hashes -> sliding-frame
+    window MIN -> distinct. ALL codegen window machinery: the first
+    higher-order-function formulation (per-row slice lambdas over a
+    materialized gram array) measured ~5s at sf0.1 against ~1s for this
+    shape — HOF lambda bodies evaluate interpreted per element, while
+    lead/min frames compile. Both windows and the distinct share the one
+    doc-key exchange. Hashes are md5-hex (lexicographic min,
+    cross-engine exact — same convention as MinHash).
     """
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from fireball_data_processing_spark.functions.text import normalize_text
 
-    parts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    pre = docs.select(
+    toks = docs.select(
         F.col(id_col),
-        F.filter(
-            F.split(normalize_text(F.col(text_col)), " "), lambda s: s != ""
-        ).alias("__words"),
-    ).repartition(parts, F.col(id_col))
-    words = F.col("__words")
-    grams = F.when(
-        F.size(words) >= k,
-        F.transform(
-            F.sequence(F.lit(0), F.size(words) - k),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(words, i + 1, k))),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    # materialize the gram array too: the window-min lambda slices it
-    # per window index (same no-CSE rule as the words column)
-    g = pre.select(F.col(id_col), grams.alias("__g")).filter(F.size("__g") > 0)
-    garr = F.col("__g")
-    mins = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(garr) - window, F.lit(0))),
-        lambda j: F.array_min(F.slice(garr, j + 1, window)),
+        F.posexplode(
+            F.filter(
+                F.split(normalize_text(F.col(text_col)), " "), lambda s: s != ""
+            )
+        ).alias("__pos", "__w"),
     )
-    return g.select(
-        F.col(id_col), F.explode(F.array_distinct(mins)).alias("fingerprint")
+    w_doc = Window.partitionBy(id_col).orderBy("__pos")
+    gram_txt = F.concat_ws(
+        " ", F.col("__w"), *[F.lead("__w", j).over(w_doc) for j in range(1, k)]
     )
+    grams = toks.select(
+        F.col(id_col),
+        F.col("__pos").alias("__gpos"),
+        F.when(
+            F.lead("__w", k - 1).over(w_doc).isNotNull(), F.md5(gram_txt)
+        ).alias("__gh"),
+    ).filter(F.col("__gh").isNotNull())
+    w_gram = Window.partitionBy(id_col).orderBy("__gpos")
+    win_min = F.min("__gh").over(w_gram.rowsBetween(0, window - 1))
+    n_grams = F.count(F.lit(1)).over(Window.partitionBy(id_col))
+    fps = grams.select(
+        F.col(id_col),
+        win_min.alias("fingerprint"),
+        F.col("__gpos"),
+        n_grams.alias("__n"),
+    ).filter(
+        (F.col("__gpos") + window <= F.col("__n"))
+        | ((F.col("__n") < window) & (F.col("__gpos") == 0))
+    )
+    return fps.select(id_col, "fingerprint").distinct()
