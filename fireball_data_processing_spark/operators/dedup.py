@@ -762,6 +762,7 @@ def line_dedup(
     keep_first: bool = True,
     text_col: str = "text",
     id_col: str = "doc_id",
+    skew_safe: bool = False,
 ) -> DataFrame:
     """Cross-document line/segment deduplication — the C4 / RefinedWeb
     pipeline stage (Raffel et al. 2020 removed any three-sentence span
@@ -782,25 +783,41 @@ def line_dedup(
     over the partition elects the keeper) -> per-doc rollup. Two
     shuffles total (segment-hash key, then doc key); candidate volume
     is corpus segments, never pairs. At 100 TB the segment-hash
-    exchange partitions on md5 — uniform by construction — and the
-    rollup's doc-key exchange is the same one a downstream write-back
-    join would need.
+    exchange partitions on md5 — uniform by construction ACROSS
+    segments, but a single ultra-hot boilerplate segment (one segment in
+    10^9 docs) still lands on one reducer: for adversarial corpora pass
+    ``skew_safe=True``, which computes the per-segment stats with a
+    two-stage groupBy — the (hash, doc) composite first key spreads the
+    hot segment across reducers, the second stage combines tiny partial
+    counts map-side — and LEFT-joins the one-row-per-segment stats table
+    back (a hash-join probe is skew-indifferent). Identical output,
+    one extra exchange; the window form stays the default because it
+    avoids the join on normal corpora.
     """
     segs = aligned_segments(docs, seg_words, text_col, id_col).withColumn(
         "__h", F.md5(F.col("segment"))
     )
-    w_rank = Window.partitionBy("__h").orderBy(id_col)
-    w_seg = Window.partitionBy("__h")
-    n_docs = F.max(F.dense_rank().over(w_rank)).over(w_seg)
-    keeper = F.min(id_col).over(w_seg)
+    if skew_safe:
+        stats = (
+            segs.select("__h", id_col)
+            .distinct()
+            .groupBy("__h")
+            .agg(
+                F.count(F.lit(1)).alias("__nd"),
+                F.min(id_col).alias("__keeper"),
+            )
+        )
+        marked = segs.join(stats, "__h", "left")
+    else:
+        w_rank = Window.partitionBy("__h").orderBy(id_col)
+        w_seg = Window.partitionBy("__h")
+        n_docs = F.max(F.dense_rank().over(w_rank)).over(w_seg)
+        keeper = F.min(id_col).over(w_seg)
+        marked = segs.withColumn("__nd", n_docs).withColumn("__keeper", keeper)
     removed = F.col("__nd") >= min_docs
     if keep_first:
         removed = removed & (F.col(id_col) != F.col("__keeper"))
-    marked = (
-        segs.withColumn("__nd", n_docs)
-        .withColumn("__keeper", keeper)
-        .withColumn("__removed", removed)
-    )
+    marked = marked.withColumn("__removed", removed)
     kept_structs = F.sort_array(
         F.collect_list(
             F.when(

@@ -459,3 +459,23 @@ def test_mmr_lambda_one_is_pure_relevance(spark):
         for r in mmr_rerank(df, k=3, lam=1.0).orderBy("mmr_rank").collect()
     ]
     assert order == [11, 12, 13]
+
+
+def test_line_dedup_skew_safe_path_identical(spark, sf_dir):
+    """The skew-safe groupBy+join-back formulation must produce the exact
+    window-path output — on the constructed fixture AND the real corpus."""
+    from fireball_data_processing_spark.operators.dedup import line_dedup
+
+    fixture = _docs(spark, FIXTURE)
+    a = sorted(map(tuple, line_dedup(fixture, seg_words=4).collect()))
+    b = sorted(
+        map(tuple, line_dedup(fixture, seg_words=4, skew_safe=True).collect())
+    )
+    assert a == b
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = sorted(map(tuple, line_dedup(docs, seg_words=8).collect()))
+    b = sorted(
+        map(tuple, line_dedup(docs, seg_words=8, skew_safe=True).collect())
+    )
+    assert a == b and len(a) == docs.count()
