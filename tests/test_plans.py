@@ -392,3 +392,29 @@ def test_self_bleu_single_occurrence_pass(spark):
     assert len(re.findall(r"Scan parquet[^\n]*documents", phys)) <= 2, phys
     assert phys.count("SortMergeJoin") == 0, phys
     assert phys.count("Generate explode") == 1, phys
+
+
+def test_round4_text_operators_prune_scan_columns(spark):
+    # the documents table carries 5 columns; text operators must push a
+    # (doc_id, text) projection into the parquet scan — a scan reading
+    # lang/source/n_chars for a text-only operator is wasted IO at 100 TB
+    import contextlib
+    import io
+
+    for name in (
+        "cross_doc_line_dedup",
+        "winnow_fingerprint_index",
+        "doc_bigram_logprob",
+        "segment_scrub_gate",
+    ):
+        df = catalog.REGISTRY[name].fn(spark, SMOKE)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        schemas = re.findall(r"ReadSchema: (\S+)", buf.getvalue())
+        assert schemas, name
+        for s in schemas:
+            assert "lang" not in s and "n_chars" not in s and "source" not in s, (
+                name,
+                s,
+            )
