@@ -720,3 +720,98 @@ def test_temperature_rates_match_python(spark, counts, alpha):
         got[b][3] * n for b, n in counts.items()
     )
     assert expected <= total + 1e-6 * total
+
+
+# ---------------------------------------------------------------------------
+# round-4 operators: line_dedup reconstruction, winnowing vs literal python
+# ---------------------------------------------------------------------------
+
+_WORDS = ("aa", "bb", "cc", "dd", "ee")
+corpus_texts = st.lists(
+    st.lists(st.sampled_from(_WORDS), min_size=0, max_size=20).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _py_line_dedup(texts, seg_words, min_docs, keep_first):
+    """Literal-Python twin of operators.dedup.line_dedup."""
+    segs = {}
+    for i, t in enumerate(texts):
+        w = [x for x in t.lower().split() if x]
+        # max(len, 1): an empty doc still yields one (empty) segment,
+        # mirroring aligned_segments' sequence(0, greatest(size-1, 0))
+        segs[i] = [
+            " ".join(w[j : j + seg_words])
+            for j in range(0, max(len(w), 1), seg_words)
+        ]
+    holders: dict[str, set[int]] = {}
+    for i, ss in segs.items():
+        for s in ss:
+            holders.setdefault(s, set()).add(i)
+    out = {}
+    for i, ss in segs.items():
+        kept, removed = [], 0
+        for s in ss:
+            dup = len(holders[s]) >= min_docs and not (
+                keep_first and i == min(holders[s])
+            )
+            if dup:
+                removed += 1
+            else:
+                kept.append(s)
+        out[i] = (len(ss), removed, " ".join(kept))
+    return out
+
+
+@given(texts=corpus_texts, seg_words=st.integers(1, 5),
+       min_docs=st.integers(1, 3), keep_first=st.booleans())
+@settings(**SETTINGS)
+def test_line_dedup_matches_literal_python(spark, texts, seg_words, min_docs, keep_first):
+    from fireball_data_processing_spark.operators.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_segments"], r["n_removed_segments"], r["kept_text"])
+        for r in line_dedup(
+            df, seg_words=seg_words, min_docs=min_docs, keep_first=keep_first
+        ).collect()
+    }
+    want = _py_line_dedup(texts, seg_words, min_docs, keep_first)
+    assert got == want
+    # reconstruction invariant: kept + removed counts tile every segment
+    for i in got:
+        assert got[i][1] <= got[i][0]
+
+
+@given(texts=corpus_texts, k=st.integers(1, 4), window=st.integers(1, 5))
+@settings(**SETTINGS)
+def test_winnow_matches_literal_python_fuzz(spark, texts, k, window):
+    import hashlib
+
+    from fireball_data_processing_spark.functions.textstats import (
+        winnow_fingerprints,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    got: dict[int, set] = {}
+    for r in winnow_fingerprints(df, k=k, window=window).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    for i, t in enumerate(texts):
+        w = [x for x in t.lower().split() if x]
+        if len(w) < k:
+            assert i not in got
+            continue
+        grams = [
+            hashlib.md5(" ".join(w[j : j + k]).encode()).hexdigest()
+            for j in range(len(w) - k + 1)
+        ]
+        fps = {
+            min(grams[j : j + window])
+            for j in range(max(len(grams) - window + 1, 1))
+        }
+        assert got.get(i, set()) == fps, i
