@@ -5531,6 +5531,55 @@ def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("query_id", "mmr_rank")
 
 
+_WINNOW_PAIRS_ORACLE = """
+WITH words AS (
+  SELECT doc_id,
+    list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                s -> s <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+    list_transform(generate_series(1, len(w) - 3),
+                   i -> md5(array_to_string(list_slice(w, i, i + 3), ' '))) AS g
+  FROM words WHERE len(w) >= 4
+),
+fps AS (
+  SELECT DISTINCT doc_id, list_min(list_slice(g, j, j + 3)) AS fingerprint
+  FROM grams, UNNEST(generate_series(1, greatest(len(g) - 3, 1))) AS t(j)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*)::BIGINT AS n_shared_fps
+FROM fps a JOIN fps b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 3
+"""
+
+
+@query("winnow_copy_pairs", _WINNOW_PAIRS_ORACLE)
+def q_winnow_copy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The winnowing index doing its job (MOSS copy detection): document
+    pairs sharing >= 3 fingerprints via a plain equi-join on the
+    fingerprint column — on the synthetic corpus this recovers the
+    MinHash-found near-dup pairs from an index a fraction of the gram
+    count. Contact is confined to shared fingerprints (one shuffle-join
+    + pair rollup), never doc pairs."""
+    from fireball_data_processing_spark.functions.textstats import (
+        winnow_fingerprints,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(d, k=4, window=4)
+    a = fps.select(F.col("doc_id").alias("id_a"), "fingerprint")
+    b = fps.select(F.col("doc_id").alias("id_b"), "fingerprint")
+    return (
+        a.join(b, "fingerprint")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+        .filter(F.col("n_shared_fps") >= 3)
+    )
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
@@ -5583,6 +5632,7 @@ _PRIORITY = [
     "segment_scrub_gate",
     "corpus_pipeline_v3_summary",
     "winnow_fingerprint_index",
+    "winnow_copy_pairs",
     "benchmark_containment_scores",
     "self_bleu_pairs",
     "mmr_diverse_topk",

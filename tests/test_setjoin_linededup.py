@@ -479,3 +479,22 @@ def test_line_dedup_skew_safe_path_identical(spark, sf_dir):
         map(tuple, line_dedup(docs, seg_words=8, skew_safe=True).collect())
     )
     assert a == b and len(a) == docs.count()
+
+
+def test_winnow_pairs_recover_true_near_dups(spark, sf_dir):
+    """Copy detection through the winnowed index recovers nearly all the
+    exact-Jaccard near-dup pairs on the synthetic corpus — the
+    guarantee's practical payoff (shared runs -> shared fingerprints)."""
+    from fireball_data_processing_spark import queries as catalog
+
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in catalog.REGISTRY["set_similarity_pairs"].fn(spark, sf_dir).collect()
+    }
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in catalog.REGISTRY["winnow_copy_pairs"].fn(spark, sf_dir).collect()
+    }
+    assert truth, "fixture corpus must contain near-dups"
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.9, (recall, len(truth), len(found))
