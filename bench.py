@@ -56,6 +56,7 @@ EXTRA = (
     "segment_scrub_gate",
     "corpus_pipeline_v3_summary",
     "winnow_fingerprint_index",
+    "winnow_copy_pairs",
     "benchmark_containment_scores",
     "self_bleu_pairs",
     "mmr_diverse_topk",
