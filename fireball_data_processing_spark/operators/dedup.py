@@ -35,6 +35,7 @@ __all__ = [
     "lsh_candidate_pairs", "jaccard_pairs", "simhash", "ngram_overlap",
     "connected_components", "duplicate_spans", "remove_duplicate_spans",
     "aligned_segments", "line_dedup", "ngram_containment",
+    "contamination_spans",
 ]
 
 
@@ -881,5 +882,82 @@ def ngram_containment(
             F.round(F.col("n_shared") / F.col("n_bench_grams"), 6).alias(
                 "containment"
             ),
+        )
+    )
+
+
+def contamination_spans(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingles: int | None = None,
+) -> DataFrame:
+    """Span-level decontamination — the surgical complement of
+    :func:`ngram_overlap`/:func:`ngram_containment`: the maximal word
+    spans of each training document covered by any ``k``-gram that also
+    appears ANYWHERE in the benchmark set. Downstream pipelines cut the
+    spans out with :func:`remove_duplicate_spans` (same offsets contract)
+    and keep the document — dropping whole docs for one leaked paragraph
+    wastes the unique remainder.
+
+    Output: ``(id_col, span_start, span_end, span_words)`` — word
+    offsets over the normalized text, end exclusive, contiguous/
+    overlapping gram hits merged (identical shape to
+    :func:`duplicate_spans`, so the removal step is shared).
+
+    Plan: per-row gram hashes on the docs side -> LEFT SEMI join against
+    the benchmark's DISTINCT gram hashes (benchmark-sized, broadcastable
+    — no distinct-doc counting windows needed, membership is the whole
+    question) -> per-doc gaps-and-islands. Contact is bounded by grams
+    literally shared with the benchmark.
+    """
+    parts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    pre = docs.select(
+        F.col(id_col),
+        F.split(normalize_text(F.col(text_col)), " ").alias("__words"),
+    ).repartition(parts, F.col(id_col))
+    words = F.col("__words")
+    grams = F.when(
+        F.size(words) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - k),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(words, i + 1, k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    hits = pre.select(F.col(id_col), F.posexplode(grams).alias("pos", "gram"))
+    bench_grams = (
+        _exploded_shingles(benchmark, text_col, id_col, k, max_shingles)
+        .select(F.md5(F.col("shingle")).alias("gram"))
+        .distinct()
+    )
+    dirty = hits.join(F.broadcast(bench_grams), "gram", "left_semi").select(
+        id_col, "pos"
+    )
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev_end = F.coalesce(F.max(F.col("pos") + k).over(w_prev), F.lit(-1))
+    brk = F.when(F.col("pos") > prev_end, 1).otherwise(0)
+    islands = dirty.withColumn("__island", F.sum(brk).over(w_run))
+    return (
+        islands.groupBy(id_col, "__island")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + k).cast("bigint").alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_words"),
         )
     )

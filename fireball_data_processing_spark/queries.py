@@ -5580,6 +5580,64 @@ def q_winnow_copy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONTAM_SPANS_ORACLE = """
+WITH words AS (
+  SELECT doc_id,
+    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, i - 1 AS pos,
+    md5(array_to_string(list_slice(w, i, i + 7), ' ')) AS gram
+  FROM words, UNNEST(generate_series(1, len(w) - 7)) AS t(i)
+  WHERE len(w) >= 8
+),
+bg AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 10 = 0),
+hits AS (
+  SELECT g.doc_id, g.pos FROM grams g JOIN bg USING (gram)
+  WHERE g.doc_id % 10 <> 0
+),
+isl AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos > COALESCE(MAX(pos + 8) OVER (
+        PARTITION BY doc_id ORDER BY pos
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+      THEN 1 ELSE 0 END AS brk
+  FROM hits
+),
+grp AS (
+  SELECT doc_id, pos, SUM(brk) OVER (
+    PARTITION BY doc_id ORDER BY pos
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl
+)
+SELECT doc_id,
+  MIN(pos)::BIGINT AS span_start,
+  (MAX(pos) + 8)::BIGINT AS span_end,
+  (MAX(pos) + 8 - MIN(pos))::BIGINT AS span_words
+FROM grp GROUP BY doc_id, island
+"""
+
+
+@query("benchmark_contamination_spans", _CONTAM_SPANS_ORACLE)
+def q_benchmark_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination (operators/dedup.py contamination_spans):
+    maximal word spans of training docs (doc_id % 10 != 0) covered by
+    8-grams present anywhere in the benchmark partition (doc_id % 10 ==
+    0) — cut the leaked span with remove_duplicate_spans (same offsets
+    contract), keep the document. Membership via one broadcast semi join
+    against the benchmark's distinct gram hashes; islands merge on one
+    doc-key exchange."""
+    from fireball_data_processing_spark.operators.dedup import contamination_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    return contamination_spans(
+        d.filter(F.col("doc_id") % 10 != 0),
+        d.filter(F.col("doc_id") % 10 == 0),
+        k=8,
+    )
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
@@ -5633,6 +5691,7 @@ _PRIORITY = [
     "corpus_pipeline_v3_summary",
     "winnow_fingerprint_index",
     "winnow_copy_pairs",
+    "benchmark_contamination_spans",
     "benchmark_containment_scores",
     "self_bleu_pairs",
     "mmr_diverse_topk",

@@ -498,3 +498,31 @@ def test_winnow_pairs_recover_true_near_dups(spark, sf_dir):
     assert truth, "fixture corpus must contain near-dups"
     recall = len(truth & found) / len(truth)
     assert recall >= 0.9, (recall, len(truth), len(found))
+
+
+def test_contamination_spans_and_removal(spark):
+    """contamination_spans + remove_duplicate_spans surgically cut the
+    leaked benchmark text out of a training doc, keeping the remainder."""
+    from fireball_data_processing_spark.operators.dedup import (
+        contamination_spans,
+        remove_duplicate_spans,
+    )
+
+    bench = _docs(spark, [(100, "alpha beta gamma delta epsilon")])
+    train = _docs(
+        spark,
+        [
+            # leaked 5-gram in the middle; unique prefix/suffix survive
+            (1, "own start words alpha beta gamma delta epsilon own tail words"),
+            (2, "nothing shared with the benchmark here at all today"),
+        ],
+    )
+    spans = contamination_spans(train, bench, k=5)
+    got = {r["doc_id"]: (r["span_start"], r["span_end"]) for r in spans.collect()}
+    assert got == {1: (3, 8)}
+    scrubbed = {
+        r["doc_id"]: r["clean_text"]
+        for r in remove_duplicate_spans(train, spans).collect()
+    }
+    assert scrubbed[1] == "own start words own tail words"
+    assert scrubbed[2] == "nothing shared with the benchmark here at all today"
