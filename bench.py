@@ -38,6 +38,12 @@ HEADLINE = (
     "simhash_fingerprints",
     "ann_cosine_topk",
     "bm25_search",
+    # Round-5 suite growth: one round-4 representative promoted from
+    # EXTRA so the regression instrument tracks the new text-pipeline
+    # surface, not only r1-r3 operators. Round-over-round comparison:
+    # r4 headline 6.75 s covered the first 15 names; subtract this
+    # query's time from the r5+ total to compare like-for-like.
+    "cross_doc_line_dedup",
 )
 
 # Timed the same way but reported under "extra_queries" and NOT counted
@@ -50,7 +56,6 @@ EXTRA = (
     "incremental_refresh_counts",
     "domain_capped_sample",
     "corpus_pipeline_v2_summary",
-    "cross_doc_line_dedup",
     "set_similarity_pairs",
     "doc_bigram_logprob",
     "segment_scrub_gate",
@@ -58,8 +63,11 @@ EXTRA = (
     "winnow_fingerprint_index",
     "winnow_copy_pairs",
     "benchmark_containment_scores",
+    "benchmark_contamination_spans",
     "self_bleu_pairs",
     "mmr_diverse_topk",
+    "corpus_diversity_probe",
+    "gopher_quality_gate",
 )
 
 

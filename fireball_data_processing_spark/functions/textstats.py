@@ -96,6 +96,99 @@ def lang_scores(c: Column) -> dict[str, Column]:
 
 
 # ---------------------------------------------------------------------
+# Gopher quality gate
+# ---------------------------------------------------------------------
+
+
+def gopher_rules(
+    c: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_end_ratio: float = 0.3,
+) -> dict[str, Column]:
+    """The Gopher document-quality gate (Rae et al. 2021 §A1.1; reused by
+    RefinedWeb / Dolma / FineWeb): word-count bounds, mean-word-length
+    bounds, symbol-to-word ratio (``#`` and ``...``), fraction of words
+    containing an alphabetic character, minimum stop-word hits, and the
+    two line-shape rules (bullet-start / ellipsis-end line fractions).
+    Returns the component booleans, the underlying ratios (6 dp — the
+    house cross-engine rounding), and ``passes_gopher`` = AND of all
+    rules. Pure per-row expressions — zero shuffles, codegen-resident,
+    filter-ready; the same shape at 100 TB (a scan + filter, nothing
+    else). Counts via length-difference (``replace``), not per-char
+    regex rewrites — one string pass per symbol class."""
+    words = F.split(F.trim(c), r"\s+")
+    n_words = F.size(words)
+    word_chars = F.aggregate(
+        F.transform(words, lambda w: F.length(w)), F.lit(0), lambda a, v: a + v
+    )
+    mean_wl = F.when(n_words > 0, word_chars.cast("double") / n_words)
+    n_hash = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))
+    ) / 3
+    symbol_ratio = F.when(
+        n_words > 0, (n_hash + n_ellipsis).cast("double") / n_words
+    )
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    alpha_word_ratio = F.when(n_words > 0, alpha_words.cast("double") / n_words)
+    stop_hits = F.size(F.filter(words, lambda w: F.lower(w).isin(*_STOPWORDS)))
+    lines = F.split(c, "\n")
+    n_lines = F.size(lines)
+    bullet_lines = F.size(
+        F.filter(
+            lines,
+            lambda l: l.startswith("- ")
+            | l.startswith("* ")
+            | l.startswith("•"),
+        )
+    )
+    ellipsis_lines = F.size(F.filter(lines, lambda l: l.endswith("...")))
+    bullet_ratio = F.when(n_lines > 0, bullet_lines.cast("double") / n_lines)
+    ellipsis_end_ratio = F.when(
+        n_lines > 0, ellipsis_lines.cast("double") / n_lines
+    )
+    ok_words = (n_words >= min_words) & (n_words <= max_words)
+    ok_mean_wl = (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
+    ok_symbols = symbol_ratio <= max_symbol_word_ratio
+    ok_alpha = alpha_word_ratio >= min_alpha_word_ratio
+    ok_stops = stop_hits >= min_stop_hits
+    ok_bullets = bullet_ratio <= max_bullet_ratio
+    ok_ellipsis = ellipsis_end_ratio <= max_ellipsis_end_ratio
+    return {
+        "n_words": n_words.cast("bigint"),
+        "mean_word_len": F.round(mean_wl, 6),
+        "symbol_word_ratio": F.round(symbol_ratio, 6),
+        "alpha_word_ratio": F.round(alpha_word_ratio, 6),
+        "stop_hits": stop_hits.cast("bigint"),
+        "bullet_ratio": F.round(bullet_ratio, 6),
+        "ellipsis_end_ratio": F.round(ellipsis_end_ratio, 6),
+        "ok_words": ok_words,
+        "ok_mean_word_len": ok_mean_wl,
+        "ok_symbols": ok_symbols,
+        "ok_alpha_words": ok_alpha,
+        "ok_stop_hits": ok_stops,
+        "ok_bullets": ok_bullets,
+        "ok_ellipsis_ends": ok_ellipsis,
+        "passes_gopher": (
+            ok_words
+            & ok_mean_wl
+            & ok_symbols
+            & ok_alpha
+            & ok_stops
+            & ok_bullets
+            & ok_ellipsis
+        ),
+    }
+
+
+# ---------------------------------------------------------------------
 # fingerprinting
 # ---------------------------------------------------------------------
 

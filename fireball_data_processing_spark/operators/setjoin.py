@@ -29,13 +29,18 @@ Jaccard" dedup) built Spark-first.
 
 Escalation path for HIGH-COLLISION corpora (tiny vocabularies, heavy
 templating — where every shingle is common and prefix filtering alone
-degrades): PPJoin's positional filter — carry each prefix shingle's
-rank, bound the overlap by ``1 + min(|A|-rankA, |B|-rankB)`` and drop
-pairs whose bound misses ``ceil(t/(1+t)*(|A|+|B|))``. Measured on the
+degrades): PPJoin's positional filter, wired behind ``positional=True``
+— carry each prefix shingle's rank, take the FIRST shared prefix
+shingle in the global (df, shingle) order (for any qualifying pair the
+globally-minimal shared shingle provably sits inside both prefixes, and
+rank-within-doc is monotone in the global order, so ``min(rank_a)`` and
+``min(rank_b)`` name the same shingle), bound the overlap by
+``1 + min(|A|-rankA, |B|-rankB)`` and drop pairs whose bound misses the
+minimum overlap ``ceil(t/(1+t)*(|A|+|B|))``. Lossless. Measured on the
 synthetic sf0.1 corpus it prunes candidates 2.5x (310k -> 125k) but the
-max-over-shared-prefixes aggregate costs more than the verification it
-saves, so it is documented rather than wired in; at billion-doc scale
-with long verification arrays the trade flips.
+per-pair aggregate costs more than the verification it saves at toy
+scale, so the DEFAULT stays off; at billion-doc scale with long
+verification arrays the trade flips — flip the flag, not the code.
 """
 
 from __future__ import annotations
@@ -67,10 +72,17 @@ def prefix_candidates(
     sets: DataFrame,
     threshold: float,
     id_col: str = "doc_id",
+    positional: bool = False,
 ) -> DataFrame:
     """Candidate ``(id_a, id_b)`` pairs via prefix filtering + length
     filter. Lossless for Jaccard >= ``threshold``: the returned set is a
     superset of the true result and a (usually tiny) subset of all pairs.
+
+    ``positional=True`` adds PPJoin's positional filter (Xiao et al.
+    2008 §3.2): still lossless, prunes the candidate set further
+    (measured 2.5x on the synthetic corpus) at the cost of a per-pair
+    aggregate — worth it when verification arrays are long (see module
+    docstring for the trade analysis).
     """
     df_tok = sets.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     ordered = sets.join(df_tok, "shingle")
@@ -82,26 +94,56 @@ def prefix_candidates(
         F.row_number().over(w_rank).alias("__rn"),
         F.count(F.lit(1)).over(w_doc).alias("__n"),
     )
-    # prefix length |x| - ceil(tau*|x|) + 1; ceil on DOUBLE column math
-    prefix_len = F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
-    pre = ranked.filter(F.col("__rn") <= prefix_len).select(id_col, "shingle", "__n")
+    # prefix length |x| - ceil(tau*|x|) + 1; ceil on DOUBLE column math.
+    # Nudge the product DOWN before ceil: IEEE can round tau*n UP past an
+    # exact integer (0.9*10 -> 9.000000000000002 -> ceil 10), which would
+    # SHORTEN the prefix — a false-negative window in an EXACT operator.
+    # Over-long prefixes (the nudge's only possible error) are safe.
+    prefix_len = (
+        F.col("__n")
+        - F.ceil(F.lit(threshold) * F.col("__n") - F.lit(1e-9))
+        + 1
+    )
+    pre = ranked.filter(F.col("__rn") <= prefix_len).select(
+        id_col, "shingle", "__rn", "__n"
+    )
     a = pre.select(
-        F.col(id_col).alias("id_a"), F.col("shingle"), F.col("__n").alias("__na")
+        F.col(id_col).alias("id_a"),
+        F.col("shingle"),
+        F.col("__rn").alias("__ra"),
+        F.col("__n").alias("__na"),
     )
     b = pre.select(
-        F.col(id_col).alias("id_b"), F.col("shingle"), F.col("__n").alias("__nb")
+        F.col(id_col).alias("id_b"),
+        F.col("shingle"),
+        F.col("__rn").alias("__rb"),
+        F.col("__n").alias("__nb"),
     )
     # length filter: Jaccard >= tau forces tau <= |A|/|B| <= 1/tau
-    return (
-        a.join(b, "shingle")
-        .filter(
-            (F.col("id_a") < F.col("id_b"))
-            & (F.col("__nb") * threshold <= F.col("__na"))
-            & (F.col("__na") * threshold <= F.col("__nb"))
-        )
-        .select("id_a", "id_b")
-        .distinct()
+    joined = a.join(b, "shingle").filter(
+        (F.col("id_a") < F.col("id_b"))
+        & (F.col("__nb") * threshold <= F.col("__na"))
+        & (F.col("__na") * threshold <= F.col("__nb"))
     )
+    if not positional:
+        return joined.select("id_a", "id_b").distinct()
+    # Positional filter: the groupBy doubles as the pair dedup (no extra
+    # exchange vs the .distinct() above — same shuffle key). min(__ra)
+    # and min(__rb) name the SAME shingle (rank is monotone in the global
+    # (df, shingle) order restricted to each doc), so the bound below is
+    # the classic "first shared prefix token" bound.
+    pairs = joined.groupBy("id_a", "id_b", "__na", "__nb").agg(
+        F.min("__ra").alias("__min_ra"), F.min("__rb").alias("__min_rb")
+    )
+    ubound = 1 + F.least(
+        F.col("__na") - F.col("__min_ra"), F.col("__nb") - F.col("__min_rb")
+    )
+    # min required overlap ceil(t/(1+t)*(na+nb)); same downward FP nudge
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("__na") + F.col("__nb"))
+        - F.lit(1e-9)
+    )
+    return pairs.filter(ubound >= alpha).select("id_a", "id_b")
 
 
 def set_similarity_join(
@@ -110,6 +152,8 @@ def set_similarity_join(
     k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    positional: bool = False,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """EXACT Jaccard threshold self-join over word ``k``-shingle sets.
 
@@ -126,6 +170,17 @@ def set_similarity_join(
     extra scheduler rounds); at corpus scale it is the difference
     between materializing arrays for 0.1% of documents and for all of
     them, so the candidate-bounded form is the only path.
+
+    ``positional=True`` enables the (lossless) PPJoin positional filter
+    in candidate generation — output-identical, fewer candidates, one
+    extra per-pair aggregate; see :func:`prefix_candidates`.
+
+    ``checkpoint_dir``: by default the result is forced via
+    ``localCheckpoint(eager=True)`` — executor-LOCAL storage, which a
+    lost executor invalidates. Fine in local mode and for short jobs;
+    for a long cluster run pass a (durable, e.g. HDFS/S3) directory and
+    the result is materialized as parquet there and read back — survives
+    executor loss and lets downstream stages partition-prune it.
     """
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
@@ -135,7 +190,7 @@ def set_similarity_join(
         # the candidate list has TWO consumers below (the id semi join and
         # the verification join) and is pair-count-sized — pin it, or the
         # whole prefix pipeline re-executes per consumer
-        cands = prefix_candidates(sets, threshold, id_col).persist()
+        cands = prefix_candidates(sets, threshold, id_col, positional).persist()
         # verification arrays ONLY for docs that appear in some candidate
         # pair — at corpus scale candidates are a sliver of the corpus
         # (0.6% of pairs on the synthetic data), so materializing sorted
@@ -180,8 +235,13 @@ def set_similarity_join(
                 ).alias("jaccard"),
             )
         )
-        # force the plan while `sets` is pinned; callers get a plain frame
-        out = out.localCheckpoint(eager=True)
+        # force the plan while `sets`/`cands` are pinned; callers get a
+        # plain frame either way
+        if checkpoint_dir is not None:
+            out.write.mode("overwrite").parquet(checkpoint_dir)
+            out = docs.sparkSession.read.parquet(checkpoint_dir)
+        else:
+            out = out.localCheckpoint(eager=True)
     finally:
         sets.unpersist()
         if cands is not None:
@@ -190,5 +250,8 @@ def set_similarity_join(
 
 
 def _prefix_length(n: int, threshold: float) -> int:
-    """Reference-math twin for tests: prefix length on the driver."""
-    return n - math.ceil(threshold * n) + 1
+    """Reference-math twin for tests: prefix length on the driver (with
+    the same downward FP nudge as the column math — ``0.9 * 10`` is
+    ``9.000000000000002`` in IEEE, and an un-nudged ceil would shorten
+    the prefix)."""
+    return n - math.ceil(threshold * n - 1e-9) + 1

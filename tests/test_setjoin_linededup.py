@@ -161,6 +161,80 @@ def test_set_similarity_bad_threshold(spark):
         set_similarity_join(_docs(spark, SIM_ROWS), threshold=0.0)
 
 
+@pytest.mark.parametrize("threshold", [0.3, 0.5, 0.9, 1.0])
+def test_positional_filter_output_identical(spark, threshold):
+    """PPJoin positional filter is lossless: the joined output with
+    positional=True equals the default path AND the literal-Python
+    all-pairs ground truth at every threshold."""
+    from fireball_data_processing_spark.operators.setjoin import set_similarity_join
+
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_a"], r["n_b"], r["n_inter"], r["jaccard"])
+        for r in set_similarity_join(
+            _docs(spark, SIM_ROWS), threshold=threshold, k=3, positional=True
+        ).collect()
+    }
+    assert got == _py_pairs(SIM_ROWS, threshold)
+
+
+def test_positional_filter_prunes_candidates(spark):
+    """The positional candidate set is a subset of the plain prefix
+    candidates and still a superset of the true pairs (lossless)."""
+    from fireball_data_processing_spark.operators.setjoin import (
+        prefix_candidates,
+        shingle_sets,
+    )
+
+    sets = shingle_sets(_docs(spark, SIM_ROWS), 3)
+    plain = {(r["id_a"], r["id_b"]) for r in prefix_candidates(sets, 0.5).collect()}
+    pos = {
+        (r["id_a"], r["id_b"])
+        for r in prefix_candidates(sets, 0.5, positional=True).collect()
+    }
+    assert pos <= plain
+    truth = set(_py_pairs(SIM_ROWS, 0.5))
+    assert truth <= pos
+
+
+def test_prefix_length_fp_boundary():
+    """tau * n landing on an exact integer must NOT shorten the prefix:
+    0.9 * 10 is 9.000000000000002 in IEEE, and an unguarded ceil gives
+    10 -> prefix 1 instead of the mathematically-correct 2."""
+    from fireball_data_processing_spark.operators.setjoin import _prefix_length
+
+    assert _prefix_length(10, 0.9) == 2
+    assert _prefix_length(20, 0.3) == 15  # 0.3*20 = 6.000000000000001
+    # exhaustive small grid vs exact Fraction math
+    from fractions import Fraction
+
+    for n in range(1, 50):
+        for num, den in ((3, 10), (1, 2), (7, 10), (9, 10), (1, 1)):
+            tau = num / den
+            exact = n - math.ceil(Fraction(num, den) * n) + 1
+            assert _prefix_length(n, tau) == exact, (n, tau)
+
+
+def test_checkpoint_dir_parity(spark, tmp_path):
+    """checkpoint_dir materializes the identical result via parquet
+    instead of executor-local storage."""
+    from fireball_data_processing_spark.operators.setjoin import set_similarity_join
+
+    key = lambda r: (r["id_a"], r["id_b"])  # noqa: E731
+    local = {
+        key(r): r.asDict()
+        for r in set_similarity_join(_docs(spark, SIM_ROWS), threshold=0.5).collect()
+    }
+    durable = {
+        key(r): r.asDict()
+        for r in set_similarity_join(
+            _docs(spark, SIM_ROWS),
+            threshold=0.5,
+            checkpoint_dir=str(tmp_path / "setjoin_ckpt"),
+        ).collect()
+    }
+    assert local == durable
+
+
 # ---------------------------------------------------------------------------
 # bigram_logprob
 # ---------------------------------------------------------------------------

@@ -1299,3 +1299,42 @@ def test_capstone_segment_dedup_stage(spark):
     assert sorted(
         r["doc_id"] for r in plain["deduped"].collect()
     ) == [1, 2, 3, 4, 5]
+
+
+def test_gopher_rules_components(spark):
+    """Exercise the Gopher-gate rules the synthetic corpus cannot (the
+    parquet docs have no newlines/bullets/ellipses/hashes): each fixture
+    row trips exactly one rule; the clean row passes."""
+    from fireball_data_processing_spark.functions.textstats import gopher_rules
+
+    clean = "the quick brown fox and the lazy dog " * 8  # 64 words, stopwords
+    rows = [
+        (1, clean),
+        (2, "too short text"),  # < 50 words
+        (3, ("a " * 60).strip()),  # mean word len 1 < 3
+        (4, clean + " " + "#tag " * 20),  # symbol ratio > 0.1
+        (5, clean.replace("the", "123").replace("and", "456")
+            + " " + "789 000 111 " * 12),  # alpha-word frac < 0.8
+        (6, "- bullet one\n- bullet two\n- bullet three"),  # bullets
+        (7, ("the and of is it " * 12).strip()
+            + "\nto be continued...\nmore...\nend..."),  # ellipsis ends
+    ]
+    df = spark.createDataFrame(rows, "id int, t string")
+    cols = gopher_rules(F.col("t"))
+    got = {
+        r["id"]: r.asDict()
+        for r in df.select(
+            "id", *[c.alias(n) for n, c in cols.items()]
+        ).collect()
+    }
+    assert got[1]["passes_gopher"] is True
+    assert got[2]["ok_words"] is False and got[2]["passes_gopher"] is False
+    assert got[3]["ok_mean_word_len"] is False
+    assert got[4]["ok_symbols"] is False
+    assert got[5]["ok_alpha_words"] is False
+    assert got[6]["bullet_ratio"] == 1.0 and got[6]["ok_bullets"] is False
+    assert got[7]["ellipsis_end_ratio"] == 0.75 and got[7]["ok_ellipsis_ends"] is False
+    # component ratios on the clean row
+    assert got[1]["symbol_word_ratio"] == 0.0
+    assert got[1]["alpha_word_ratio"] == 1.0
+    assert got[1]["stop_hits"] >= 2
