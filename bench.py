@@ -68,6 +68,8 @@ EXTRA = (
     "mmr_diverse_topk",
     "corpus_diversity_probe",
     "gopher_quality_gate",
+    "token_budget_fill",
+    "leakage_safe_split",
 )
 
 

@@ -29,12 +29,84 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from fireball_data_processing_spark.operators.retrieval import tokens
 
-__all__ = ["gram_buckets", "bucket_distribution", "dsir_log_weights"]
+__all__ = [
+    "gram_buckets",
+    "bucket_distribution",
+    "dsir_log_weights",
+    "budget_fill",
+]
+
+
+def budget_fill(
+    df: DataFrame,
+    score_col: str,
+    weight_col: str,
+    tie_col: str,
+    budget: int,
+    n_buckets: int = 64,
+    cum_col: str = "cum_weight",
+) -> DataFrame:
+    """Greedy best-score-first selection until a cumulative weight budget
+    is exhausted — "fill a token budget with the highest-quality
+    documents", the data-constrained-scaling selection step (Muennighoff
+    et al. 2023; every frontier-lab data pipeline has this op). Keeps
+    exactly the rows whose running total (ordered by ``score_col`` DESC,
+    ``tie_col`` ASC) stays within ``budget``; the running total is
+    emitted as ``cum_col``.
+
+    Scale shape — the naive formulation is a global-window trap: a
+    cumulative ``sum().over(Window.orderBy(...))`` with no partitionBy
+    collapses to ONE partition and serializes the whole corpus through a
+    single task. Instead, a two-phase distributed prefix sum:
+
+    1. coarse-bucket rows by score (``score_col`` must lie in [0, 1] —
+       quality ratios do; clamped floor into ``n_buckets`` value-range
+       buckets, no shuffle),
+    2. per-bucket weight totals (one aggregate, ``n_buckets`` rows) ->
+       exclusive running offsets over that TINY frame (the one
+       unpartitioned window in the plan runs over ``n_buckets`` rows,
+       the same bounded-aggregate idiom as the house one-row broadcast
+       scalars),
+    3. broadcast the offsets back; the per-row cumulative sum is then a
+       window PARTITIONED by bucket — parallel across buckets.
+
+    The result is bucketing-invariant (bucket order refines the global
+    order: score ordering decides the bucket, ties stay inside one
+    bucket), so the DuckDB oracle can use the plain single-window SQL.
+    """
+    bkt = F.least(
+        F.greatest(
+            F.floor(F.col(score_col) * n_buckets).cast("int"), F.lit(0)
+        ),
+        F.lit(n_buckets - 1),
+    )
+    sdf = df.withColumn("__bkt", bkt)
+    bucket_sums = sdf.groupBy("__bkt").agg(F.sum(weight_col).alias("__bw"))
+    w_off = Window.orderBy(F.desc("__bkt")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = bucket_sums.select(
+        "__bkt", F.coalesce(F.sum("__bw").over(w_off), F.lit(0)).alias("__off")
+    )
+    w_in = (
+        Window.partitionBy("__bkt")
+        .orderBy(F.desc(score_col), F.asc(tie_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        sdf.join(F.broadcast(offsets), "__bkt")
+        .withColumn(
+            cum_col,
+            (F.col("__off") + F.sum(weight_col).over(w_in)).cast("bigint"),
+        )
+        .filter(F.col(cum_col) <= budget)
+        .drop("__bkt", "__off")
+    )
 
 
 def gram_buckets(

@@ -4198,6 +4198,130 @@ def q_dsir_selection_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_log_weights(d, target, n_buckets=_DSIR_B, gram_n=2)
 
 
+_BUDGET_FILL_ORACLE = """
+WITH w AS (
+  SELECT doc_id,
+    regexp_split_to_array(trim(text), '\\s+') AS words
+  FROM documents
+),
+q AS (
+  SELECT doc_id,
+    len(words)::BIGINT AS n_tokens,
+    ROUND(len(list_filter(words, x -> list_contains(
+      ['the','a','of','and','to','in','is','it','that','for'], lower(x))))
+      ::DOUBLE / len(words), 6) AS quality
+  FROM w
+),
+c AS (
+  SELECT doc_id, quality, n_tokens,
+    SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                        ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens
+  FROM q
+)
+SELECT doc_id, quality, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 12000
+"""
+
+
+@query("token_budget_fill", _BUDGET_FILL_ORACLE)
+def q_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained-scaling selection (Muennighoff et al. 2023):
+    fill a 12k-token training budget with the highest-quality documents
+    first (quality = stop-word ratio, the classic natural-text signal;
+    deterministic doc_id tie-break). `budget_fill`
+    (operators/selection.py) is the scalable two-phase prefix sum: the
+    oracle's single global window would collapse Spark to one partition
+    at corpus scale, so the engine coarse-buckets by score, computes
+    bucket offsets over an n_buckets-row frame, and runs the per-row
+    cumulative window PARTITIONED by bucket — bucketing-invariant, so
+    the plain-window SQL stays the exact oracle."""
+    from fireball_data_processing_spark.functions.textstats import quality_features
+    from fireball_data_processing_spark.operators.selection import budget_fill
+
+    d = load_table(spark, sf_dir, "documents")
+    feats = quality_features(F.col("text"))
+    base = d.select(
+        "doc_id",
+        F.round(feats["stopword_ratio"], 6).alias("quality"),
+        feats["n_words"].alias("n_tokens"),
+    )
+    out = budget_fill(
+        base, "quality", "n_tokens", "doc_id", budget=12_000, cum_col="cum_tokens"
+    )
+    return out.select("doc_id", "quality", "n_tokens", "cum_tokens")
+
+
+_LEAKAGE_SPLIT_ORACLE = (
+    _LSH_PAIRS_CTE.replace("WITH words", "WITH RECURSIVE words", 1)
+    + """,
+e AS (
+  SELECT id_a AS a, id_b AS b FROM cand
+  UNION SELECT id_b, id_a FROM cand
+),
+reach(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+),
+canon AS (
+  SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
+),
+all_docs AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN canon c ON c.doc_id = d.doc_id
+),
+s AS (
+  SELECT doc_id, cluster_id,
+    CASE WHEN ('0x' || substr(md5('v1' || CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT
+              / 4294967296.0 < 0.25
+         THEN 'test' ELSE 'train' END AS split
+  FROM all_docs
+)
+SELECT split, COUNT(*)::BIGINT AS n_docs,
+       COUNT(DISTINCT cluster_id)::BIGINT AS n_clusters
+FROM s GROUP BY split
+"""
+)
+
+
+@query("leakage_safe_split", _LEAKAGE_SPLIT_ORACLE)
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/test split: near-duplicate documents must never
+    straddle the split (else eval leaks training text — the GPT-3-era
+    contamination failure), so the split key is the near-dup CLUSTER, not
+    the document: MinHash -> LSH candidate pairs -> connected components
+    -> every doc hashed into its split by its cluster canonical id
+    (singletons are their own cluster). Same md5 hash-rank split as
+    `train_test_split_counts`, so the whole family shares one
+    deterministic split function. Components are the iterative min-label
+    propagation (the oracle closes the same graph with a recursive CTE)."""
+    from fireball_data_processing_spark.operators.dedup import (
+        connected_components,
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+    from fireball_data_processing_spark.operators.sampling import (
+        deterministic_split,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signature(d, num_hashes=8, shingle_k=3)
+    pairs = lsh_candidate_pairs(sigs, num_hashes=8, band_size=2)
+    comp = connected_components(pairs)
+    canon = (
+        d.select("doc_id")
+        .join(comp, d["doc_id"] == comp["vertex"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("cluster_id"),
+        )
+    )
+    split = deterministic_split(canon, F.col("cluster_id"), 0.25, salt="v1")
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+    )
+
+
 _DRIFT_ORACLE = """
 WITH b AS (SELECT source AS bucket, COUNT(*) AS n_before FROM documents
            WHERE doc_id % 2 = 0 GROUP BY source),
@@ -5783,6 +5907,8 @@ _PRIORITY = [
     # --- new in round 5 (need first-ever driver rows) ---
     "corpus_diversity_probe",
     "gopher_quality_gate",
+    "token_budget_fill",
+    "leakage_safe_split",
     # --- newest driver row r1/r2 (rotate in for fresh attestation) ---
     "asof_state_forward",
     "history_window_sums",

@@ -418,3 +418,32 @@ def test_round4_text_operators_prune_scan_columns(spark):
                 name,
                 s,
             )
+
+
+def test_budget_fill_no_global_corpus_window(spark):
+    # the scale guarantee of the two-phase prefix sum: the per-row
+    # cumulative window must be PARTITIONED (by the score bucket) — a
+    # Window whose spec has an empty partition clause over the corpus
+    # frame would collapse to a single partition at scale. The only
+    # single-partition exchange allowed in the plan is the n_buckets-row
+    # bucket-offset frame (which is then broadcast back).
+    phys = _phys(catalog.REGISTRY["token_budget_fill"].fn(spark, SMOKE))
+    # corpus-side cumulative window (sum of n_tokens) is bucket-partitioned:
+    # "Window [exprs], [partition], [order]" — three bracket groups with
+    # __bkt as the partition clause
+    assert re.search(
+        r"Window \[sum\(n_tokens[^\n]*\], \[__bkt#\d+\], \[quality", phys
+    ), phys
+    # the offsets ride a broadcast join, not a corpus-wide merge
+    assert "BroadcastHashJoin" in phys, phys
+    assert "CartesianProduct" not in phys, phys
+    assert "BatchEvalPython" not in phys and "ArrowEvalPython" not in phys, phys
+
+
+def test_leakage_split_plan_bounded(spark):
+    # split + rollup over the components output: no cartesian pairing,
+    # no Python nodes; the only corpus contact is the LSH band self-join
+    phys = _phys(catalog.REGISTRY["leakage_safe_split"].fn(spark, SMOKE))
+    assert "CartesianProduct" not in phys, phys
+    assert "BroadcastNestedLoopJoin" not in phys, phys
+    assert "BatchEvalPython" not in phys and "ArrowEvalPython" not in phys, phys

@@ -1338,3 +1338,72 @@ def test_gopher_rules_components(spark):
     assert got[1]["symbol_word_ratio"] == 0.0
     assert got[1]["alpha_word_ratio"] == 1.0
     assert got[1]["stop_hits"] >= 2
+
+
+def test_budget_fill_matches_literal_greedy(spark):
+    """budget_fill == literal Python greedy fill at every bucketing
+    granularity (the two-phase prefix sum is bucketing-invariant)."""
+    from fireball_data_processing_spark.operators.selection import budget_fill
+
+    rows = [
+        # (id, score in [0,1], weight)
+        (1, 0.9, 40), (2, 0.9, 30), (3, 0.81, 25), (4, 0.5, 50),
+        (5, 0.45, 10), (6, 0.45, 10), (7, 0.1, 100), (8, 0.0, 5),
+    ]
+    budget = 120
+    # literal greedy: score desc, id asc, keep while cum <= budget
+    order = sorted(rows, key=lambda r: (-r[1], r[0]))
+    want, cum = {}, 0
+    for rid, _, wt in order:
+        cum += wt
+        if cum > budget:
+            break
+        want[rid] = cum
+    df = spark.createDataFrame(rows, "id bigint, q double, w bigint")
+    for n_buckets in (1, 4, 64):
+        got = {
+            r["id"]: r["cum_weight"]
+            for r in budget_fill(
+                df, "q", "w", "id", budget, n_buckets=n_buckets
+            ).collect()
+        }
+        assert got == want, n_buckets
+    # ids 1,2,3 (cum 95) fit; id 4 would hit 145 > 120 and is cut,
+    # and the cut is NOT resumed with later cheaper docs (greedy prefix)
+    assert set(want) == {1, 2, 3}
+
+
+def test_leakage_safe_split_no_pair_straddles(spark, sf_dir):
+    """The leakage property itself: no LSH near-dup candidate pair may
+    straddle train/test."""
+    from fireball_data_processing_spark.operators.dedup import (
+        connected_components,
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+    from fireball_data_processing_spark.operators.sampling import (
+        deterministic_split,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sigs = minhash_signature(d, num_hashes=8, shingle_k=3)
+    pairs = lsh_candidate_pairs(sigs, num_hashes=8, band_size=2).collect()
+    assert pairs, "fixture corpus should contain near-dup candidates"
+    comp = connected_components(
+        lsh_candidate_pairs(sigs, num_hashes=8, band_size=2)
+    )
+    canon = (
+        d.select("doc_id")
+        .join(comp, d["doc_id"] == comp["vertex"], "left")
+        .select("doc_id", F.coalesce("component", "doc_id").alias("cluster_id"))
+    )
+    split_of = {
+        r["doc_id"]: r["split"]
+        for r in deterministic_split(
+            canon, F.col("cluster_id"), 0.25, salt="v1"
+        ).collect()
+    }
+    for p in pairs:
+        assert split_of[p["id_a"]] == split_of[p["id_b"]], (
+            p["id_a"], p["id_b"],
+        )
