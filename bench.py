@@ -70,6 +70,10 @@ EXTRA = (
     "gopher_quality_gate",
     "token_budget_fill",
     "leakage_safe_split",
+    "kmeans_cluster_profile",
+    "corpus_overlap_matrix",
+    "lm_perplexity_gate",
+    "vocab_growth_curve",
 )
 
 

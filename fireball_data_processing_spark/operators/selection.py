@@ -39,6 +39,7 @@ __all__ = [
     "bucket_distribution",
     "dsir_log_weights",
     "budget_fill",
+    "score_percentile_gate",
 ]
 
 
@@ -208,4 +209,40 @@ def dsir_log_weights(
             F.count(F.lit(1)).alias("n_grams"),
             F.round(F.sum("log_ratio"), 6).alias("log_weight"),
         )
+    )
+
+
+def score_percentile_gate(
+    scored: DataFrame,
+    score_col: str,
+    group_col: str,
+    keep_frac: float = 0.75,
+    ascending: bool = True,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-group percentile gate: keep each group's best ``keep_frac``
+    slice by ``score_col`` (``ascending=True`` keeps the LOWEST scores —
+    the perplexity-filtering convention, where low LM cross-entropy means
+    natural text). This is the CCNet/Gopher-style per-domain quality cut:
+    thresholding per GROUP instead of globally is what keeps a single
+    easy domain from crowding out every hard one.
+
+    Emits the input columns plus ``pctl`` (the row's percent_rank within
+    its group, rounded). A row is kept iff ``pctl <= keep_frac``;
+    percent_rank is exact integer-rank arithmetic — (rank-1)/(n-1), ties
+    share a rank — so the cut is reproducible bit-for-bit in any SQL
+    engine, with none of the interpolated-quantile float-boundary risk.
+
+    Scale shape: ONE window, partitioned by the group — parallel across
+    groups (domain taxonomies run dozens to thousands of partitions). A
+    single colossal group serializes through one task; at that shape,
+    swap in the two-phase bucketed rank (the :func:`budget_fill` idiom:
+    coarse score-bucket counts -> broadcast offsets -> in-bucket rank),
+    which this gate's percent_rank refines bucket-locally the same way.
+    """
+    order = F.asc(score_col) if ascending else F.desc(score_col)
+    w = Window.partitionBy(group_col).orderBy(order)
+    return (
+        scored.withColumn("pctl", F.round(F.percent_rank().over(w), round_dp))
+        .filter(F.col("pctl") <= keep_frac)
     )

@@ -320,3 +320,136 @@ def bloom_prejoin(
     return large.filter(
         bloom_might_contain(F.col(large_key), bitmap, num_bits, num_hashes)
     )
+
+
+def corpus_minhash_overlap(
+    docs: DataFrame,
+    corpus_col: str = "source",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Pairwise corpus-overlap matrix: for every pair of corpora (values
+    of ``corpus_col``), the MinHash-ESTIMATED Jaccard similarity of their
+    shingle SETS alongside the exact value — the data-mixing diagnostic
+    ("how much of source B is already in source A?") that decides
+    cross-source dedup and mixture weights before any training run.
+    Per-corpus MinHash is the mergeable-sketch form of the per-doc
+    signature (operators/dedup.py `minhash_signature`, same
+    ``min(md5(i || '#' || shingle))`` hash family, Broder 1997): a
+    corpus's signature is the min-fold over ALL its shingles, so it
+    merges across partitions, days, or snapshots without rescoping.
+
+    Output, one row per unordered pair (``corpus_a < corpus_b``):
+    ``(corpus_a, corpus_b, est_jaccard, exact_jaccard, n_shingles_a,
+    n_shingles_b, n_common)``. ``est_jaccard`` = fraction of the
+    ``num_hashes`` signature slots that agree (the unbiased MinHash
+    estimator); the exact columns come from a distinct-shingle rollup of
+    the SAME exploded frame.
+
+    Scale shape: ONE shingle explode feeds both paths. The sketch path
+    is a corpus-grain groupBy to ``num_hashes`` mins (map-side partial
+    combine does the work; output is #corpora rows). The exact path is a
+    shingle-grain groupBy collecting each shingle's corpus set, exploded
+    to unordered corpus pairs — contact is bounded by shingles SHARED
+    between corpora, never a cross product of documents. The final join
+    frame is #corpora² rows (corpus catalogs are dozens, not millions).
+    At 100 TB drop the exact columns (`exact=False` analog: select only
+    the sketch path) — the estimate is the point; the exact path here is
+    the built-in calibration check.
+    """
+    from fireball_data_processing_spark.functions.text import normalize_text
+    from fireball_data_processing_spark.operators.dedup import shingles_of_words
+
+    # NO repartition on the corpus key before the explode (unlike the
+    # per-doc `_exploded_shingles`): corpus_col has few distinct values,
+    # so keying the exchange on it would throttle the fan-out to
+    # #corpora tasks. The explode rides the scan partitioning; the
+    # corpus-grain groupBys below shuffle #corpora-sized partials only.
+    sh = (
+        docs.select(
+            F.col(corpus_col).alias("__corpus"),
+            F.split(normalize_text(F.col(text_col)), " ").alias("__words"),
+        )
+        .select(
+            "__corpus",
+            F.explode(shingles_of_words(F.col("__words"), shingle_k)).alias(
+                "shingle"
+            ),
+        )
+        .distinct()
+    )
+
+    sigs = sh.groupBy("__corpus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}#"), F.col("shingle")))).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    # unordered corpus pairs sharing >= 1 shingle, with exact intersection
+    # counts: per-shingle corpus sets are tiny (bounded by #corpora), so
+    # the pair explode is |shared shingles| x O(#corpora^2) worst case
+    common = (
+        sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_set("__corpus")).alias("__cs"))
+        .filter(F.size("__cs") >= 2)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("__cs"),
+                        lambda a, i: F.transform(
+                            F.slice(
+                                F.col("__cs"),
+                                i + 2,
+                                F.greatest(F.size("__cs") - i - 1, F.lit(0)),
+                            ),
+                            lambda b: F.struct(a.alias("ca"), b.alias("cb")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.ca").alias("corpus_a"), F.col("p.cb").alias("corpus_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    a = sigs.select(
+        F.col("__corpus").alias("corpus_a"),
+        F.col("__n").alias("n_shingles_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(num_hashes)],
+    )
+    b = sigs.select(
+        F.col("__corpus").alias("corpus_b"),
+        F.col("__n").alias("n_shingles_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(num_hashes)],
+    )
+    matches = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(num_hashes)
+    )
+    pairs = (
+        # the pair frame is #corpora x #corpora (catalog-sized, never
+        # corpus-sized) — broadcast the right side so the `<` condition
+        # plans as a BroadcastNestedLoopJoin, not a cartesian exchange
+        a.join(F.broadcast(b), F.col("corpus_a") < F.col("corpus_b"))
+        .join(common, ["corpus_a", "corpus_b"], "left")
+        .select(
+            "corpus_a",
+            "corpus_b",
+            F.round(matches / F.lit(num_hashes), round_dp).alias("est_jaccard"),
+            F.round(
+                F.coalesce(F.col("n_common"), F.lit(0))
+                / (
+                    F.col("n_shingles_a")
+                    + F.col("n_shingles_b")
+                    - F.coalesce(F.col("n_common"), F.lit(0))
+                ),
+                round_dp,
+            ).alias("exact_jaccard"),
+            "n_shingles_a",
+            "n_shingles_b",
+            F.coalesce(F.col("n_common"), F.lit(0)).cast("bigint").alias("n_common"),
+        )
+    )
+    return pairs

@@ -5889,6 +5889,237 @@ def q_benchmark_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+_VOCAB_GROWTH_ORACLE = """
+WITH occ AS (
+  SELECT doc_id % 8 AS shard_idx,
+         UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+),
+first_seen AS (
+  SELECT tok, MIN(shard_idx) AS shard_idx FROM occ GROUP BY tok
+),
+nt AS (
+  SELECT shard_idx, COUNT(*)::BIGINT AS new_types
+  FROM first_seen GROUP BY shard_idx
+),
+ps AS (
+  SELECT shard_idx, COUNT(*)::BIGINT AS shard_tokens
+  FROM occ GROUP BY shard_idx
+)
+SELECT ps.shard_idx::INT AS shard_idx, shard_tokens,
+  COALESCE(new_types, 0)::BIGINT AS new_types,
+  SUM(COALESCE(new_types, 0)) OVER (ORDER BY ps.shard_idx
+      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_types,
+  SUM(shard_tokens) OVER (ORDER BY ps.shard_idx
+      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens
+FROM ps LEFT JOIN nt USING (shard_idx)
+"""
+
+
+@query("vocab_growth_curve", _VOCAB_GROWTH_ORACLE)
+def q_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve (operators/profile.py
+    vocab_growth): new token types contributed per deterministic corpus
+    shard plus cumulative type/occurrence totals — the datasheet curve a
+    data-mixing decision reads to see whether more of a source still buys
+    vocabulary diversity. One tokenize-explode feeds both the
+    first-seen-shard rollup (token-grain groupBy, map-side min) and the
+    occurrence totals; the cumulative window runs on the n_shards-row
+    frame only."""
+    from fireball_data_processing_spark.operators.profile import vocab_growth
+
+    d = load_table(spark, sf_dir, "documents")
+    return vocab_growth(d, n_shards=8)
+
+
+_PPL_GATE_ORACLE = (
+    "WITH base AS (" + _BIGRAM_LM_ORACLE + """),
+j AS (
+  SELECT b.doc_id, d.lang, b.avg_neg_log2_bigram_prob
+  FROM base b JOIN documents d USING (doc_id)
+),
+r AS (
+  SELECT doc_id, lang, avg_neg_log2_bigram_prob,
+    ROUND(PERCENT_RANK() OVER (
+      PARTITION BY lang ORDER BY avg_neg_log2_bigram_prob), 6) AS pctl
+  FROM j
+)
+SELECT doc_id, lang, avg_neg_log2_bigram_prob, pctl
+FROM r WHERE pctl <= 0.75
+"""
+)
+
+
+@query("lm_perplexity_gate", _PPL_GATE_ORACLE)
+def q_lm_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language perplexity filtering, the CCNet recipe end-to-end:
+    score every document with the corpus-bigram LM
+    (functions/textstats.py bigram_logprob), then keep each LANGUAGE's
+    least-perplexing 75% via operators/selection.py
+    score_percentile_gate — per-group thresholding is what stops one
+    easy language from crowding out the rest. percent_rank is exact
+    integer-rank arithmetic over 6-dp-rounded scores, so the cut line is
+    engine-reproducible (no interpolated-quantile float boundary). The
+    gate window parallelizes across languages; the LM plan is the
+    attested one-explode shape."""
+    from fireball_data_processing_spark.functions.textstats import bigram_logprob
+    from fireball_data_processing_spark.operators.selection import (
+        score_percentile_gate,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = bigram_logprob(d, alpha=0.5).join(
+        d.select("doc_id", "lang"), "doc_id"
+    )
+    gated = score_percentile_gate(
+        scored, "avg_neg_log2_bigram_prob", "lang", keep_frac=0.75
+    )
+    return gated.select("doc_id", "lang", "avg_neg_log2_bigram_prob", "pctl")
+
+
+_OVERLAP_N_HASHES = 16
+_OVERLAP_ORACLE = """
+WITH words AS (
+  SELECT source,
+    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT source, array_to_string(list_slice(w, i, i + 2), ' ') AS shingle
+  FROM words, UNNEST(generate_series(1, greatest(len(w) - 2, 0))) AS t(i)
+  WHERE len(w) >= 3
+),
+sig AS (
+  SELECT source, COUNT(*)::BIGINT AS n,
+    {mins}
+  FROM sh GROUP BY source
+),
+common AS (
+  SELECT a.source AS ca, b.source AS cb, COUNT(*)::BIGINT AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT a.source AS corpus_a, b.source AS corpus_b,
+  ROUND(({matches})::DOUBLE / {nh}, 6) AS est_jaccard,
+  ROUND(COALESCE(n_common, 0)::DOUBLE
+        / (a.n + b.n - COALESCE(n_common, 0)), 6) AS exact_jaccard,
+  a.n AS n_shingles_a, b.n AS n_shingles_b,
+  COALESCE(n_common, 0)::BIGINT AS n_common
+FROM sig a JOIN sig b ON a.source < b.source
+LEFT JOIN common ON ca = a.source AND cb = b.source
+""".format(
+    mins=",\n    ".join(
+        f"MIN(md5('{i}#' || shingle)) AS mh{i}"
+        for i in range(_OVERLAP_N_HASHES)
+    ),
+    matches=" + ".join(
+        f"(a.mh{i} = b.mh{i})::INT" for i in range(_OVERLAP_N_HASHES)
+    ),
+    nh=_OVERLAP_N_HASHES,
+)
+
+
+@query("corpus_overlap_matrix", _OVERLAP_ORACLE)
+def q_corpus_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-overlap matrix (operators/sketches.py
+    corpus_minhash_overlap): MinHash-estimated vs exact Jaccard of every
+    source pair's shingle sets — the "how much of B is already in A"
+    diagnostic that drives cross-source dedup and mixture weights. The
+    sketch is the per-doc MinHash family min-folded to corpus grain
+    (mergeable across partitions/days); the exact columns ride the same
+    single shingle explode and exist to calibrate the estimator — at
+    100 TB only the sketch path runs. Contact in the exact path is
+    bounded by shingles SHARED between sources, never document pairs."""
+    from fireball_data_processing_spark.operators.sketches import (
+        corpus_minhash_overlap,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return corpus_minhash_overlap(
+        d, corpus_col="source", num_hashes=_OVERLAP_N_HASHES, shingle_k=3
+    )
+
+
+def _kmeans_oracle(k: int, n_iter: int) -> str:
+    """Unrolled-Lloyd DuckDB replay of operators/clustering.py kmeans_fit:
+    same deterministic seeding (k lowest vec_ids), same 6-dp centroid
+    rounding each iteration (ROUND is half-away-from-zero in both
+    engines), same sequential-in-array-order distance fold (list_sum ~
+    F.aggregate), same (dist, cid) argmin tie-break. Rounding the k x dim
+    centroids each iteration is what makes the replay exact: it absorbs
+    the engines' aggregation-order float noise at every step."""
+    parts = [
+        """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c0f AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
+         list_transform(v, x -> ROUND(x, 6)) AS cv
+  FROM e
+  QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= %d
+)"""
+        % k
+    ]
+    for t in range(1, n_iter + 2):
+        parts.append(
+            """,
+d{t} AS (
+  SELECT e.vec_id, e.v, c.cid,
+    list_sum(list_transform(generate_series(1, len(e.v)),
+             i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS d2
+  FROM e, c{p}f c
+),
+a{t} AS (
+  SELECT * FROM d{t}
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1
+)""".format(t=t, p=t - 1)
+        )
+        if t <= n_iter:
+            parts.append(
+                """,
+m{t} AS (
+  SELECT cid, i, ROUND(AVG(v[i]), 6) AS m
+  FROM a{t}, UNNEST(generate_series(1, len(v))) AS u{t}(i)
+  GROUP BY cid, i
+),
+c{t}f AS (
+  SELECT p.cid, COALESCE(n.cv, p.cv) AS cv
+  FROM c{p}f p LEFT JOIN (
+    SELECT cid, list(m ORDER BY i) AS cv FROM m{t} GROUP BY cid
+  ) n USING (cid)
+)""".format(t=t, p=t - 1)
+            )
+    parts.append(
+        """
+SELECT cid::INT AS cluster_id, COUNT(*)::BIGINT AS n_points,
+       ROUND(SUM(d2), 6) AS inertia
+FROM a%d GROUP BY cid ORDER BY cluster_id
+"""
+        % (n_iter + 1)
+    )
+    return "".join(parts)
+
+
+@query("kmeans_cluster_profile", _kmeans_oracle(k=4, n_iter=2))
+def q_kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means over the embedding corpus
+    (operators/clustering.py), the SemDeDup/D4 corpus-organization
+    stage: deterministic k-lowest-id seeding, two assign->recompute
+    rounds, per-cluster size + inertia. Assignment is a PURE projection
+    (centroids re-enter as a literal each round — the MLlib broadcast
+    shape), so the only per-iteration shuffle is the k x dim mean
+    aggregate; the bounded collect is centroid-sized. 6-dp centroid
+    rounding per round is the cross-engine reproducibility contract the
+    unrolled DuckDB oracle replays exactly."""
+    from fireball_data_processing_spark.operators.clustering import (
+        kmeans_fit,
+        kmeans_summary,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans_fit(e, k=4, n_iter=2)
+    return kmeans_summary(assigned).orderBy("cluster_id")
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
@@ -5909,6 +6140,10 @@ _PRIORITY = [
     "gopher_quality_gate",
     "token_budget_fill",
     "leakage_safe_split",
+    "kmeans_cluster_profile",
+    "corpus_overlap_matrix",
+    "lm_perplexity_gate",
+    "vocab_growth_curve",
     # --- newest driver row r1/r2 (rotate in for fresh attestation) ---
     "asof_state_forward",
     "history_window_sums",
