@@ -367,6 +367,13 @@ def corpus_minhash_overlap(
     # so keying the exchange on it would throttle the fan-out to
     # #corpora tasks. The explode rides the scan partitioning; the
     # corpus-grain groupBys below shuffle #corpora-sized partials only.
+    # distinct FIRST, then persist: the num_hashes md5 evaluations per
+    # row dominate this operator (measured 3x at sf0.1 when they run per
+    # shingle OCCURRENCE instead of per distinct (corpus, shingle)), and
+    # the distinct frame has two consumers (signature + exact paths) —
+    # the persist pays the dedup shuffle once (the near_dup_pairs
+    # shared-pass lesson: broadcast/branch subtrees re-execute unpersisted
+    # shared plans)
     sh = (
         docs.select(
             F.col(corpus_col).alias("__corpus"),
@@ -379,6 +386,7 @@ def corpus_minhash_overlap(
             ),
         )
         .distinct()
+        .persist()
     )
 
     sigs = sh.groupBy("__corpus").agg(
