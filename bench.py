@@ -74,6 +74,7 @@ EXTRA = (
     "corpus_overlap_matrix",
     "lm_perplexity_gate",
     "vocab_growth_curve",
+    "cdc_chunk_dedup",
 )
 
 

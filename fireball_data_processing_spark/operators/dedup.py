@@ -961,3 +961,112 @@ def contamination_spans(
             (F.col("span_end") - F.col("span_start")).alias("span_words"),
         )
     )
+
+
+def content_defined_chunks(
+    docs: DataFrame,
+    boundary_mod: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-defined chunking (the rolling-hash boundary idea behind
+    LBFS/rsync and FastCDC, applied at word granularity): cut each
+    document AFTER every word whose md5 satisfies
+    ``hash(word) % boundary_mod == 0``. Because boundaries depend only on
+    LOCAL content, an insertion or deletion re-chunks ONLY the chunk it
+    touches — every other chunk's text (and hash) is unchanged — whereas
+    any fixed-width segmentation (:func:`aligned_segments`) shifts every
+    segment after the edit and loses all dedup contact. This is the
+    chunking to use when near-identical documents differ by small edits
+    (licence headers, templated pages, version-bumped docs); expected
+    chunk length is geometric with mean ``boundary_mod`` words.
+
+    Output: ``(id_col, chunk_idx, chunk_text, chunk_md5, n_words)``, one
+    row per chunk, ``chunk_idx`` counting from 0 in document order.
+
+    Plan shape: explode words with position -> boundary flag as a pure
+    md5 expression -> chunk index = running sum of PRIOR boundary flags
+    (one window over the doc key) -> per-chunk rollup rebuilding word
+    order via ``sort_array(collect_list(struct(pos, word)))`` (no second
+    ordering shuffle; the groupBy reuses the doc-key partitioning). The
+    boundary rule is portable md5 arithmetic, so any engine reproduces
+    identical chunks — the min/max chunk-bound refinement of FastCDC
+    requires a sequential FSM and is deliberately left out to keep the
+    operator window-expressible (document the trade: a pathological
+    corpus whose every word is a boundary yields 1-word chunks; raise
+    ``boundary_mod`` or pre-filter such rows).
+    """
+    parts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    pre = docs.select(
+        F.col(id_col),
+        F.filter(
+            F.split(normalize_text(F.col(text_col)), " "), lambda s: s != ""
+        ).alias("__words"),
+    ).repartition(parts, F.col(id_col))
+    occ = pre.select(
+        F.col(id_col), F.posexplode("__words").alias("pos", "word")
+    ).withColumn(
+        "__brk",
+        (
+            F.pmod(
+                F.conv(F.substring(F.md5(F.col("word")), 1, 8), 16, 10).cast(
+                    "bigint"
+                ),
+                F.lit(boundary_mod),
+            )
+            == 0
+        ).cast("int"),
+    )
+    w_prior = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = occ.withColumn(
+        "chunk_idx", F.coalesce(F.sum("__brk").over(w_prior), F.lit(0)).cast("int")
+    )
+    return (
+        chunked.groupBy(id_col, "chunk_idx")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("pos", "word"))).alias("__ws")
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.concat_ws(
+                " ", F.transform(F.col("__ws"), lambda s: s["word"])
+            ).alias("chunk_text"),
+            F.size("__ws").cast("bigint").alias("n_words"),
+        )
+        .withColumn("chunk_md5", F.md5(F.col("chunk_text")))
+        .select(id_col, "chunk_idx", "chunk_text", "chunk_md5", "n_words")
+    )
+
+
+def cdc_duplicate_chunks(
+    docs: DataFrame,
+    boundary_mod: int = 16,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document duplicate CDC chunks: which content-defined chunks
+    appear in >= ``min_docs`` distinct documents, and how often — the
+    storage-dedup measurement (shared boilerplate mass robust to small
+    edits) that fixed-alignment line dedup undercounts on edited copies.
+
+    Output: ``(chunk_md5, n_docs, n_occurrences, n_words)``.
+    Contact is confined to chunk-hash groups (one groupBy over the chunk
+    frame); raw chunk text never enters the shuffle (md5 + the word
+    count are carried; re-join :func:`content_defined_chunks` on
+    chunk_md5 to recover text)."""
+    chunks = content_defined_chunks(docs, boundary_mod, text_col, id_col)
+    return (
+        chunks.groupBy("chunk_md5")
+        .agg(
+            F.countDistinct(id_col).cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.first("n_words").alias("n_words"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )

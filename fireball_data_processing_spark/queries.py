@@ -6120,6 +6120,57 @@ def q_kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_summary(assigned).orderBy("cluster_id")
 
 
+_CDC_CHUNKS_ORACLE = """
+WITH words AS (
+  SELECT doc_id,
+    list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                s -> s <> '') AS w
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, i - 1 AS pos, w[i] AS word,
+    CASE WHEN ('0x' || substr(md5(w[i]), 1, 8))::BIGINT % 16 = 0
+         THEN 1 ELSE 0 END AS brk
+  FROM words, UNNEST(generate_series(1, len(w))) AS t(i)
+),
+ch AS (
+  SELECT doc_id, pos, word,
+    COALESCE(SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+  FROM occ
+),
+chunks AS (
+  SELECT doc_id, chunk_idx,
+    md5(array_to_string(list(word ORDER BY pos), ' ')) AS chunk_md5,
+    COUNT(*)::BIGINT AS n_words
+  FROM ch GROUP BY doc_id, chunk_idx
+)
+SELECT chunk_md5, COUNT(DISTINCT doc_id)::BIGINT AS n_docs,
+  COUNT(*)::BIGINT AS n_occurrences, MIN(n_words) AS n_words
+FROM chunks GROUP BY chunk_md5 HAVING COUNT(DISTINCT doc_id) >= 2
+"""
+
+
+@query("cdc_chunk_dedup", _CDC_CHUNKS_ORACLE)
+def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunk dedup (operators/dedup.py
+    content_defined_chunks / cdc_duplicate_chunks — the LBFS/FastCDC
+    boundary idea at word granularity): chunks cut where
+    md5(word) % 16 == 0, so an insertion re-chunks only the chunk it
+    touches and shared boilerplate keeps matching across edited copies —
+    the dedup contact fixed-alignment segmentation loses after any edit
+    (robustness test-pinned against aligned_segments). Boundary rule is
+    portable md5 arithmetic; chunk assembly is one doc-key window + a
+    rollup on the same partitioning; duplicate detection groups on the
+    chunk hash, never text."""
+    from fireball_data_processing_spark.operators.dedup import (
+        cdc_duplicate_chunks,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return cdc_duplicate_chunks(d, boundary_mod=16, min_docs=2)
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
@@ -6144,6 +6195,7 @@ _PRIORITY = [
     "corpus_overlap_matrix",
     "lm_perplexity_gate",
     "vocab_growth_curve",
+    "cdc_chunk_dedup",
     # --- newest driver row r1/r2 (rotate in for fresh attestation) ---
     "asof_state_forward",
     "history_window_sums",

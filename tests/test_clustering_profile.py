@@ -252,3 +252,79 @@ def test_corpus_overlap_no_cartesian_no_python(spark):
     s = _explain(corpus_minhash_overlap(df, num_hashes=4))
     assert "CartesianProduct" not in s, s
     assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s, s
+
+
+# ---------------------------------------------------------------------
+# content-defined chunking
+# ---------------------------------------------------------------------
+
+
+def test_cdc_chunks_match_literal_python(spark):
+    from fireball_data_processing_spark.operators.dedup import (
+        content_defined_chunks,
+    )
+
+    words = [f"w{i}" for i in range(40)]
+    text = " ".join(words)
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    got = {
+        r["chunk_idx"]: (r["chunk_text"], r["n_words"], r["chunk_md5"])
+        for r in content_defined_chunks(df, boundary_mod=4).collect()
+    }
+
+    def brk(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % 4 == 0
+
+    chunks, cur = [], []
+    for w in words:
+        cur.append(w)
+        if brk(w):
+            chunks.append(cur)
+            cur = []
+    if cur:
+        chunks.append(cur)
+    want = {
+        i: (
+            " ".join(c),
+            len(c),
+            hashlib.md5(" ".join(c).encode()).hexdigest(),
+        )
+        for i, c in enumerate(chunks)
+    }
+    assert got == want
+    assert len(want) > 2  # the fixture actually exercises boundaries
+
+
+def test_cdc_insertion_robustness_vs_fixed_alignment(spark):
+    # THE property that justifies CDC: insert one word mid-document and
+    # (a) all CDC chunks except the edited one keep their hashes, while
+    # (b) fixed-width segments lose every segment after the edit point
+    from fireball_data_processing_spark.operators.dedup import (
+        aligned_segments,
+        content_defined_chunks,
+    )
+
+    base = [f"tok{i}" for i in range(64)]
+    edited = base[:31] + ["inserted"] + base[31:]
+    df = spark.createDataFrame(
+        [(0, " ".join(base)), (1, " ".join(edited))],
+        "doc_id long, text string",
+    )
+    chunks = content_defined_chunks(df, boundary_mod=8)
+    by_doc = {0: set(), 1: set()}
+    for r in chunks.collect():
+        by_doc[r["doc_id"]].add(r["chunk_md5"])
+    shared = by_doc[0] & by_doc[1]
+    # every chunk survives except the (<=2: edited + possibly re-cut
+    # successor when the inserted word lands on a boundary) around the edit
+    assert len(by_doc[0]) - len(shared) <= 2
+    assert len(shared) >= len(by_doc[0]) - 2 > 0
+
+    segs = aligned_segments(df, seg_words=8)
+    seg_by_doc = {0: set(), 1: set()}
+    for r in segs.collect():
+        seg_by_doc[r["doc_id"]].add(r["segment"])
+    seg_shared = seg_by_doc[0] & seg_by_doc[1]
+    # fixed alignment: only the segments BEFORE the insertion survive
+    assert len(seg_shared) <= 4  # 31 // 8 = 3 full segments + boundary luck
+    assert len(shared) > len(seg_shared)
