@@ -75,6 +75,7 @@ EXTRA = (
     "lm_perplexity_gate",
     "vocab_growth_curve",
     "cdc_chunk_dedup",
+    "semantic_dedup_kmeans",
 )
 
 

@@ -39,7 +39,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["kmeans_assign", "kmeans_fit", "kmeans_summary"]
+__all__ = [
+    "kmeans_assign",
+    "kmeans_fit",
+    "kmeans_summary",
+    "nearest_centroid_expr",
+]
 
 
 def _dist2(vec: Column, ctr: Column) -> Column:
@@ -66,6 +71,25 @@ def _centroid_literal(centroids: list[tuple[int, list[float]]]) -> Column:
     )
 
 
+def nearest_centroid_expr(
+    centroids: list[tuple[int, list[float]]], vec: Column
+) -> Column:
+    """``struct<d:double, cid:int>`` of the row's nearest centroid — the
+    assignment as a pure COLUMN EXPRESSION, usable anywhere a projection
+    is (batch, streams, as another operator's partition key). Ties break
+    to the lowest cluster id (struct-lexicographic ``array_min`` over
+    (dist2, cid)); the distance expression is evaluated once per
+    centroid. ``vec`` should already be ``array<double>``."""
+    return F.array_min(
+        F.transform(
+            _centroid_literal(centroids),
+            lambda c: F.struct(
+                _dist2(vec, c["v"]).alias("d"), c["cid"].alias("cid")
+            ),
+        )
+    )
+
+
 def kmeans_assign(
     df: DataFrame,
     centroids: list[tuple[int, list[float]]],
@@ -78,14 +102,7 @@ def kmeans_assign(
     Ties break to the lowest cluster id (struct-lexicographic
     ``array_min`` over (dist2, cid))."""
     vec = F.col(vec_col).cast("array<double>")
-    best = F.array_min(
-        F.transform(
-            _centroid_literal(centroids),
-            lambda c: F.struct(
-                _dist2(vec, c["v"]).alias("d"), c["cid"].alias("cid")
-            ),
-        )
-    )
+    best = nearest_centroid_expr(centroids, vec)
     return df.select(
         F.col(id_col),
         best["cid"].alias("cluster_id"),
@@ -136,14 +153,7 @@ def kmeans_fit(
         # vector (no join-back — assignment is a pure expression), and
         # sort_array(collect_list(struct(pos, avg))) rebuilds coordinate
         # order without an ORDER BY shuffle.
-        best = F.array_min(
-            F.transform(
-                _centroid_literal(centroids),
-                lambda c: F.struct(
-                    _dist2(vec, c["v"]).alias("d"), c["cid"].alias("cid")
-                ),
-            )
-        )
+        best = nearest_centroid_expr(centroids, vec)
         means = (
             df.select(best["cid"].alias("cluster_id"), vec.alias("__v"))
             .select("cluster_id", F.posexplode("__v").alias("__pos", "__x"))

@@ -483,6 +483,7 @@ def semantic_dedup(
     tau: float = 0.9,
     bucket_col: str = "bucket",
     cos_col: str = "cos_to_rep",
+    bucket_expr: Column | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication, Spark-first.
 
@@ -504,10 +505,22 @@ def semantic_dedup(
 
     This trades recall for determinism/cost exactly like published
     SemDeDup (one representative per cluster, single cosine test);
-    the cluster family here is fixed hyperplanes rather than k-means,
-    which is what makes the result engine-reproducible (DuckDB oracle).
+    the DEFAULT cluster family is fixed hyperplanes rather than k-means,
+    which keeps the zero-extra-pass form engine-reproducible (DuckDB
+    oracle). Pass ``bucket_expr`` to substitute any other deterministic
+    partition — in particular
+    :func:`..clustering.nearest_centroid_expr` over fitted k-means
+    centroids gives the PAPER-FAITHFUL SemDeDup (Abbas et al. 2023
+    cluster with k-means first), still as a pure projection feeding the
+    same single-exchange window, and still oracle-replayable because the
+    k-means fit itself is (see operators/clustering.py).
     """
-    b = embeddings.withColumn(bucket_col, sign_bucket(F.col(vec_col), bits))
+    bucket = (
+        bucket_expr
+        if bucket_expr is not None
+        else sign_bucket(F.col(vec_col), bits)
+    )
+    b = embeddings.withColumn(bucket_col, bucket)
     w = Window.partitionBy(bucket_col)
     rep_id = F.min(id_col).over(w)
     rep_vec = F.expr(f"min_by({vec_col}, {id_col})").over(w)

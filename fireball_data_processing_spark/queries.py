@@ -6040,14 +6040,17 @@ def q_corpus_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_oracle(k: int, n_iter: int) -> str:
-    """Unrolled-Lloyd DuckDB replay of operators/clustering.py kmeans_fit:
-    same deterministic seeding (k lowest vec_ids), same 6-dp centroid
-    rounding each iteration (ROUND is half-away-from-zero in both
-    engines), same sequential-in-array-order distance fold (list_sum ~
-    F.aggregate), same (dist, cid) argmin tie-break. Rounding the k x dim
-    centroids each iteration is what makes the replay exact: it absorbs
-    the engines' aggregation-order float noise at every step."""
+def _kmeans_cte(k: int, n_iter: int) -> tuple[str, str]:
+    """Unrolled-Lloyd DuckDB CTE chain replaying
+    operators/clustering.py kmeans_fit: same deterministic seeding
+    (k lowest vec_ids), same 6-dp centroid rounding each iteration
+    (ROUND is half-away-from-zero in both engines), same
+    sequential-in-array-order distance fold (list_sum ~ F.aggregate),
+    same (dist, cid) argmin tie-break. Rounding the k x dim centroids
+    each iteration is what makes the replay exact: it absorbs the
+    engines' aggregation-order float noise at every step. Returns
+    ``(cte_sql, final_assignment_name)`` so composed oracles (cluster
+    profile, k-means SemDeDup) share one definition."""
     parts = [
         """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -6088,15 +6091,19 @@ c{t}f AS (
   ) n USING (cid)
 )""".format(t=t, p=t - 1)
             )
-    parts.append(
-        """
+    return "".join(parts), f"a{n_iter + 1}"
+
+
+def _kmeans_oracle(k: int, n_iter: int) -> str:
+    cte, final = _kmeans_cte(k, n_iter)
+    return (
+        cte
+        + f"""
 SELECT cid::INT AS cluster_id, COUNT(*)::BIGINT AS n_points,
        ROUND(SUM(d2), 6) AS inertia
-FROM a%d GROUP BY cid ORDER BY cluster_id
+FROM {final} GROUP BY cid ORDER BY cluster_id
 """
-        % (n_iter + 1)
     )
-    return "".join(parts)
 
 
 @query("kmeans_cluster_profile", _kmeans_oracle(k=4, n_iter=2))
@@ -6171,6 +6178,61 @@ def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_duplicate_chunks(d, boundary_mod=16, min_docs=2)
 
 
+def _semantic_dedup_kmeans_oracle(k: int, n_iter: int, tau: float) -> str:
+    cte, final = _kmeans_cte(k, n_iter)
+    return (
+        cte
+        + f""",
+reps AS (
+  SELECT cid, MIN(vec_id) AS rep_id, arg_min(v, vec_id) AS rep_vec
+  FROM {final} GROUP BY cid
+),
+scored AS (
+  SELECT a.vec_id, a.cid AS bucket, r.rep_id,
+    ROUND(
+      list_sum(list_transform(generate_series(1, len(a.v)),
+               i -> a.v[i] * r.rep_vec[i]))
+      / (sqrt(list_sum(list_transform(generate_series(1, len(a.v)),
+               i -> a.v[i] * a.v[i])))
+       * sqrt(list_sum(list_transform(generate_series(1, len(a.v)),
+               i -> r.rep_vec[i] * r.rep_vec[i])))), 6) AS cos_to_rep
+  FROM {final} a JOIN reps r USING (cid)
+)
+SELECT vec_id, bucket::INT AS bucket,
+  CASE WHEN vec_id = rep_id THEN NULL ELSE cos_to_rep END AS cos_to_rep
+FROM scored
+WHERE vec_id = rep_id OR cos_to_rep <= {tau}
+"""
+    )
+
+
+@query("semantic_dedup_kmeans", _semantic_dedup_kmeans_oracle(4, 2, 0.3))
+def q_semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAPER-FAITHFUL SemDeDup (Abbas et al. 2023): k-means clusters the
+    corpus FIRST, then each cluster elects its min-id representative and
+    drops members whose cosine to it exceeds tau — the published recipe,
+    where `semantic_dedup_survivors` substitutes fixed hyperplanes. Now
+    fully oracle-checked end to end because the k-means fit itself is
+    engine-replayable (operators/clustering.py 6-dp rounding contract):
+    the assignment enters as a pure projection (nearest_centroid_expr),
+    so the dedup is STILL one exchange — rep election and cosine ride
+    the cluster-key window exactly as in the hyperplane form."""
+    from fireball_data_processing_spark.operators.clustering import (
+        kmeans_fit,
+        nearest_centroid_expr,
+    )
+    from fireball_data_processing_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    _, ctrs = kmeans_fit(e, k=4, n_iter=2)
+    bucket = nearest_centroid_expr(
+        ctrs, F.col("embedding").cast("array<double>")
+    )["cid"]
+    return semantic_dedup(e, tau=0.3, bucket_expr=bucket)
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
@@ -6196,6 +6258,7 @@ _PRIORITY = [
     "lm_perplexity_gate",
     "vocab_growth_curve",
     "cdc_chunk_dedup",
+    "semantic_dedup_kmeans",
     # --- newest driver row r1/r2 (rotate in for fresh attestation) ---
     "asof_state_forward",
     "history_window_sums",

@@ -328,3 +328,26 @@ def test_cdc_insertion_robustness_vs_fixed_alignment(spark):
     # fixed alignment: only the segments BEFORE the insertion survive
     assert len(seg_shared) <= 4  # 31 // 8 = 3 full segments + boundary luck
     assert len(shared) > len(seg_shared)
+
+
+def test_semantic_dedup_kmeans_single_exchange(spark):
+    # the composition contract: swapping the hyperplane bucket for the
+    # k-means assignment must NOT add a shuffle — assignment is a pure
+    # projection, so the dedup window's one hash exchange is the plan
+    from fireball_data_processing_spark.operators.clustering import (
+        nearest_centroid_expr,
+    )
+    from fireball_data_processing_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 3), float(i % 5)]) for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    bucket = nearest_centroid_expr(
+        [(0, [0.0, 0.0]), (1, [2.0, 4.0])], F.col("embedding")
+    )["cid"]
+    s = _explain(semantic_dedup(df, tau=0.5, bucket_expr=bucket))
+    assert len(re.findall(r"Exchange hashpartitioning", s)) == 1, s
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s, s
