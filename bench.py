@@ -76,6 +76,7 @@ EXTRA = (
     "vocab_growth_curve",
     "cdc_chunk_dedup",
     "semantic_dedup_kmeans",
+    "cluster_balanced_sample",
 )
 
 

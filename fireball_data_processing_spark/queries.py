@@ -6233,6 +6233,96 @@ def q_semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(e, tau=0.3, bucket_expr=bucket)
 
 
+def _cluster_balance_oracle(k: int, n_iter: int, alpha: float) -> str:
+    cte, final = _kmeans_cte(k, n_iter)
+    return (
+        cte
+        + f""",
+counts AS (
+  SELECT cid, COUNT(*)::BIGINT AS n_rows FROM {final} GROUP BY cid
+),
+shared AS (
+  SELECT cid, n_rows,
+    n_rows::DOUBLE / SUM(n_rows) OVER () AS share_raw,
+    SUM(n_rows) OVER () AS total
+  FROM counts
+),
+weighted AS (
+  SELECT cid, n_rows, total,
+    POWER(share_raw, {alpha})
+      / SUM(POWER(share_raw, {alpha})) OVER () AS weight_raw
+  FROM shared
+),
+rates AS (
+  SELECT cid, n_rows,
+    ROUND(LEAST(1.0, total * weight_raw / n_rows), 6) AS keep_rate
+  FROM weighted
+),
+kept AS (
+  SELECT a.cid, COUNT(*)::BIGINT AS n_kept
+  FROM {final} a JOIN rates r USING (cid)
+  WHERE ('0x' || substr(md5('cb1' || CAST(a.vec_id AS VARCHAR)), 1, 8))::BIGINT
+        / 4294967296.0 < r.keep_rate
+  GROUP BY a.cid
+)
+SELECT r.cid::INT AS cluster_id, r.n_rows, r.keep_rate,
+       COALESCE(k.n_kept, 0)::BIGINT AS n_kept
+FROM rates r LEFT JOIN kept k USING (cid)
+ORDER BY cluster_id
+"""
+    )
+
+
+@query("cluster_balanced_sample", _cluster_balance_oracle(4, 2, 0.5))
+def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density-balanced selection over k-means clusters — the D4 /
+    SSL-prototypes diversify step completing the clustering trio (fit ->
+    within-cluster dedup -> ACROSS-cluster rebalance): temperature
+    rates (share^0.5) up-weight sparse clusters, applied with the
+    md5 hash-rank sampler (stable under retries/repartitioning). The
+    assignment is a pure projection over the replayable fit, the rate
+    table is aggregate-sized and broadcast back, and the filter is a
+    codegen-resident scalar predicate — so the whole selection adds ONE
+    aggregate exchange over the corpus. Output: per-cluster rows/rate/
+    kept, all engine-replayed by the oracle."""
+    from fireball_data_processing_spark.operators.clustering import (
+        kmeans_fit,
+        nearest_centroid_expr,
+    )
+    from fireball_data_processing_spark.operators.sampling import (
+        hash_rank,
+        temperature_mixture_rates,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    _, ctrs = kmeans_fit(e, k=4, n_iter=2)
+    clustered = e.withColumn(
+        "cluster_id",
+        nearest_centroid_expr(ctrs, F.col("embedding").cast("array<double>"))[
+            "cid"
+        ],
+    )
+    rates = temperature_mixture_rates(
+        clustered, F.col("cluster_id"), alpha=0.5
+    ).select(F.col("bucket").alias("cluster_id"), "n_rows", "keep_rate")
+    kept = (
+        clustered.join(F.broadcast(rates), "cluster_id")
+        .filter(hash_rank(F.col("vec_id"), "cb1") < F.col("keep_rate"))
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_kept"))
+    )
+    return (
+        rates.join(kept, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            "n_rows",
+            "keep_rate",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
@@ -6259,6 +6349,7 @@ _PRIORITY = [
     "vocab_growth_curve",
     "cdc_chunk_dedup",
     "semantic_dedup_kmeans",
+    "cluster_balanced_sample",
     # --- newest driver row r1/r2 (rotate in for fresh attestation) ---
     "asof_state_forward",
     "history_window_sums",
