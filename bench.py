@@ -77,6 +77,7 @@ EXTRA = (
     "cdc_chunk_dedup",
     "semantic_dedup_kmeans",
     "cluster_balanced_sample",
+    "corpus_pipeline_v4_summary",
 )
 
 

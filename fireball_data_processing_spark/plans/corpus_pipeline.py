@@ -297,3 +297,58 @@ def mixture_stage(
         .filter(hash_rank(F.col("doc_id"), salt) < F.col("keep_rate"))
         .drop("keep_rate")
     )
+
+
+def perplexity_stage(
+    quality: DataFrame,
+    group_col: str = "source",
+    keep_frac: float = 0.75,
+    alpha: float = 0.5,
+    text_col: str = "clean_text",
+) -> DataFrame:
+    """LM-quality gate (the CCNet recipe inside the pipeline): score the
+    surviving documents with the corpus-bigram model trained on THIS
+    stage's own survivors (self-trained, like CCNet's per-snapshot LM),
+    then keep each ``group_col``'s least-perplexing ``keep_frac`` via
+    the exact percent_rank cut. Adds ``avg_neg_log2_bigram_prob`` and
+    ``pctl``. The upstream frame is consumed three times (bigram
+    occurrences, vocabulary, join-back) — callers should ``.persist()``
+    it, the module's standing fan-out rule. The quality band upstream
+    guarantees >= 5 tokens, so every doc has bigram evidence and the
+    inner join drops nothing."""
+    from fireball_data_processing_spark.functions.textstats import (
+        bigram_logprob,
+    )
+    from fireball_data_processing_spark.operators.selection import (
+        score_percentile_gate,
+    )
+
+    scored = bigram_logprob(quality, alpha=alpha, text_col=text_col)
+    joined = quality.join(
+        scored.select("doc_id", "avg_neg_log2_bigram_prob"), "doc_id"
+    )
+    return score_percentile_gate(
+        joined, "avg_neg_log2_bigram_prob", group_col, keep_frac
+    )
+
+
+def budget_stage(
+    gated: DataFrame,
+    budget: int,
+    weight_col: str = "n_tokens",
+) -> DataFrame:
+    """Token-budget selection ordered by LM quality: fill ``budget``
+    tokens with the LEAST-perplexing documents first (score =
+    1 / (1 + cross-entropy), a bounded [0,1] transform so the two-phase
+    bucketed prefix sum of :func:`..operators.selection.budget_fill`
+    applies unchanged; ordering by it is ordering by perplexity
+    ascending). Emits ``lm_score`` and the running ``cum_tokens``."""
+    from fireball_data_processing_spark.operators.selection import budget_fill
+
+    scored = gated.withColumn(
+        "lm_score",
+        F.round(1.0 / (1.0 + F.col("avg_neg_log2_bigram_prob")), 6),
+    )
+    return budget_fill(
+        scored, "lm_score", weight_col, "doc_id", budget=budget
+    )

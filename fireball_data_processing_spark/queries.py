@@ -6323,6 +6323,131 @@ def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CORPUS_V4_ORACLE = """
+WITH cleaned AS (
+  SELECT doc_id, source,
+    COALESCE(array_to_string(
+      list_filter(list_transform(string_split(text, chr(10)), s -> trim(s)),
+                  s -> s <> '' AND len(string_split_regex(s, '\\s+')) >= 50),
+      chr(10)), '') AS clean_text
+  FROM documents
+  WHERE NOT (contains(lower(text), 'lorem ipsum')
+             OR contains(lower(text), 'slow scan'))
+),
+nonempty AS (SELECT * FROM cleaned WHERE clean_text <> ''),
+deduped AS (
+  SELECT doc_id, source, clean_text FROM (
+    SELECT *, MIN(doc_id) OVER (PARTITION BY md5(clean_text)) AS keeper
+    FROM nonempty
+  ) WHERE doc_id = keeper
+),
+quality AS (
+  SELECT doc_id, source, clean_text,
+    len(string_split_regex(trim(clean_text), '\\s+'))::BIGINT AS n_tokens
+  FROM deduped
+  WHERE len(string_split_regex(trim(clean_text), '\\s+')) BETWEEN 5 AND 5000
+),
+words AS (
+  SELECT doc_id,
+    list_filter(string_split(trim(regexp_replace(lower(clean_text),
+                '\\s+', ' ', 'g')), ' '), s -> s <> '') AS w
+  FROM quality
+),
+v AS (
+  SELECT COUNT(DISTINCT t)::DOUBLE AS vsz
+  FROM (SELECT UNNEST(w) AS t FROM words)
+),
+big AS (
+  SELECT doc_id, w[i] AS prev, w[i + 1] AS cur
+  FROM words, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 2
+),
+cnt AS (
+  SELECT doc_id,
+    COUNT(*) OVER (PARTITION BY prev, cur)::DOUBLE AS cb,
+    COUNT(*) OVER (PARTITION BY prev)::DOUBLE AS cp
+  FROM big
+),
+lm AS (
+  SELECT doc_id, ROUND(AVG(-log2((cb + 0.5) / (cp + 0.5 * vsz))), 6) AS s
+  FROM cnt, v GROUP BY doc_id
+),
+gated AS (
+  SELECT * FROM (
+    SELECT q.doc_id, q.source, q.n_tokens,
+      ROUND(PERCENT_RANK() OVER (
+        PARTITION BY q.source ORDER BY lm.s), 6) AS pctl,
+      lm.s
+    FROM quality q JOIN lm USING (doc_id)
+  ) WHERE pctl <= 0.75
+),
+filled AS (
+  SELECT doc_id, source, n_tokens,
+    SUM(n_tokens) OVER (ORDER BY ROUND(1.0 / (1.0 + s), 6) DESC, doc_id
+                        ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens
+  FROM gated
+),
+kept AS (SELECT * FROM filled WHERE cum_tokens <= 12000)
+SELECT q.source,
+  COUNT(*)::BIGINT AS n_quality,
+  COUNT(g.doc_id)::BIGINT AS n_gated,
+  COUNT(k.doc_id)::BIGINT AS n_budget,
+  COALESCE(SUM(k.n_tokens), 0)::BIGINT AS budget_tokens
+FROM quality q
+LEFT JOIN gated g USING (doc_id)
+LEFT JOIN kept k ON k.doc_id = q.doc_id
+GROUP BY q.source
+"""
+
+
+@query("corpus_pipeline_v4_summary", _CORPUS_V4_ORACLE)
+def q_corpus_pipeline_v4_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone v4 — the LM-quality-gated, token-budgeted pipeline:
+    clean -> exact dedup -> token band -> CCNet-style perplexity gate
+    (bigram LM self-trained on the survivors, per-SOURCE percent_rank
+    cut) -> fill a 12k-token budget with the least-perplexing documents
+    first (plans/corpus_pipeline.py perplexity_stage + budget_stage).
+    One lazy composition; the quality and gated frames are persisted at
+    their fan-out points (LM occurrences/vocab/join-back; summary +
+    budget consumers) per the module rule. The per-source audit counts
+    the survivors of each stage and the budget's token mass."""
+    from fireball_data_processing_spark.plans.corpus_pipeline import (
+        budget_stage,
+        clean_stage,
+        dedup_stage,
+        perplexity_stage,
+        quality_stage,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    quality = quality_stage(dedup_stage(clean_stage(d))).persist()
+    gated = perplexity_stage(quality).persist()
+    budget = budget_stage(gated, budget=12_000)
+    q_c = quality.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_quality")
+    )
+    g_c = gated.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gated")
+    )
+    b_c = budget.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_budget"),
+        F.sum("n_tokens").cast("bigint").alias("budget_tokens"),
+    )
+    return (
+        q_c.join(g_c, "source", "left")
+        .join(b_c, "source", "left")
+        .select(
+            "source",
+            "n_quality",
+            F.coalesce("n_gated", F.lit(0)).cast("bigint").alias("n_gated"),
+            F.coalesce("n_budget", F.lit(0)).cast("bigint").alias("n_budget"),
+            F.coalesce("budget_tokens", F.lit(0))
+            .cast("bigint")
+            .alias("budget_tokens"),
+        )
+    )
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
@@ -6350,6 +6475,7 @@ _PRIORITY = [
     "cdc_chunk_dedup",
     "semantic_dedup_kmeans",
     "cluster_balanced_sample",
+    "corpus_pipeline_v4_summary",
     # --- newest driver row r1/r2 (rotate in for fresh attestation) ---
     "asof_state_forward",
     "history_window_sums",

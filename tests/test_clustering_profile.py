@@ -351,3 +351,56 @@ def test_semantic_dedup_kmeans_single_exchange(spark):
     s = _explain(semantic_dedup(df, tau=0.5, bucket_expr=bucket))
     assert len(re.findall(r"Exchange hashpartitioning", s)) == 1, s
     assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s, s
+
+
+def test_kmeans_router_streams_unchanged(spark):
+    # the streaming payoff of assignment-as-projection: the SAME
+    # nearest-centroid expression routes a Structured Streaming source
+    # with no state, no watermark, append mode — cluster routing of an
+    # embedding ingest (online SemDeDup front-end) is just a projection
+    import os
+    import shutil
+    import tempfile
+
+    from fireball_data_processing_spark.operators.clustering import (
+        kmeans_assign,
+        nearest_centroid_expr,
+    )
+
+    src = tempfile.mkdtemp(prefix="fb_kmeans_stream_")
+    try:
+        shutil.copy(
+            os.path.join("/root/testdata/sf0.001", "embeddings.parquet"), src
+        )
+        ctrs = [(0, [0.0] * 64), (1, [0.5] * 64)]
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .select(
+                "vec_id",
+                nearest_centroid_expr(
+                    ctrs, F.col("embedding").cast("array<double>")
+                )["cid"].alias("cluster_id"),
+            )
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("kmeans_route")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r["vec_id"]: r["cluster_id"]
+            for r in spark.sql("SELECT * FROM kmeans_route").collect()
+        }
+        batch = spark.read.parquet(src)
+        want = {
+            r["vec_id"]: r["cluster_id"]
+            for r in kmeans_assign(batch, ctrs).collect()
+        }
+        assert got == want and len(got) > 0
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
