@@ -78,6 +78,7 @@ EXTRA = (
     "semantic_dedup_kmeans",
     "cluster_balanced_sample",
     "corpus_pipeline_v4_summary",
+    "embedding_rp_sketch",
 )
 
 

@@ -644,3 +644,86 @@ def mmr_rerank(
             "relevance", F.round("relevance", round_dp)
         ).withColumn("mmr_score", F.round("mmr_score", round_dp))
     return out
+
+
+# ---------------------------------------------------------------------
+# random-projection sketch (JL dimensionality reduction, the compute
+# complement to the memory-side scalar quantization above)
+# ---------------------------------------------------------------------
+
+
+def rp_sign_matrix(in_dim: int, out_dim: int) -> list[list[float]]:
+    """Deterministic ±1 projection matrix from md5 parity:
+    ``sign(j, i) = +1 iff the first hex digit of md5(f"{j}#{i}") is
+    even``. Achlioptas (2001) showed ±1 entries satisfy the JL lemma as
+    well as Gaussians; deriving them from md5 (instead of a seeded RNG)
+    makes the matrix a PUBLIC function of (j, i) that any engine —
+    including the DuckDB oracle — reproduces bit-exactly, the same
+    portability rule as every hash in this package (contrast
+    :func:`_hyperplane_matrix`, whose seeded Gaussians are reproducible
+    only through this library)."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{j}#{i}".encode()).hexdigest()[0], 16) % 2
+            == 0
+            else -1.0
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def rp_sketch_components(
+    df: DataFrame,
+    out_dim: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Johnson-Lindenstrauss sketch of every embedding, LONG format:
+    ``(id_col, dim_idx, component)`` with
+    ``component = <vec, sign_row_j> / sqrt(out_dim)`` — the
+    dimensionality-reduction step that cuts ANN compute/memory by
+    ``in_dim/out_dim`` while approximately preserving angles (the JL
+    guarantee; the angle-preservation property is test-pinned). Rows
+    with a higher-dim consumer should pivot back to an array; the long
+    form is emitted so cross-engine value comparison needs no
+    array-equality semantics.
+
+    Plan: pure projection + one explode — the sign matrix enters as a
+    literal (out_dim x in_dim doubles), each component is one
+    sequential-fold dot product evaluated once, zero exchanges. Sketch,
+    THEN ship: at 100 TB the sketch is what crosses the wire to the ANN
+    index, not the raw vectors."""
+    import math
+
+    dim = _infer_dim(df, vec_col)
+    # one parsed array<array<double>> literal (the rh_signature idiom:
+    # O(1) py4j calls, constant-folded before codegen); each component
+    # indexes its row out of the constant
+    signs_lit = _matrix_literal(rp_sign_matrix(dim, out_dim))
+    vec = F.col(vec_col).cast("array<double>")
+    comps = F.array(
+        *[
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        vec,
+                        F.element_at(signs_lit, j + 1),
+                        lambda x, s: x * s,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                / F.lit(math.sqrt(float(out_dim))),
+                round_dp,
+            )
+            for j in range(out_dim)
+        ]
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(comps).alias("dim_idx", "component")
+    )

@@ -6448,6 +6448,42 @@ def q_corpus_pipeline_v4_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RP_SKETCH_ORACLE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (
+  SELECT j, list_transform(generate_series(1, 64),
+    i -> CASE WHEN ('0x' || substr(md5(j::VARCHAR || '#' ||
+                    (i - 1)::VARCHAR), 1, 1))::INT % 2 = 0
+         THEN 1.0 ELSE -1.0 END) AS signs
+  FROM UNNEST(generate_series(0, 15)) AS t(j)
+)
+SELECT e.vec_id, s.j::INT AS dim_idx,
+  ROUND(list_sum(list_transform(generate_series(1, len(e.v)),
+        i -> e.v[i] * s.signs[i])) / sqrt(16.0), 6) AS component
+FROM e, s
+"""
+
+
+@query("embedding_rp_sketch", _RP_SKETCH_ORACLE)
+def q_embedding_rp_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random-projection sketch (operators/
+    similarity.py rp_sketch_components): every embedding reduced 64 ->
+    16 dims through a ±1 Achlioptas matrix derived from md5 parity — a
+    PUBLIC function of (row, dim), so the DuckDB oracle rebuilds the
+    identical matrix and replays every dot product (seeded-RNG matrices
+    can't be oracle-checked; md5 ones can, the package-wide portability
+    rule). Sketch-then-ship is the 100 TB shape: 4x less data crosses
+    the wire to the ANN index while angles are approximately preserved
+    (JL guarantee, property-tested). Pure projection + one explode,
+    zero exchanges."""
+    from fireball_data_processing_spark.operators.similarity import (
+        rp_sketch_components,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return rp_sketch_components(e, out_dim=16)
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
@@ -6476,6 +6512,7 @@ _PRIORITY = [
     "semantic_dedup_kmeans",
     "cluster_balanced_sample",
     "corpus_pipeline_v4_summary",
+    "embedding_rp_sketch",
     # --- newest driver row r1/r2 (rotate in for fresh attestation) ---
     "asof_state_forward",
     "history_window_sums",

@@ -404,3 +404,71 @@ def test_kmeans_router_streams_unchanged(spark):
         assert got == want and len(got) > 0
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------
+# random-projection sketch
+# ---------------------------------------------------------------------
+
+
+def test_rp_sketch_matches_literal_python_and_preserves_angles(spark):
+    import hashlib as _hl
+    import math
+    import random
+
+    from fireball_data_processing_spark.operators.similarity import (
+        rp_sign_matrix,
+        rp_sketch_components,
+    )
+
+    rng = random.Random(7)
+    dim, out_dim, n = 32, 16, 30
+    vecs = [(i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(n)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    got = {}
+    for r in rp_sketch_components(df, out_dim=out_dim).collect():
+        got.setdefault(r["vec_id"], {})[r["dim_idx"]] = r["component"]
+
+    signs = rp_sign_matrix(dim, out_dim)
+    # pin the matrix rule itself against hashlib
+    assert signs[3][5] == (
+        1.0 if int(_hl.md5(b"3#5").hexdigest()[0], 16) % 2 == 0 else -1.0
+    )
+    sketches = {}
+    for vid, v in vecs:
+        sk = [
+            round(
+                sum(x * s for x, s in zip(v, signs[j])) / math.sqrt(out_dim),
+                6,
+            )
+            for j in range(out_dim)
+        ]
+        sketches[vid] = sk
+        assert [got[vid][j] for j in range(out_dim)] == sk
+
+    # JL angle preservation: sketch cosine tracks original cosine
+    def cos(a, b):
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return sum(x * y for x, y in zip(a, b)) / (na * nb)
+
+    errs = [
+        abs(cos(vecs[a][1], vecs[b][1]) - cos(sketches[a], sketches[b]))
+        for a in range(0, 10)
+        for b in range(10, 20)
+    ]
+    assert sum(errs) / len(errs) < 0.25  # E|err| ~ 1/sqrt(out_dim)
+    assert max(errs) < 0.75
+
+
+def test_rp_sketch_zero_exchanges(spark):
+    from fireball_data_processing_spark.operators.similarity import (
+        rp_sketch_components,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0, 4.0])], "vec_id long, embedding array<double>"
+    )
+    s = _explain(rp_sketch_components(df, out_dim=4))
+    assert "Exchange" not in s, s
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s, s
