@@ -79,6 +79,7 @@ EXTRA = (
     "cluster_balanced_sample",
     "corpus_pipeline_v4_summary",
     "embedding_rp_sketch",
+    "rp_ann_rerank_topk",
 )
 
 

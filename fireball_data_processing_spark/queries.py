@@ -6484,6 +6484,86 @@ def q_embedding_rp_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rp_sketch_components(e, out_dim=16)
 
 
+def _sql_cosine(a: str, b: str, n: str) -> str:
+    return f"""
+  list_sum(list_transform(generate_series(1, {n}),
+           i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))
+  / (sqrt(list_sum(list_transform(generate_series(1, {n}),
+           i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE)))
+   * sqrt(list_sum(list_transform(generate_series(1, {n}),
+           i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE))))"""
+
+
+_RP_ANN_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+s AS (
+  SELECT j, list_transform(generate_series(1, 64),
+    i -> CASE WHEN ('0x' || substr(md5(j::VARCHAR || '#' ||
+                    (i - 1)::VARCHAR), 1, 1))::INT % 2 = 0
+         THEN 1.0 ELSE -1.0 END) AS signs
+  FROM UNNEST(generate_series(0, 15)) AS t(j)
+),
+sk AS (
+  SELECT vec_id, list(comp ORDER BY j) AS sv FROM (
+    SELECT e.vec_id, s.j,
+      ROUND(list_sum(list_transform(generate_series(1, 64),
+            i -> e.v[i]::DOUBLE * s.signs[i])) / sqrt(16.0), 6) AS comp
+    FROM e, s
+  ) GROUP BY vec_id
+),
+q AS (
+  SELECT e.vec_id AS query_id, e.v AS qv, sk.sv AS qs
+  FROM e JOIN sk USING (vec_id) WHERE e.vec_id < 10
+),
+c AS (
+  SELECT e.vec_id AS neighbor_id, e.v AS cv, sk.sv AS cs
+  FROM e JOIN sk USING (vec_id)
+),
+s1 AS (
+  SELECT query_id, neighbor_id, qv, cv,
+    ROUND({_sql_cosine("qs", "cs", 16)}, 6) AS ss
+  FROM q, c WHERE neighbor_id <> query_id
+),
+r1 AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY ss DESC, neighbor_id ASC) AS rn
+    FROM s1
+  ) WHERE rn <= 20
+),
+r2 AS (
+  SELECT query_id, neighbor_id,
+    ROUND({_sql_cosine("qv", "cv", 64)}, 6) AS cosine_sim
+  FROM r1
+)
+SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+  FROM r2
+) WHERE rank <= 5
+"""
+
+
+@query("rp_ann_rerank_topk", _RP_ANN_ORACLE)
+def q_rp_ann_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN over the JL sketch (operators/similarity.py
+    rp_ann_topk) — retrieve-then-rerank, the production vector-store
+    shape: a 20-deep shortlist per query scored on the CHEAP 16-dim
+    sketch cosine (4x less arithmetic and bytes than full vectors), then
+    exact 64-dim cosine reranks only the shortlist to top-5. Same output
+    contract as ann_cosine_topk, so recall against the exact path is a
+    direct join (test-pinned). Both ranks window over rounded scores
+    with id tie-breaks; the oracle replays sketch construction and both
+    stages."""
+    from fireball_data_processing_spark.operators.similarity import rp_ann_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return rp_ann_topk(
+        e.filter(F.col("vec_id") < 10), e, k=5, shortlist=20, out_dim=16
+    )
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
@@ -6513,6 +6593,7 @@ _PRIORITY = [
     "cluster_balanced_sample",
     "corpus_pipeline_v4_summary",
     "embedding_rp_sketch",
+    "rp_ann_rerank_topk",
     # --- newest driver row r1/r2 (rotate in for fresh attestation) ---
     "asof_state_forward",
     "history_window_sums",

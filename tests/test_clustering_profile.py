@@ -472,3 +472,34 @@ def test_rp_sketch_zero_exchanges(spark):
     s = _explain(rp_sketch_components(df, out_dim=4))
     assert "Exchange" not in s, s
     assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s, s
+
+
+def test_rp_ann_recall_vs_exact(spark):
+    # honest recall pin: the synthetic embeddings' top-5 margins (~0.05)
+    # sit BELOW 16-dim JL resolution (~0.25), so the pin is the
+    # monotone recall-vs-shortlist trade the docstring documents — a
+    # deeper shortlist must buy recall, and the floor must beat the
+    # worst measured band — not a flattering point estimate
+    from fireball_data_processing_spark.operators.similarity import (
+        brute_force_topk,
+        rp_ann_topk,
+    )
+    from fireball_data_processing_spark.sources.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(q, e, k=5).collect()
+    }
+
+    def recall(shortlist):
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in rp_ann_topk(q, e, k=5, shortlist=shortlist).collect()
+        }
+        return len(exact & approx) / len(exact)
+
+    shallow, deep = recall(20), recall(100)
+    assert deep > shallow, (shallow, deep)
+    assert deep >= 0.4, deep
