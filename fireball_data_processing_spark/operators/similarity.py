@@ -770,21 +770,42 @@ def rp_ann_topk(
     corpora have near-dup margins far above 0.25, which is where the
     16-dim sketch earns its 4x.
 
-    Scale: stage 1's |Q| x |N| contact runs on out_dim/in_dim of the
-    arithmetic and bytes (sketch-then-ship — at 100 TB the full vectors
-    for stage 2 are fetched for shortlist x |Q| rows only); both ranks
-    are windows over rounded scores with id tie-breaks, so the whole
+    Scale shape (each piece sized to which side is actually big):
+
+    - **The QUERY sketches are the broadcast side** (a query batch is
+      small by contract; the corpus never is), so stage 1 is ONE corpus
+      scan with the |Q| x out_dim sketch table riding along — the
+      corpus is the streamed side of a broadcast nested-loop, never
+      shuffled and never broadcast.
+    - **Stage 1 touches sketches only** — neither side's full vectors
+      enter the |Q| x |N| contact, so the per-pair arithmetic AND the
+      broadcast bytes are both out_dim/in_dim of the naive cost
+      (sketch-then-ship; at 100 TB the sketch is a materialized stored
+      column, so the stage-1 scan reads out_dim doubles per row).
+    - **The shortlist window is two-phase top-k**: the rank filter is
+      the ``row_number() <= shortlist`` shape Catalyst's
+      WindowGroupLimit rule rewrites into a PARTIAL per-input-partition
+      group limit BEFORE the exchange plus a final one after — so only
+      ~shortlist x |Q| rows per input partition cross the shuffle, not
+      the |Q| x |N| scored rows (plan-pinned by the explain test;
+      requires ``shortlist`` under
+      ``spark.sql.optimizer.windowGroupLimitThreshold``, default 1000).
+    - **Full vectors are fetched for the shortlist only**: the
+      shortlist ids (|Q| x shortlist rows) are broadcast back against
+      the corpus as an equi-join on ``neighbor_id``, so stage 2's exact
+      rerank reads full-dimension vectors for exactly the shortlist
+      rows — the corpus is again streamed, never shuffled.
+
+    Both ranks order rounded scores with id tie-breaks, so the whole
     pipeline is engine-replayable (the DuckDB oracle re-runs both
     stages)."""
     dim = _infer_dim(corpus, vec_col)
-    q = queries.select(
+    q_sk = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qv"),
         rp_sketch_expr(F.col(vec_col), dim, out_dim, round_dp).alias("__qs"),
     )
-    c = corpus.select(
+    c_sk = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cv"),
         rp_sketch_expr(F.col(vec_col), dim, out_dim, round_dp).alias("__cs"),
     )
     sketch_sim = F.round(cosine(F.col("__qs"), F.col("__cs")), round_dp)
@@ -792,18 +813,27 @@ def rp_ann_topk(
         F.col("__ss").desc(), F.col("neighbor_id").asc()
     )
     shortlisted = (
-        q.crossJoin(F.broadcast(c))
+        c_sk.crossJoin(F.broadcast(q_sk))
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("__ss", sketch_sim)
         .withColumn("__r1", F.row_number().over(w1))
         .filter(F.col("__r1") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    c_full = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    q_full = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     )
     exact = F.round(cosine(F.col("__qv"), F.col("__cv")), round_dp)
     w2 = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
     )
     return (
-        shortlisted.withColumn("cosine_sim", exact)
+        c_full.join(F.broadcast(shortlisted), "neighbor_id")
+        .join(F.broadcast(q_full), "query_id")
+        .withColumn("cosine_sim", exact)
         .withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")

@@ -503,3 +503,46 @@ def test_rp_ann_recall_vs_exact(spark):
     shallow, deep = recall(20), recall(100)
     assert deep > shallow, (shallow, deep)
     assert deep >= 0.4, deep
+
+
+def test_rp_ann_plan_scale_shape(spark):
+    """Plan pins for rp_ann_topk's 100 TB shape (round-6 fix of the
+    round-5 weak finding): (a) the one nested-loop contact broadcasts
+    the QUERY SKETCHES — two columns, no full vectors — with the corpus
+    as the streamed side; (b) the shortlist rank filter is rewritten by
+    Catalyst's WindowGroupLimit rule into partial-before-exchange +
+    final-after two-phase top-k, so only ~shortlist rows per query per
+    input partition cross the shuffle, never the |Q| x |N| scored rows;
+    (c) stage 2 fetches full vectors via broadcast equi-joins (the
+    shortlist and query sides build, the corpus streams)."""
+    import re
+
+    from fireball_data_processing_spark.operators.similarity import rp_ann_topk
+    from fireball_data_processing_spark.sources.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    df = rp_ann_topk(
+        e.filter(F.col("vec_id") < 10), e, k=5, shortlist=20, out_dim=16
+    )
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    # (b) two-phase shortlist: partial + final WindowGroupLimit pairs
+    # around BOTH rank windows (shortlist and final top-k)
+    assert plan.count("WindowGroupLimit") >= 4, plan
+    # (a) exactly one nested-loop contact, and its broadcast build side
+    # is the 2-column query-sketch frame — no __qv/__cv rides along
+    # (tree lines only: formatted mode prints each node again in the
+    # detail section)
+    assert len(re.findall(r"- BroadcastNestedLoopJoin", plan)) == 1, plan
+    blocks = re.split(r"\n\(\d+\) ", plan)
+    bnl_builds = [b for b in blocks if "IdentityBroadcastMode" in b]
+    assert len(bnl_builds) == 1, plan
+    inp = re.search(r"Input \[(\d+)\]: \[([^\]]*)\]", bnl_builds[0])
+    assert inp and inp.group(1) == "2", bnl_builds[0]
+    assert "__qs" in inp.group(2) and "query_id" in inp.group(2)
+    assert "__cv" not in inp.group(2) and "__qv" not in inp.group(2)
+    # (c) the full-vector fetches are broadcast hash equi-joins
+    assert len(re.findall(r"- BroadcastHashJoin", plan)) == 2, plan
