@@ -33,6 +33,9 @@ from fireball_data_processing_spark.operators.similarity import (
     build_ivf_index,
     ivf_query,
     lsh_topk,
+    rp_ann_topk,
+    rp_ivf_topk,
+    rp_sketch_components,
 )
 from fireball_data_processing_spark.operators.packing import (
     pack_sequences,
@@ -60,6 +63,9 @@ __all__ = [
     "build_ivf_index",
     "ivf_query",
     "lsh_topk",
+    "rp_ann_topk",
+    "rp_ivf_topk",
+    "rp_sketch_components",
     "asof_backward_col",
     "asof_forward_col",
     "asof_join",

@@ -44,6 +44,7 @@ __all__ = [
     "kmeans_fit",
     "kmeans_summary",
     "nearest_centroid_expr",
+    "nearest_centroids_expr",
 ]
 
 
@@ -87,6 +88,30 @@ def nearest_centroid_expr(
                 _dist2(vec, c["v"]).alias("d"), c["cid"].alias("cid")
             ),
         )
+    )
+
+
+def nearest_centroids_expr(
+    centroids: list[tuple[int, list[float]]], vec: Column, n_probe: int
+) -> Column:
+    """The row's ``n_probe`` nearest centroids as an
+    ``array<struct<d:double, cid:int>>``, (dist2, cid)-lexicographic —
+    the multi-probe generalization of :func:`nearest_centroid_expr`,
+    which IVF-style index probing needs (a query inspects its few
+    nearest cells, not just the winner). Same determinism contract:
+    sequential-fold distances, lowest-cid tie-break, all inside one
+    codegen projection."""
+    return F.slice(
+        F.array_sort(
+            F.transform(
+                _centroid_literal(centroids),
+                lambda c: F.struct(
+                    _dist2(vec, c["v"]).alias("d"), c["cid"].alias("cid")
+                ),
+            )
+        ),
+        1,
+        n_probe,
     )
 
 

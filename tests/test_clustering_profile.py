@@ -546,3 +546,131 @@ def test_rp_ann_plan_scale_shape(spark):
     assert "__cv" not in inp.group(2) and "__qv" not in inp.group(2)
     # (c) the full-vector fetches are broadcast hash equi-joins
     assert len(re.findall(r"- BroadcastHashJoin", plan)) == 2, plan
+
+
+def test_rp_ivf_exhaustive_probe_equals_brute_force(spark):
+    """n_probe = n_cells probes every cell, so the IVF search space is
+    the whole corpus and the output must EQUAL the exact path row for
+    row — the recall=1 calibration point of the n_probe dial. Also pins
+    monotonicity: probing fewer cells can only lose candidates, so
+    recall is non-decreasing in n_probe."""
+    from fireball_data_processing_spark.operators.similarity import (
+        brute_force_topk,
+        rp_ivf_topk,
+    )
+    from fireball_data_processing_spark.sources.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"], r["cosine_sim"], r["rank"])
+        for r in brute_force_topk(q, e, k=5).collect()
+    }
+    full_probe = {
+        (r["query_id"], r["neighbor_id"], r["cosine_sim"], r["rank"])
+        for r in rp_ivf_topk(q, e, k=5, n_probe=4, n_cells=4).collect()
+    }
+    assert full_probe == exact
+
+    exact_pairs = {(a, b) for a, b, _, _ in exact}
+
+    def recall(n_probe):
+        hits = {
+            (r["query_id"], r["neighbor_id"])
+            for r in rp_ivf_topk(q, e, k=5, n_probe=n_probe, n_cells=4).collect()
+        }
+        return len(hits & exact_pairs) / len(exact_pairs)
+
+    r1, r2 = recall(1), recall(2)
+    assert r1 <= r2 <= 1.0, (r1, r2)
+    assert r2 > 0, r2
+
+
+def test_rp_ivf_plan_scale_shape(spark):
+    """The query-phase plan must be cell-bounded, never all-pairs: no
+    nested-loop/cartesian contact anywhere, the (query, probe-cell)
+    explosion is the broadcast build side of ONE equi-join on the cell
+    id with the corpus streamed, and the final top-k compiles to
+    partial+final WindowGroupLimit."""
+    import re
+
+    from fireball_data_processing_spark.operators.similarity import rp_ivf_topk
+    from fireball_data_processing_spark.sources.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    df = rp_ivf_topk(
+        e.filter(F.col("vec_id") < 10), e, k=5, n_probe=2, n_cells=4
+    )
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert len(re.findall(r"- BroadcastHashJoin", plan)) == 1, plan
+    assert plan.count("WindowGroupLimit") >= 2, plan
+
+
+def test_percentile_gate_bucketed_output_identity(spark):
+    """The bucketed two-phase rank (the colossal-group fallback) must
+    emit EXACTLY the plain path's rows and pctl values — for any
+    n_buckets (1 = everything in one bucket degenerates to the plain
+    shape; 64 = fine-grained), either direction, with ties, singleton
+    groups, and scores outside the [score_lo, score_hi) clamp range."""
+    import random
+
+    rng = random.Random(13)
+    rows = []
+    i = 0
+    for g, n in [("a", 37), ("b", 11), ("solo", 1)]:
+        for _ in range(n):
+            # ties (coarse grid) + values outside [0, 1)
+            rows.append((i, g, round(rng.choice([-0.5, 0.0, 0.1, 0.25, 0.25,
+                                                 0.7, 0.99, 1.0, 1.7]), 6)))
+            i += 1
+    df = spark.createDataFrame(rows, "id long, grp string, score double")
+
+    for ascending in (True, False):
+        plain = {
+            (r["id"], r["pctl"])
+            for r in score_percentile_gate(
+                df, "score", "grp", keep_frac=0.6, ascending=ascending
+            ).collect()
+        }
+        for n_buckets in (1, 3, 64):
+            got = {
+                (r["id"], r["pctl"])
+                for r in score_percentile_gate(
+                    df, "score", "grp", keep_frac=0.6, ascending=ascending,
+                    bucketed=True, n_buckets=n_buckets,
+                ).collect()
+            }
+            assert got == plain, (ascending, n_buckets)
+
+
+def test_percentile_gate_bucketed_no_unpartitioned_row_window(spark):
+    """The fallback's reason to exist: the per-row rank window is
+    partitioned by (group, bucket) — the only group-wide computation is
+    the bounded counts aggregate. Pin that no window in the plan orders
+    the full per-row frame by a lone group key (the serialization the
+    plain path hits on a colossal group)."""
+    df = spark.createDataFrame(
+        [(i, "g", float(i % 7) / 7) for i in range(50)],
+        "id long, grp string, score double",
+    )
+    s = _explain(
+        score_percentile_gate(df, "score", "grp", bucketed=True, n_buckets=8)
+    )
+    # every per-row rank window must carry the bucket in its partition
+    # spec; windows partitioned by the group alone may only exist on the
+    # bounded counts frame (they aggregate __bn, the bucket counts)
+    rank_windows = [ln for ln in s.splitlines() if "rank(" in ln]
+    assert rank_windows, s
+    assert all("__b" in ln for ln in rank_windows), s
+    group_only = [
+        ln
+        for ln in s.splitlines()
+        if "windowspecdefinition(grp#" in ln and "__b" not in ln
+    ]
+    assert all("__bn" in ln for ln in group_only), s
