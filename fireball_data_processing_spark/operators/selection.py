@@ -219,6 +219,10 @@ def score_percentile_gate(
     keep_frac: float = 0.75,
     ascending: bool = True,
     round_dp: int = 6,
+    bucketed: bool = False,
+    n_buckets: int = 64,
+    score_lo: float = 0.0,
+    score_hi: float = 1.0,
 ) -> DataFrame:
     """Per-group percentile gate: keep each group's best ``keep_frac``
     slice by ``score_col`` (``ascending=True`` keeps the LOWEST scores —
@@ -236,13 +240,79 @@ def score_percentile_gate(
     Scale shape: ONE window, partitioned by the group — parallel across
     groups (domain taxonomies run dozens to thousands of partitions). A
     single colossal group serializes through one task; at that shape,
-    swap in the two-phase bucketed rank (the :func:`budget_fill` idiom:
-    coarse score-bucket counts -> broadcast offsets -> in-bucket rank),
-    which this gate's percent_rank refines bucket-locally the same way.
+    pass ``bucketed=True`` for the two-phase bucketed rank (the
+    :func:`budget_fill` idiom): rows coarse-bucket by a clamped linear
+    map of the score into ``[score_lo, score_hi)`` (no shuffle), one
+    aggregate produces per-(group, bucket) counts — groups x n_buckets
+    rows, bounded — whose running offsets in rank direction BROADCAST
+    back, and the per-row rank is then a window partitioned by
+    (group, bucket): parallel WITHIN each group, no single-task group
+    serialization. Because equal scores always land in the same bucket,
+    ``offset + in-bucket RANK()`` reconstructs the group-global tied
+    rank exactly, so the emitted ``pctl`` — (rank-1)/(n-1) — is
+    IDENTICAL to the plain path's percent_rank for every row and any
+    ``n_buckets`` (output-identity test-pinned; clamping only affects
+    bucket balance, never correctness). Scores outside
+    [score_lo, score_hi) clamp to the boundary buckets.
     """
     order = F.asc(score_col) if ascending else F.desc(score_col)
-    w = Window.partitionBy(group_col).orderBy(order)
+    if not bucketed:
+        w = Window.partitionBy(group_col).orderBy(order)
+        return (
+            scored.withColumn(
+                "pctl", F.round(F.percent_rank().over(w), round_dp)
+            )
+            .filter(F.col("pctl") <= keep_frac)
+        )
+
+    if not score_hi > score_lo:
+        raise ValueError("score_hi must exceed score_lo")
+    span = float(score_hi) - float(score_lo)
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor(
+                (F.col(score_col) - F.lit(float(score_lo)))
+                / F.lit(span)
+                * F.lit(n_buckets)
+            ).cast("int"),
+        ),
+    )
+    with_b = scored.withColumn("__b", bucket)
+    # phase 1: per-(group, bucket) counts — groups x n_buckets rows.
+    # Offsets accumulate in RANK DIRECTION (ascending keeps low scores
+    # first, so low buckets precede; descending reverses), and the one
+    # unpartitioned-window hazard is gone: this window runs over the
+    # bounded counts frame, partitioned by group.
+    border = F.asc("__b") if ascending else F.desc("__b")
+    woff = (
+        Window.partitionBy(group_col)
+        .orderBy(border)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wtot = Window.partitionBy(group_col)
+    offsets = (
+        with_b.groupBy(group_col, "__b")
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .select(
+            group_col,
+            "__b",
+            F.coalesce(F.sum("__bn").over(woff), F.lit(0)).alias("__off"),
+            F.sum("__bn").over(wtot).alias("__n"),
+        )
+    )
+    # phase 2: in-bucket tied rank + broadcast offset = group-global
+    # RANK(); percent_rank = (rank-1)/(n-1), 0 for singleton groups
+    # (Spark's percent_rank convention).
+    win = Window.partitionBy(group_col, "__b").orderBy(order)
+    rank = F.col("__off") + F.rank().over(win)
+    pctl = F.when(F.col("__n") > 1, (rank - 1) / (F.col("__n") - 1)).otherwise(
+        F.lit(0.0)
+    )
     return (
-        scored.withColumn("pctl", F.round(F.percent_rank().over(w), round_dp))
+        with_b.join(F.broadcast(offsets), [group_col, "__b"])
+        .withColumn("pctl", F.round(pctl, round_dp))
         .filter(F.col("pctl") <= keep_frac)
+        .select(*scored.columns, "pctl")
     )

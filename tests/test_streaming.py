@@ -697,3 +697,135 @@ def test_stream_scrub_replay_is_idempotent(spark, tmp_path):
         )
         q.awaitTermination(120)
     assert spark.read.parquet(out_dir).count() == incoming.count()
+
+
+def test_stream_quality_gate_matches_batch(spark, tmp_path):
+    # quality-gate parity: streamed admissions (epoch-partitioned
+    # parquet) must equal the batch gate over the same files against
+    # the same frozen LM + threshold
+    import pyspark.sql.functions as F
+
+    from fireball_data_processing_spark.streaming.quality_stream import (
+        corpus_lm_index,
+        quality_gate,
+        stream_quality_gate,
+    )
+
+    corpus = load_table(spark, SMOKE, "documents")
+    lm = corpus_lm_index(corpus)
+    # relaxed gopher bounds so the synthetic corpus has both admits and
+    # rejects (default min_words=50 rejects nearly everything at sf0.001)
+    gk = dict(min_words=3, min_stop_hits=0)
+
+    src = str(tmp_path / "qg_src")
+    os.makedirs(src)
+    shutil.copy("/root/testdata/sf0.01/documents.parquet", src)
+    incoming = load_table(spark, "/root/testdata/sf0.01", "documents")
+
+    out_dir = str(tmp_path / "qg_out")
+    q = stream_quality_gate(
+        spark, src, incoming.schema, lm, out_dir,
+        str(tmp_path / "qg_ckpt"), max_avg_neg_log2=4.95,
+        gopher_kwargs=gk, admit_only=False,
+    )
+    q.awaitTermination(120)
+
+    cols = ["doc_id", "passes_gopher", "avg_neg_log2_bigram_prob",
+            "n_bigrams", "passes_lm", "passes_quality"]
+    got = sorted(map(tuple, spark.read.parquet(out_dir).select(*cols).collect()))
+    want = sorted(
+        map(
+            tuple,
+            quality_gate(incoming, lm, 4.95, gopher_kwargs=gk)
+            .select(*cols)
+            .collect(),
+        )
+    )
+    assert got == want
+    assert len(got) == incoming.count()
+    # the gate discriminates: some admitted, some rejected
+    admits = sum(1 for r in got if r[5])
+    assert 0 < admits < len(got), admits
+
+
+def test_stream_quality_gate_restart_and_growth(spark, tmp_path):
+    # exactly-once across restart: batch 1 processes file A; the stream
+    # stops; file B arrives; a NEW query on the SAME checkpoint must
+    # process only B — the union equals the batch gate over A+B with no
+    # duplicated A rows
+    import pyspark.sql.functions as F
+
+    from fireball_data_processing_spark.streaming.quality_stream import (
+        corpus_lm_index,
+        quality_gate,
+        stream_quality_gate,
+    )
+
+    corpus = load_table(spark, SMOKE, "documents")
+    lm = corpus_lm_index(corpus)
+    gk = dict(min_words=3, min_stop_hits=0)
+    incoming = load_table(spark, SMOKE, "documents")
+    half = incoming.filter(F.col("doc_id") % 2 == 0)
+    other = incoming.filter(F.col("doc_id") % 2 == 1)
+
+    src = str(tmp_path / "qgr_src")
+    os.makedirs(src)
+    out_dir = str(tmp_path / "qgr_out")
+    ckpt = str(tmp_path / "qgr_ckpt")
+
+    def _drop_file(df, name):
+        stage = str(tmp_path / ("stage_" + name))
+        df.coalesce(1).write.parquet(stage)
+        part = next(
+            f for f in os.listdir(stage) if f.endswith(".parquet")
+        )
+        shutil.copy(os.path.join(stage, part), os.path.join(src, name))
+
+    _drop_file(half, "a.parquet")
+    q = stream_quality_gate(
+        spark, src, incoming.schema, lm, out_dir, ckpt,
+        max_avg_neg_log2=4.95, gopher_kwargs=gk, admit_only=False,
+    )
+    q.awaitTermination(120)
+    n_first = spark.read.parquet(out_dir).count()
+    assert n_first == half.count()
+
+    _drop_file(other, "b.parquet")
+    q2 = stream_quality_gate(
+        spark, src, incoming.schema, lm, out_dir, ckpt,
+        max_avg_neg_log2=4.95, gopher_kwargs=gk, admit_only=False,
+    )
+    q2.awaitTermination(120)
+
+    cols = ["doc_id", "passes_gopher", "avg_neg_log2_bigram_prob",
+            "n_bigrams", "passes_lm", "passes_quality"]
+    got = sorted(map(tuple, spark.read.parquet(out_dir).select(*cols).collect()))
+    want = sorted(
+        map(
+            tuple,
+            quality_gate(incoming, lm, 4.95, gopher_kwargs=gk)
+            .select(*cols)
+            .collect(),
+        )
+    )
+    assert got == want
+
+
+def test_score_against_own_lm_matches_self_trained(spark):
+    # a corpus scored against ITS OWN frozen LM must reproduce
+    # bigram_logprob exactly (same counts, same smoothing): pins that
+    # the index + lookup path implements the same math as the
+    # self-trained batch scorer
+    from fireball_data_processing_spark.functions.textstats import (
+        bigram_logprob,
+    )
+    from fireball_data_processing_spark.streaming.quality_stream import (
+        corpus_lm_index,
+        score_against_lm,
+    )
+
+    docs = load_table(spark, SMOKE, "documents")
+    lm = corpus_lm_index(docs)
+    got = sorted(map(tuple, score_against_lm(docs, lm).collect()))
+    want = sorted(map(tuple, bigram_logprob(docs).collect()))
+    assert got == want and len(got) > 0
