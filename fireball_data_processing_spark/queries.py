@@ -6040,7 +6040,13 @@ def q_corpus_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_cte(k: int, n_iter: int) -> tuple[str, str]:
+def _kmeans_cte(
+    k: int,
+    n_iter: int,
+    prelude: str | None = None,
+    src: str = "e",
+    vec: str = "v",
+) -> tuple[str, str]:
     """Unrolled-Lloyd DuckDB CTE chain replaying
     operators/clustering.py kmeans_fit: same deterministic seeding
     (k lowest vec_ids), same 6-dp centroid rounding each iteration
@@ -6050,27 +6056,39 @@ def _kmeans_cte(k: int, n_iter: int) -> tuple[str, str]:
     each iteration is what makes the replay exact: it absorbs the
     engines' aggregation-order float noise at every step. Returns
     ``(cte_sql, final_assignment_name)`` so composed oracles (cluster
-    profile, k-means SemDeDup) share one definition."""
+    profile, k-means SemDeDup, sketch-space IVF) share one definition.
+
+    ``prelude``/``src``/``vec`` parameterize the clustered input: by
+    default the fit runs over ``embeddings`` directly; the sketch-space
+    IVF oracle passes a prelude that builds the JL-sketch CTE and fits
+    over it instead. The assignment CTEs alias the vector column back
+    to ``v`` so downstream consumers are input-agnostic. The final
+    centroid table is named ``c{n_iter}f`` (probing oracles join it)."""
+    if prelude is None:
+        prelude = (
+            "\nWITH e AS "
+            "(SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
+        )
     parts = [
-        """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        prelude
+        + """,
 c0f AS (
   SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
-         list_transform(v, x -> ROUND(x, 6)) AS cv
-  FROM e
-  QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= %d
-)"""
-        % k
+         list_transform({vec}, x -> ROUND(x, 6)) AS cv
+  FROM {src}
+  QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= {k}
+)""".format(vec=vec, src=src, k=k)
     ]
     for t in range(1, n_iter + 2):
         parts.append(
             """,
 d{t} AS (
-  SELECT e.vec_id, e.v, c.cid,
-    list_sum(list_transform(generate_series(1, len(e.v)),
-             i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS d2
-  FROM e, c{p}f c
-),
+  SELECT e.vec_id, e.{vec} AS v, c.cid,
+    list_sum(list_transform(generate_series(1, len(e.{vec})),
+             i -> (e.{vec}[i] - c.cv[i]) * (e.{vec}[i] - c.cv[i]))) AS d2
+  FROM {src} e, c{p}f c
+),""".format(t=t, p=t - 1, src=src, vec=vec)
+            + """
 a{t} AS (
   SELECT * FROM d{t}
   QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1
@@ -6564,6 +6582,189 @@ def q_rp_ann_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SKETCH_PRELUDE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (
+  SELECT j, list_transform(generate_series(1, 64),
+    i -> CASE WHEN ('0x' || substr(md5(j::VARCHAR || '#' ||
+                    (i - 1)::VARCHAR), 1, 1))::INT % 2 = 0
+         THEN 1.0 ELSE -1.0 END) AS signs
+  FROM UNNEST(generate_series(0, 15)) AS t(j)
+),
+sk AS (
+  SELECT vec_id, list(comp ORDER BY j) AS sv FROM (
+    SELECT e.vec_id, s.j,
+      ROUND(list_sum(list_transform(generate_series(1, 64),
+            i -> e.v[i] * s.signs[i])) / sqrt(16.0), 6) AS comp
+    FROM e, s
+  ) GROUP BY vec_id
+)"""
+
+
+def _rp_ivf_oracle(k: int, n_probe: int, n_cells: int, n_iter: int) -> str:
+    cte, final = _kmeans_cte(
+        n_cells, n_iter, prelude=_SKETCH_PRELUDE, src="sk", vec="sv"
+    )
+    return (
+        cte
+        + f""",
+q AS (
+  SELECT e.vec_id AS query_id, e.v AS qv, sk.sv AS qs
+  FROM e JOIN sk USING (vec_id) WHERE e.vec_id < 10
+),
+pd AS (
+  SELECT q.query_id, c.cid,
+    list_sum(list_transform(generate_series(1, 16),
+             i -> (q.qs[i] - c.cv[i]) * (q.qs[i] - c.cv[i]))) AS d2
+  FROM q, c{n_iter}f c
+),
+probe AS (
+  SELECT query_id, cid FROM pd
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY d2, cid) <= {n_probe}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, q.qv, ce.v AS cv
+  FROM probe p
+  JOIN {final} a ON a.cid = p.cid
+  JOIN q ON q.query_id = p.query_id
+  JOIN e ce ON ce.vec_id = a.vec_id
+  WHERE a.vec_id <> p.query_id
+),
+r AS (
+  SELECT query_id, neighbor_id,
+    ROUND({_sql_cosine("qv", "cv", 64)}, 6) AS cosine_sim
+  FROM cand
+)
+SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+  FROM r
+) WHERE rank <= {k}
+"""
+    )
+
+
+@query("rp_ivf_topk_neighbors", _rp_ivf_oracle(k=5, n_probe=2, n_cells=4, n_iter=2))
+def q_rp_ivf_topk_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with the coarse quantizer trained IN SKETCH SPACE
+    (operators/similarity.py rp_ivf_topk) — the genuinely sub-linear
+    100 TB vector-search path, composing the JL sketch with the
+    engine-replayable k-means: sketches shrink fit and probe arithmetic
+    4x, cells bound candidate generation to n_probe/n_cells of the
+    corpus per query (no cross join anywhere — contrast
+    rp_ann_rerank_topk's full stage-1 scan), and the exact full-dim
+    cosine reranks only cell members. n_probe = n_cells degenerates to
+    brute_force_topk exactly (test-pinned recall=1 calibration). Fully
+    oracle-checked end to end: the DuckDB replay rebuilds the md5
+    sketch matrix, unrolls the Lloyd fit over sketches, and re-runs
+    probe + rerank — an ANN whose every candidate and score is
+    value-hash-verified cross-engine."""
+    from fireball_data_processing_spark.operators.similarity import rp_ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return rp_ivf_topk(
+        e.filter(F.col("vec_id") < 10), e, k=5, n_probe=2, n_cells=4,
+        n_iter=2, out_dim=16,
+    )
+
+
+_FROZEN_GATE_ORACLE = """
+WITH words AS (
+  SELECT doc_id,
+    list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                s -> s <> '') AS w
+  FROM documents
+),
+v AS (
+  SELECT COUNT(DISTINCT t)::DOUBLE AS vsz
+  FROM (SELECT UNNEST(w) AS t FROM words)
+),
+big AS (
+  SELECT doc_id, w[i] AS prev, w[i + 1] AS cur
+  FROM words, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 2
+),
+cnt AS (
+  SELECT doc_id,
+    COUNT(*) OVER (PARTITION BY prev, cur)::DOUBLE AS cb,
+    COUNT(*) OVER (PARTITION BY prev)::DOUBLE AS cp
+  FROM big
+),
+lmscore AS (
+  SELECT doc_id,
+    ROUND(AVG(-log2((cb + 0.5) / (cp + 0.5 * vsz))), 6)
+      AS avg_neg_log2_bigram_prob,
+    COUNT(*)::BIGINT AS n_bigrams
+  FROM cnt, v
+  GROUP BY doc_id
+),
+gw AS (
+  SELECT doc_id, text,
+    regexp_split_to_array(trim(text), '\\s+') AS gwords,
+    string_split(text, chr(10)) AS lines
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+    (len(gwords) >= 3 AND len(gwords) <= 100000
+     AND list_sum(list_transform(gwords, x -> length(x)))::DOUBLE
+         / len(gwords) BETWEEN 3.0 AND 10.0
+     AND ((length(text) - length(replace(text, '#', '')))
+          + (length(text) - length(replace(text, '...', ''))) / 3)::DOUBLE
+         / len(gwords) <= 0.1
+     AND len(list_filter(gwords, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+         / len(gwords) >= 0.8
+     AND len(list_filter(lines, l -> starts_with(l, '- ')
+         OR starts_with(l, '* ') OR starts_with(l, chr(8226))))::DOUBLE
+         / len(lines) <= 0.9
+     AND len(list_filter(lines, l -> l LIKE '%...'))::DOUBLE
+         / len(lines) <= 0.3
+    ) AS passes_gopher
+  FROM gw
+)
+SELECT g.doc_id, g.passes_gopher,
+  l.avg_neg_log2_bigram_prob,
+  COALESCE(l.n_bigrams, 0)::BIGINT AS n_bigrams,
+  COALESCE(l.avg_neg_log2_bigram_prob <= 4.95, FALSE) AS passes_lm,
+  (g.passes_gopher
+   AND COALESCE(l.avg_neg_log2_bigram_prob <= 4.95, FALSE)) AS passes_quality
+FROM g LEFT JOIN lmscore l USING (doc_id)
+"""
+
+
+@query("frozen_lm_quality_gate", _FROZEN_GATE_ORACLE)
+def q_frozen_lm_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming ingest quality gate's batch twin (streaming/
+    quality_stream.py quality_gate): Gopher rules + perplexity under a
+    FROZEN bigram LM with a FIXED threshold — the CCNet deployment
+    shape, where batch jobs train the LM and calibrate the cut and the
+    stream applies the constant (an in-stream percentile would make
+    admission depend on micro-batch composition). Here the LM is
+    trained on the same corpus it scores, which the parity test pins
+    equal to the self-trained bigram_logprob — so the oracle replays
+    training, lookup, smoothing fallback (unseen bigram/context ->
+    pure smoothing mass), both verdict legs, and the AND. Relaxed
+    word-count/stop-word bounds keep the synthetic corpus's verdicts
+    mixed. The streaming form (stream_quality_gate) runs this exact
+    function per micro-batch with restart/idempotency tests."""
+    from fireball_data_processing_spark.streaming.quality_stream import (
+        corpus_lm_index,
+        quality_gate,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    lm = corpus_lm_index(d)
+    out = quality_gate(
+        d, lm, 4.95, gopher_kwargs=dict(min_words=3, min_stop_hits=0)
+    )
+    return out.select(
+        "doc_id", "passes_gopher", "avg_neg_log2_bigram_prob", "n_bigrams",
+        "passes_lm", "passes_quality",
+    )
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
@@ -6579,12 +6780,67 @@ def get(name: str) -> QuerySpec:
 # Names listed here lead in this order; anything not listed follows in
 # declaration order; listed-but-unregistered names are skipped.
 _PRIORITY = [
-    # --- new in round 5 (need first-ever driver rows) ---
+    # --- new in round 6 (need first-ever driver rows) ---
+    "rp_ivf_topk_neighbors",
+    "frozen_lm_quality_gate",
+    # --- newest driver row r2 (oldest attestations; rotate in first) ---
+    "salted_hot_key_agg",
+    "eval_metric_averages",
+    "token_cost_estimate",
+    "fb_struct_key_join",
+    "doc_language_guess",
+    "words_per_signup_segment",
+    # --- newest driver row r3 (all 36; with the six above this clears
+    # every pre-r4 attestation in one head) ---
+    "doc_quality",
+    "lsh_candidate_pairs",
+    "discord_render_clean",
+    "count_errors_after_purchase",
+    "doc_rolling_hash",
+    "embedding_near_dup_pairs",
+    "multi_key_sort_page",
+    "required_fields_filter",
+    "event_type_pivot",
+    "anonymized_props",
+    "ivf_topk_neighbors",
+    "ingest_gate_near_new",
+    "benchmark_contamination",
+    "doc_unigram_logprob",
+    "fb_pii_redact",
+    "doc_repetition",
+    "mixture_sample_counts",
+    "near_dup_clusters",
+    "doc_chunks",
+    "doc_clean_flags",
+    "embedding_quantization",
+    "duplicate_substring_spans",
+    "approx_distinct_rollup",
+    "cms_heavy_hitters",
+    "bloom_filtered_join",
+    "purchase_view_interval_join",
+    "approx_percentile_check",
+    "doc_packing",
+    "training_corpus_summary",
+    "bm25_search",
+    "tf_idf_top_terms",
+    "token_pmi_collocations",
+    "dsir_selection_weights",
+    "source_distribution_drift",
+    "incremental_heuristics_merge",
+    "windowed_mix_drift",
+    # --- fixed regression core (fresh r4/r5 rows; fill remaining slots) ---
+    "heuristics_matrix",
+    "triples_summary",
+    "near_dup_pairs",
+    "nearest_purchase",
+    "run_lengths",
+    "fsm_buffer_flush",
+    # --- r4/r5-fresh (follow beyond the ~50-slot head) ---
+    "kmeans_cluster_profile",
     "corpus_diversity_probe",
     "gopher_quality_gate",
     "token_budget_fill",
     "leakage_safe_split",
-    "kmeans_cluster_profile",
     "corpus_overlap_matrix",
     "lm_perplexity_gate",
     "vocab_growth_curve",
@@ -6594,7 +6850,6 @@ _PRIORITY = [
     "corpus_pipeline_v4_summary",
     "embedding_rp_sketch",
     "rp_ann_rerank_topk",
-    # --- newest driver row r1/r2 (rotate in for fresh attestation) ---
     "asof_state_forward",
     "history_window_sums",
     "find_error_after_purchase",
@@ -6631,22 +6886,8 @@ _PRIORITY = [
     "session_windows",
     "tumbling_hour_windows",
     "value_percentiles",
-    "salted_hot_key_agg",
-    "eval_metric_averages",
-    "token_cost_estimate",
-    "fb_struct_key_join",
-    "doc_language_guess",
-    "words_per_signup_segment",
-    # --- fixed regression core (all carry r4 rows; fill remaining slots) ---
-    "heuristics_matrix",
-    "triples_summary",
-    "near_dup_pairs",
-    "nearest_purchase",
-    "run_lengths",
-    "fsm_buffer_flush",
     "correlation_groups",
     "fb_distill4_core",
-    # --- r3/r4 rows (recent; follow in declaration order) ---
     "asof_state_backward",
     "fsm_state_narration",
     "exact_dedup_groups",
@@ -6689,42 +6930,6 @@ _PRIORITY = [
     "customers_without_orders",
     "late_order_priorities",
     "deterministic_sample_events",
-    "ingest_gate_near_new",
-    "benchmark_contamination",
-    "doc_unigram_logprob",
-    "fb_pii_redact",
-    "doc_repetition",
-    "mixture_sample_counts",
-    "near_dup_clusters",
-    "doc_chunks",
-    "doc_clean_flags",
-    "embedding_quantization",
-    "duplicate_substring_spans",
-    "approx_distinct_rollup",
-    "cms_heavy_hitters",
-    "bloom_filtered_join",
-    "purchase_view_interval_join",
-    "approx_percentile_check",
-    "doc_packing",
-    "training_corpus_summary",
-    "bm25_search",
-    "tf_idf_top_terms",
-    "token_pmi_collocations",
-    "dsir_selection_weights",
-    "source_distribution_drift",
-    "incremental_heuristics_merge",
-    "windowed_mix_drift",
-    "doc_quality",
-    "discord_render_clean",
-    "count_errors_after_purchase",
-    "doc_rolling_hash",
-    "embedding_near_dup_pairs",
-    "multi_key_sort_page",
-    "required_fields_filter",
-    "event_type_pivot",
-    "anonymized_props",
-    "ivf_topk_neighbors",
-    "lsh_candidate_pairs",
 ]
 
 
