@@ -674,3 +674,30 @@ def test_percentile_gate_bucketed_no_unpartitioned_row_window(spark):
         if "windowspecdefinition(grp#" in ln and "__b" not in ln
     ]
     assert all("__bn" in ln for ln in group_only), s
+
+
+def test_rp_ivf_prebuilt_centroids_match_inline_fit(spark):
+    """The amortized path: passing a prior fit's centroids must skip the
+    Lloyd rounds and produce the identical result (the
+    build-once/query-many contract)."""
+    from fireball_data_processing_spark.operators.clustering import kmeans_fit
+    from fireball_data_processing_spark.operators.similarity import (
+        _infer_dim,
+        rp_ivf_topk,
+        rp_sketch_expr,
+    )
+    from fireball_data_processing_spark.sources.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    dim = _infer_dim(e, "embedding")
+    sk = e.select(
+        F.col("vec_id").alias("__id"),
+        rp_sketch_expr(F.col("embedding"), dim, 16, 6).alias("__sk"),
+    )
+    _, cents = kmeans_fit(sk, k=4, n_iter=2, vec_col="__sk", id_col="__id")
+    inline = sorted(map(tuple, rp_ivf_topk(q, e, k=5, n_probe=2).collect()))
+    prebuilt = sorted(
+        map(tuple, rp_ivf_topk(q, e, k=5, n_probe=2, centroids=cents).collect())
+    )
+    assert inline == prebuilt and len(inline) > 0
