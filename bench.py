@@ -86,6 +86,8 @@ EXTRA = (
     "rp_ann_rerank_topk",
     "rp_ivf_topk_neighbors",
     "frozen_lm_quality_gate",
+    "hard_negative_mining",
+    "semantic_curation_summary",
 )
 
 

@@ -961,3 +961,53 @@ def rp_ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+def hard_negative_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    tau_dup: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Hard-negative mining for contrastive/retriever training (the
+    DPR / Contriever / SimCSE recipe, Karpukhin et al. 2020): for each
+    anchor, the ``k`` MOST similar corpus vectors that are NOT
+    near-duplicates — similarity below ``tau_dup`` excludes the
+    anchor's positives/copies (which would poison the loss as false
+    negatives), and ranking the remainder by similarity DESC makes
+    them maximally confusable, which is what makes a negative hard.
+
+    Output ``(query_id, neighbor_id, cosine_sim, rank)`` — the
+    brute_force_topk contract with the near-dup band removed, so the
+    mined set drops straight into a training-pair writer.
+
+    Plan: the scored contact reuses the brute-force shape (corpus
+    broadcast here is the labeled EXACT verifier — at 100 TB generate
+    the candidate pool with :func:`rp_ivf_topk`'s cell-bounded contact
+    or the LSH buckets and apply the same ``< tau_dup`` band filter +
+    rank); the dup-band filter runs BEFORE the rank window, so excluded
+    near-dups never occupy shortlist slots, and the rank filter
+    compiles to two-phase WindowGroupLimit top-k. Scores are rounded
+    with id tie-breaks — fully oracle-replayable."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    sim = F.round(cosine(F.col("__qv"), F.col("__cv")), round_dp)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        q.crossJoin(F.broadcast(c))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_sim", sim)
+        .filter(F.col("cosine_sim") < tau_dup)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )

@@ -6765,6 +6765,174 @@ def q_frozen_lm_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HARD_NEG_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+s AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+    ROUND({_sql_cosine("q.qv", "e.v", 64)}, 6) AS cosine_sim
+  FROM q, e WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+  FROM s WHERE cosine_sim < 0.2
+) WHERE rank <= 5
+"""
+
+
+@query("hard_negative_mining", _HARD_NEG_ORACLE)
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for retriever/contrastive training
+    (operators/similarity.py hard_negative_topk — the DPR/Contriever
+    recipe): per anchor, the k most similar vectors BELOW the near-dup
+    band (cosine < tau_dup), so positives/copies can't poison the loss
+    as false negatives while the kept rows stay maximally confusable.
+    The dup-band filter runs before the rank window (excluded rows
+    never occupy shortlist slots — the exclusion provably bites,
+    test-pinned against plain top-k); scores rounded with id tie-breaks
+    so the oracle replays band + rank exactly. tau_dup=0.2 sits inside
+    the synthetic corpus's similarity range (p99 pairwise 0.29). At
+    100 TB the same band filter + rank applies to rp_ivf_topk's
+    cell-bounded candidates instead of the labeled exact contact."""
+    from fireball_data_processing_spark.operators.similarity import (
+        hard_negative_topk,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return hard_negative_topk(
+        e.filter(F.col("vec_id") < 10), e, k=5, tau_dup=0.2
+    )
+
+
+def _semantic_curation_oracle(
+    k: int, n_iter: int, tau: float, alpha: float
+) -> str:
+    cte, final = _kmeans_cte(k, n_iter)
+    return (
+        cte
+        + f""",
+reps AS (
+  SELECT cid, MIN(vec_id) AS rep_id, arg_min(v, vec_id) AS rep_vec
+  FROM {final} GROUP BY cid
+),
+sdscore AS (
+  SELECT a.vec_id, a.cid, r.rep_id,
+    ROUND(
+      list_sum(list_transform(generate_series(1, len(a.v)),
+               i -> a.v[i] * r.rep_vec[i]))
+      / (sqrt(list_sum(list_transform(generate_series(1, len(a.v)),
+               i -> a.v[i] * a.v[i])))
+       * sqrt(list_sum(list_transform(generate_series(1, len(a.v)),
+               i -> r.rep_vec[i] * r.rep_vec[i])))), 6) AS cos_to_rep
+  FROM {final} a JOIN reps r USING (cid)
+),
+surv AS (
+  SELECT vec_id, cid FROM sdscore WHERE vec_id = rep_id OR cos_to_rep <= {tau}
+),
+counts AS (SELECT cid, COUNT(*)::BIGINT AS n_surv FROM surv GROUP BY cid),
+shared AS (
+  SELECT cid, n_surv, n_surv::DOUBLE / SUM(n_surv) OVER () AS share_raw,
+    SUM(n_surv) OVER () AS total
+  FROM counts
+),
+weighted AS (
+  SELECT cid, n_surv, total,
+    POWER(share_raw, {alpha})
+      / SUM(POWER(share_raw, {alpha})) OVER () AS weight_raw
+  FROM shared
+),
+rates AS (
+  SELECT cid, n_surv,
+    ROUND(LEAST(1.0, total * weight_raw / n_surv), 6) AS keep_rate
+  FROM weighted
+),
+kept AS (
+  SELECT s.cid, COUNT(*)::BIGINT AS n_selected
+  FROM surv s JOIN rates r USING (cid)
+  WHERE ('0x' || substr(md5('sc1' || CAST(s.vec_id AS VARCHAR)), 1, 8))::BIGINT
+        / 4294967296.0 < r.keep_rate
+  GROUP BY s.cid
+),
+sizes AS (SELECT cid, COUNT(*)::BIGINT AS n_points FROM {final} GROUP BY cid)
+SELECT z.cid::INT AS cluster_id, z.n_points,
+  c.n_surv AS n_after_dedup, r.keep_rate,
+  COALESCE(kp.n_selected, 0)::BIGINT AS n_selected
+FROM sizes z
+JOIN counts c USING (cid)
+JOIN rates r USING (cid)
+LEFT JOIN kept kp USING (cid)
+ORDER BY cluster_id
+"""
+    )
+
+
+@query("semantic_curation_summary", _semantic_curation_oracle(4, 2, 0.3, 0.5))
+def q_semantic_curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The clustering trio as ONE pipeline — the published semantic-
+    curation recipe end to end (cluster -> dedup within -> rebalance
+    across; Abbas et al. 2023 SemDeDup + the D4/SSL-prototypes
+    diversify step): a single replayable k-means fit feeds (a) SemDeDup
+    survivor election within each cluster and (b) temperature keep-rates
+    (share^0.5) over the SURVIVOR mix, applied with the md5 hash-rank
+    sampler. Per-cluster audit: raw size, post-dedup size, keep rate,
+    selected count. One fit + one dedup exchange + one rates aggregate;
+    the survivor frame persists across its two consumers (the house
+    capstone pattern). Fully oracle-replayed: the DuckDB CTE chains the
+    unrolled Lloyd fit, rep election, cosine gate, temperature math,
+    and hash-rank selection."""
+    from fireball_data_processing_spark.operators.clustering import (
+        kmeans_fit,
+        nearest_centroid_expr,
+    )
+    from fireball_data_processing_spark.operators.sampling import (
+        hash_rank,
+        temperature_mixture_rates,
+    )
+    from fireball_data_processing_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    _, ctrs = kmeans_fit(e, k=4, n_iter=2)
+    bucket = nearest_centroid_expr(
+        ctrs, F.col("embedding").cast("array<double>")
+    )["cid"]
+    sizes = (
+        e.select(bucket.alias("cluster_id"))
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_points"))
+    )
+    surv = semantic_dedup(e, tau=0.3, bucket_expr=bucket).persist()
+    rates = temperature_mixture_rates(surv, F.col("bucket"), alpha=0.5).select(
+        F.col("bucket").alias("cluster_id"),
+        F.col("n_rows").alias("n_after_dedup"),
+        "keep_rate",
+    )
+    kept = (
+        surv.withColumnRenamed("bucket", "cluster_id")
+        .join(F.broadcast(rates.select("cluster_id", "keep_rate")), "cluster_id")
+        .filter(hash_rank(F.col("vec_id"), "sc1") < F.col("keep_rate"))
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_selected"))
+    )
+    return (
+        sizes.join(rates, "cluster_id")
+        .join(kept, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            "n_points",
+            "n_after_dedup",
+            "keep_rate",
+            F.coalesce("n_selected", F.lit(0)).cast("bigint").alias(
+                "n_selected"
+            ),
+        )
+        .orderBy("cluster_id")
+    )
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
@@ -6783,6 +6951,8 @@ _PRIORITY = [
     # --- new in round 6 (need first-ever driver rows) ---
     "rp_ivf_topk_neighbors",
     "frozen_lm_quality_gate",
+    "hard_negative_mining",
+    "semantic_curation_summary",
     # --- newest driver row r2 (oldest attestations; rotate in first) ---
     "salted_hot_key_agg",
     "eval_metric_averages",
@@ -6833,9 +7003,9 @@ _PRIORITY = [
     "triples_summary",
     "near_dup_pairs",
     "nearest_purchase",
+    # --- r4/r5-fresh (follow beyond the ~50-slot head) ---
     "run_lengths",
     "fsm_buffer_flush",
-    # --- r4/r5-fresh (follow beyond the ~50-slot head) ---
     "kmeans_cluster_profile",
     "corpus_diversity_probe",
     "gopher_quality_gate",

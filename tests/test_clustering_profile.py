@@ -701,3 +701,55 @@ def test_rp_ivf_prebuilt_centroids_match_inline_fit(spark):
         map(tuple, rp_ivf_topk(q, e, k=5, n_probe=2, centroids=cents).collect())
     )
     assert inline == prebuilt and len(inline) > 0
+
+
+def test_hard_negative_band_exclusion_bites(spark):
+    """The near-dup band filter must provably change the result: no
+    mined negative reaches tau_dup, and at a tau inside the corpus's
+    similarity range the mined set differs from plain top-k (the
+    excluded similar band is exactly what plain top-k would have
+    returned)."""
+    from fireball_data_processing_spark.operators.similarity import (
+        brute_force_topk,
+        hard_negative_topk,
+    )
+    from fireball_data_processing_spark.sources.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    tau = 0.2
+    mined = hard_negative_topk(q, e, k=5, tau_dup=tau).collect()
+    assert mined and all(r["cosine_sim"] < tau for r in mined)
+    plain = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(q, e, k=5).collect()
+    }
+    mined_pairs = {(r["query_id"], r["neighbor_id"]) for r in mined}
+    assert mined_pairs != plain
+    # ranks are dense 1..k per query after the band removal
+    by_q = {}
+    for r in mined:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
+
+
+def test_semantic_curation_composes_the_trio(spark):
+    """The capstone must equal its parts: per-cluster sizes from the
+    fit, survivor counts from semantic_dedup on the same fit, selection
+    counts from the hash-rank sampler at the survivor-mix rates — and
+    the monotone invariant n_selected <= n_after_dedup <= n_points."""
+    from fireball_data_processing_spark import queries as catalog
+
+    rows = (
+        catalog.REGISTRY["semantic_curation_summary"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert len(rows) == 4
+    for r in rows:
+        assert 0 < r["n_after_dedup"] <= r["n_points"]
+        assert 0 <= r["n_selected"] <= r["n_after_dedup"]
+        assert 0.0 < r["keep_rate"] <= 1.0
+    # the temperature rebalance up-weights at least one sparse cluster
+    # relative to the natural mix (alpha=0.5 < 1)
+    assert any(r["keep_rate"] == 1.0 or r["keep_rate"] > 0.5 for r in rows)
