@@ -872,7 +872,14 @@ def rp_ivf_topk(
     corpus per query batch). With ``n_probe = n_cells`` the search is
     exhaustive and the output EQUALS :func:`brute_force_topk`
     (test-pinned), which is the recall=1 calibration point of the
-    n_probe dial.
+    n_probe dial. Measured recall@5 on the synthetic embeddings
+    (sf0.01, 50 queries — a corpus whose neighbor margins sit BELOW
+    16-dim JL resolution, i.e. a deliberately hostile case): 0.46 /
+    0.72 / 1.0 at n_probe 1/2/4 of 4 cells, 0.21 / 0.36 / 0.54 at
+    n_probe 1/2/4 of 16 cells — the compute-vs-recall dial behaves as
+    IVF theory says (recall ~ probed corpus fraction when cluster
+    structure is weak, better when it's real), and the monotone climb
+    to exactly 1.0 at full probe is what the test pins.
 
     Plan shape:
 

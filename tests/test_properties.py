@@ -815,3 +815,50 @@ def test_winnow_matches_literal_python_fuzz(spark, texts, k, window):
             for j in range(max(len(grams) - window + 1, 1))
         }
         assert got.get(i, set()) == fps, i
+
+
+# ---------------------------------------------------------------------
+# bucketed percentile gate (round 6): the two-phase rank must equal the
+# plain percent_rank path on ARBITRARY score/group shapes — hypothesis
+# covers the edges the fixed fixture can't promise (all-ties groups,
+# singleton groups, every score outside the clamp range, one bucket)
+# ---------------------------------------------------------------------
+
+gate_rows = st.lists(
+    st.tuples(
+        st.integers(0, 2),  # group
+        st.sampled_from([-1.0, 0.0, 0.25, 0.25, 0.5, 0.999, 1.0, 2.5]),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=gate_rows, n_buckets=st.sampled_from([1, 2, 7]),
+       ascending=st.booleans())
+@settings(**SETTINGS)
+def test_bucketed_gate_matches_plain_percent_rank(
+    spark, rows, n_buckets, ascending
+):
+    from fireball_data_processing_spark.operators.selection import (
+        score_percentile_gate,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"g{g}", float(s)) for i, (g, s) in enumerate(rows)],
+        "id long, grp string, score double",
+    )
+    plain = {
+        (r["id"], r["pctl"])
+        for r in score_percentile_gate(
+            df, "score", "grp", keep_frac=0.7, ascending=ascending
+        ).collect()
+    }
+    bucketed = {
+        (r["id"], r["pctl"])
+        for r in score_percentile_gate(
+            df, "score", "grp", keep_frac=0.7, ascending=ascending,
+            bucketed=True, n_buckets=n_buckets,
+        ).collect()
+    }
+    assert bucketed == plain
