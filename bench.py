@@ -88,6 +88,7 @@ EXTRA = (
     "frozen_lm_quality_gate",
     "hard_negative_mining",
     "semantic_curation_summary",
+    "tokenizer_fertility_stats",
 )
 
 

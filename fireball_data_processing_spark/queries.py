@@ -6933,6 +6933,60 @@ def q_semantic_curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FERTILITY_ORACLE = """
+WITH m AS (
+  SELECT source,
+    len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS toks,
+    len(list_filter(string_split_regex(trim(text), '\\s+'), s -> s <> ''))
+      AS words,
+    octet_length(encode(text)) AS bytes
+  FROM documents
+)
+SELECT source,
+  COUNT(*)::BIGINT AS n_docs,
+  SUM(toks)::BIGINT AS n_tokens,
+  ROUND(SUM(toks)::DOUBLE / SUM(words), 6) AS tokens_per_word,
+  ROUND(SUM(bytes)::DOUBLE / SUM(toks), 6) AS bytes_per_token
+FROM m GROUP BY source
+"""
+
+
+@query("tokenizer_fertility_stats", _FERTILITY_ORACLE)
+def q_tokenizer_fertility_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility datasheet per source — tokens-per-word and
+    bytes-per-token, the standard multilingual tokenizer-efficiency
+    metrics (fertility > ~2 means the tokenizer fragments that source's
+    text; bytes/token is the compression rate the context window
+    actually buys). Token counts use the BPE-flavored regex estimator
+    (functions/textstats.py bpe_ish_token_count), words the whitespace
+    split, bytes the UTF-8 octet length — all pure per-row expressions
+    feeding one aggregation: a scan + groupBy, the same shape at
+    100 TB. Ratios computed corpus-grain (sum/sum, not avg-of-ratios —
+    long docs weigh more, the accounting a token-budget planner needs)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    toks = F.size(F.regexp_extract_all(t, F.lit(r"\w+|[^\w\s]"), 0))
+    words = F.size(
+        F.filter(F.split(F.trim(t), r"\s+"), lambda s: s != "")
+    )
+    nbytes = F.octet_length(t)
+    return (
+        d.select(
+            "source",
+            toks.alias("__t"),
+            words.alias("__w"),
+            nbytes.alias("__b"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("__t").cast("bigint").alias("n_tokens"),
+            F.round(F.sum("__t") / F.sum("__w"), 6).alias("tokens_per_word"),
+            F.round(F.sum("__b") / F.sum("__t"), 6).alias("bytes_per_token"),
+        )
+    )
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
@@ -6953,6 +7007,7 @@ _PRIORITY = [
     "frozen_lm_quality_gate",
     "hard_negative_mining",
     "semantic_curation_summary",
+    "tokenizer_fertility_stats",
     # --- newest driver row r2 (oldest attestations; rotate in first) ---
     "salted_hot_key_agg",
     "eval_metric_averages",
@@ -7002,8 +7057,8 @@ _PRIORITY = [
     "heuristics_matrix",
     "triples_summary",
     "near_dup_pairs",
-    "nearest_purchase",
     # --- r4/r5-fresh (follow beyond the ~50-slot head) ---
+    "nearest_purchase",
     "run_lengths",
     "fsm_buffer_flush",
     "kmeans_cluster_profile",
