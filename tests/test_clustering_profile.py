@@ -753,3 +753,49 @@ def test_semantic_curation_composes_the_trio(spark):
     # the temperature rebalance up-weights at least one sparse cluster
     # relative to the natural mix (alpha=0.5 < 1)
     assert any(r["keep_rate"] == 1.0 or r["keep_rate"] > 0.5 for r in rows)
+
+
+def test_round6_operators_handle_empty_inputs(spark):
+    """Edge hardening: an empty query batch, an empty scored frame, and
+    an empty doc batch must produce empty results with the contract
+    schema — not a crash (the shapes a scheduler hands an operator at
+    the edges of a partition range or an idle micro-batch)."""
+    from fireball_data_processing_spark.operators.selection import (
+        score_percentile_gate,
+    )
+    from fireball_data_processing_spark.operators.similarity import (
+        hard_negative_topk,
+        rp_ann_topk,
+    )
+    from fireball_data_processing_spark.sources.tables import load_table
+    from fireball_data_processing_spark.streaming.quality_stream import (
+        corpus_lm_index,
+        quality_gate,
+    )
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    no_queries = e.filter(F.col("vec_id") < 0)
+
+    out = hard_negative_topk(no_queries, e, k=3)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "neighbor_id", "cosine_sim", "rank"]
+
+    out2 = rp_ann_topk(no_queries, e, k=3, shortlist=5)
+    assert out2.count() == 0
+
+    empty_scored = spark.createDataFrame(
+        [], "id long, grp string, score double"
+    )
+    assert (
+        score_percentile_gate(
+            empty_scored, "score", "grp", bucketed=True, n_buckets=4
+        ).count()
+        == 0
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    lm = corpus_lm_index(docs)
+    empty_docs = docs.filter(F.col("doc_id") < 0)
+    gated = quality_gate(empty_docs, lm, 5.0)
+    assert gated.count() == 0
+    assert "passes_quality" in gated.columns
