@@ -1,0 +1,128 @@
+"""Data-dominated scaling probe: amplify the sf0.1 documents table by
+unioning id-shifted, token-perturbed copies (x1 / x16 / x64 / x256 ->
+5k .. 1.28M docs) and time representative heavy operators end-to-end
+(noop sink, warm plans, min of 2).
+
+WHY: the sf0.001..sf0.1 scaling table in README is overhead-dominated —
+per-job fixed cost hides data growth. This probe pushes into the regime
+where data volume IS the cost, so the question the 100 TB lens actually
+asks ("is time ~linear in rows once data dominates?") gets a measured
+answer. The amplified frame is an internal PERF input only (catalog
+queries and their oracles keep reading the driver's parquet verbatim);
+each copy appends a copy-index token so cross-copy texts are near- but
+not exact duplicates — dedup operators keep realistic group sizes
+instead of degenerating into one giant duplicate class.
+
+Usage: python scripts/amplify_probe.py [factor ...]   (default 1 16 64 256)
+Prints a markdown row per (operator, factor) with rows/sec.
+"""
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+BASE = "/root/testdata/sf0.1"
+SHIFT = 10_000_000
+
+
+def amplified(spark, factor: int):
+    from pyspark.sql import functions as F
+
+    from fireball_data_processing_spark.sources.tables import load_table
+
+    d = load_table(spark, BASE, "documents")
+    parts = [
+        d.select(
+            (F.col("doc_id") + i * SHIFT).alias("doc_id"),
+            F.concat_ws(" ", F.col("text"), F.lit(f"cv{i}")).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        for i in range(factor)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    # rebalance so every factor runs on comparable partition counts
+    return out.repartition(32)
+
+
+def main() -> None:
+    factors = [int(a) for a in sys.argv[1:]] or [1, 16, 64, 256]
+
+    from pyspark.sql import functions as F
+
+    from fireball_data_processing_spark.functions.textstats import (
+        bigram_logprob,
+        gopher_rules,
+    )
+    from fireball_data_processing_spark.operators.dedup import (
+        exact_dedup_groups,
+        line_dedup,
+    )
+    from fireball_data_processing_spark.operators.selection import budget_fill
+    from fireball_data_processing_spark.session import get_spark
+
+    spark = get_spark(app_name="fireball-spark-amplify")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def op_gopher(d):
+        flags = gopher_rules(F.col("text"))
+        return d.select("doc_id", *[c.alias(n) for n, c in flags.items()])
+
+    def op_exact(d):
+        return exact_dedup_groups(d)
+
+    def op_line(d):
+        return line_dedup(d, seg_words=8, min_docs=2)
+
+    def op_bigram(d):
+        return bigram_logprob(d)
+
+    def op_budget(d):
+        scored = d.select(
+            "doc_id",
+            ((F.col("n_chars") % 97) / 97.0).alias("q"),
+            F.greatest(F.lit(1), F.floor(F.col("n_chars") / 4)).alias("toks"),
+        )
+        return budget_fill(
+            scored, "q", "toks", "doc_id", budget=2_000_000_000
+        )
+
+    # (name, fn, max factor — the quadratic-contact ops cap lower so the
+    # probe stays minutes, not hours)
+    OPS = [
+        ("gopher_quality_gate (scan)", op_gopher, 256),
+        ("exact_dedup_groups", op_exact, 256),
+        ("budget_fill", op_budget, 256),
+        ("cross_doc_line_dedup", op_line, 64),
+        ("doc_bigram_logprob", op_bigram, 64),
+    ]
+
+    print("| operator | " + " | ".join(f"x{f}" for f in factors) + " |")
+    print("|---|" + "---|" * len(factors))
+    for name, fn, cap in OPS:
+        cells = []
+        for f in factors:
+            if f > cap:
+                cells.append("—")
+                continue
+            d = amplified(spark, f)
+            # warm once (plan/codegen), then min of 2 timed
+            fn(d).write.format("noop").mode("overwrite").save()
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(d).write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            rows = 5000 * f
+            cells.append(f"{best:.2f}s ({rows / best / 1000:.0f}k rows/s)")
+        print(f"| {name} | " + " | ".join(cells) + " |")
+
+
+if __name__ == "__main__":
+    main()
