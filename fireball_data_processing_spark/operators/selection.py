@@ -268,16 +268,27 @@ def score_percentile_gate(
     if not score_hi > score_lo:
         raise ValueError("score_hi must exceed score_lo")
     span = float(score_hi) - float(score_lo)
-    bucket = F.least(
-        F.lit(n_buckets - 1),
-        F.greatest(
-            F.lit(0),
-            F.floor(
-                (F.col(score_col) - F.lit(float(score_lo)))
-                / F.lit(span)
-                * F.lit(n_buckets)
-            ).cast("int"),
-        ),
+    # NULL and NaN must land where Spark's sort puts them, or the
+    # bucket join would silently DROP them (null bucket matches
+    # nothing) while the plain path ranks them: ASC is NULLS FIRST and
+    # NaN-greatest, DESC is NULLS LAST and NaN-first — in BOTH
+    # directions null behaves as the smallest value (bucket 0) and NaN
+    # as the largest (bucket n_buckets-1), and the in-bucket ORDER BY
+    # then reproduces the exact boundary behavior among same-bucket
+    # neighbors (identity test covers both).
+    raw = F.floor(
+        (F.col(score_col) - F.lit(float(score_lo)))
+        / F.lit(span)
+        * F.lit(n_buckets)
+    ).cast("int")
+    clamped = F.least(F.lit(n_buckets - 1), F.greatest(F.lit(0), raw))
+    is_float = dict(scored.dtypes).get(score_col) in ("float", "double")
+    bucket = F.when(F.col(score_col).isNull(), F.lit(0)).otherwise(
+        F.when(F.isnan(F.col(score_col)), F.lit(n_buckets - 1)).otherwise(
+            clamped
+        )
+        if is_float
+        else clamped
     )
     with_b = scored.withColumn("__b", bucket)
     # phase 1: per-(group, bucket) counts — groups x n_buckets rows.

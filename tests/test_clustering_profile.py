@@ -799,3 +799,49 @@ def test_round6_operators_handle_empty_inputs(spark):
     gated = quality_gate(empty_docs, lm, 5.0)
     assert gated.count() == 0
     assert "passes_quality" in gated.columns
+
+
+def test_percentile_gate_bucketed_null_and_nan_parity(spark):
+    """NULL and NaN scores must survive the bucketed path and rank
+    exactly where the plain percent_rank puts them (ASC: nulls first,
+    NaN last; DESC: NaN first, nulls last) — a null bucket key would
+    silently drop them at the join."""
+    rows = [
+        (0, "g", 0.5), (1, "g", None), (2, "g", float("nan")),
+        (3, "g", 0.1), (4, "g", 0.9), (5, "g", 0.5),
+        (6, "h", None), (7, "h", 0.3),
+    ]
+    df = spark.createDataFrame(rows, "id long, grp string, score double")
+    for ascending in (True, False):
+        plain = {
+            (r["id"], r["pctl"])
+            for r in score_percentile_gate(
+                df, "score", "grp", keep_frac=1.0, ascending=ascending
+            ).collect()
+        }
+        assert len(plain) == len(rows)  # keep_frac=1 keeps everything
+        for n_buckets in (1, 4):
+            got = {
+                (r["id"], r["pctl"])
+                for r in score_percentile_gate(
+                    df, "score", "grp", keep_frac=1.0, ascending=ascending,
+                    bucketed=True, n_buckets=n_buckets,
+                ).collect()
+            }
+            assert got == plain, (ascending, n_buckets)
+    # integer scores must not trip the isnan guard
+    di = spark.createDataFrame(
+        [(0, "g", 1), (1, "g", 5), (2, "g", 3)], "id long, grp string, score int"
+    )
+    got_i = {
+        (r["id"], r["pctl"])
+        for r in score_percentile_gate(
+            di, "score", "grp", keep_frac=1.0, bucketed=True, n_buckets=4,
+            score_lo=0.0, score_hi=6.0,
+        ).collect()
+    }
+    want_i = {
+        (r["id"], r["pctl"])
+        for r in score_percentile_gate(di, "score", "grp", keep_frac=1.0).collect()
+    }
+    assert got_i == want_i
