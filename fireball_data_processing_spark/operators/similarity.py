@@ -1,20 +1,34 @@
 """Similarity search over embedding columns (array<float>).
 
-Two paths:
+The retrieval ladder, cheapest-candidates first:
 
 - **brute-force cosine top-k** — exact; JVM-side dot products via
   ``F.aggregate``/``F.zip_with`` (no Python in the loop). The baseline and
-  the verifier for approximate variants. Cost is |Q| x |N|; fine for
-  moderate query sets, not for all-pairs at 100 TB.
+  the LABELED VERIFIER for every approximate variant. Cost is |Q| x |N|;
+  fine for moderate query sets, not for all-pairs at 100 TB.
 - **LSH-bucketed top-k** — random-hyperplane signatures (SimHash for
   vectors): sign pattern of dot products against D fixed pseudo-random
   hyperplanes. Vectors sharing a signature bucket are candidates; search
   degrades gracefully by probing Hamming-adjacent buckets. The hyperplanes
   are derived deterministically from md5 of (plane, dim) so signatures are
   reproducible across engines and runs.
+- **IVF top-k** (``build_ivf_index``/``ivf_query``) — MLlib-KMeans coarse
+  cells, path-backed partition pruning for the probe filter.
+- **JL sketch family** (round 5-6): ``rp_sketch_expr`` shrinks vectors
+  through an md5-derived Achlioptas matrix (engine-replayable, unlike
+  seeded RNG); ``rp_ann_topk`` is sketch-shortlist-then-exact-rerank with
+  the query side broadcast and the corpus streamed; ``rp_ivf_topk`` trains
+  the coarse quantizer IN sketch space over the replayable k-means —
+  cell-bounded candidates, exact full-dim rerank, fully oracle-checked.
+- **Selection layers on top**: ``semantic_dedup`` (SemDeDup survivors per
+  bucket/cluster), ``mmr_rerank`` (diversity-aware rerank), and
+  ``hard_negative_topk`` (near-dup band excluded, then most-similar —
+  contrastive-training mining).
+- **Memory side**: ``quantize_embedding`` int8 scalar quantization.
 
-At scale: bucket the corpus once (write partitioned by signature), then a
-query touches only its probe buckets — partition pruning does the rest.
+At scale: bucket/cluster the corpus once (write partitioned by signature
+or cell), then a query touches only its probe partitions — partition
+pruning does the rest; sketches are what cross the wire.
 """
 
 from __future__ import annotations
