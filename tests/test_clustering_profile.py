@@ -541,7 +541,9 @@ def test_rp_ann_plan_scale_shape(spark):
     bnl_builds = [b for b in blocks if "IdentityBroadcastMode" in b]
     assert len(bnl_builds) == 1, plan
     inp = re.search(r"Input \[(\d+)\]: \[([^\]]*)\]", bnl_builds[0])
-    assert inp and inp.group(1) == "2", bnl_builds[0]
+    # query_id + sketch + hoisted sketch norm — and crucially no
+    # full-dimension vectors ride the broadcast
+    assert inp and inp.group(1) == "3", bnl_builds[0]
     assert "__qs" in inp.group(2) and "query_id" in inp.group(2)
     assert "__cv" not in inp.group(2) and "__qv" not in inp.group(2)
     # (c) the full-vector fetches are broadcast hash equi-joins
