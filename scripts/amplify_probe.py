@@ -15,6 +15,14 @@ instead of degenerating into one giant duplicate class.
 
 Usage: python scripts/amplify_probe.py [factor ...]   (default 1 16 64 256)
 Prints a markdown row per (operator, factor) with rows/sec.
+
+ANN mode: python scripts/amplify_probe.py --ann [factor ...]
+(default 16 64) — amplifies the EMBEDDINGS table instead (id-shifted,
+one deterministic coordinate perturbation per copy) and times the ANN
+family head-to-head: brute_force_topk (the labeled exact verifier),
+rp_ann_topk, and rp_ivf_topk on the amortized centroids= path. This is
+the probe that caught the round-6 sketch-inlining bug (README
+"data-dominated probe" section).
 """
 from __future__ import annotations
 
@@ -50,8 +58,81 @@ def amplified(spark, factor: int):
     return out.repartition(32)
 
 
+def amplified_embeddings(spark, factor: int):
+    from pyspark.sql import functions as F
+
+    from fireball_data_processing_spark.sources.tables import load_table
+
+    e = load_table(spark, BASE, "embeddings")
+    parts = [
+        e.select(
+            (F.col("vec_id") + i * SHIFT).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: x + F.lit(i % 97) * 0.001
+            ).alias("embedding"),
+        )
+        for i in range(factor)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.repartition(32)
+
+
+def ann_main(factors: list[int]) -> None:
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from fireball_data_processing_spark.operators.clustering import kmeans_fit
+    from fireball_data_processing_spark.operators.similarity import (
+        brute_force_topk,
+        rp_ann_topk,
+        rp_ivf_topk,
+        rp_sketch_expr,
+    )
+    from fireball_data_processing_spark.session import get_spark
+
+    spark = get_spark(app_name="fireball-spark-ann-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    for factor in factors:
+        corpus = amplified_embeddings(spark, factor).persist()
+        n = corpus.count()
+        q = corpus.filter(F.col("vec_id") < 10)
+        sk = corpus.select(
+            F.col("vec_id").alias("__id"),
+            rp_sketch_expr(F.col("embedding"), 64, 16, 6).alias("__sk"),
+        ).persist()
+        sk.count()
+        _, cents = kmeans_fit(sk, k=16, n_iter=2, vec_col="__sk", id_col="__id")
+        sk.unpersist()
+
+        def timed(fn):
+            fn().write.format("noop").mode("overwrite").save()
+            best = None
+            for _ in range(2):
+                t0 = _t.perf_counter()
+                fn().write.format("noop").mode("overwrite").save()
+                dt = _t.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            return round(best, 2)
+
+        print(
+            f"| x{factor} ({n} vecs) "
+            f"| brute {timed(lambda: brute_force_topk(q, corpus, k=5))}s "
+            f"| rp_ann {timed(lambda: rp_ann_topk(q, corpus, k=5, shortlist=20))}s "
+            f"| rp_ivf(amortized) "
+            f"{timed(lambda: rp_ivf_topk(q, corpus, k=5, n_probe=2, n_cells=16, centroids=cents))}s |"
+        )
+        corpus.unpersist()
+
+
 def main() -> None:
-    factors = [int(a) for a in sys.argv[1:]] or [1, 16, 64, 256]
+    args = sys.argv[1:]
+    if args and args[0] == "--ann":
+        ann_main([int(a) for a in args[1:]] or [16, 64])
+        return
+    factors = [int(a) for a in args] or [1, 16, 64, 256]
 
     from pyspark.sql import functions as F
 
