@@ -35,7 +35,8 @@ __all__ = [
     "lsh_candidate_pairs", "jaccard_pairs", "simhash", "ngram_overlap",
     "connected_components", "duplicate_spans", "remove_duplicate_spans",
     "aligned_segments", "line_dedup", "ngram_containment",
-    "contamination_spans",
+    "contamination_spans", "content_defined_chunks", "cdc_duplicate_chunks",
+    "score_threshold_sweep", "cluster_size_histogram",
 ]
 
 
@@ -1070,3 +1071,122 @@ def cdc_duplicate_chunks(
         )
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+def score_threshold_sweep(
+    pairs: DataFrame,
+    score_col: str = "jaccard",
+    thresholds_pct: tuple[int, ...] = (10, 20, 30, 40, 50, 60, 70, 80, 90),
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Dedup-threshold sweep: for each candidate cutoff, how many verified
+    pairs and how many distinct documents the dedup pass would touch —
+    the datasheet a pipeline owner reads BEFORE committing to a Jaccard
+    (or cosine) threshold, instead of inheriting 0.8 from folklore. The
+    published dedup pipelines all pick a similarity cutoff empirically
+    (Lee et al. 2021 "Deduplicating Training Data Makes Language Models
+    Better" §4; Penedo et al. 2023 RefinedWeb §G); this emits the whole
+    removal-rate-vs-threshold curve in one pass over the verified pairs.
+
+    Input: any scored pair frame — n-gram Jaccard from
+    :func:`jaccard_pairs`, embedding cosine pairs, SimHash similarity.
+    Output: one row per threshold, ``(threshold_pct, n_pairs, n_docs)``
+    with ``n_pairs = |{pairs: round(score, round_dp) >= pct/100}|`` and
+    ``n_docs`` the distinct documents appearing in those pairs (an upper
+    bound on removals: survivors are picked per connected cluster, one
+    kept each, so removals fall between ``n_docs/2`` and ``n_docs - 1``
+    per component). Thresholds with no qualifying pair emit a zero row —
+    the curve always has ``len(thresholds_pct)`` points.
+
+    Plan shape: the 9-row threshold grid is the BROADCAST side of a
+    nested-loop join against the pair frame (already candidate-bounded
+    by LSH/banding — never the corpus); each qualifying pair explodes
+    into its two doc ids so ONE grouped aggregate yields both curves
+    (``n_pairs = count/2`` — exact, every pair contributes exactly two
+    rows — and ``n_docs = count distinct``), consuming the scored
+    subtree once instead of once per output column; a broadcast merge
+    back onto the grid restores the zero rows. Scores are rounded
+    before the comparison so the cut line is engine-reproducible (the
+    same 6-dp boundary rule as the percentile gate)."""
+    spark = pairs.sparkSession
+    grid = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(int(p)).cast("long") for p in thresholds_pct])
+        ).alias("threshold_pct")
+    )
+    exploded = (
+        pairs.crossJoin(F.broadcast(grid))
+        .filter(
+            F.round(F.col(score_col), round_dp)
+            >= F.col("threshold_pct").cast("double") / F.lit(100.0)
+        )
+        .select(
+            "threshold_pct",
+            F.explode(F.array(id_a, id_b)).alias("__doc"),
+        )
+    )
+    counts = exploded.groupBy("threshold_pct").agg(
+        (F.count(F.lit(1)) / F.lit(2)).cast("bigint").alias("n_pairs"),
+        F.countDistinct("__doc").cast("bigint").alias("n_docs"),
+    )
+    return grid.join(F.broadcast(counts), "threshold_pct", "left").select(
+        "threshold_pct",
+        F.coalesce("n_pairs", F.lit(0).cast("bigint")).alias("n_pairs"),
+        F.coalesce("n_docs", F.lit(0).cast("bigint")).alias("n_docs"),
+    )
+
+
+def cluster_size_histogram(
+    components: DataFrame,
+    n_total_docs: DataFrame | None = None,
+    vertex_col: str = "vertex",
+    component_col: str = "component",
+) -> DataFrame:
+    """Duplicate-cluster size distribution — the other half of the dedup
+    datasheet: how much of the corpus sits in clusters of each size, i.e.
+    the duplicate MASS (``n_docs - n_clusters`` removals at size s) and
+    its shape (two mirror copies everywhere vs a few megaclusters of
+    boilerplate). Published corpus reports tabulate exactly this curve
+    (Lee et al. 2021 fig. 1's cluster-size histogram).
+
+    Input: the ``(vertex, component)`` frame from
+    :func:`connected_components` (every vertex there belongs to a >= 2
+    cluster, since each came from a pair). If ``n_total_docs`` — a 1-row
+    ``(n_tot bigint)`` aggregate of the corpus — is supplied, a
+    ``cluster_size = 1`` row is prepended for the documents in NO pair,
+    so the histogram's ``sum(n_docs)`` equals the corpus size exactly.
+
+    Output: ``(cluster_size, n_clusters, n_docs)`` with
+    ``n_docs = cluster_size * n_clusters``, ordered by size.
+
+    Plan shape: two grouped aggregates (component -> size, size ->
+    count), both over component-label frames that are pair-bounded, never
+    corpus-bounded; the singleton row is a 1-row broadcast-merged
+    aggregate (bounded driver-side scalar, no collect)."""
+    sizes = components.groupBy(component_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    hist = sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters")
+    )
+    out = hist.select(
+        "cluster_size",
+        "n_clusters",
+        (F.col("cluster_size") * F.col("n_clusters")).cast("bigint").alias("n_docs"),
+    )
+    if n_total_docs is not None:
+        covered = components.agg(
+            F.count(F.lit(1)).cast("bigint").alias("__n_cov")
+        )
+        singleton = (
+            n_total_docs.crossJoin(covered)
+            .select(
+                F.lit(1).cast("bigint").alias("cluster_size"),
+                (F.col("n_tot") - F.col("__n_cov")).alias("n_clusters"),
+                (F.col("n_tot") - F.col("__n_cov")).alias("n_docs"),
+            )
+        )
+        out = out.unionByName(singleton)
+    return out

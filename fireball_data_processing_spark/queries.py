@@ -6987,6 +6987,129 @@ def q_tokenizer_fertility_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_THRESHOLD_SWEEP_ORACLE = (
+    _LSH_PAIRS_CTE
+    + """,
+shs AS (SELECT doc_id, list_distinct(list(shingle)) AS shs FROM sh GROUP BY doc_id),
+jp AS (
+  SELECT c.id_a, c.id_b,
+    ROUND(
+      len(list_intersect(a.shs, b.shs))::DOUBLE
+      / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs)))::DOUBLE,
+    6) AS jaccard
+  FROM cand c
+  JOIN shs a ON a.doc_id = c.id_a
+  JOIN shs b ON b.doc_id = c.id_b
+),
+grid AS (SELECT 10 * x AS threshold_pct FROM generate_series(1, 9) t(x)),
+hits AS (
+  SELECT g.threshold_pct, j.id_a, j.id_b
+  FROM jp j JOIN grid g ON j.jaccard >= g.threshold_pct / 100.0
+),
+pc AS (SELECT threshold_pct, COUNT(*) AS n_pairs FROM hits GROUP BY threshold_pct),
+dc AS (
+  SELECT threshold_pct, COUNT(DISTINCT doc) AS n_docs FROM (
+    SELECT threshold_pct, id_a AS doc FROM hits
+    UNION ALL SELECT threshold_pct, id_b FROM hits
+  ) GROUP BY threshold_pct
+)
+SELECT g.threshold_pct,
+  COALESCE(pc.n_pairs, 0) AS n_pairs,
+  COALESCE(dc.n_docs, 0) AS n_docs
+FROM grid g
+LEFT JOIN pc ON pc.threshold_pct = g.threshold_pct
+LEFT JOIN dc ON dc.threshold_pct = g.threshold_pct
+"""
+)
+
+
+@query("dedup_threshold_sweep", _THRESHOLD_SWEEP_ORACLE)
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-threshold datasheet (operators/dedup.py
+    score_threshold_sweep): the verified near-dup pairs swept over nine
+    Jaccard cutoffs 0.1..0.9 — per threshold, how many pairs qualify and
+    how many distinct documents they touch, i.e. the
+    removal-rate-vs-threshold curve a pipeline owner reads before
+    committing to a cutoff (Lee et al. 2021 pick theirs empirically;
+    this emits the whole curve in one pass). Pair generation is the
+    shared LSH pipeline (signatures+shingles from ONE persisted grouped
+    pass); the sweep itself is a 9-row broadcast grid against the
+    candidate-bounded pair frame plus two grouped aggregates — corpus
+    text never enters the sweep."""
+    from fireball_data_processing_spark.operators.dedup import (
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signature,
+        score_threshold_sweep,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signature(
+        d, num_hashes=8, shingle_k=3, with_shingles=True
+    ).persist()
+    pairs = lsh_candidate_pairs(sigs, num_hashes=8, band_size=2)
+    sh = sigs.select(F.col("doc_id"), F.col("__sh").alias("sh"))
+    j = jaccard_pairs(d, pairs, shingle_k=3, shingle_sets=sh)
+    return score_threshold_sweep(j).orderBy("threshold_pct")
+
+
+_CLUSTER_HIST_ORACLE = (
+    _LSH_PAIRS_CTE.replace("WITH words", "WITH RECURSIVE words", 1)
+    + """,
+e AS (
+  SELECT id_a AS a, id_b AS b FROM cand
+  UNION SELECT id_b, id_a FROM cand
+),
+reach(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+),
+comp AS (SELECT a AS vertex, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a),
+sizes AS (SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component),
+hist AS (
+  SELECT cluster_size, COUNT(*) AS n_clusters,
+         cluster_size * COUNT(*) AS n_docs
+  FROM sizes GROUP BY cluster_size
+)
+SELECT * FROM hist
+UNION ALL
+SELECT 1 AS cluster_size,
+  (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM comp) AS n_clusters,
+  (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM comp) AS n_docs
+"""
+)
+
+
+@query("dup_cluster_size_histogram", _CLUSTER_HIST_ORACLE)
+def q_dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-mass histogram (operators/dedup.py
+    cluster_size_histogram): LSH candidate pairs closed into connected
+    components, then the cluster-size distribution — n_clusters and
+    duplicate mass (n_docs) per size, with a singleton row for documents
+    in no pair so sum(n_docs) equals the corpus size exactly. The shape
+    answer (two mirror copies everywhere vs a few boilerplate
+    megaclusters) that decides whether dedup is a pair problem or a
+    cluster problem; Lee et al. 2021's cluster-size figure is this
+    table. Both aggregates are over pair-bounded component labels; the
+    oracle closes the same graph with a recursive CTE."""
+    from fireball_data_processing_spark.operators.dedup import (
+        cluster_size_histogram,
+        connected_components,
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signature(d, num_hashes=8, shingle_k=3)
+    pairs = lsh_candidate_pairs(sigs, num_hashes=8, band_size=2)
+    comp = connected_components(pairs)
+    total = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_tot"))
+    return cluster_size_histogram(comp, n_total_docs=total).orderBy(
+        "cluster_size"
+    )
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
@@ -7053,6 +7176,11 @@ _PRIORITY = [
     "source_distribution_drift",
     "incremental_heuristics_merge",
     "windowed_mix_drift",
+    # --- late round-6 additions (need first-ever driver rows; placed
+    # after the stale rotations so no pre-r4 attestation is displaced,
+    # before the regression core whose members carry fresh r4/r5 rows) ---
+    "dedup_threshold_sweep",
+    "dup_cluster_size_histogram",
     # --- fixed regression core (fresh r4/r5 rows; fill remaining slots) ---
     "heuristics_matrix",
     "triples_summary",

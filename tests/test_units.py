@@ -1407,3 +1407,66 @@ def test_leakage_safe_split_no_pair_straddles(spark, sf_dir):
         assert split_of[p["id_a"]] == split_of[p["id_b"]], (
             p["id_a"], p["id_b"],
         )
+
+
+def test_score_threshold_sweep_counts_and_zero_rows(spark):
+    from fireball_data_processing_spark.operators.dedup import (
+        score_threshold_sweep,
+    )
+
+    # scores chosen to exercise the rounded boundary: 0.7999996 rounds
+    # to 0.8 at 6 dp and must qualify at threshold 80
+    pairs = spark.createDataFrame(
+        [
+            (1, 2, 0.95),
+            (1, 3, 0.7999996),
+            (4, 5, 0.45),
+            (6, 7, 0.10),
+        ],
+        "id_a long, id_b long, jaccard double",
+    )
+    rows = {
+        r["threshold_pct"]: (r["n_pairs"], r["n_docs"])
+        for r in score_threshold_sweep(pairs).collect()
+    }
+    assert set(rows) == {10, 20, 30, 40, 50, 60, 70, 80, 90}
+    assert rows[10] == (4, 7)  # doc 1 in two pairs, counted once
+    assert rows[20] == (3, 5)
+    assert rows[50] == (2, 3)  # docs 1,2,3 — doc 1 counted once
+    assert rows[80] == (2, 3)  # 0.7999996 rounds up across the cut
+    assert rows[90] == (1, 2)
+
+
+def test_cluster_size_histogram_with_singletons(spark):
+    from fireball_data_processing_spark.operators.dedup import (
+        cluster_size_histogram,
+        connected_components,
+    )
+
+    # components: {1,2,3} (chain), {4,5}, {6,7}; corpus of 10 docs
+    # leaves 3 singletons
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5), (6, 7)], "id_a long, id_b long"
+    )
+    comp = connected_components(pairs)
+    total = spark.createDataFrame([(10,)], "n_tot long")
+    rows = {
+        r["cluster_size"]: (r["n_clusters"], r["n_docs"])
+        for r in cluster_size_histogram(comp, n_total_docs=total).collect()
+    }
+    assert rows == {1: (3, 3), 2: (2, 4), 3: (1, 3)}
+    assert sum(nd for _, nd in rows.values()) == 10
+
+
+def test_cluster_size_histogram_no_total_omits_singletons(spark):
+    from fireball_data_processing_spark.operators.dedup import (
+        cluster_size_histogram,
+        connected_components,
+    )
+
+    comp = connected_components(
+        spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    )
+    rows = cluster_size_histogram(comp).collect()
+    assert len(rows) == 1
+    assert (rows[0]["cluster_size"], rows[0]["n_clusters"]) == (2, 1)
