@@ -37,6 +37,7 @@ __all__ = [
     "aligned_segments", "line_dedup", "ngram_containment",
     "contamination_spans", "content_defined_chunks", "cdc_duplicate_chunks",
     "score_threshold_sweep", "cluster_size_histogram",
+    "threshold_doc_hits", "quality_survivors",
 ]
 
 
@@ -1190,3 +1191,95 @@ def cluster_size_histogram(
         )
         out = out.unionByName(singleton)
     return out
+
+
+def threshold_doc_hits(
+    pairs: DataFrame,
+    score_col: str = "jaccard",
+    thresholds_pct: tuple[int, ...] = (10, 20, 30, 40, 50, 60, 70, 80, 90),
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    round_dp: int = 6,
+) -> DataFrame:
+    """The sweep's per-document form: ``(threshold_pct, doc_id)`` — each
+    document touched by at least one qualifying pair at each cutoff,
+    deduplicated. The join-ready complement to
+    :func:`score_threshold_sweep`'s aggregate curve: joining a weight
+    column (token counts, byte sizes) against this frame turns the
+    removal curve into the unit budget planners actually reason in —
+    token mass at risk per threshold, not document count (a handful of
+    giant boilerplate docs can carry more tokens than thousands of
+    small mirrors). Same cut-line semantics (rounded score vs pct/100);
+    the distinct is per (threshold, doc) and the frame stays
+    pair-bounded x |grid|."""
+    spark = pairs.sparkSession
+    grid = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(int(p)).cast("long") for p in thresholds_pct])
+        ).alias("threshold_pct")
+    )
+    return (
+        pairs.crossJoin(F.broadcast(grid))
+        .filter(
+            F.round(F.col(score_col), round_dp)
+            >= F.col("threshold_pct").cast("double") / F.lit(100.0)
+        )
+        .select(
+            "threshold_pct", F.explode(F.array(id_a, id_b)).alias("doc_id")
+        )
+        .distinct()
+    )
+
+
+def quality_survivors(
+    components: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    vertex_col: str = "vertex",
+    component_col: str = "component",
+) -> DataFrame:
+    """Quality-aware survivor selection: ONE survivor per duplicate
+    cluster, chosen by ``(score desc, id asc)`` instead of the min-id
+    default — the form production dedup actually ships (keep the
+    longest / highest-quality copy; near-dups differ, and which copy
+    survives decides what the model trains on). Min-id selection is the
+    degenerate case ``score = const``.
+
+    Input: the ``(vertex, component)`` frame from
+    :func:`connected_components` plus a ``(id_col, score_col)`` frame
+    (word counts, Gopher quality, LM logprob — any orderable signal).
+    Output: one row per cluster,
+    ``(cluster_id, survivor_id, survivor_score, cluster_size)``.
+
+    Plan shape: the component labels (pair-bounded, never the corpus)
+    are the BROADCAST side of the score join, so the corpus-sized score
+    frame streams; the per-cluster argmax is a ``row_number() <= 1``
+    window — the WindowGroupLimit shape that computes a partial
+    per-partition limit before the exchange, so only one candidate row
+    per cluster per input partition shuffles."""
+    joined = F.broadcast(components).join(
+        scores.select(
+            F.col(id_col).alias(vertex_col), F.col(score_col).alias("__s")
+        ),
+        vertex_col,
+    )
+    w = Window.partitionBy(component_col).orderBy(
+        F.col("__s").desc(), F.col(vertex_col).asc()
+    )
+    sizes = joined.groupBy(component_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    top = (
+        joined.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(
+            F.col(component_col).alias("cluster_id"),
+            F.col(vertex_col).alias("survivor_id"),
+            F.col("__s").alias("survivor_score"),
+        )
+    )
+    return top.join(
+        F.broadcast(sizes.withColumnRenamed(component_col, "cluster_id")),
+        "cluster_id",
+    )

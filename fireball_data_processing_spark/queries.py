@@ -7110,6 +7110,169 @@ def q_dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TOKEN_MASS_SWEEP_ORACLE = (
+    _LSH_PAIRS_CTE
+    + """,
+shs AS (SELECT doc_id, list_distinct(list(shingle)) AS shs FROM sh GROUP BY doc_id),
+jp AS (
+  SELECT c.id_a, c.id_b,
+    ROUND(
+      len(list_intersect(a.shs, b.shs))::DOUBLE
+      / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs)))::DOUBLE,
+    6) AS jaccard
+  FROM cand c
+  JOIN shs a ON a.doc_id = c.id_a
+  JOIN shs b ON b.doc_id = c.id_b
+),
+grid AS (SELECT 10 * x AS threshold_pct FROM generate_series(1, 9) t(x)),
+docs_hit AS (
+  SELECT DISTINCT threshold_pct, doc FROM (
+    SELECT g.threshold_pct, j.id_a AS doc
+    FROM jp j JOIN grid g ON j.jaccard >= g.threshold_pct / 100.0
+    UNION ALL
+    SELECT g.threshold_pct, j.id_b
+    FROM jp j JOIN grid g ON j.jaccard >= g.threshold_pct / 100.0
+  )
+),
+tok AS (
+  SELECT doc_id, len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS toks
+  FROM documents
+),
+agg AS (
+  SELECT h.threshold_pct,
+    COUNT(*)::BIGINT AS n_docs,
+    SUM(t.toks)::BIGINT AS n_tokens
+  FROM docs_hit h JOIN tok t ON t.doc_id = h.doc
+  GROUP BY h.threshold_pct
+)
+SELECT g.threshold_pct,
+  COALESCE(a.n_docs, 0) AS n_docs,
+  COALESCE(a.n_tokens, 0) AS n_tokens
+FROM grid g LEFT JOIN agg a ON a.threshold_pct = g.threshold_pct
+"""
+)
+
+
+@query("dedup_token_mass_sweep", _TOKEN_MASS_SWEEP_ORACLE)
+def q_dedup_token_mass_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token mass at risk per dedup threshold (operators/dedup.py
+    threshold_doc_hits): the sweep's curve re-denominated in the unit a
+    token-budget planner reasons in — per cutoff, the distinct documents
+    touched and the SUM of their BPE-ish token counts (a handful of
+    giant boilerplate docs can carry more tokens than thousands of small
+    mirrors, which the doc-count curve hides). Per-(threshold, doc)
+    distinct rows stay pair-bounded x 9; the corpus-sized token frame
+    streams against the BROADCAST hit set; zero rows restored by a grid
+    left-merge."""
+    from fireball_data_processing_spark.operators.dedup import (
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signature,
+        threshold_doc_hits,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signature(
+        d, num_hashes=8, shingle_k=3, with_shingles=True
+    ).persist()
+    pairs = lsh_candidate_pairs(sigs, num_hashes=8, band_size=2)
+    sh = sigs.select(F.col("doc_id"), F.col("__sh").alias("sh"))
+    j = jaccard_pairs(d, pairs, shingle_k=3, shingle_sets=sh)
+    hits = threshold_doc_hits(j)
+    toks = d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(r"\w+|[^\w\s]"), 0))
+        .cast("bigint")
+        .alias("__toks"),
+    )
+    agg = (
+        toks.join(F.broadcast(hits), "doc_id")
+        .groupBy("threshold_pct")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("__toks").cast("bigint").alias("n_tokens"),
+        )
+    )
+    grid = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(p).cast("long") for p in range(10, 100, 10)])
+        ).alias("threshold_pct")
+    )
+    return (
+        grid.join(F.broadcast(agg), "threshold_pct", "left")
+        .select(
+            "threshold_pct",
+            F.coalesce("n_docs", F.lit(0).cast("bigint")).alias("n_docs"),
+            F.coalesce("n_tokens", F.lit(0).cast("bigint")).alias("n_tokens"),
+        )
+        .orderBy("threshold_pct")
+    )
+
+
+_QUALITY_SURVIVORS_ORACLE = (
+    _LSH_PAIRS_CTE.replace("WITH words", "WITH RECURSIVE words", 1)
+    + """,
+e AS (
+  SELECT id_a AS a, id_b AS b FROM cand
+  UNION SELECT id_b, id_a FROM cand
+),
+reach(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+),
+comp AS (SELECT a AS vertex, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a),
+wc AS (
+  SELECT doc_id,
+    len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))::BIGINT AS score
+  FROM documents
+),
+r AS (
+  SELECT c.component AS cluster_id, c.vertex AS survivor_id,
+    w.score AS survivor_score,
+    ROW_NUMBER() OVER (
+      PARTITION BY c.component ORDER BY w.score DESC, c.vertex ASC
+    ) AS rk,
+    COUNT(*) OVER (PARTITION BY c.component) AS cluster_size
+  FROM comp c JOIN wc w ON w.doc_id = c.vertex
+)
+SELECT cluster_id, survivor_id, survivor_score, cluster_size
+FROM r WHERE rk = 1
+"""
+)
+
+
+@query("dedup_quality_survivors", _QUALITY_SURVIVORS_ORACLE)
+def q_dedup_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection (operators/dedup.py
+    quality_survivors): LSH candidate pairs closed into clusters, then
+    ONE survivor per cluster by (token count desc, id asc) — keep the
+    LONGEST copy, not the lowest-id one; which duplicate survives
+    decides what the model trains on, and min-id is an accident of
+    ingestion order. Component labels (pair-bounded) broadcast against
+    the streamed corpus-sized score frame; the per-cluster argmax is
+    the WindowGroupLimit row_number shape. The oracle closes the same
+    graph recursively and replays the same (score, id) tie-break."""
+    from fireball_data_processing_spark.operators.dedup import (
+        connected_components,
+        lsh_candidate_pairs,
+        minhash_signature,
+        quality_survivors,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signature(d, num_hashes=8, shingle_k=3)
+    pairs = lsh_candidate_pairs(sigs, num_hashes=8, band_size=2)
+    comp = connected_components(pairs)
+    scores = d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(r"\w+|[^\w\s]"), 0))
+        .cast("bigint")
+        .alias("score"),
+    )
+    return quality_survivors(comp, scores).orderBy("cluster_id")
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
@@ -7174,13 +7337,19 @@ _PRIORITY = [
     "token_pmi_collocations",
     "dsir_selection_weights",
     "source_distribution_drift",
-    "incremental_heuristics_merge",
-    "windowed_mix_drift",
-    # --- late round-6 additions (need first-ever driver rows; placed
-    # after the stale rotations so no pre-r4 attestation is displaced,
-    # before the regression core whose members carry fresh r4/r5 rows) ---
+    # --- late round-6 additions (need FIRST-EVER driver rows, which
+    # outrank refreshing r3 rows: every r3-stale query already has a
+    # green driver row plus this round's full local drives at both
+    # scales; a new query has no driver row at all). The two trailing
+    # r3-stale entries (incremental_heuristics_merge, windowed_mix_drift)
+    # move just past the ~50-slot head to make room — both MATCH in the
+    # round-6 full drives and rotate first next round. ---
     "dedup_threshold_sweep",
     "dup_cluster_size_histogram",
+    "dedup_token_mass_sweep",
+    "dedup_quality_survivors",
+    "incremental_heuristics_merge",
+    "windowed_mix_drift",
     # --- fixed regression core (fresh r4/r5 rows; fill remaining slots) ---
     "heuristics_matrix",
     "triples_summary",

@@ -1470,3 +1470,48 @@ def test_cluster_size_histogram_no_total_omits_singletons(spark):
     rows = cluster_size_histogram(comp).collect()
     assert len(rows) == 1
     assert (rows[0]["cluster_size"], rows[0]["n_clusters"]) == (2, 1)
+
+
+def test_threshold_doc_hits_distinct_per_cut(spark):
+    from fireball_data_processing_spark.operators.dedup import (
+        threshold_doc_hits,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.95), (1, 3, 0.55), (4, 5, 0.25)],
+        "id_a long, id_b long, jaccard double",
+    )
+    got = {}
+    for r in threshold_doc_hits(pairs).collect():
+        got.setdefault(r["threshold_pct"], set()).add(r["doc_id"])
+    assert got[20] == {1, 2, 3, 4, 5}
+    assert got[50] == {1, 2, 3}  # doc 1 emitted once despite two pairs
+    assert got[90] == {1, 2}
+    assert got[30] == {1, 2, 3}  # 0.25 pair out above cut 20
+    assert 80 not in got or got[80] == {1, 2}  # 0.95 only
+
+
+def test_quality_survivors_picks_best_then_lowest_id(spark):
+    from fireball_data_processing_spark.operators.dedup import (
+        connected_components,
+        quality_survivors,
+    )
+
+    # cluster {1,2,3}: doc 2 longest; cluster {4,5}: tie -> lowest id 4
+    comp = connected_components(
+        spark.createDataFrame(
+            [(1, 2), (2, 3), (4, 5)], "id_a long, id_b long"
+        )
+    )
+    scores = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 50), (4, 7), (5, 7)],
+        "doc_id long, score long",
+    )
+    rows = {
+        r["cluster_id"]: r for r in quality_survivors(comp, scores).collect()
+    }
+    assert rows[1]["survivor_id"] == 2
+    assert rows[1]["survivor_score"] == 99
+    assert rows[1]["cluster_size"] == 3
+    assert rows[4]["survivor_id"] == 4  # score tie broken by lowest id
+    assert rows[4]["cluster_size"] == 2
