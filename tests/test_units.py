@@ -1515,3 +1515,32 @@ def test_quality_survivors_picks_best_then_lowest_id(spark):
     assert rows[1]["cluster_size"] == 3
     assert rows[4]["survivor_id"] == 4  # score tie broken by lowest id
     assert rows[4]["cluster_size"] == 2
+
+
+def test_dedup_datasheet_operators_handle_empty_inputs(spark):
+    """Edge hardening for the dedup-datasheet family: an empty pair
+    frame must still emit the full zero-filled threshold grid (the
+    curve's contract is one row per cutoff), and empty components must
+    yield an empty histogram/survivor set — not a crash."""
+    from fireball_data_processing_spark.operators.dedup import (
+        cluster_size_histogram,
+        quality_survivors,
+        score_threshold_sweep,
+        threshold_doc_hits,
+    )
+
+    no_pairs = spark.createDataFrame([], "id_a long, id_b long, jaccard double")
+    sweep = score_threshold_sweep(no_pairs).collect()
+    assert len(sweep) == 9
+    assert all((r["n_pairs"], r["n_docs"]) == (0, 0) for r in sweep)
+
+    assert threshold_doc_hits(no_pairs).count() == 0
+
+    no_comp = spark.createDataFrame([], "vertex long, component long")
+    assert cluster_size_histogram(no_comp).count() == 0
+    total = spark.createDataFrame([(5,)], "n_tot long")
+    only_singletons = cluster_size_histogram(no_comp, n_total_docs=total).collect()
+    assert [(r["cluster_size"], r["n_clusters"], r["n_docs"]) for r in only_singletons] == [(1, 5, 5)]
+
+    no_scores = spark.createDataFrame([], "doc_id long, score long")
+    assert quality_survivors(no_comp, no_scores).count() == 0
