@@ -89,6 +89,10 @@ EXTRA = (
     "hard_negative_mining",
     "semantic_curation_summary",
     "tokenizer_fertility_stats",
+    "dedup_threshold_sweep",
+    "dup_cluster_size_histogram",
+    "dedup_token_mass_sweep",
+    "dedup_quality_survivors",
 )
 
 
