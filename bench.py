@@ -93,6 +93,7 @@ EXTRA = (
     "dup_cluster_size_histogram",
     "dedup_token_mass_sweep",
     "dedup_quality_survivors",
+    "pq_adc_topk_neighbors",
 )
 
 

@@ -1075,3 +1075,178 @@ def hard_negative_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------
+# product quantization (the memory-side ANN path: IVF bounds COMPUTE
+# per query, PQ bounds BYTES per stored vector)
+# ---------------------------------------------------------------------
+
+
+def pq_fit(
+    corpus: DataFrame,
+    m: int = 4,
+    ks: int = 4,
+    n_iter: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_dp: int = 6,
+) -> list[list[tuple[int, list[float]]]]:
+    """Train product-quantization codebooks: split every vector into
+    ``m`` contiguous subvectors and k-means each subspace independently
+    (Jégou, Douze & Schmid 2011, "Product Quantization for Nearest
+    Neighbor Search" — the Faiss ``PQx`` family). A stored vector then
+    costs ``m`` small codes (m bytes at ks<=256) instead of dim
+    doubles — the 100 TB memory path, complementing the JL sketch
+    (compute) and IVF cells (candidate bounding) this module already
+    has.
+
+    Returns ``m`` codebooks, each ``[(cid, centroid), ...]`` ordered by
+    cid — the engine-replayable :func:`~.clustering.kmeans_fit`
+    (deterministic k-lowest-id seeding, 6-dp centroid rounding per
+    round), so a SQL oracle replays every subspace fit exactly.
+
+    Plan: ONE persisted sliced projection of the corpus feeds all ``m``
+    fits (the corpus is scanned once, not once per subspace); each fit
+    is the bounded-collect Lloyd loop — at scale, fit on a sample and
+    broadcast the codebooks, exactly like IVF centroids."""
+    from fireball_data_processing_spark.operators.clustering import (
+        kmeans_fit,
+    )
+
+    dim = _infer_dim(corpus, vec_col)
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    sliced = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        *[
+            F.slice(F.col(vec_col).cast("array<double>"), j * sub + 1, sub)
+            .alias(f"__s{j}")
+            for j in range(m)
+        ],
+    ).persist()
+    books = []
+    for j in range(m):
+        _, cents = kmeans_fit(
+            sliced,
+            k=ks,
+            n_iter=n_iter,
+            vec_col=f"__s{j}",
+            id_col="vec_id",
+            round_dp=round_dp,
+        )
+        books.append(cents)
+    return books
+
+
+def pq_code_expr(
+    vec: Column, dim: int, codebooks: list[list[tuple[int, list[float]]]]
+) -> Column:
+    """Encode a vector as its ``array<int>`` of per-subspace nearest-
+    centroid codes — a PURE column expression (codebooks enter as
+    literals), so encoding is a zero-shuffle projection over the corpus
+    scan and drops into streams unchanged. ``vec`` must already be
+    ``array<double>``; ties break to the lowest code (the
+    :func:`~.clustering.nearest_centroid_expr` contract)."""
+    from fireball_data_processing_spark.operators.clustering import (
+        nearest_centroid_expr,
+    )
+
+    m = len(codebooks)
+    sub = dim // m
+    return F.array(
+        *[
+            nearest_centroid_expr(
+                codebooks[j], F.slice(vec, j * sub + 1, sub)
+            )["cid"]
+            for j in range(m)
+        ]
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the corpus side
+    carries ONLY its ``m`` codes (never the vectors), each query
+    precomputes an ``m x ks`` table of exact squared distances from its
+    own subvectors to every codebook centroid, and the approximate
+    distance is ``m`` table lookups summed — Jégou et al. 2011's ADC,
+    the lookup trick that makes scanning a billion codes cheap.
+
+    Output: ``(query_id, neighbor_id, adc_d2, rank)``, rank 1 =
+    nearest (smallest approximate squared L2), rounded scores with id
+    tie-breaks — engine-replayable end to end (the oracle re-runs every
+    subspace fit, the encoding argmin, and the same lookup sum).
+
+    Plan shape: the corpus scan projects codes (pure expression) and
+    STREAMS against the broadcast query batch, whose distance tables
+    ride along as per-row array literals of expressions; the per-pair
+    work is ``m`` ``element_at`` lookups + adds — no per-pair
+    full-dimension arithmetic anywhere; the rank filter compiles to
+    two-phase WindowGroupLimit top-k. At 100 TB the codes are a stored
+    column (dim/m x 8 compression at ks<=256) and this is one
+    code-column scan."""
+    dim = _infer_dim(corpus, vec_col)
+    m = len(codebooks)
+    sub = dim // m
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        pq_code_expr(
+            F.col(vec_col).cast("array<double>"), dim, codebooks
+        ).alias("__codes"),
+    )
+    qv = F.col(vec_col).cast("array<double>")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        *[
+            F.array(
+                *[
+                    _sq_l2(
+                        F.slice(qv, j * sub + 1, sub),
+                        F.array(*[F.lit(float(x)) for x in cent]),
+                    )
+                    for _, cent in codebooks[j]
+                ]
+            ).alias(f"__t{j}")
+            for j in range(m)
+        ],
+    )
+    adc = F.round(
+        sum(
+            F.element_at(
+                F.col(f"__t{j}"), F.element_at("__codes", j + 1) + 1
+            )
+            for j in range(m)
+        ),
+        round_dp,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("adc_d2", adc)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_d2", "rank")
+    )
+
+
+def _sq_l2(a: Column, b: Column) -> Column:
+    """Squared L2 with the sequential-fold determinism contract (the
+    clustering module's _dist2, re-declared here to keep the import
+    surface one-way)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )

@@ -847,3 +847,105 @@ def test_percentile_gate_bucketed_null_and_nan_parity(spark):
         for r in score_percentile_gate(di, "score", "grp", keep_frac=1.0).collect()
     }
     assert got_i == want_i
+
+
+def test_pq_codebooks_and_code_shape(spark):
+    from fireball_data_processing_spark.operators.similarity import (
+        pq_code_expr,
+        pq_fit,
+    )
+    from fireball_data_processing_spark.sources.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    books = pq_fit(e, m=4, ks=4, n_iter=1)
+    assert len(books) == 4
+    for book in books:
+        assert [cid for cid, _ in book] == [0, 1, 2, 3]  # cid-ordered
+        assert all(len(cent) == 16 for _, cent in book)  # dim/m
+    codes = e.select(
+        pq_code_expr(F.col("embedding").cast("array<double>"), 64, books).alias("c")
+    ).collect()
+    assert all(len(r["c"]) == 4 for r in codes)
+    assert all(0 <= x < 4 for r in codes for x in r["c"])
+
+
+def test_pq_adc_matches_literal_python(spark):
+    import pytest
+
+    # literal-Python ADC parity on a small slice: same codebooks, same
+    # (d2, cid) encoding argmin, same m-lookup sum — pins the Spark
+    # expression end to end, complementing the DuckDB oracle
+    from fireball_data_processing_spark.operators.similarity import (
+        pq_fit,
+        pq_topk,
+    )
+    from fireball_data_processing_spark.sources.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings").filter(
+        F.col("vec_id") < 30
+    )
+    books = pq_fit(e, m=4, ks=4, n_iter=1)
+    q = e.filter(F.col("vec_id") < 3)
+    got = {
+        (r["query_id"], r["neighbor_id"]): r["adc_d2"]
+        for r in pq_topk(q, e, books, k=30).collect()
+    }
+
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in e.collect()}
+
+    def sq(a, b):
+        d = 0.0
+        for x, y in zip(a, b):
+            d += (x - y) * (x - y)
+        return d
+
+    def code(v, j):
+        return min(
+            (sq(v[j * 16 : (j + 1) * 16], cent), cid)
+            for cid, cent in books[j]
+        )[1]
+
+    for (qi, ni), spark_d in got.items():
+        v = vecs[ni]
+        expect = sum(
+            sq(
+                vecs[qi][j * 16 : (j + 1) * 16],
+                dict(books[j])[code(v, j)],
+            )
+            for j in range(4)
+        )
+        assert spark_d == pytest.approx(expect, abs=2e-6), (qi, ni)
+
+
+def test_pq_recall_monotone_in_code_budget(spark):
+    # honest recall pin, rp_ann-style: the synthetic corpus's margins
+    # sit below coarse-code resolution, so the pin is that a bigger
+    # code budget (more subspaces x more centroids x more Lloyd rounds)
+    # must buy recall — not a flattering point estimate
+    from fireball_data_processing_spark.operators.similarity import (
+        brute_force_topk,
+        pq_fit,
+        pq_topk,
+    )
+    from fireball_data_processing_spark.sources.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(q, e, k=5).collect()
+    }
+
+    def recall(m, ks, n_iter):
+        books = pq_fit(e, m=m, ks=ks, n_iter=n_iter)
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in pq_topk(q, e, books, k=5).collect()
+        }
+        return len(exact & approx) / len(exact)
+
+    small, big = recall(4, 4, 1), recall(16, 8, 2)
+    assert big > small, (small, big)
+    # floor from the measured sf0.001 band (100 vectors; 0.40 at
+    # sf0.01) — the monotone climb above is the substantive pin
+    assert big >= 0.2, big
