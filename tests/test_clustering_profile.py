@@ -949,3 +949,66 @@ def test_pq_recall_monotone_in_code_budget(spark):
     # floor from the measured sf0.001 band (100 vectors; 0.40 at
     # sf0.01) — the monotone climb above is the substantive pin
     assert big >= 0.2, big
+
+
+def test_pq_encoder_streams_unchanged(spark):
+    # the streaming payoff of encoding-as-projection: the SAME
+    # pq_code_expr encodes a Structured Streaming embedding ingest with
+    # no state, no watermark, append mode — writing PQ codes at ingest
+    # time (the stored-code-column shape pq_topk scans at 100 TB) is
+    # just a projection
+    import os
+    import shutil
+    import tempfile
+
+    from fireball_data_processing_spark.operators.similarity import (
+        pq_code_expr,
+        pq_fit,
+    )
+    from fireball_data_processing_spark.sources.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    books = pq_fit(e, m=4, ks=4, n_iter=1)
+    src = tempfile.mkdtemp(prefix="fb_pq_stream_")
+    try:
+        shutil.copy(
+            os.path.join("/root/testdata/sf0.001", "embeddings.parquet"), src
+        )
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .select(
+                "vec_id",
+                pq_code_expr(
+                    F.col("embedding").cast("array<double>"), 64, books
+                ).alias("codes"),
+            )
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("pq_encode_route")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r["vec_id"]: list(r["codes"])
+            for r in spark.sql("SELECT * FROM pq_encode_route").collect()
+        }
+        want = {
+            r["vec_id"]: list(r["codes"])
+            for r in spark.read.parquet(src)
+            .select(
+                "vec_id",
+                pq_code_expr(
+                    F.col("embedding").cast("array<double>"), 64, books
+                ).alias("codes"),
+            )
+            .collect()
+        }
+        assert got == want
+        assert len(got) == spark.read.parquet(src).count()
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
