@@ -72,6 +72,20 @@ def _centroid_literal(centroids: list[tuple[int, list[float]]]) -> Column:
     )
 
 
+def _bind_once(vec: Column, body) -> Column:
+    """Evaluate ``vec`` ONCE per row and hand the materialized value to
+    ``body`` as a lambda variable: HOF lambda bodies get no common-
+    subexpression elimination (the winnowing lesson), so a COMPOSITE
+    ``vec`` expression (e.g. an rp-sketch projection) referenced inside
+    the per-centroid distance lambda would otherwise be recomputed k
+    times per row — the inlining that previously forced callers like
+    ``rp_ivf_topk`` to persist a sketch frame just to pin evaluation.
+    Wrapping the value in a 1-element array and transforming binds it
+    to a NamedLambdaVariable, which the inner lambdas reference instead
+    of re-evaluating."""
+    return F.element_at(F.transform(F.array(vec), body), 1)
+
+
 def nearest_centroid_expr(
     centroids: list[tuple[int, list[float]]], vec: Column
 ) -> Column:
@@ -80,14 +94,19 @@ def nearest_centroid_expr(
     is (batch, streams, as another operator's partition key). Ties break
     to the lowest cluster id (struct-lexicographic ``array_min`` over
     (dist2, cid)); the distance expression is evaluated once per
-    centroid. ``vec`` should already be ``array<double>``."""
-    return F.array_min(
-        F.transform(
-            _centroid_literal(centroids),
-            lambda c: F.struct(
-                _dist2(vec, c["v"]).alias("d"), c["cid"].alias("cid")
-            ),
-        )
+    centroid, and ``vec`` itself once per ROW (``_bind_once``), so a
+    composite vector expression never multiplies by k. ``vec`` should
+    already be ``array<double>``."""
+    return _bind_once(
+        vec,
+        lambda v: F.array_min(
+            F.transform(
+                _centroid_literal(centroids),
+                lambda c: F.struct(
+                    _dist2(v, c["v"]).alias("d"), c["cid"].alias("cid")
+                ),
+            )
+        ),
     )
 
 
@@ -99,19 +118,22 @@ def nearest_centroids_expr(
     the multi-probe generalization of :func:`nearest_centroid_expr`,
     which IVF-style index probing needs (a query inspects its few
     nearest cells, not just the winner). Same determinism contract:
-    sequential-fold distances, lowest-cid tie-break, all inside one
-    codegen projection."""
-    return F.slice(
-        F.array_sort(
-            F.transform(
-                _centroid_literal(centroids),
-                lambda c: F.struct(
-                    _dist2(vec, c["v"]).alias("d"), c["cid"].alias("cid")
-                ),
-            )
+    sequential-fold distances, lowest-cid tie-break, once-per-row
+    ``vec`` evaluation, all inside one codegen projection."""
+    return _bind_once(
+        vec,
+        lambda v: F.slice(
+            F.array_sort(
+                F.transform(
+                    _centroid_literal(centroids),
+                    lambda c: F.struct(
+                        _dist2(v, c["v"]).alias("d"), c["cid"].alias("cid")
+                    ),
+                )
+            ),
+            1,
+            n_probe,
         ),
-        1,
-        n_probe,
     )
 
 

@@ -1252,22 +1252,33 @@ def quality_survivors(
     Output: one row per cluster,
     ``(cluster_id, survivor_id, survivor_score, cluster_size)``.
 
-    Plan shape: the component labels (pair-bounded, never the corpus)
-    are the BROADCAST side of the score join, so the corpus-sized score
-    frame streams; the per-cluster argmax is a ``row_number() <= 1``
-    window — the WindowGroupLimit shape that computes a partial
-    per-partition limit before the exchange, so only one candidate row
-    per cluster per input partition shuffles."""
-    joined = F.broadcast(components).join(
-        scores.select(
-            F.col(id_col).alias(vertex_col), F.col(score_col).alias("__s")
-        ),
-        vertex_col,
+    Scores need not cover every vertex: the join is a LEFT join from
+    the cluster membership, an unscored vertex gets a NULL score
+    ordered LAST (``desc_nulls_last``), and ``cluster_size`` counts
+    ALL members — so a partially-scored cluster still elects its best
+    scored copy (or, fully unscored, the lowest id) instead of
+    silently vanishing from the output (ADVICE r6).
+
+    Plan shape: the corpus-sized score frame STREAMS against a
+    broadcast semi-join on the (pair-bounded) member set — a left outer
+    join preserving the small side can't keep the big side streaming
+    (BroadcastHashJoin only builds the non-preserved side), so the
+    outer join itself runs AFTER the semi restriction, between two
+    pair-bounded frames, with the restricted scores broadcast. The
+    per-cluster argmax is a ``row_number() <= 1`` window — the
+    WindowGroupLimit shape that computes a partial per-partition limit
+    before the exchange, so only one candidate row per cluster per
+    input partition shuffles."""
+    member_scores = scores.select(
+        F.col(id_col).alias(vertex_col), F.col(score_col).alias("__s")
+    ).join(
+        F.broadcast(components.select(vertex_col)), vertex_col, "semi"
     )
+    joined = components.join(F.broadcast(member_scores), vertex_col, "left")
     w = Window.partitionBy(component_col).orderBy(
-        F.col("__s").desc(), F.col(vertex_col).asc()
+        F.col("__s").desc_nulls_last(), F.col(vertex_col).asc()
     )
-    sizes = joined.groupBy(component_col).agg(
+    sizes = components.groupBy(component_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("cluster_size")
     )
     top = (

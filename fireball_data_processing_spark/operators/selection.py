@@ -315,14 +315,29 @@ def score_percentile_gate(
     )
     # phase 2: in-bucket tied rank + broadcast offset = group-global
     # RANK(); percent_rank = (rank-1)/(n-1), 0 for singleton groups
-    # (Spark's percent_rank convention).
+    # (Spark's percent_rank convention). The group-key join must be
+    # NULL-SAFE: a NULL group key is its own partition in the plain
+    # path's window (and in phase 1's groupBy/window here), but a plain
+    # equi-join on the key would never match it — silently dropping
+    # every null-group row the plain path ranks (identity test covers
+    # the null group in both directions).
+    off = offsets.select(
+        F.col(group_col).alias("__og"),
+        F.col("__b").alias("__ob"),
+        "__off",
+        "__n",
+    )
     win = Window.partitionBy(group_col, "__b").orderBy(order)
     rank = F.col("__off") + F.rank().over(win)
     pctl = F.when(F.col("__n") > 1, (rank - 1) / (F.col("__n") - 1)).otherwise(
         F.lit(0.0)
     )
     return (
-        with_b.join(F.broadcast(offsets), [group_col, "__b"])
+        with_b.join(
+            F.broadcast(off),
+            F.col(group_col).eqNullSafe(F.col("__og"))
+            & (F.col("__b") == F.col("__ob")),
+        )
         .withColumn("pctl", F.round(pctl, round_dp))
         .filter(F.col("pctl") <= keep_frac)
         .select(*scored.columns, "pctl")

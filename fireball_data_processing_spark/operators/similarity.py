@@ -961,30 +961,29 @@ def rp_ivf_topk(
     )
 
     dim = _infer_dim(corpus, vec_col)
-    # ONE persisted sketch-augmented corpus frame feeds the whole call —
-    # the local analog of the stored sketch column a 100 TB index keeps.
-    # The persist is load-bearing twice over: (a) every Lloyd round's
-    # driver collect would otherwise recompute the corpus-wide sketch
-    # projection from scratch, and (b) the cell-assignment expression
-    # references its vector once per centroid while HOF lambda bodies
-    # get no common-subexpression elimination (the winnowing lesson,
-    # functions/textstats.py) — un-pinned, Catalyst inlines the sketch
-    # into all n_cells distance lambdas and the assignment costs
-    # n_cells x the sketch itself (measured 9.1 -> 0.4 s at 128k
-    # vectors). Reading the sketch back from the cache makes it a plain
-    # column reference. Stays persisted for the returned plan's
-    # lifetime (the ivf_query precedent); batch-looping callers may
-    # unpersist via the plan's cached child.
+    # ONE sketch-augmented corpus frame feeds the whole call — the
+    # local analog of the stored sketch column a 100 TB index keeps.
+    # Per-row sketch evaluation is pinned by the assignment expression
+    # itself (``_bind_once`` inside nearest_centroid(s)_expr evaluates
+    # the vector argument once per ROW, not once per centroid — HOF
+    # lambda bodies get no common-subexpression elimination, the
+    # winnowing lesson), so the frame only needs to be PERSISTED while
+    # the Lloyd fit's n_iter+1 driver collects re-run it; kmeans_fit is
+    # eager (centroids return as Python literals), so the cache is
+    # dropped before the query plan is even built — no cached frame
+    # outlives the call on either path (ADVICE r6).
     wsk = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
         rp_sketch_expr(F.col(vec_col), dim, out_dim, round_dp).alias("__csk"),
-    ).persist()
+    )
     if centroids is None:
+        wsk = wsk.persist()
         _, centroids = kmeans_fit(
             wsk, k=n_cells, n_iter=n_iter, vec_col="__csk",
             id_col="neighbor_id",
         )
+        wsk.unpersist()
     cells = wsk.select(
         "neighbor_id",
         "__cv",
@@ -1137,7 +1136,35 @@ def pq_fit(
             round_dp=round_dp,
         )
         books.append(cents)
+    # every fit is eager (bounded driver collects; only the codebook
+    # literals survive), so nothing downstream reads the cache — drop
+    # it before returning instead of leaking one corpus-wide cached
+    # frame per call (ADVICE r6)
+    sliced.unpersist()
     return books
+
+
+def _check_pq_dims(
+    dim: int, codebooks: list[list[tuple[int, list[float]]]]
+) -> None:
+    """Fail fast when codebooks don't fit the vector dimension: ``dim``
+    must split evenly into ``m = len(codebooks)`` subspaces and every
+    codebook centroid must be exactly ``dim // m`` wide (the
+    :func:`pq_fit` contract). Without this, encoding/scoring a corpus
+    of a different dimension than the training corpus silently
+    mis-slices — ``F.slice`` past the end yields short arrays and the
+    distance folds produce null/garbage instead of an error."""
+    m = len(codebooks)
+    if m == 0 or dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    for j, book in enumerate(codebooks):
+        widths = {len(cent) for _, cent in book}
+        if widths != {sub}:
+            raise ValueError(
+                f"codebook {j} centroid width {sorted(widths)} != dim//m "
+                f"{sub} — codebooks were fit on a different dimension"
+            )
 
 
 def pq_code_expr(
@@ -1148,12 +1175,17 @@ def pq_code_expr(
     literals), so encoding is a zero-shuffle projection over the corpus
     scan and drops into streams unchanged. ``vec`` must already be
     ``array<double>``; ties break to the lowest code (the
-    :func:`~.clustering.nearest_centroid_expr` contract)."""
+    :func:`~.clustering.nearest_centroid_expr` contract). Raises if
+    ``dim`` is not divisible by the codebook count or the codebook
+    subvector width disagrees with ``dim // m`` — encoding a corpus
+    whose dimension differs from the training corpus would otherwise
+    silently mis-slice into null/garbage distances (ADVICE r6)."""
     from fireball_data_processing_spark.operators.clustering import (
         nearest_centroid_expr,
     )
 
     m = len(codebooks)
+    _check_pq_dims(dim, codebooks)
     sub = dim // m
     return F.array(
         *[
@@ -1196,6 +1228,7 @@ def pq_topk(
     code-column scan."""
     dim = _infer_dim(corpus, vec_col)
     m = len(codebooks)
+    _check_pq_dims(dim, codebooks)
     sub = dim // m
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),

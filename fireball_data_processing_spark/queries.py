@@ -7237,10 +7237,10 @@ r AS (
   SELECT c.component AS cluster_id, c.vertex AS survivor_id,
     w.score AS survivor_score,
     ROW_NUMBER() OVER (
-      PARTITION BY c.component ORDER BY w.score DESC, c.vertex ASC
+      PARTITION BY c.component ORDER BY w.score DESC NULLS LAST, c.vertex ASC
     ) AS rk,
     COUNT(*) OVER (PARTITION BY c.component) AS cluster_size
-  FROM comp c JOIN wc w ON w.doc_id = c.vertex
+  FROM comp c LEFT JOIN wc w ON w.doc_id = c.vertex
 )
 SELECT cluster_id, survivor_id, survivor_score, cluster_size
 FROM r WHERE rk = 1

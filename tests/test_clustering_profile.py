@@ -625,7 +625,10 @@ def test_percentile_gate_bucketed_output_identity(spark):
     rng = random.Random(13)
     rows = []
     i = 0
-    for g, n in [("a", 37), ("b", 11), ("solo", 1)]:
+    # None: a NULL group key is its own partition in the plain path's
+    # window — the bucketed path's phase-2 join must be null-safe or it
+    # silently drops the whole null group (regression: ADVICE r6)
+    for g, n in [("a", 37), ("b", 11), ("solo", 1), (None, 9)]:
         for _ in range(n):
             # ties (coarse grid) + values outside [0, 1)
             rows.append((i, g, round(rng.choice([-0.5, 0.0, 0.1, 0.25, 0.25,
@@ -867,6 +870,56 @@ def test_pq_codebooks_and_code_shape(spark):
     ).collect()
     assert all(len(r["c"]) == 4 for r in codes)
     assert all(0 <= x < 4 for r in codes for x in r["c"])
+
+
+def test_pq_dimension_mismatch_raises(spark):
+    """Encoding/scoring a corpus whose dimension differs from the
+    training corpus must raise, not silently mis-slice into
+    null/garbage distances (ADVICE r6): pq_code_expr and pq_topk
+    validate dim % m and the codebook subvector width."""
+    import pytest
+
+    from fireball_data_processing_spark.operators.similarity import (
+        pq_code_expr,
+        pq_fit,
+        pq_topk,
+    )
+    from fireball_data_processing_spark.sources.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings").filter(
+        F.col("vec_id") < 20
+    )
+    books = pq_fit(e, m=4, ks=2, n_iter=1)  # fit at dim 64 -> sub 16
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_code_expr(F.col("v"), 30, books)  # 30 % 4 != 0
+    with pytest.raises(ValueError, match="centroid width"):
+        pq_code_expr(F.col("v"), 32, books)  # 32//4=8 != fitted 16
+    shorter = e.select(
+        "vec_id", F.slice(F.col("embedding"), 1, 32).alias("embedding")
+    )
+    with pytest.raises(ValueError, match="centroid width"):
+        pq_topk(shorter.limit(2), shorter, books, k=3)
+
+
+def test_ann_fit_paths_leave_no_cached_frames(spark):
+    """pq_fit and rp_ivf_topk's internal persists are fit-scoped: the
+    fits are eager (only driver-side literals survive), so no cached
+    corpus-wide frame may outlive the call (ADVICE r6 — each call
+    previously leaked one)."""
+    from fireball_data_processing_spark.operators.similarity import (
+        pq_fit,
+        rp_ivf_topk,
+    )
+    from fireball_data_processing_spark.sources.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    pq_fit(e, m=4, ks=2, n_iter=1)
+    rp_ivf_topk(
+        e.filter(F.col("vec_id") < 5), e, k=3, n_probe=2, n_cells=4
+    ).collect()
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after == before, (before, after)
 
 
 def test_pq_adc_matches_literal_python(spark):

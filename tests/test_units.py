@@ -1517,6 +1517,35 @@ def test_quality_survivors_picks_best_then_lowest_id(spark):
     assert rows[4]["cluster_size"] == 2
 
 
+def test_quality_survivors_tolerates_missing_scores(spark):
+    """Scores need not cover every cluster member (ADVICE r6): an
+    unscored vertex ranks LAST (null score) but still counts toward
+    cluster_size, and a fully unscored cluster elects its lowest id
+    instead of vanishing from the output."""
+    from fireball_data_processing_spark.operators.dedup import (
+        connected_components,
+        quality_survivors,
+    )
+
+    # cluster {1,2,3}: only 3 is scored; cluster {4,5}: nobody scored
+    comp = connected_components(
+        spark.createDataFrame(
+            [(1, 2), (2, 3), (4, 5)], "id_a long, id_b long"
+        )
+    )
+    scores = spark.createDataFrame([(3, 5)], "doc_id long, score long")
+    rows = {
+        r["cluster_id"]: r for r in quality_survivors(comp, scores).collect()
+    }
+    assert set(rows) == {1, 4}
+    assert rows[1]["survivor_id"] == 3  # the one scored copy wins
+    assert rows[1]["survivor_score"] == 5
+    assert rows[1]["cluster_size"] == 3  # unscored members still counted
+    assert rows[4]["survivor_id"] == 4  # all-null scores: lowest id
+    assert rows[4]["survivor_score"] is None
+    assert rows[4]["cluster_size"] == 2
+
+
 def test_dedup_datasheet_operators_handle_empty_inputs(spark):
     """Edge hardening for the dedup-datasheet family: an empty pair
     frame must still emit the full zero-filled threshold grid (the
