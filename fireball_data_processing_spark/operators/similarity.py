@@ -1181,19 +1181,26 @@ def pq_code_expr(
     whose dimension differs from the training corpus would otherwise
     silently mis-slice into null/garbage distances (ADVICE r6)."""
     from fireball_data_processing_spark.operators.clustering import (
+        _bind_once,
         nearest_centroid_expr,
     )
 
     m = len(codebooks)
     _check_pq_dims(dim, codebooks)
     sub = dim // m
-    return F.array(
-        *[
-            nearest_centroid_expr(
-                codebooks[j], F.slice(vec, j * sub + 1, sub)
-            )["cid"]
-            for j in range(m)
-        ]
+    # bind vec once per row: a COMPOSITE vec expression (e.g. the IVFPQ
+    # residual) is referenced by all m subspace slices, and HOF lambda
+    # bodies get no common-subexpression elimination
+    return _bind_once(
+        vec,
+        lambda v: F.array(
+            *[
+                nearest_centroid_expr(
+                    codebooks[j], F.slice(v, j * sub + 1, sub)
+                )["cid"]
+                for j in range(m)
+            ]
+        ),
     )
 
 
@@ -1282,4 +1289,230 @@ def _sq_l2(a: Column, b: Column) -> Column:
         F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
         lambda acc, v: acc + v,
+    )
+
+
+# ---------------------------------------------------------------------
+# IVF-PQ: coarse cells bound CANDIDATES, product-quantized RESIDUALS
+# bound BYTES — the composed billion-scale index (Faiss IVFPQ)
+# ---------------------------------------------------------------------
+
+
+def _cell_centroid_literal(
+    centroids: list[tuple[int, list[float]]],
+) -> Column:
+    """``array<array<double>>`` of centroid vectors ordered by cid
+    (``kmeans_fit`` enumerates cids 0..k-1), so ``element_at(lit,
+    cid + 1)`` is the cell→centroid lookup as a pure expression."""
+    ordered = sorted(centroids)
+    if [cid for cid, _ in ordered] != list(range(len(ordered))):
+        raise ValueError("centroid cids must be exactly 0..k-1")
+    return F.array(
+        *[F.array(*[F.lit(float(x)) for x in v]) for _, v in ordered]
+    )
+
+
+def ivfpq_fit(
+    corpus: DataFrame,
+    n_cells: int = 4,
+    m: int = 4,
+    ks: int = 4,
+    coarse_n_iter: int = 1,
+    pq_n_iter: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_dp: int = 6,
+) -> tuple[list[tuple[int, list[float]]], list[list[tuple[int, list[float]]]]]:
+    """Train the two quantizers of a Faiss-style IVFPQ index (Jégou,
+    Douze & Schmid 2011 §IV — "IVFADC"): a coarse k-means over the FULL
+    vectors partitions the corpus into ``n_cells`` inverted lists, then
+    product quantization is fit on the RESIDUALS ``v - c(v)`` (vector
+    minus its cell centroid) — residuals concentrate near the origin,
+    so the same code budget quantizes them far more finely than raw
+    vectors, which is the whole reason IVFPQ beats flat PQ at equal
+    bytes.
+
+    Returns ``(centroids, codebooks)``: the coarse cell table and the
+    ``m`` residual codebooks — all driver-side literals, both fits the
+    deterministic engine-replayable :func:`~.clustering.kmeans_fit`
+    (k-lowest-id seeding, 6-dp centroid rounding per round), so a SQL
+    oracle replays coarse fit, residual computation, and every subspace
+    fit exactly.
+
+    Plan: the coarse fit is the bounded-collect Lloyd loop; the
+    residual is a pure expression over one corpus projection (cell
+    assignment + centroid-literal lookup + ``zip_with`` subtraction,
+    zero joins); the PQ fit persists that projection only for its own
+    Lloyd collects and unpersists before returning (:func:`pq_fit`). At
+    100 TB, fit both quantizers on a sample and broadcast the literals."""
+    from fireball_data_processing_spark.operators.clustering import (
+        kmeans_fit,
+        nearest_centroid_expr,
+    )
+
+    v = F.col(vec_col).cast("array<double>")
+    base = corpus.select(F.col(id_col).alias("vec_id"), v.alias("__v"))
+    _, centroids = kmeans_fit(
+        base, k=n_cells, n_iter=coarse_n_iter, vec_col="__v",
+        id_col="vec_id", round_dp=round_dp,
+    )
+    cv_lit = _cell_centroid_literal(centroids)
+    cell = nearest_centroid_expr(centroids, F.col("__v"))["cid"]
+    residuals = base.select(
+        "vec_id",
+        F.zip_with(
+            F.col("__v"),
+            F.element_at(cv_lit, cell + F.lit(1)),
+            lambda x, y: x - y,
+        ).alias("__r"),
+    )
+    codebooks = pq_fit(
+        residuals, m=m, ks=ks, n_iter=pq_n_iter, vec_col="__r",
+        id_col="vec_id", round_dp=round_dp,
+    )
+    return centroids, codebooks
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_cells: int = 4,
+    n_probe: int = 2,
+    m: int = 4,
+    ks: int = 4,
+    coarse_n_iter: int = 1,
+    pq_n_iter: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    codebooks: list[list[tuple[int, list[float]]]] | None = None,
+) -> DataFrame:
+    """IVF-PQ approximate nearest neighbors — the composed index shape
+    a 100 TB vector corpus actually stores (Faiss ``IVFx,PQy``): coarse
+    cells bound CANDIDATES (each query touches ``n_probe / n_cells`` of
+    the corpus), PQ residual codes bound BYTES (each stored vector is
+    ``m`` small codes, never the ``dim`` doubles), and the scan cost
+    per candidate is ``m`` table lookups (ADC). This completes the
+    module's retrieval ladder: JL sketch = compute, IVF cells =
+    candidates, PQ codes = memory, IVFPQ = candidates × memory at once.
+
+    Output ``(query_id, neighbor_id, adc_d2, rank)`` — rank 1 =
+    smallest approximate squared L2, rounded scores, (d2, id)
+    tie-breaks, self-pairs excluded: the :func:`pq_topk` contract, so
+    consumers swap flat-PQ for IVFPQ by changing one call.
+
+    Plan shape (the 100 TB lens):
+
+    - **Index = pure projection.** The corpus scan emits
+      ``(neighbor_id, cell, codes)`` — cell assignment and residual PQ
+      encoding are all centroid-literal expressions (zero joins/
+      shuffles); full vectors never leave the scan. A path-backed
+      variant writes this partitioned by cell, turning probes into
+      partition pruning.
+    - **Queries broadcast, corpus streams.** Each query explodes to its
+      ``n_probe`` (cell, ADC-table) rows — the per-cell table holds the
+      exact distances from the query's CELL-RESIDUAL ``q - c(cell)`` to
+      every codebook centroid (the IVFADC subtlety: the query residual
+      is per probed cell, so the tables ride the exploded rows) — and
+      the probe batch broadcast-equi-joins the index on the cell id.
+    - **Top-k is two-phase.** ``row_number() <= k`` over (adc_d2, id)
+      compiles to partial+final WindowGroupLimit, so only k candidates
+      per query per partition reach the exchange.
+
+    Everything is deterministic (both fits engine-replayable, rounded
+    scores, lexicographic tie-breaks), so the DuckDB oracle replays
+    coarse fit → residuals → m subspace fits → encoding → probe → ADC
+    end to end — a fully value-hash-verified composed ANN index."""
+    dim = _infer_dim(corpus, vec_col)
+    if centroids is None or codebooks is None:
+        centroids, codebooks = ivfpq_fit(
+            corpus, n_cells=n_cells, m=m, ks=ks,
+            coarse_n_iter=coarse_n_iter, pq_n_iter=pq_n_iter,
+            vec_col=vec_col, id_col=id_col, round_dp=round_dp,
+        )
+    _check_pq_dims(dim, codebooks)
+    from fireball_data_processing_spark.operators.clustering import (
+        _bind_once,
+        nearest_centroid_expr,
+        nearest_centroids_expr,
+    )
+
+    sub = dim // len(codebooks)
+    cv_lit = _cell_centroid_literal(centroids)
+    v = F.col(vec_col).cast("array<double>")
+
+    cell = nearest_centroid_expr(centroids, v)["cid"]
+    residual = _bind_once(
+        v,
+        lambda x: F.zip_with(
+            x,
+            F.element_at(
+                cv_lit, nearest_centroid_expr(centroids, x)["cid"] + F.lit(1)
+            ),
+            lambda a, b: a - b,
+        ),
+    )
+    idx = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        cell.alias("__cell"),
+        pq_code_expr(residual, dim, codebooks).alias("__codes"),
+    )
+
+    probed = queries.select(
+        F.col(id_col).alias("query_id"),
+        v.alias("__qv"),
+        F.explode(
+            F.transform(
+                nearest_centroids_expr(centroids, v, n_probe),
+                lambda s: s["cid"],
+            )
+        ).alias("__cell"),
+    )
+    # per-(query, cell) ADC tables from the CELL residual, bound once:
+    # m arrays of ks exact subspace distances
+    qres = F.zip_with(
+        F.col("__qv"),
+        F.element_at(cv_lit, F.col("__cell") + F.lit(1)),
+        lambda a, b: a - b,
+    )
+    tables = _bind_once(
+        qres,
+        lambda r: F.array(
+            *[
+                F.array(
+                    *[
+                        _sq_l2(
+                            F.slice(r, j * sub + 1, sub),
+                            F.array(*[F.lit(float(x)) for x in cent]),
+                        )
+                        for _, cent in codebooks[j]
+                    ]
+                )
+                for j in range(len(codebooks))
+            ]
+        ),
+    )
+    qt = probed.select("query_id", "__cell", tables.alias("__t"))
+    adc = F.round(
+        sum(
+            F.element_at(
+                F.element_at("__t", j + 1),
+                F.element_at("__codes", j + 1) + 1,
+            )
+            for j in range(len(codebooks))
+        ),
+        round_dp,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        idx.join(F.broadcast(qt), "__cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("adc_d2", adc)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_d2", "rank")
     )

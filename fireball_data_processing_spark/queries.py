@@ -7374,6 +7374,131 @@ def q_pq_adc_topk_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(q, e, books, k=5).orderBy("query_id", "rank")
 
 
+def _ivfpq_oracle(
+    n_cells: int,
+    n_probe: int,
+    m: int,
+    ks: int,
+    coarse_n_iter: int,
+    pq_n_iter: int,
+    dim: int,
+    n_queries: int,
+    k: int,
+) -> str:
+    """IVFPQ oracle: the coarse unrolled-Lloyd chain over full vectors,
+    the residual CTE (vector minus its FINAL cell centroid — the
+    ``a{t}``/``c{t}f`` pair), one namespaced subspace fit per residual
+    slice, then encoding argmin, full-space cell probing, the
+    per-(query, cell) residual, and the same m-lookup ADC sum +
+    (d2, id) rank the Spark plan computes."""
+    sub = dim // m
+    coarse_cte, coarse_final = _kmeans_cte(n_cells, coarse_n_iter)
+    ccf = f"c{coarse_n_iter}f"
+    slices = ", ".join(
+        f"rs{j} AS (SELECT vec_id, v[{j * sub + 1}:{(j + 1) * sub}] AS v "
+        "FROM res)"
+        for j in range(m)
+    )
+    res = f""",
+res AS (
+  SELECT a.vec_id, a.cid AS cell,
+    list_transform(generate_series(1, {dim}), i -> a.v[i] - c.cv[i]) AS v
+  FROM {coarse_final} a JOIN {ccf} c USING (cid)
+),
+{slices}"""
+    ctes, finals, cfin = [], [], []
+    for j in range(m):
+        cte, fin = _kmeans_cte(
+            ks, pq_n_iter, prelude="", src=f"rs{j}", ns=f"p{j}"
+        )
+        ctes.append(cte)
+        finals.append(fin)
+        cfin.append(f"p{j}c{pq_n_iter}f")
+    codes_joins = " ".join(
+        f"JOIN {finals[j]} a{j} USING (vec_id)" for j in range(m)
+    )
+    codes_cols = ", ".join(f"a{j}.cid AS c{j}" for j in range(m))
+    adc_terms = "\n      + ".join(
+        f"list_sum(list_transform(generate_series(1, {sub}), "
+        f"i -> (qr.rv[i + {j * sub}] - b{j}.cv[i]) "
+        f"* (qr.rv[i + {j * sub}] - b{j}.cv[i])))"
+        for j in range(m)
+    )
+    book_joins = "\n  ".join(
+        f"JOIN {cfin[j]} b{j} ON b{j}.cid = x.c{j}" for j in range(m)
+    )
+    return (
+        coarse_cte
+        + res
+        + "".join(ctes)
+        + f""",
+codes AS (
+  SELECT r.vec_id, r.cell, {codes_cols}
+  FROM res r {codes_joins}
+),
+qs AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < {n_queries}),
+pd AS (
+  SELECT q.query_id, c.cid,
+    list_sum(list_transform(generate_series(1, {dim}),
+             i -> (q.v[i] - c.cv[i]) * (q.v[i] - c.cv[i]))) AS d2
+  FROM qs q, {ccf} c
+),
+probe AS (
+  SELECT query_id, cid FROM pd
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY d2, cid) <= {n_probe}
+),
+qr AS (
+  SELECT p.query_id, p.cid AS cell,
+    list_transform(generate_series(1, {dim}), i -> q.v[i] - c.cv[i]) AS rv
+  FROM probe p JOIN qs q USING (query_id) JOIN {ccf} c USING (cid)
+),
+adc AS (
+  SELECT qr.query_id, x.vec_id AS neighbor_id,
+    ROUND({adc_terms}, 6) AS adc_d2
+  FROM qr JOIN codes x ON x.cell = qr.cell
+  {book_joins}
+  WHERE qr.query_id <> x.vec_id
+)
+SELECT query_id, neighbor_id, adc_d2, rank FROM (
+  SELECT adc.*, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY adc_d2, neighbor_id) AS rank
+  FROM adc
+) WHERE rank <= {k}
+"""
+    )
+
+
+@query(
+    "ivfpq_topk_neighbors",
+    _ivfpq_oracle(
+        n_cells=4, n_probe=2, m=4, ks=4, coarse_n_iter=1, pq_n_iter=1,
+        dim=64, n_queries=5, k=5,
+    ),
+)
+def q_ivfpq_topk_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed ANN (operators/similarity.py ivfpq_fit/
+    ivfpq_topk — Jégou et al. 2011 §IV "IVFADC", the Faiss IVFx,PQy
+    index): coarse k-means cells bound CANDIDATES (each query scans
+    n_probe/n_cells of the corpus), product-quantized RESIDUALS bound
+    BYTES (each stored vector is m codes, and residuals quantize finer
+    than raw vectors at equal budget — the reason IVFPQ beats flat PQ),
+    ADC makes the per-candidate cost m lookups. The index frame is a
+    pure projection (cell + codes, no vectors), the query batch
+    broadcasts its per-probed-cell ADC tables, top-k is two-phase
+    WindowGroupLimit. Fully engine-replayable: the oracle re-runs the
+    coarse Lloyd fit, the residual computation against final centroids,
+    all m namespaced subspace fits, encoding, probing, and the lookup
+    sum — every candidate and score value-hash-verified cross-engine."""
+    from fireball_data_processing_spark.operators.similarity import ivfpq_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        e.filter(F.col("vec_id") < 5), e, k=5, n_cells=4, n_probe=2,
+        m=4, ks=4, coarse_n_iter=1, pq_n_iter=1,
+    ).orderBy("query_id", "rank")
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 

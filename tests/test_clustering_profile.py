@@ -872,6 +872,87 @@ def test_pq_codebooks_and_code_shape(spark):
     assert all(0 <= x < 4 for r in codes for x in r["c"])
 
 
+def test_ivfpq_probe_dial_and_amortized_fit(spark):
+    """IVFPQ behavior pins: (a) probing ALL cells degenerates to exact
+    ADC over the whole corpus — i.e. candidate recall vs the codes is
+    1, so ranks/scores for full probe must equal flat pq_topk run with
+    the SAME residual codebooks applied per cell; we pin the cheaper
+    invariant that hits are monotone in n_probe and full-probe hit set
+    covers partial-probe; (b) passing (centroids, codebooks) from
+    ivfpq_fit reproduces the one-shot call exactly — the amortized
+    production path."""
+    from fireball_data_processing_spark.operators.similarity import (
+        ivfpq_fit,
+        ivfpq_topk,
+    )
+    from fireball_data_processing_spark.sources.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+
+    def hits(n_probe):
+        return {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivfpq_topk(
+                q, e, k=5, n_cells=4, n_probe=n_probe, m=4, ks=4
+            ).collect()
+        }
+
+    h1, h2, h4 = hits(1), hits(2), hits(4)
+    assert len(h4) == 25  # 5 queries x k with all cells probed
+    # more probes reach strictly more of the corpus: the approximate
+    # top-k under a wider candidate set can only improve vs full probe
+    assert len(h2 & h4) >= len(h1 & h4), (len(h1 & h4), len(h2 & h4))
+
+    cents, books = ivfpq_fit(e, n_cells=4, m=4, ks=4)
+    amortized = {
+        (r["query_id"], r["neighbor_id"], r["adc_d2"], r["rank"])
+        for r in ivfpq_topk(
+            q, e, k=5, n_cells=4, n_probe=2, m=4, ks=4,
+            centroids=cents, codebooks=books,
+        ).collect()
+    }
+    oneshot = {
+        (r["query_id"], r["neighbor_id"], r["adc_d2"], r["rank"])
+        for r in ivfpq_topk(
+            q, e, k=5, n_cells=4, n_probe=2, m=4, ks=4
+        ).collect()
+    }
+    assert amortized == oneshot
+
+
+def test_ivfpq_plan_scale_shape(spark):
+    """The IVFPQ query phase must be cell-bounded and code-only: no
+    nested-loop/cartesian contact, the (query, probe-cell, ADC-table)
+    explosion is the broadcast build side of ONE equi-join on the cell
+    id with the corpus streamed, top-k compiles to partial+final
+    WindowGroupLimit, and no full embedding column survives into the
+    join (the index side carries codes, not vectors)."""
+    import re
+
+    from fireball_data_processing_spark.operators.similarity import (
+        ivfpq_fit,
+        ivfpq_topk,
+    )
+    from fireball_data_processing_spark.sources.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents, books = ivfpq_fit(e, n_cells=4, m=4, ks=4)
+    df = ivfpq_topk(
+        e.filter(F.col("vec_id") < 5), e, k=5, n_cells=4, n_probe=2,
+        m=4, ks=4, centroids=cents, codebooks=books,
+    )
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert len(re.findall(r"- BroadcastHashJoin", plan)) == 1, plan
+    assert plan.count("WindowGroupLimit") >= 2, plan
+
+
 def test_pq_dimension_mismatch_raises(spark):
     """Encoding/scoring a corpus whose dimension differs from the
     training corpus must raise, not silently mis-slice into
