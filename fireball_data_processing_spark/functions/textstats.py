@@ -550,3 +550,50 @@ def winnow_fingerprints(
         | ((F.col("__n") < window) & (F.col("__gpos") == 0))
     )
     return fps.select(id_col, "fingerprint").distinct()
+
+
+def flesch_features(c: Column, round_dp: int = 6) -> dict[str, Column]:
+    """Flesch reading-ease features (Flesch 1948; Kincaid et al. 1975 —
+    the readability screen classic web-corpus pipelines run beside the
+    Gopher gate): counts of words, sentences, and syllables, plus
+
+        reading_ease = 206.835 - 1.015 * words/sentence
+                               - 84.6  * syllables/word
+
+    (higher = easier; ~60-70 is plain English, < 30 is academic). The
+    syllable count is the standard orthographic heuristic — vowel GROUPS
+    (``[aeiouy]+`` runs, lowercased) — which is what every portable
+    readability implementation uses; sentences are terminal-punctuation
+    runs (``[.!?]+``), floored at 1 so fragments still score.
+
+    Everything is a pure per-row expression (two regexp_extract_all
+    passes + one split — zero shuffles, codegen-resident, same shape at
+    100 TB) and rounds to ``round_dp``, so the score replays exactly in
+    any engine with POSIX regexes (DuckDB-oracle-checked). Returns
+    ``n_words``, ``n_sentences``, ``n_syllables``, ``reading_ease``;
+    empty/whitespace docs get null reading_ease (no words to rate)."""
+    words = F.filter(
+        F.split(F.trim(c), r"\s+"), lambda w: w != F.lit("")
+    )
+    n_words = F.size(words)
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all(c, F.lit(r"[.!?]+"), 0)), F.lit(1)
+    )
+    n_syll = F.size(
+        F.regexp_extract_all(F.lower(c), F.lit(r"[aeiouy]+"), 0)
+    )
+    ease = F.when(
+        n_words > 0,
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015) * n_words / n_sent
+            - F.lit(84.6) * n_syll / n_words,
+            round_dp,
+        ),
+    )
+    return {
+        "n_words": n_words.cast("bigint"),
+        "n_sentences": n_sent.cast("bigint"),
+        "n_syllables": n_syll.cast("bigint"),
+        "reading_ease": ease,
+    }

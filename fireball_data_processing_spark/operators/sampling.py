@@ -200,3 +200,54 @@ def temperature_mixture_rates(
             F.least(F.lit(1.0), total * F.col("weight") / F.col("n_rows")), 6
         ).alias("keep_rate"),
     )
+
+
+def weighted_sample_topn(
+    df: DataFrame,
+    bucket: Column,
+    weight: Column,
+    n: int,
+    key: Column,
+    salt: str = "",
+    round_dp: int = 12,
+    key_col: str = "es_key",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, per bucket: keep the ``n``
+    rows with the largest ``u ** (1/w)`` where ``u`` is the row's
+    deterministic :func:`hash_rank` uniform and ``w`` its weight — the
+    Efraimidis–Spirakis (2006) reservoir key, under which each row's
+    inclusion probability is proportional to its weight. This is the
+    exact-count counterpart to weight-proportional RATE sampling: "5
+    documents per source, long documents proportionally likelier" (the
+    quality-weighted shard-picking recipe), where a fraction can't
+    express the exact quota.
+
+    Rows with non-positive or null weight are excluded (zero-weight
+    items are never sampled, and ``1/w`` is undefined there). The ES
+    key is ROUNDED to ``round_dp`` (default 12 dp) before ordering and
+    emitted as ``key_col``: ``pow`` may differ between engines in the
+    last ulp, and rounding absorbs that while ties (astronomically
+    rare post-rounding) break on the sampling key ascending — so the
+    selection is bit-reproducible cross-engine (DuckDB-oracle-checked).
+
+    Scale shape: the ES key is a pure scan-local expression; the only
+    exchange is the per-bucket top-n window, which compiles to
+    partial+final WindowGroupLimit (only n candidates per bucket per
+    input partition shuffle). A colossal bucket is therefore bounded by
+    n per upstream partition — no full per-bucket sort materializes.
+    """
+    from pyspark.sql import Window
+
+    es = F.round(
+        F.pow(hash_rank(key, salt), F.lit(1.0) / weight), round_dp
+    )
+    w = Window.partitionBy(bucket).orderBy(
+        F.col(key_col).desc(), key.asc()
+    )
+    return (
+        df.filter(weight > 0)
+        .withColumn(key_col, es)
+        .withColumn("__wr", F.row_number().over(w))
+        .filter(F.col("__wr") <= n)
+        .drop("__wr")
+    )

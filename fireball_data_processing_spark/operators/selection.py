@@ -342,3 +342,65 @@ def score_percentile_gate(
         .filter(F.col("pctl") <= keep_frac)
         .select(*scored.columns, "pctl")
     )
+
+
+def doremi_mixture_weights(
+    scored: DataFrame,
+    domain_col: str,
+    excess_col: str,
+    eta: float = 1.0,
+    smoothing: float = 0.1,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Excess-loss-driven domain reweighting — the one-step DoReMi
+    update (Xie et al. 2023, "DoReMi: Optimizing Data Mixtures Speeds
+    Up Language Model Pretraining"): domains where the proxy model's
+    loss exceeds the reference model's (positive EXCESS loss — still
+    learnable, not yet memorized, not noise) get up-weighted by
+    multiplicative weights, then the distribution is smoothed toward
+    uniform.
+
+    Input: one row per document with its domain and clipped excess loss
+    (``max(0, proxy_loss - reference_loss)``); this engine's stand-in
+    proxy/reference pair is the unigram vs bigram LM (the bigram's
+    context captures what a stronger model has learned; the gap is the
+    learnability signal). Output: one row per domain,
+    ``(domain, n_docs, avg_excess, weight)`` where
+
+        weight = (1 - smoothing) * softmax(eta * avg_excess)
+                 + smoothing / n_domains
+
+    — exactly the paper's update from a uniform initialization with the
+    per-step normalization, computed once over STATIC per-document
+    scores (the full algorithm re-scores between steps as the proxy
+    trains; with static scores further steps are equivalent to a larger
+    ``eta``, so one step is the complete data-engine form). Feed the
+    weights into :func:`~.sampling.mixture_sample` /
+    :func:`~.sampling.temperature_mixture_rates`-style rate planning to
+    materialize the blend.
+
+    Scale shape: ONE groupBy(domain) aggregate over the corpus-sized
+    score frame (map-side partial combine), then softmax/smoothing as
+    unpartitioned windows over the DOMAIN-sized table only. Weights
+    round to ``round_dp`` for cross-engine replay (DuckDB-oracle-
+    checked)."""
+    per_domain = scored.groupBy(
+        F.col(domain_col).alias("domain")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(F.avg(excess_col), round_dp).alias("avg_excess"),
+    )
+    w_all = Window.partitionBy()
+    expw = F.exp(F.lit(float(eta)) * F.col("avg_excess"))
+    softmax = expw / F.sum(expw).over(w_all)
+    k = F.count(F.lit(1)).over(w_all)
+    weight = (
+        F.lit(1.0 - float(smoothing)) * softmax
+        + F.lit(float(smoothing)) / k
+    )
+    return per_domain.select(
+        "domain",
+        "n_docs",
+        "avg_excess",
+        F.round(weight, round_dp).alias("weight"),
+    )

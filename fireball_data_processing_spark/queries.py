@@ -7499,6 +7499,203 @@ def q_ivfpq_topk_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+@query(
+    "weighted_source_sample",
+    """
+WITH keyed AS (
+  SELECT source, doc_id, n_chars,
+    ROUND(POWER(('0x' || substr(md5('w1' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                / 4294967296.0, 1.0 / n_chars), 12) AS es_key
+  FROM documents WHERE n_chars > 0
+)
+SELECT source, doc_id, n_chars::BIGINT AS n_chars, es_key
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY source ORDER BY es_key DESC, doc_id ASC) AS rk
+  FROM keyed
+) WHERE rk <= 3
+""",
+)
+def q_weighted_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (operators/sampling.py
+    weighted_sample_topn — Efraimidis & Spirakis 2006): exactly 3
+    documents per source, longer documents proportionally likelier
+    (weight = n_chars), selected by the largest u^(1/w) reservoir keys
+    over the house md5 uniform — deterministic under repartitioning /
+    retries and bit-replayable cross-engine (the ES key rounds to 12 dp
+    to absorb pow's last-ulp engine differences; ties break on doc_id).
+    The key is a pure scan-local expression; the per-source top-3 is
+    the two-phase WindowGroupLimit shape, so no full per-source sort
+    materializes at scale."""
+    from fireball_data_processing_spark.operators.sampling import (
+        weighted_sample_topn,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return weighted_sample_topn(
+        d.select("source", "doc_id", "n_chars"),
+        bucket=F.col("source"),
+        weight=F.col("n_chars"),
+        n=3,
+        key=F.col("doc_id"),
+        salt="w1",
+    ).select(
+        "source", "doc_id", F.col("n_chars").cast("bigint").alias("n_chars"),
+        "es_key",
+    )
+
+
+_DOREMI_ORACLE = """
+WITH words AS (
+  SELECT doc_id,
+    list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                s -> s <> '') AS w
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, t.token FROM words, UNNEST(w) AS t(token) WHERE t.token <> ''
+),
+vocab AS (SELECT token, COUNT(*)::DOUBLE AS c FROM tok GROUP BY token),
+tot AS (SELECT SUM(c) AS total FROM vocab),
+uni AS (
+  SELECT doc_id, ROUND(AVG(-LOG2(v.c / t.total)), 6) AS uni_nll
+  FROM tok JOIN vocab v USING (token) CROSS JOIN tot t
+  GROUP BY doc_id
+),
+v AS (
+  SELECT COUNT(DISTINCT t)::DOUBLE AS vsz
+  FROM (SELECT UNNEST(w) AS t FROM words)
+),
+big AS (
+  SELECT doc_id, w[i] AS prev, w[i + 1] AS cur
+  FROM words, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 2
+),
+cnt AS (
+  SELECT doc_id,
+    COUNT(*) OVER (PARTITION BY prev, cur)::DOUBLE AS cb,
+    COUNT(*) OVER (PARTITION BY prev)::DOUBLE AS cp
+  FROM big
+),
+bi AS (
+  SELECT doc_id,
+    ROUND(AVG(-log2((cb + 0.5) / (cp + 0.5 * vsz))), 6) AS bi_nll
+  FROM cnt, v GROUP BY doc_id
+),
+excess AS (
+  SELECT d.lang AS domain, GREATEST(u.uni_nll - b.bi_nll, 0) AS ex
+  FROM uni u JOIN bi b USING (doc_id) JOIN documents d USING (doc_id)
+),
+agg AS (
+  SELECT domain, COUNT(*)::BIGINT AS n_docs,
+    ROUND(AVG(ex), 6) AS avg_excess
+  FROM excess GROUP BY domain
+)
+SELECT domain, n_docs, avg_excess,
+  ROUND(0.9 * EXP(avg_excess) / SUM(EXP(avg_excess)) OVER ()
+        + 0.1 / COUNT(*) OVER (), 6) AS weight
+FROM agg
+"""
+
+
+@query("doremi_domain_weights", _DOREMI_ORACLE)
+def q_doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Excess-loss domain reweighting (operators/selection.py
+    doremi_mixture_weights — Xie et al. 2023 DoReMi): per-language
+    mixture weights from the one-step multiplicative-weights update
+    over clipped excess loss, using the engine's unigram LM as the
+    weak proxy and its bigram LM as the stronger reference (the
+    per-document gap — what context predicts that unigrams can't — is
+    the learnability signal; domains with more of it up-weight). One
+    groupBy(domain) over the corpus-sized joined score frame; softmax
+    and uniform smoothing run over the DOMAIN-sized table only. The
+    oracle replays both LM scores, the clipped gap, and the smoothed
+    softmax to 6 dp."""
+    from fireball_data_processing_spark.functions.textstats import (
+        bigram_logprob,
+        unigram_logprob,
+    )
+    from fireball_data_processing_spark.operators.selection import (
+        doremi_mixture_weights,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    uni = unigram_logprob(d).select(
+        "doc_id", F.col("avg_neg_log2_prob").alias("__uni")
+    )
+    bi = bigram_logprob(d).select(
+        "doc_id", F.col("avg_neg_log2_bigram_prob").alias("__bi")
+    )
+    scored = (
+        uni.join(bi, "doc_id")
+        .join(d.select("doc_id", "lang"), "doc_id")
+        .select(
+            "lang",
+            F.greatest(F.col("__uni") - F.col("__bi"), F.lit(0.0)).alias(
+                "__excess"
+            ),
+        )
+    )
+    return doremi_mixture_weights(
+        scored, domain_col="lang", excess_col="__excess",
+        eta=1.0, smoothing=0.1,
+    )
+
+
+@query(
+    "readability_gate",
+    """
+WITH f AS (
+  SELECT doc_id, lang,
+    len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                    s -> s <> '')) AS n_words,
+    greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+  FROM documents
+)
+SELECT doc_id, lang,
+  n_words::BIGINT AS n_words,
+  n_sentences::BIGINT AS n_sentences,
+  n_syllables::BIGINT AS n_syllables,
+  CASE WHEN n_words > 0 THEN
+    ROUND(206.835 - 1.015 * n_words / n_sentences
+                  - 84.6 * n_syllables / n_words, 6)
+  END AS reading_ease,
+  COALESCE(CASE WHEN n_words > 0 THEN
+    (206.835 - 1.015 * n_words / n_sentences
+             - 84.6 * n_syllables / n_words) >= 30.0 END, FALSE)
+    AS passes_readability
+FROM f
+""",
+)
+def q_readability_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease screen (functions/textstats.py
+    flesch_features — Flesch 1948 / Kincaid et al. 1975): per-document
+    word/sentence/vowel-group-syllable counts and the 206.835 -
+    1.015·W/S - 84.6·Y/W score, with a >= 30 pass flag (below ~30 is
+    impenetrable-academic/garbage territory — the readability
+    complement to the Gopher shape gate). Pure per-row regex
+    expressions: zero shuffles, codegen-resident, the same scan+filter
+    shape at 100 TB; scores round to 6 dp for exact cross-engine
+    replay."""
+    from fireball_data_processing_spark.functions.textstats import (
+        flesch_features,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    feats = flesch_features(F.col("text"))
+    ease = feats["reading_ease"]
+    return d.select(
+        "doc_id",
+        "lang",
+        feats["n_words"].alias("n_words"),
+        feats["n_sentences"].alias("n_sentences"),
+        feats["n_syllables"].alias("n_syllables"),
+        ease.alias("reading_ease"),
+        F.coalesce(ease >= 30.0, F.lit(False)).alias("passes_readability"),
+    )
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 

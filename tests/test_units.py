@@ -1573,3 +1573,121 @@ def test_dedup_datasheet_operators_handle_empty_inputs(spark):
 
     no_scores = spark.createDataFrame([], "doc_id long, score long")
     assert quality_survivors(no_comp, no_scores).count() == 0
+
+
+def test_weighted_sample_topn_matches_literal_python(spark):
+    """Efraimidis-Spirakis selection parity: the per-bucket top-n by
+    u^(1/w) must match a literal-Python replay of the md5 uniform and
+    reservoir key; zero/negative/null weights are excluded."""
+    import hashlib
+
+    from fireball_data_processing_spark.operators.sampling import (
+        weighted_sample_topn,
+    )
+
+    rows = [
+        ("a", 1, 10), ("a", 2, 200), ("a", 3, 3000), ("a", 4, 50),
+        ("a", 5, 0), ("b", 6, 7), ("b", 7, 7), ("b", 8, -3),
+        ("c", 9, 1),
+    ]
+    df = spark.createDataFrame(rows, "src string, id long, w long")
+    got = {
+        (r["src"], r["id"])
+        for r in weighted_sample_topn(
+            df, F.col("src"), F.col("w"), n=2, key=F.col("id"), salt="s"
+        ).collect()
+    }
+
+    def u(i):
+        return int(hashlib.md5(f"s{i}".encode()).hexdigest()[:8], 16) / 2**32
+
+    want = set()
+    for src in ("a", "b", "c"):
+        keyed = [
+            (round(u(i) ** (1.0 / w), 12), -i, src, i)
+            for s2, i, w in rows
+            if s2 == src and w > 0
+        ]
+        for _, _, s2, i in sorted(keyed, reverse=True)[:2]:
+            want.add((s2, i))
+    assert got == want
+
+
+def test_weighted_sample_topn_plan_is_group_limit(spark):
+    from fireball_data_processing_spark.operators.sampling import (
+        weighted_sample_topn,
+    )
+
+    df = spark.createDataFrame(
+        [("a", i, i + 1) for i in range(50)], "src string, id long, w long"
+    )
+    plan = weighted_sample_topn(
+        df, F.col("src"), F.col("w"), n=3, key=F.col("id")
+    )._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_doremi_weights_match_literal_python(spark):
+    """One-step multiplicative-weights update parity: softmax of
+    eta * avg clipped excess, smoothed 10% toward uniform, sums to 1."""
+    import math
+
+    import pytest
+
+    from fireball_data_processing_spark.operators.selection import (
+        doremi_mixture_weights,
+    )
+
+    rows = [("web", 0.5), ("web", 0.7), ("code", 2.0), ("forum", 0.0)]
+    df = spark.createDataFrame(rows, "domain string, ex double")
+    got = {
+        r["domain"]: (r["n_docs"], r["avg_excess"], r["weight"])
+        for r in doremi_mixture_weights(
+            df, "domain", "ex", eta=1.0, smoothing=0.1
+        ).collect()
+    }
+    avg = {"web": 0.6, "code": 2.0, "forum": 0.0}
+    z = sum(math.exp(v) for v in avg.values())
+    for dom, (n, a, w) in got.items():
+        assert a == pytest.approx(avg[dom], abs=1e-6)
+        assert w == pytest.approx(
+            0.9 * math.exp(avg[dom]) / z + 0.1 / 3, abs=1e-6
+        )
+    assert got["web"][0] == 2
+    assert sum(w for _, _, w in got.values()) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_flesch_features_known_texts(spark):
+    """Readability score sanity: a terse simple sentence scores high, a
+    long polysyllabic one scores low, empty text yields null (no words
+    to rate) and a sentence floor of 1 keeps fragments finite."""
+    from fireball_data_processing_spark.functions.textstats import (
+        flesch_features,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "The cat sat."),
+            (2, "Extraordinarily sophisticated epistemological "
+                "considerations necessitate interminable deliberation"),
+            (3, ""),
+            (4, "no terminal punctuation here"),
+        ],
+        "id long, text string",
+    )
+    feats = flesch_features(F.col("text"))
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id", *[v.alias(k) for k, v in feats.items()]
+        ).collect()
+    }
+    assert rows[1]["n_words"] == 3 and rows[1]["n_sentences"] == 1
+    assert rows[1]["reading_ease"] > 90
+    assert rows[2]["reading_ease"] < 0  # dense polysyllabic fragment
+    assert rows[3]["reading_ease"] is None and rows[3]["n_words"] == 0
+    assert rows[4]["n_sentences"] == 1  # floored, not divide-by-zero
