@@ -48,6 +48,10 @@ HEADLINE = (
     # Like-for-like vs r5: subtract this query's time from the r6+
     # total (r5 headline covered the first 16 names).
     "kmeans_cluster_profile",
+    # Round-7 growth: the round-6 ANN-compression representative.
+    # Like-for-like vs r6: subtract this query's time from the r7+
+    # total (r6 headline covered the first 17 names).
+    "pq_adc_topk_neighbors",
 )
 
 # Timed the same way but reported under "extra_queries" and NOT counted
@@ -94,6 +98,11 @@ EXTRA = (
     "dedup_token_mass_sweep",
     "dedup_quality_survivors",
     "pq_adc_topk_neighbors",
+    "ivfpq_topk_neighbors",
+    "weighted_source_sample",
+    "doremi_domain_weights",
+    "readability_gate",
+    "curriculum_stages",
 )
 
 

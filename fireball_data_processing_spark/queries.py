@@ -7696,6 +7696,89 @@ def q_readability_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CURRICULUM_ORACLE = """
+WITH words AS (
+  SELECT doc_id,
+    list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                s -> s <> '') AS w
+  FROM documents
+),
+v AS (
+  SELECT COUNT(DISTINCT t)::DOUBLE AS vsz
+  FROM (SELECT UNNEST(w) AS t FROM words)
+),
+big AS (
+  SELECT doc_id, w[i] AS prev, w[i + 1] AS cur
+  FROM words, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 2
+),
+cnt AS (
+  SELECT doc_id,
+    COUNT(*) OVER (PARTITION BY prev, cur)::DOUBLE AS cb,
+    COUNT(*) OVER (PARTITION BY prev)::DOUBLE AS cp
+  FROM big
+),
+nll AS (
+  SELECT doc_id,
+    ROUND(AVG(-log2((cb + 0.5) / (cp + 0.5 * vsz))), 6) AS score
+  FROM cnt, v GROUP BY doc_id
+),
+ranked AS (
+  SELECT d.lang, n.score,
+    ROUND(PERCENT_RANK() OVER (PARTITION BY d.lang ORDER BY n.score), 6)
+      AS pctl
+  FROM nll n JOIN documents d USING (doc_id)
+)
+SELECT lang, LEAST(FLOOR(pctl * 4)::INT + 1, 4) AS stage,
+  COUNT(*)::BIGINT AS n_docs,
+  ROUND(MIN(score), 6) AS min_score, ROUND(MAX(score), 6) AS max_score
+FROM ranked GROUP BY 1, 2
+"""
+
+
+@query("curriculum_stages", _CURRICULUM_ORACLE)
+def q_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum construction (operators/selection.py
+    score_percentile_gate, bucketed path): per-language documents split
+    into 4 difficulty stages by exact percent-rank of their bigram-LM
+    cross-entropy (easy fluent text first, hard tail last — the
+    perplexity-ordered curriculum recipe). The per-row rank uses the
+    BUCKETED two-phase fallback (keep_frac=1 emits every row with its
+    exact pctl), so a colossal language never serializes through one
+    task — this query is the identity test's production twin. Output is
+    the bounded (lang, stage) datasheet with per-stage score bounds."""
+    from fireball_data_processing_spark.functions.textstats import (
+        bigram_logprob,
+    )
+    from fireball_data_processing_spark.operators.selection import (
+        score_percentile_gate,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = (
+        bigram_logprob(d)
+        .select("doc_id", F.col("avg_neg_log2_bigram_prob").alias("score"))
+        .join(d.select("doc_id", "lang"), "doc_id")
+        .select("lang", "score")
+    )
+    ranked = score_percentile_gate(
+        scored, "score", "lang", keep_frac=1.0, ascending=True,
+        bucketed=True, n_buckets=64, score_lo=0.0, score_hi=20.0,
+    )
+    stage = F.least(
+        F.floor(F.col("pctl") * 4).cast("int") + 1, F.lit(4)
+    )
+    return (
+        ranked.withColumn("stage", stage)
+        .groupBy("lang", "stage")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.min("score"), 6).alias("min_score"),
+            F.round(F.max("score"), 6).alias("max_score"),
+        )
+    )
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
@@ -7711,148 +7794,57 @@ def get(name: str) -> QuerySpec:
 # Names listed here lead in this order; anything not listed follows in
 # declaration order; listed-but-unregistered names are skipped.
 _PRIORITY = [
-    # --- new in round 6 (need first-ever driver rows) ---
-    "rp_ivf_topk_neighbors",
-    "frozen_lm_quality_gate",
-    "hard_negative_mining",
-    "semantic_curation_summary",
-    "tokenizer_fertility_stats",
-    # --- newest driver row r2 (oldest attestations; rotate in first) ---
-    "salted_hot_key_agg",
-    "eval_metric_averages",
-    "token_cost_estimate",
-    "fb_struct_key_join",
-    "doc_language_guess",
-    "words_per_signup_segment",
-    # --- newest driver row r3 (all 36; with the six above this clears
-    # every pre-r4 attestation in one head) ---
-    "doc_quality",
-    "lsh_candidate_pairs",
-    "discord_render_clean",
-    "count_errors_after_purchase",
-    "doc_rolling_hash",
-    "embedding_near_dup_pairs",
-    "multi_key_sort_page",
-    "required_fields_filter",
-    "event_type_pivot",
-    "anonymized_props",
-    "ivf_topk_neighbors",
-    "ingest_gate_near_new",
-    "benchmark_contamination",
-    "doc_unigram_logprob",
-    "fb_pii_redact",
-    "doc_repetition",
-    "mixture_sample_counts",
-    "near_dup_clusters",
-    "doc_chunks",
-    "doc_clean_flags",
-    "embedding_quantization",
-    "duplicate_substring_spans",
-    "approx_distinct_rollup",
-    "cms_heavy_hitters",
-    "bloom_filtered_join",
-    "purchase_view_interval_join",
-    "approx_percentile_check",
-    "doc_packing",
-    "training_corpus_summary",
-    "bm25_search",
-    "tf_idf_top_terms",
-    "token_pmi_collocations",
-    "dsir_selection_weights",
-    "source_distribution_drift",
-    # --- late round-6 additions (need FIRST-EVER driver rows, which
-    # outrank refreshing r3 rows: every r3-stale query already has a
-    # green driver row plus this round's full local drives at both
-    # scales; a new query has no driver row at all). The two trailing
-    # r3-stale entries (incremental_heuristics_merge, windowed_mix_drift)
-    # move just past the ~50-slot head to make room — both MATCH in the
-    # round-6 full drives and rotate first next round. ---
-    "dedup_threshold_sweep",
-    "dup_cluster_size_histogram",
-    "dedup_token_mass_sweep",
-    "dedup_quality_survivors",
-    "pq_adc_topk_neighbors",
+    # Round-7 head (the driver samples roughly the first 50 entries).
+    # Layout, continuing the cumulative-attestation rotation: the five
+    # queries NEW this round lead (they have no driver row at all), then
+    # the two r3-stale stragglers deferred from the round-6 head, then 43
+    # of the 50 queries whose newest driver row dates to r4. The seven
+    # deferred r4 entries follow immediately past the head — two of them
+    # (mmr_diverse_topk, bpe_token_stats) are rows-only by nature, so a
+    # driver slot buys them the least; all seven MATCH (or return rows)
+    # in this round's full local drives and rotate first in round 8.
+    # --- new in round 7 (need first-ever driver rows) ---
+    "ivfpq_topk_neighbors",
+    "weighted_source_sample",
+    "doremi_domain_weights",
+    "readability_gate",
+    "curriculum_stages",
+    # --- newest driver row r3 (oldest attestations) ---
     "incremental_heuristics_merge",
     "windowed_mix_drift",
-    # --- fixed regression core (fresh r4/r5 rows; fill remaining slots) ---
+    # --- newest driver row r4 (43 of 50; see deferral note above) ---
     "heuristics_matrix",
-    "triples_summary",
-    "near_dup_pairs",
-    # --- r4/r5-fresh (follow beyond the ~50-slot head) ---
+    "asof_state_backward",
     "nearest_purchase",
     "run_lengths",
-    "fsm_buffer_flush",
-    "kmeans_cluster_profile",
-    "corpus_diversity_probe",
-    "gopher_quality_gate",
-    "token_budget_fill",
-    "leakage_safe_split",
-    "corpus_overlap_matrix",
-    "lm_perplexity_gate",
-    "vocab_growth_curve",
-    "cdc_chunk_dedup",
-    "semantic_dedup_kmeans",
-    "cluster_balanced_sample",
-    "corpus_pipeline_v4_summary",
-    "embedding_rp_sketch",
-    "rp_ann_rerank_topk",
-    "asof_state_forward",
-    "history_window_sums",
-    "find_error_after_purchase",
-    "event_stats_rollup",
-    "train_test_split_counts",
-    "doc_token_stats",
-    "vocab_top_tokens",
-    "doc_lang_scores",
-    "doc_fingerprints",
-    "ingest_gate_new_docs",
-    "doc_truncate_preview",
-    "fb_hp_banding",
-    "fb_caster_id",
-    "fb_content_ops",
-    "fb_author_anonymize",
-    "fb_triple_constraints",
-    "fb_actor_stats",
-    "fb_heuristics_small",
-    "fb_automation_narration",
-    "multimodal_features",
-    "fb_embed_finding",
-    "fb_tupper_candidates",
-    "feature_label_join",
-    "per_key_group_stats",
-    "groups_with_view_head",
-    "last_k_events",
-    "corpus_checksum",
-    "ic_ooc_classification",
-    "instance_event_stream",
-    "users_view_except_purchase",
-    "fb_snippet_substitution",
-    "fb_actor_strings",
-    "heuristics_long_sorted",
-    "session_windows",
-    "tumbling_hour_windows",
-    "value_percentiles",
     "correlation_groups",
-    "fb_distill4_core",
-    "asof_state_backward",
-    "fsm_state_narration",
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_customers_page",
+    "customers_without_orders",
+    "late_order_priorities",
+    "znorm_user_values",
+    "deterministic_sample_events",
+    "paginate_events",
     "exact_dedup_groups",
     "minhash_signatures",
+    "near_dup_pairs",
+    "simhash_fingerprints",
+    "ann_cosine_topk",
+    "triples_summary",
+    "fsm_buffer_flush",
+    "fb_distill4_core",
     "agreement_kappa",
     "hybrid_search_rrf",
     "semantic_dedup_survivors",
     "bm25_search_indexed",
-    "corpus_shard_layout",
-    "snapshot_diff_counts",
     "span_scrubbed_docs",
-    "doc_unicode_nfc",
     "incremental_refresh_counts",
     "domain_capped_sample",
     "temperature_mixture_plan",
     "corpus_pipeline_v2_summary",
     "upsert_merge_counts",
     "doc_script_profile",
-    "table_profile",
     "event_type_rollup",
     "cross_doc_line_dedup",
     "set_similarity_pairs",
@@ -7864,18 +7856,14 @@ _PRIORITY = [
     "benchmark_contamination_spans",
     "benchmark_containment_scores",
     "self_bleu_pairs",
+    # --- deferred r4-stale (just past the head; first in the r8 head) ---
     "mmr_diverse_topk",
     "bpe_token_stats",
-    "simhash_fingerprints",
-    "ann_cosine_topk",
-    "pricing_summary",
-    "revenue_by_nation",
-    "znorm_user_values",
-    "paginate_events",
-    "top_customers_page",
-    "customers_without_orders",
-    "late_order_priorities",
-    "deterministic_sample_events",
+    "fsm_state_narration",
+    "doc_unicode_nfc",
+    "table_profile",
+    "snapshot_diff_counts",
+    "corpus_shard_layout",
 ]
 
 
