@@ -103,6 +103,7 @@ EXTRA = (
     "doremi_domain_weights",
     "readability_gate",
     "curriculum_stages",
+    "zipf_fit_profile",
 )
 
 

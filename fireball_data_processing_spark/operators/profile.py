@@ -28,7 +28,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile_columns", "vocab_growth"]
+__all__ = ["profile_columns", "vocab_growth", "zipf_fit"]
 
 
 def profile_columns(
@@ -131,4 +131,81 @@ def vocab_growth(
         )
         .withColumn("cum_types", F.sum("new_types").over(w).cast("bigint"))
         .withColumn("cum_tokens", F.sum("shard_tokens").over(w).cast("bigint"))
+    )
+
+
+def zipf_fit(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_rank: int = 1000,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Zipf power-law fit of the corpus token-frequency curve — the
+    one-row vocabulary datasheet (Zipf 1949; the standard corpus sanity
+    check next to the Heaps'-law growth curve :func:`vocab_growth`):
+    OLS of ``ln(count)`` on ``ln(rank)`` over the ``max_rank`` most
+    frequent tokens gives
+
+        count(rank) ≈ exp(intercept) * rank ** (-zipf_exponent)
+
+    with a natural-language corpus near exponent 1 and ``r2`` close to
+    1; a corpus of boilerplate, deduplicated templates, or synthetic
+    junk bends the curve and drops the fit. Fitting the HEAD only is
+    the standard practice — the singleton tail deviates from the power
+    law in every real corpus and would swamp the regression.
+
+    Output (one row): ``(n_terms, zipf_exponent, intercept, r2)``,
+    rounded — the sums behind the closed-form OLS accumulate in
+    engine-specific order, and ``round_dp`` absorbs that float noise
+    (DuckDB-oracle-checked).
+
+    Scale shape: one token explode → vocabulary-bounded count table
+    (Zipf-bounded, not corpus-bounded) → ONE global rank window over
+    that bounded frame (same boundedness contract as the top-terms
+    datasheet) → one closed-form aggregate over ``max_rank`` rows.
+    Ranks tie-break on the token string, so the fit is deterministic
+    under equal counts."""
+    from pyspark.sql import Window
+
+    from fireball_data_processing_spark.functions.text import normalize_text
+
+    toks = docs.select(
+        F.explode(
+            F.split(normalize_text(F.col(text_col)), " ")
+        ).alias("__tok")
+    ).filter(F.col("__tok") != "")
+    counts = toks.groupBy("__tok").agg(
+        F.count(F.lit(1)).cast("double").alias("__c")
+    )
+    w = Window.orderBy(F.col("__c").desc(), F.col("__tok").asc())
+    ranked = (
+        counts.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= max_rank)
+        .select(
+            F.log(F.col("__r").cast("double")).alias("__x"),
+            F.log("__c").alias("__y"),
+        )
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("__x").alias("sx"),
+        F.sum("__y").alias("sy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("sxx"),
+        F.sum(F.col("__y") * F.col("__y")).alias("syy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    sse_top = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    r2 = (sse_top * sse_top) / (
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_terms"),
+        F.round(-slope, round_dp).alias("zipf_exponent"),
+        F.round(intercept, round_dp).alias("intercept"),
+        F.round(r2, round_dp).alias("r2"),
     )

@@ -7779,6 +7779,53 @@ def q_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "zipf_fit_profile",
+    """
+WITH tok AS (
+  SELECT t.token
+  FROM (
+    SELECT string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+    FROM documents
+  ), UNNEST(w) AS t(token)
+  WHERE t.token <> ''
+),
+counts AS (SELECT token, COUNT(*)::DOUBLE AS c FROM tok GROUP BY token),
+ranked AS (
+  SELECT LN(ROW_NUMBER() OVER (ORDER BY c DESC, token ASC)::DOUBLE) AS x,
+         LN(c) AS y
+  FROM counts
+  QUALIFY ROW_NUMBER() OVER (ORDER BY c DESC, token ASC) <= 1000
+),
+agg AS (
+  SELECT COUNT(*)::DOUBLE AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+  FROM ranked
+)
+SELECT n::BIGINT AS n_terms,
+  ROUND(-((n * sxy - sx * sy) / (n * sxx - sx * sx)), 6) AS zipf_exponent,
+  ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+    AS intercept,
+  ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+        / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM agg
+""",
+)
+def q_zipf_fit_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf power-law fit of the token-frequency curve
+    (operators/profile.py zipf_fit): closed-form OLS of ln(count) on
+    ln(rank) over the 1000 most frequent tokens — the one-row
+    vocabulary datasheet whose exponent (~1 for natural language) and
+    r2 (~1 on a power law) bend when the corpus fills with boilerplate
+    or synthetic junk; the frequency-side complement to the Heaps'-law
+    growth curve. One token explode, a vocabulary-bounded count table,
+    one rank window over that bounded frame, one aggregate."""
+    from fireball_data_processing_spark.operators.profile import zipf_fit
+
+    d = load_table(spark, sf_dir, "documents")
+    return zipf_fit(d, max_rank=1000)
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
@@ -7809,6 +7856,7 @@ _PRIORITY = [
     "doremi_domain_weights",
     "readability_gate",
     "curriculum_stages",
+    "zipf_fit_profile",
     # --- newest driver row r3 (oldest attestations) ---
     "incremental_heuristics_merge",
     "windowed_mix_drift",
@@ -7844,7 +7892,6 @@ _PRIORITY = [
     "temperature_mixture_plan",
     "corpus_pipeline_v2_summary",
     "upsert_merge_counts",
-    "doc_script_profile",
     "event_type_rollup",
     "cross_doc_line_dedup",
     "set_similarity_pairs",
@@ -7857,6 +7904,7 @@ _PRIORITY = [
     "benchmark_containment_scores",
     "self_bleu_pairs",
     # --- deferred r4-stale (just past the head; first in the r8 head) ---
+    "doc_script_profile",
     "mmr_diverse_topk",
     "bpe_token_stats",
     "fsm_state_narration",

@@ -829,3 +829,118 @@ def test_score_against_own_lm_matches_self_trained(spark):
     got = sorted(map(tuple, score_against_lm(docs, lm).collect()))
     want = sorted(map(tuple, bigram_logprob(docs).collect()))
     assert got == want and len(got) > 0
+
+
+def test_stream_weighted_reservoir_matches_batch(spark, tmp_path):
+    """The mergeable-reservoir property end-to-end: after the stream
+    consumes all files (in two micro-batch groups), each bucket's
+    MAX-STEP snapshot must equal the batch weighted_sample_topn over
+    the union of all rows — regardless of how ingestion was batched."""
+    import os
+
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from fireball_data_processing_spark.operators.sampling import (
+        weighted_sample_topn,
+    )
+    from fireball_data_processing_spark.streaming.reservoir_stream import (
+        stream_weighted_reservoir,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    rows1 = [("a", 1, 10), ("a", 2, 500), ("b", 3, 7), ("a", 4, 40)]
+    rows2 = [("a", 5, 900), ("b", 6, 7), ("b", 7, 0), ("c", 8, 3)]
+    cols = ["src_name", "doc_id", "w"]
+    pd.DataFrame(rows1, columns=cols).to_parquet(os.path.join(src, "b1.parquet"))
+    pd.DataFrame(rows2, columns=cols).to_parquet(os.path.join(src, "b2.parquet"))
+    schema = "src_name string, doc_id bigint, w bigint"
+
+    stream = stream_weighted_reservoir(
+        spark, src, schema, bucket_col="src_name", id_col="doc_id",
+        weight_col="w", n=2, salt="rs",
+    )
+    q = (
+        stream.writeStream.format("memory").queryName("wres")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    snap = spark.sql(
+        "SELECT * FROM wres WHERE (bucket, step) IN "
+        "(SELECT bucket, MAX(step) FROM wres GROUP BY bucket)"
+    )
+    got = {(r["bucket"], r["doc_id"], r["es_key"]) for r in snap.collect()}
+
+    batch = spark.createDataFrame(rows1 + rows2, schema)
+    want = {
+        (r["src_name"], r["doc_id"], r["es_key"])
+        for r in weighted_sample_topn(
+            batch, F.col("src_name"), F.col("w"), n=2,
+            key=F.col("doc_id"), salt="rs",
+        ).collect()
+    }
+    assert got == want
+    # zero-weight row 7 must never have been admitted at any step
+    assert spark.sql(
+        "SELECT COUNT(*) AS c FROM wres WHERE doc_id = 7"
+    ).first()["c"] == 0
+
+
+def test_stream_weighted_reservoir_restart_continues_state(spark, tmp_path):
+    """Reservoir state survives a checkpoint restart: rows ingested
+    after the restart compete against the reservoir carried from the
+    first run, and the final snapshot equals the batch operator over
+    everything ingested across both runs."""
+    import os
+
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from fireball_data_processing_spark.operators.sampling import (
+        weighted_sample_topn,
+    )
+    from fireball_data_processing_spark.streaming.reservoir_stream import (
+        stream_weighted_reservoir,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    cols = ["src_name", "doc_id", "w"]
+    rows1 = [("a", i, 100 + i) for i in range(8)]
+    rows2 = [("a", i, 5000) for i in range(8, 12)]
+    pd.DataFrame(rows1, columns=cols).to_parquet(os.path.join(src, "b1.parquet"))
+    schema = "src_name string, doc_id bigint, w bigint"
+
+    def run_once():
+        stream = stream_weighted_reservoir(
+            spark, src, schema, bucket_col="src_name", id_col="doc_id",
+            weight_col="w", n=3, salt="rr",
+        )
+        q = (
+            stream.writeStream.format("parquet").option("path", out)
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    pd.DataFrame(rows2, columns=cols).to_parquet(os.path.join(src, "b2.parquet"))
+    run_once()
+
+    res = spark.read.parquet(out)
+    last = res.filter(
+        F.col("step") == res.agg(F.max("step")).first()[0]
+    )
+    got = {(r["doc_id"], r["es_key"]) for r in last.collect()}
+    batch = spark.createDataFrame(rows1 + rows2, schema)
+    want = {
+        (r["doc_id"], r["es_key"])
+        for r in weighted_sample_topn(
+            batch, F.col("src_name"), F.col("w"), n=3,
+            key=F.col("doc_id"), salt="rr",
+        ).collect()
+    }
+    assert got == want

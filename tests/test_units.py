@@ -1691,3 +1691,36 @@ def test_flesch_features_known_texts(spark):
     assert rows[2]["reading_ease"] < 0  # dense polysyllabic fragment
     assert rows[3]["reading_ease"] is None and rows[3]["n_words"] == 0
     assert rows[4]["n_sentences"] == 1  # floored, not divide-by-zero
+
+
+def test_zipf_fit_matches_numpy_polyfit(spark):
+    """Closed-form OLS parity: the (exponent, intercept, r2) of the
+    head-rank fit must match numpy's least squares on the same
+    ln(rank)/ln(count) points, with ranks tie-broken by token."""
+    import math
+
+    import numpy as np
+    import pytest
+
+    from fireball_data_processing_spark.operators.profile import zipf_fit
+
+    docs = [
+        "the the the the the cat cat cat sat sat on a mat",
+        "the cat sat on the mat again and again and again",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(docs)],
+                               "doc_id long, text string")
+    row = zipf_fit(df, max_rank=5).first()
+
+    from collections import Counter
+
+    counts = Counter(" ".join(docs).split())
+    head = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    x = np.log(np.arange(1, len(head) + 1, dtype=float))
+    y = np.log(np.array([c for _, c in head], dtype=float))
+    slope, intercept = np.polyfit(x, y, 1)
+    r2 = np.corrcoef(x, y)[0, 1] ** 2
+    assert row["n_terms"] == 5
+    assert row["zipf_exponent"] == pytest.approx(-slope, abs=1e-6)
+    assert row["intercept"] == pytest.approx(intercept, abs=1e-6)
+    assert row["r2"] == pytest.approx(r2, abs=1e-6)
