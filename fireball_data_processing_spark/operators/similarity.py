@@ -1101,16 +1101,25 @@ def pq_fit(
     has.
 
     Returns ``m`` codebooks, each ``[(cid, centroid), ...]`` ordered by
-    cid — the engine-replayable :func:`~.clustering.kmeans_fit`
-    (deterministic k-lowest-id seeding, 6-dp centroid rounding per
-    round), so a SQL oracle replays every subspace fit exactly.
+    cid — per subspace exactly the :func:`~.clustering.kmeans_fit`
+    recipe (deterministic k-lowest-id seeding, 6-dp centroid rounding
+    per round), so a SQL oracle replays every subspace fit exactly.
 
-    Plan: ONE persisted sliced projection of the corpus feeds all ``m``
-    fits (the corpus is scanned once, not once per subspace); each fit
-    is the bounded-collect Lloyd loop — at scale, fit on a sample and
-    broadcast the codebooks, exactly like IVF centroids."""
+    Plan — the ``m`` independent Lloyd loops are FUSED job-wise: the
+    subspaces share one seed collect (the seed rows are the same k
+    lowest ids in every subspace) and, per iteration, ONE aggregate
+    job computes all ``m`` recomputes (each row's m cell assignments
+    ride one projection; a per-subspace struct explode keys the mean
+    by (subspace, cluster, coordinate) — m·ks·(dim/m) = ks·dim rows,
+    bounded). Per-subspace math is unchanged — same memberships, same
+    ROUND(AVG, 6) — the fusion only collapses 2m sequential driver
+    jobs into 2, which is what dominates fit latency (the aggregates
+    themselves are map-side-combined scans). One persisted sliced
+    projection feeds the loop and unpersists before returning
+    (bounded-collect contract; at scale, fit on a sample and broadcast
+    the codebooks, exactly like IVF centroids)."""
     from fireball_data_processing_spark.operators.clustering import (
-        kmeans_fit,
+        nearest_centroid_expr,
     )
 
     dim = _infer_dim(corpus, vec_col)
@@ -1125,21 +1134,73 @@ def pq_fit(
             for j in range(m)
         ],
     ).persist()
-    books = []
-    for j in range(m):
-        _, cents = kmeans_fit(
-            sliced,
-            k=ks,
-            n_iter=n_iter,
-            vec_col=f"__s{j}",
-            id_col="vec_id",
-            round_dp=round_dp,
+    # one seed collect for every subspace: kmeans_fit's seeding is the
+    # k lowest ids' ROUNDED vectors, and the id order is shared
+    seed_rows = (
+        sliced.select(
+            "vec_id",
+            *[
+                F.transform(
+                    F.col(f"__s{j}"), lambda x: F.round(x, round_dp)
+                ).alias(f"__r{j}")
+                for j in range(m)
+            ],
         )
-        books.append(cents)
-    # every fit is eager (bounded driver collects; only the codebook
-    # literals survive), so nothing downstream reads the cache — drop
-    # it before returning instead of leaking one corpus-wide cached
-    # frame per call (ADVICE r6)
+        .orderBy("vec_id")
+        .limit(ks)
+        .collect()
+    )
+    books = [
+        [
+            (i, [float(x) for x in r[f"__r{j}"]])
+            for i, r in enumerate(seed_rows)
+        ]
+        for j in range(m)
+    ]
+    for _ in range(n_iter):
+        # all m assignments in one projection; one struct explode keys
+        # the elementwise mean by (subspace, cluster, coordinate)
+        stacked = sliced.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("__j"),
+                            nearest_centroid_expr(
+                                books[j], F.col(f"__s{j}")
+                            )["cid"].alias("__cid"),
+                            F.col(f"__s{j}").alias("__v"),
+                        )
+                        for j in range(m)
+                    ]
+                )
+            ).alias("__e")
+        ).select("__e.__j", "__e.__cid", F.posexplode("__e.__v").alias("__pos", "__x"))
+        means = (
+            stacked.groupBy("__j", "__cid", "__pos")
+            .agg(F.round(F.avg("__x"), round_dp).alias("__m"))
+            .groupBy("__j", "__cid")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct("__pos", "__m"))
+                ).alias("__coords")
+            )
+            .collect()
+        )
+        new = {
+            (int(r["__j"]), int(r["__cid"])): [
+                float(c["__m"]) for c in r["__coords"]
+            ]
+            for r in means
+        }
+        books = [
+            [(cid, new.get((j, cid), old)) for cid, old in books[j]]
+            for j in range(m)
+        ]
+    # every collect above is bounded (ks seeds, ks x dim means); only
+    # the codebook literals survive, so nothing downstream reads the
+    # cache — drop it before returning instead of leaking one
+    # corpus-wide cached frame per call (ADVICE r6)
     sliced.unpersist()
     return books
 
