@@ -1494,16 +1494,34 @@ def ivfpq_topk(
             vec_col=vec_col, id_col=id_col, round_dp=round_dp,
         )
     _check_pq_dims(dim, codebooks)
+    idx = _ivfpq_code_frame(corpus, centroids, codebooks, dim, id_col, vec_col)
+    qt = _ivfpq_probe_frame(
+        queries, centroids, codebooks, dim, n_probe, id_col, vec_col
+    )
+    return _ivfpq_adc_rank(
+        idx.join(F.broadcast(qt), "cell"), codebooks, k, round_dp
+    )
+
+
+def _ivfpq_code_frame(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[tuple[int, list[float]]]],
+    dim: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The IVFPQ index projection: ``(neighbor_id, cell, __codes)`` —
+    cell assignment and residual PQ encoding as centroid-literal pure
+    expressions over the corpus scan (zero joins/shuffles; full vectors
+    never leave the scan)."""
     from fireball_data_processing_spark.operators.clustering import (
         _bind_once,
         nearest_centroid_expr,
-        nearest_centroids_expr,
     )
 
-    sub = dim // len(codebooks)
     cv_lit = _cell_centroid_literal(centroids)
     v = F.col(vec_col).cast("array<double>")
-
     cell = nearest_centroid_expr(centroids, v)["cid"]
     residual = _bind_once(
         v,
@@ -1515,12 +1533,34 @@ def ivfpq_topk(
             lambda a, b: a - b,
         ),
     )
-    idx = corpus.select(
+    return corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        cell.alias("__cell"),
+        cell.alias("cell"),
         pq_code_expr(residual, dim, codebooks).alias("__codes"),
     )
 
+
+def _ivfpq_probe_frame(
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[tuple[int, list[float]]]],
+    dim: int,
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The IVFPQ probe batch: ``(query_id, cell, __t)`` — each query
+    exploded to its ``n_probe`` nearest cells, carrying the m x ks ADC
+    table of exact distances from its CELL residual (q - c(cell), the
+    IVFADC subtlety) to every codebook centroid, bound once per row."""
+    from fireball_data_processing_spark.operators.clustering import (
+        _bind_once,
+        nearest_centroids_expr,
+    )
+
+    sub = dim // len(codebooks)
+    cv_lit = _cell_centroid_literal(centroids)
+    v = F.col(vec_col).cast("array<double>")
     probed = queries.select(
         F.col(id_col).alias("query_id"),
         v.alias("__qv"),
@@ -1529,13 +1569,11 @@ def ivfpq_topk(
                 nearest_centroids_expr(centroids, v, n_probe),
                 lambda s: s["cid"],
             )
-        ).alias("__cell"),
+        ).alias("cell"),
     )
-    # per-(query, cell) ADC tables from the CELL residual, bound once:
-    # m arrays of ks exact subspace distances
     qres = F.zip_with(
         F.col("__qv"),
-        F.element_at(cv_lit, F.col("__cell") + F.lit(1)),
+        F.element_at(cv_lit, F.col("cell") + F.lit(1)),
         lambda a, b: a - b,
     )
     tables = _bind_once(
@@ -1555,7 +1593,16 @@ def ivfpq_topk(
             ]
         ),
     )
-    qt = probed.select("query_id", "__cell", tables.alias("__t"))
+    return probed.select("query_id", "cell", tables.alias("__t"))
+
+
+def _ivfpq_adc_rank(
+    joined: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    k: int,
+    round_dp: int,
+) -> DataFrame:
+    """ADC lookup sum + two-phase top-k over the (index ⋈ probe) rows."""
     adc = F.round(
         sum(
             F.element_at(
@@ -1570,10 +1617,103 @@ def ivfpq_topk(
         F.col("adc_d2").asc(), F.col("neighbor_id").asc()
     )
     return (
-        idx.join(F.broadcast(qt), "__cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+        joined.filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("adc_d2", adc)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_d2", "rank")
+    )
+
+
+class IvfPqIndex(NamedTuple):
+    """A built IVFPQ index: driver-side coarse centroids + residual
+    codebooks (both literal-sized) and the encoded corpus
+    ``(neighbor_id, cell, __codes)``. When ``path``-backed, the code
+    table is parquet partitioned by ``cell``, so probe selection becomes
+    PARTITION PRUNING at read time — the stored-index serving shape a
+    100 TB corpus actually runs (codes are dim/m x 8 smaller than the
+    vectors, and a probe reads n_probe/n_cells of even that)."""
+
+    centroids: list[tuple[int, list[float]]]
+    codebooks: list[list[tuple[int, list[float]]]]
+    assigned: DataFrame
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    n_cells: int = 4,
+    m: int = 4,
+    ks: int = 4,
+    coarse_n_iter: int = 1,
+    pq_n_iter: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+    path: str | None = None,
+) -> IvfPqIndex:
+    """IVFPQ build phase — run ONCE per corpus, amortized over every
+    query batch (the :func:`build_ivf_index`/:func:`ivf_query` split,
+    composed-index edition): fit both quantizers (:func:`ivfpq_fit`),
+    encode the corpus as ``(neighbor_id, cell, codes)`` (pure
+    projection), and — with ``path`` set — write it partitioned by
+    ``cell`` and re-read, so :func:`ivfpq_query`'s probe filter prunes
+    whole partitions (PartitionFilters in the scan) instead of scanning
+    even the code column of unprobed cells."""
+    dim = _infer_dim(corpus, vec_col)
+    centroids, codebooks = ivfpq_fit(
+        corpus, n_cells=n_cells, m=m, ks=ks,
+        coarse_n_iter=coarse_n_iter, pq_n_iter=pq_n_iter,
+        vec_col=vec_col, id_col=id_col, round_dp=round_dp,
+    )
+    assigned = _ivfpq_code_frame(
+        corpus, centroids, codebooks, dim, id_col, vec_col
+    )
+    if path is not None:
+        assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+        assigned = corpus.sparkSession.read.parquet(path)
+    return IvfPqIndex(
+        centroids=centroids, codebooks=codebooks, assigned=assigned
+    )
+
+
+def ivfpq_query(
+    index: IvfPqIndex,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """IVFPQ query phase against a prebuilt index — no fitting, no
+    encoding work: the query batch probes its ``n_probe`` nearest cells,
+    and the probed cell ids are COLLECTED into a static
+    ``cell IN (...)`` filter first (query-batch-sized job), so a
+    path-backed index scan prunes unprobed cell partitions before the
+    broadcast join; the ADC lookup sum and two-phase top-k are
+    :func:`ivfpq_topk`'s exactly (output-identity tested against the
+    one-shot operator). The dimension comes from the codebooks —
+    nothing here peeks the corpus.
+
+    The probe frame is collected ONCE and re-entered as a local
+    relation (query-batch x n_probe rows by contract, each a cell id
+    plus an m x ks table): the collect feeds both the static filter and
+    the join from the SAME materialized rows, so a non-deterministic
+    ``queries`` plan cannot probe one cell set and join another (the
+    ivf_query persist-pinning hazard), and no cached frame outlives the
+    call (the ADVICE r6 contract)."""
+    dim = len(index.codebooks) * len(index.codebooks[0][0][1])
+    probe_rows = _ivfpq_probe_frame(
+        queries, index.centroids, index.codebooks, dim, n_probe,
+        id_col, vec_col,
+    ).collect()
+    spark = index.assigned.sparkSession
+    qt = spark.createDataFrame(
+        probe_rows,
+        "query_id bigint, cell int, __t array<array<double>>",
+    )
+    cells = sorted({int(r["cell"]) for r in probe_rows})
+    pruned = index.assigned.filter(F.col("cell").isin(cells))
+    return _ivfpq_adc_rank(
+        pruned.join(F.broadcast(qt), "cell"), index.codebooks, k, round_dp
     )

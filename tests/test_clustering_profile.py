@@ -1146,3 +1146,60 @@ def test_pq_encoder_streams_unchanged(spark):
         assert len(got) == spark.read.parquet(src).count()
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def test_ivfpq_path_backed_index_prunes_and_matches(spark, tmp_path):
+    """The build/query split must (a) reproduce the one-shot operator
+    exactly, (b) turn the probe into PARTITION PRUNING on a path-backed
+    index — the scan's PartitionFilters must carry the static cell IN
+    filter, and with a single probed cell only that cell's partition
+    survives — and (c) leave no cached frames behind."""
+    from fireball_data_processing_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_query,
+        ivfpq_topk,
+    )
+    from fireball_data_processing_spark.sources.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    one = {
+        (r["query_id"], r["neighbor_id"], r["adc_d2"], r["rank"])
+        for r in ivfpq_topk(q, e, k=5, n_cells=4, n_probe=2, m=4, ks=4).collect()
+    }
+    idx = build_ivfpq_index(
+        e, n_cells=4, m=4, ks=4, path=str(tmp_path / "ivfpq")
+    )
+    two_df = ivfpq_query(idx, q, k=5, n_probe=2)
+    two = {
+        (r["query_id"], r["neighbor_id"], r["adc_d2"], r["rank"])
+        for r in two_df.collect()
+    }
+    assert one == two
+
+    plan = two_df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "PartitionFilters: [cell" in plan, plan
+
+    # single query, single probe: exactly one cell partition survives
+    one_q = ivfpq_query(idx, e.filter(F.col("vec_id") == 0), k=3, n_probe=1)
+    plan1 = one_q._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    import re
+
+    # a single-member IN collapses to an equality predicate
+    m = re.search(
+        r"PartitionFilters: \[[^\]]*\(cell#\d+ = \d+\)|"
+        r"PartitionFilters: \[cell#\d+ IN \(\d+\)",
+        plan1,
+    )
+    assert m, plan1
+    assert one_q.count() == 3
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == before
