@@ -104,6 +104,7 @@ EXTRA = (
     "readability_gate",
     "curriculum_stages",
     "zipf_fit_profile",
+    "edit_distance_near_dups",
 )
 
 

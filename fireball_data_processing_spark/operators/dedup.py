@@ -37,7 +37,7 @@ __all__ = [
     "aligned_segments", "line_dedup", "ngram_containment",
     "contamination_spans", "content_defined_chunks", "cdc_duplicate_chunks",
     "score_threshold_sweep", "cluster_size_histogram",
-    "threshold_doc_hits", "quality_survivors",
+    "threshold_doc_hits", "quality_survivors", "edit_distance_pairs",
 ]
 
 
@@ -1293,4 +1293,69 @@ def quality_survivors(
     return top.join(
         F.broadcast(sizes.withColumnRenamed(component_col, "cluster_id")),
         "cluster_id",
+    )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+    max_chars: int | None = 2000,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Character-level edit-distance verification for candidate pairs —
+    the fuzzy-dedup family's finest granularity (exact hash, MinHash/
+    Jaccard shingles, SimHash bits, embedding cosine, CDC chunks, line
+    and substring dedup all see TOKENS or coarser; typo-level mirror
+    detection needs characters): per candidate pair, Levenshtein
+    distance over dedup-normalized text, optionally as the
+    length-normalized ratio ``dist / max(len_a, len_b)`` (0 identical,
+    1 disjoint) — threshold at ~0.2 for near-dup verification.
+
+    Levenshtein is O(len_a x len_b) PER PAIR, which is exactly why this
+    is a VERIFICATION stage, never a generation stage: candidates come
+    from LSH bands / SimHash buckets / CDC chunk hits (pair-bounded),
+    and ``max_chars`` truncates both sides (documents beyond a few KB
+    that still band together are near-dups whose head decides; the cap
+    bounds the per-pair cost to max_chars², the same
+    estimate-for-capped-docs trade as ``minhash_signature``'s
+    max_shingles). ``F.levenshtein`` is JVM codegen — no Python
+    anywhere — and DuckDB's ``levenshtein`` replays it exactly, so the
+    verification is oracle-checkable.
+
+    Output: ``(id_a, id_b, edit_dist, edit_ratio?)`` — ratio only when
+    ``normalize`` (empty-vs-empty pairs get ratio 0.0)."""
+    norm = normalize_text(F.col(text_col))
+    if max_chars is not None:
+        norm = F.substring(norm, 1, max_chars)
+    t = df.select(F.col(id_col), norm.alias("__t"))
+    j = (
+        pairs.join(
+            t.select(
+                F.col(id_col).alias("id_a"), F.col("__t").alias("__ta")
+            ),
+            "id_a",
+        ).join(
+            t.select(
+                F.col(id_col).alias("id_b"), F.col("__t").alias("__tb")
+            ),
+            "id_b",
+        )
+    )
+    dist = F.levenshtein(F.col("__ta"), F.col("__tb"))
+    out = j.select(
+        "id_a", "id_b", dist.cast("bigint").alias("edit_dist"),
+        F.length("__ta").alias("__la"), F.length("__tb").alias("__lb"),
+    )
+    if not normalize:
+        return out.select("id_a", "id_b", "edit_dist")
+    longest = F.greatest(F.col("__la"), F.col("__lb"))
+    ratio = F.when(
+        longest > 0,
+        F.round(F.col("edit_dist").cast("double") / longest, round_dp),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "id_a", "id_b", "edit_dist", ratio.alias("edit_ratio")
     )

@@ -7826,6 +7826,51 @@ def q_zipf_fit_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_fit(d, max_rank=1000)
 
 
+@query(
+    "edit_distance_near_dups",
+    _LSH_PAIRS_CTE
+    + """,
+t AS (
+  SELECT doc_id,
+    substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 2000) AS nt
+  FROM documents
+),
+scored AS (
+  SELECT c.id_a, c.id_b,
+    levenshtein(a.nt, b.nt)::BIGINT AS edit_dist,
+    greatest(length(a.nt), length(b.nt)) AS mx
+  FROM cand c JOIN t a ON a.doc_id = c.id_a JOIN t b ON b.doc_id = c.id_b
+)
+SELECT id_a, id_b, edit_dist,
+  CASE WHEN mx > 0 THEN ROUND(edit_dist / mx, 6) ELSE 0.0 END AS edit_ratio
+FROM scored
+WHERE (CASE WHEN mx > 0 THEN ROUND(edit_dist / mx, 6) ELSE 0.0 END) <= 0.5
+""",
+)
+def q_edit_distance_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup verification (operators/dedup.py
+    edit_distance_pairs): LSH candidate pairs verified by normalized
+    Levenshtein ratio (edit_dist / longer length, <= 0.5 kept) over
+    dedup-normalized text capped at 2000 chars — the finest-granularity
+    member of the fuzzy-dedup family (token shingles miss typo-level
+    mirrors; characters don't). O(len²) cost is confined to the
+    pair-bounded candidate set — generation stays with the bands — and
+    F.levenshtein is JVM codegen, replayed exactly by DuckDB's
+    levenshtein."""
+    from fireball_data_processing_spark.operators.dedup import (
+        edit_distance_pairs,
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signature(d, num_hashes=8, shingle_k=3)
+    pairs = lsh_candidate_pairs(sigs, num_hashes=8, band_size=2)
+    return edit_distance_pairs(d, pairs, max_chars=2000).filter(
+        F.col("edit_ratio") <= 0.5
+    )
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
@@ -7857,6 +7902,7 @@ _PRIORITY = [
     "readability_gate",
     "curriculum_stages",
     "zipf_fit_profile",
+    "edit_distance_near_dups",
     # --- newest driver row r3 (oldest attestations) ---
     "incremental_heuristics_merge",
     "windowed_mix_drift",
@@ -7891,7 +7937,6 @@ _PRIORITY = [
     "domain_capped_sample",
     "temperature_mixture_plan",
     "corpus_pipeline_v2_summary",
-    "upsert_merge_counts",
     "event_type_rollup",
     "cross_doc_line_dedup",
     "set_similarity_pairs",
@@ -7904,6 +7949,7 @@ _PRIORITY = [
     "benchmark_containment_scores",
     "self_bleu_pairs",
     # --- deferred r4-stale (just past the head; first in the r8 head) ---
+    "upsert_merge_counts",
     "doc_script_profile",
     "mmr_diverse_topk",
     "bpe_token_stats",

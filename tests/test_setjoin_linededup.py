@@ -600,3 +600,56 @@ def test_contamination_spans_and_removal(spark):
     }
     assert scrubbed[1] == "own start words own tail words"
     assert scrubbed[2] == "nothing shared with the benchmark here at all today"
+
+
+def test_edit_distance_pairs_matches_literal_python(spark):
+    """Levenshtein verification parity: distances and normalized ratios
+    over dedup-normalized (whitespace-collapsed, lowercased) text must
+    match a literal-Python DP replay, including the empty-text and
+    truncation edges."""
+    import pytest
+
+    from fireball_data_processing_spark.operators.dedup import (
+        edit_distance_pairs,
+    )
+
+    docs = [
+        (1, "The quick  brown fox"),
+        (2, "the quick brown fox"),    # only case/space differ -> dist 0
+        (3, "the quack brown fax"),    # two substitutions
+        (4, ""),
+        (5, "x" * 50),
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (4, 5), (4, 4)], "id_a long, id_b long"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["edit_dist"], r["edit_ratio"])
+        for r in edit_distance_pairs(d, pairs, max_chars=30).collect()
+    }
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    def norm(t):
+        return " ".join(t.lower().split())[:30]
+
+    txt = {i: norm(t) for i, t in docs}
+    for (a, b), (dist, ratio) in got.items():
+        want = lev(txt[a], txt[b])
+        assert dist == want, (a, b)
+        mx = max(len(txt[a]), len(txt[b]))
+        assert ratio == pytest.approx(
+            round(want / mx, 6) if mx else 0.0, abs=1e-9
+        )
+    assert got[(1, 2)][0] == 0          # normalization removes the diff
+    assert got[(4, 4)] == (0, 0.0)      # empty-vs-empty ratio defined
+    assert got[(4, 5)][1] == 1.0        # disjoint = ratio 1
