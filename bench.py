@@ -105,6 +105,7 @@ EXTRA = (
     "curriculum_stages",
     "zipf_fit_profile",
     "edit_distance_near_dups",
+    "dataset_card_summary",
 )
 
 

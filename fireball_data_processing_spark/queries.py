@@ -7871,6 +7871,197 @@ def q_edit_distance_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DATASET_CARD_ORACLE = """
+WITH w AS (
+  SELECT doc_id, text, lang, source, n_chars,
+    regexp_split_to_array(trim(text), '\\s+') AS gwords,
+    string_split(text, chr(10)) AS lines,
+    len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                    s -> s <> '')) AS fwords,
+    len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS toks
+  FROM documents
+),
+g AS (
+  SELECT *,
+    (len(gwords) >= 50 AND len(gwords) <= 100000
+     AND list_sum(list_transform(gwords, x -> length(x)))::DOUBLE
+         / len(gwords) BETWEEN 3.0 AND 10.0
+     AND ((length(text) - length(replace(text, '#', '')))
+          + (length(text) - length(replace(text, '...', ''))) / 3)::DOUBLE
+         / len(gwords) <= 0.1
+     AND len(list_filter(gwords, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+         / len(gwords) >= 0.8
+     AND len(list_filter(gwords, x -> list_contains(
+           ['the','a','of','and','to','in','is','it','that','for'],
+           lower(x)))) >= 2
+     AND len(list_filter(lines, l -> starts_with(l, '- ')
+           OR starts_with(l, '* ')
+           OR starts_with(l, chr(8226))))::DOUBLE / len(lines) <= 0.9
+     AND len(list_filter(lines, l -> l LIKE '%...'))::DOUBLE
+         / len(lines) <= 0.3) AS gpass,
+    COALESCE(CASE WHEN fwords > 0 THEN
+      (206.835
+       - 1.015 * fwords
+         / greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+       - 84.6 * len(regexp_extract_all(lower(text), '[aeiouy]+'))
+         / fwords) >= 30.0 END, FALSE) AS rpass
+  FROM w
+),
+tok AS (
+  SELECT t.token
+  FROM (
+    SELECT string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS nw
+    FROM documents
+  ), UNNEST(nw) AS t(token)
+  WHERE t.token <> ''
+),
+counts AS (SELECT token, COUNT(*)::DOUBLE AS c FROM tok GROUP BY token),
+zr AS (
+  SELECT LN(ROW_NUMBER() OVER (ORDER BY c DESC, token ASC)::DOUBLE) AS x,
+         LN(c) AS y
+  FROM counts
+  QUALIFY ROW_NUMBER() OVER (ORDER BY c DESC, token ASC) <= 1000
+),
+za AS (
+  SELECT COUNT(*)::DOUBLE AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+  FROM zr
+),
+dd AS (
+  SELECT COUNT(*)::DOUBLE AS n_docs,
+    COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))::DOUBLE
+      AS n_distinct
+  FROM documents
+)
+SELECT 'volume' AS section, 'n_docs' AS metric,
+  ROUND(COUNT(*)::DOUBLE, 6) AS value FROM g
+UNION ALL SELECT 'volume', 'n_tokens', ROUND(SUM(toks)::DOUBLE, 6) FROM g
+UNION ALL SELECT 'volume', 'n_chars', ROUND(SUM(n_chars)::DOUBLE, 6) FROM g
+UNION ALL SELECT 'length', 'mean_words_per_doc',
+  ROUND(AVG(fwords::DOUBLE), 6) FROM g
+UNION ALL SELECT 'quality', 'gopher_pass_frac',
+  ROUND(AVG(CASE WHEN gpass THEN 1.0 ELSE 0.0 END), 6) FROM g
+UNION ALL SELECT 'quality', 'readability_pass_frac',
+  ROUND(AVG(CASE WHEN rpass THEN 1.0 ELSE 0.0 END), 6) FROM g
+UNION ALL SELECT 'sources', 'n_sources',
+  ROUND(COUNT(DISTINCT source)::DOUBLE, 6) FROM g
+UNION ALL SELECT 'sources', 'top_source_share',
+  ROUND(MAX(cnt) / SUM(cnt), 6)
+  FROM (SELECT COUNT(*)::DOUBLE AS cnt FROM g GROUP BY source)
+UNION ALL SELECT 'languages', 'n_languages',
+  ROUND(COUNT(DISTINCT lang)::DOUBLE, 6) FROM g
+UNION ALL SELECT 'languages', 'top_language_share',
+  ROUND(MAX(cnt) / SUM(cnt), 6)
+  FROM (SELECT COUNT(*)::DOUBLE AS cnt FROM g GROUP BY lang)
+UNION ALL SELECT 'dedup', 'exact_duplicate_docs',
+  ROUND(n_docs - n_distinct, 6) FROM dd
+UNION ALL SELECT 'dedup', 'exact_duplicate_frac',
+  ROUND((n_docs - n_distinct) / n_docs, 6) FROM dd
+UNION ALL SELECT 'vocabulary', 'vocab_size',
+  ROUND(COUNT(*)::DOUBLE, 6) FROM counts
+UNION ALL SELECT 'vocabulary', 'zipf_exponent',
+  ROUND(-((n * sxy - sx * sy) / (n * sxx - sx * sx)), 6) FROM za
+UNION ALL SELECT 'vocabulary', 'zipf_r2',
+  ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+        / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) FROM za
+"""
+
+
+@query("dataset_card_summary", _DATASET_CARD_ORACLE)
+def q_dataset_card_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card in one query ("Datasheets for Datasets", Gebru
+    et al. 2018 — the release artifact every curated corpus ships):
+    a long-format (section, metric, value) summary covering volume
+    (docs/tokens/chars), length, quality pass rates (Gopher shape gate
+    + Flesch readability), source and language concentration, exact-
+    duplicate mass, and the vocabulary profile (size + Zipf fit).
+
+    Plan: the per-row gates are pure expressions, so volume + length +
+    quality all come from ONE aggregate over one scan; source/language
+    concentration are two bucket-count aggregates (bounded);
+    exact-dup mass is the md5-distinct aggregate; the vocabulary
+    section reuses the zipf_fit shape (one explode, vocab-bounded).
+    Every metric is a rounded double so one schema serves all sections
+    — the 15-row output is the thing a data team publishes next to the
+    shard manifest."""
+    from functools import reduce
+
+    from fireball_data_processing_spark.functions.text import normalize_text
+    from fireball_data_processing_spark.functions.textstats import (
+        flesch_features,
+        gopher_rules,
+    )
+    from fireball_data_processing_spark.operators.profile import zipf_fit
+
+    d = load_table(spark, sf_dir, "documents")
+    feats = flesch_features(F.col("text"))
+    gpass = gopher_rules(F.col("text"))["passes_gopher"]
+    rpass = F.coalesce(feats["reading_ease"] >= 30.0, F.lit(False))
+    toks = F.size(
+        F.regexp_extract_all("text", F.lit(r"\w+|[^\w\s]"), 0)
+    )
+
+    def row(section: str, metric: str, value) -> DataFrame:
+        return value.select(
+            F.lit(section).alias("section"),
+            F.lit(metric).alias("metric"),
+            F.round(F.col("v").cast("double"), 6).alias("value"),
+        )
+
+    base = d.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(toks).cast("double").alias("tok"),
+        F.sum("n_chars").cast("double").alias("ch"),
+        F.avg(feats["n_words"].cast("double")).alias("mw"),
+        F.avg(gpass.cast("double")).alias("gp"),
+        F.avg(rpass.cast("double")).alias("rp"),
+        F.countDistinct("source").cast("double").alias("nsrc"),
+        F.countDistinct("lang").cast("double").alias("nlang"),
+        F.countDistinct(
+            F.md5(normalize_text(F.col("text")))
+        ).cast("double").alias("ndist"),
+    )
+    src = d.groupBy("source").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    src_share = src.agg((F.max("c") / F.sum("c")).alias("v"))
+    lng = d.groupBy("lang").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    lng_share = lng.agg((F.max("c") / F.sum("c")).alias("v"))
+    vocab = (
+        d.select(
+            F.explode(
+                F.split(normalize_text(F.col("text")), " ")
+            ).alias("t")
+        )
+        .filter(F.col("t") != "")
+        .agg(F.countDistinct("t").cast("double").alias("v"))
+    )
+    z = zipf_fit(d, max_rank=1000)
+    parts = [
+        row("volume", "n_docs", base.select(F.col("n").alias("v"))),
+        row("volume", "n_tokens", base.select(F.col("tok").alias("v"))),
+        row("volume", "n_chars", base.select(F.col("ch").alias("v"))),
+        row("length", "mean_words_per_doc",
+            base.select(F.col("mw").alias("v"))),
+        row("quality", "gopher_pass_frac",
+            base.select(F.col("gp").alias("v"))),
+        row("quality", "readability_pass_frac",
+            base.select(F.col("rp").alias("v"))),
+        row("sources", "n_sources", base.select(F.col("nsrc").alias("v"))),
+        row("sources", "top_source_share", src_share),
+        row("languages", "n_languages",
+            base.select(F.col("nlang").alias("v"))),
+        row("languages", "top_language_share", lng_share),
+        row("dedup", "exact_duplicate_docs",
+            base.select((F.col("n") - F.col("ndist")).alias("v"))),
+        row("dedup", "exact_duplicate_frac",
+            base.select(((F.col("n") - F.col("ndist")) / F.col("n")).alias("v"))),
+        row("vocabulary", "vocab_size", vocab),
+        row("vocabulary", "zipf_exponent",
+            z.select(F.col("zipf_exponent").alias("v"))),
+        row("vocabulary", "zipf_r2", z.select(F.col("r2").alias("v"))),
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
@@ -7903,6 +8094,7 @@ _PRIORITY = [
     "curriculum_stages",
     "zipf_fit_profile",
     "edit_distance_near_dups",
+    "dataset_card_summary",
     # --- newest driver row r3 (oldest attestations) ---
     "incremental_heuristics_merge",
     "windowed_mix_drift",
@@ -7935,7 +8127,6 @@ _PRIORITY = [
     "span_scrubbed_docs",
     "incremental_refresh_counts",
     "domain_capped_sample",
-    "temperature_mixture_plan",
     "corpus_pipeline_v2_summary",
     "event_type_rollup",
     "cross_doc_line_dedup",
@@ -7949,6 +8140,7 @@ _PRIORITY = [
     "benchmark_containment_scores",
     "self_bleu_pairs",
     # --- deferred r4-stale (just past the head; first in the r8 head) ---
+    "temperature_mixture_plan",
     "upsert_merge_counts",
     "doc_script_profile",
     "mmr_diverse_topk",
