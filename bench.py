@@ -106,6 +106,7 @@ EXTRA = (
     "zipf_fit_profile",
     "edit_distance_near_dups",
     "dataset_card_summary",
+    "lsh_tuning_curve",
 )
 
 

@@ -37,7 +37,7 @@ __all__ = [
     "aligned_segments", "line_dedup", "ngram_containment",
     "contamination_spans", "content_defined_chunks", "cdc_duplicate_chunks",
     "score_threshold_sweep", "cluster_size_histogram",
-    "threshold_doc_hits", "quality_survivors", "edit_distance_pairs",
+    "threshold_doc_hits", "quality_survivors", "edit_distance_pairs", "lsh_tuning_curve",
 ]
 
 
@@ -1358,4 +1358,55 @@ def edit_distance_pairs(
     ).otherwise(F.lit(0.0))
     return out.select(
         "id_a", "id_b", "edit_dist", ratio.alias("edit_ratio")
+    )
+
+
+def lsh_tuning_curve(
+    spark,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    step_pct: int = 5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """The LSH banding S-curve — the planner's datasheet for
+    :func:`lsh_candidate_pairs`: with ``b = num_hashes // band_size``
+    bands of ``r = band_size`` rows, a pair at Jaccard similarity ``s``
+    becomes a candidate with probability
+
+        P(s) = 1 - (1 - s^r)^b
+
+    (Leskovec/Rajaraman/Ullman, *Mining of Massive Datasets* §3.4 —
+    the standard tuning tool, e.g. datasketch's optimal-param search).
+    The curve's inflection ``(1/b)^(1/r)`` is the effective similarity
+    threshold; reading the emitted grid is how a pipeline picks
+    (num_hashes, band_size) for a target threshold BEFORE paying for a
+    corpus-scale run, and the false-positive/false-negative masses are
+    the areas under/over the curve either side of the cut.
+
+    Output: one row per ``step_pct`` grid point — ``(similarity,
+    p_candidate, n_bands, band_size)``, probabilities rounded (pow's
+    engine ulp differences absorbed, the weighted-sampling idiom).
+    Driver-grid-sized (a planning table, never corpus work)."""
+    if num_hashes % band_size != 0:
+        raise ValueError("num_hashes must be divisible by band_size")
+    b = num_hashes // band_size
+    grid = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.lit(p / 100.0)
+                    for p in range(step_pct, 100, step_pct)
+                ]
+            )
+        ).alias("similarity")
+    )
+    p = F.lit(1.0) - F.pow(
+        F.lit(1.0) - F.pow(F.col("similarity"), F.lit(float(band_size))),
+        F.lit(float(b)),
+    )
+    return grid.select(
+        F.round("similarity", round_dp).alias("similarity"),
+        F.round(p, round_dp).alias("p_candidate"),
+        F.lit(b).cast("int").alias("n_bands"),
+        F.lit(int(band_size)).cast("int").alias("band_size"),
     )

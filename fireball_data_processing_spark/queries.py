@@ -8062,6 +8062,35 @@ def q_dataset_card_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reduce(lambda a, b: a.unionByName(b), parts)
 
 
+@query(
+    "lsh_tuning_curve",
+    """
+WITH grid AS (
+  SELECT (p / 100.0) AS similarity FROM UNNEST(generate_series(5, 95, 5)) AS t(p)
+)
+SELECT ROUND(similarity, 6) AS similarity,
+  ROUND(1.0 - POWER(1.0 - POWER(similarity, 2.0), 4.0), 6) AS p_candidate,
+  4 AS n_bands, 2 AS band_size
+FROM grid
+""",
+)
+def q_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH banding S-curve (operators/dedup.py lsh_tuning_curve —
+    Mining of Massive Datasets §3.4): candidate probability
+    1-(1-s^r)^b across the similarity grid for the engine's default
+    (8 hashes, band size 2 → 4 bands) configuration — the planning
+    datasheet that picks banding parameters for a target near-dup
+    threshold BEFORE paying for a corpus-scale run (the curve's
+    inflection (1/b)^(1/r) ≈ 0.71 here is the effective threshold the
+    other LSH queries inherit). Driver-grid-sized; probabilities
+    rounded so pow replays cross-engine."""
+    from fireball_data_processing_spark.operators.dedup import (
+        lsh_tuning_curve,
+    )
+
+    return lsh_tuning_curve(spark, num_hashes=8, band_size=2, step_pct=5)
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
@@ -8095,6 +8124,7 @@ _PRIORITY = [
     "zipf_fit_profile",
     "edit_distance_near_dups",
     "dataset_card_summary",
+    "lsh_tuning_curve",
     # --- newest driver row r3 (oldest attestations) ---
     "incremental_heuristics_merge",
     "windowed_mix_drift",
@@ -8124,7 +8154,6 @@ _PRIORITY = [
     "hybrid_search_rrf",
     "semantic_dedup_survivors",
     "bm25_search_indexed",
-    "span_scrubbed_docs",
     "incremental_refresh_counts",
     "domain_capped_sample",
     "corpus_pipeline_v2_summary",
@@ -8140,6 +8169,7 @@ _PRIORITY = [
     "benchmark_containment_scores",
     "self_bleu_pairs",
     # --- deferred r4-stale (just past the head; first in the r8 head) ---
+    "span_scrubbed_docs",
     "temperature_mixture_plan",
     "upsert_merge_counts",
     "doc_script_profile",

@@ -1203,3 +1203,49 @@ def test_ivfpq_path_backed_index_prunes_and_matches(spark, tmp_path):
     assert m, plan1
     assert one_q.count() == 3
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == before
+
+
+def test_ivfpq_ingest_routes_and_encodes_in_stream(spark, tmp_path):
+    """The full IVFPQ index maintenance drops into a stream unchanged:
+    cell assignment AND residual PQ encoding are centroid-literal pure
+    expressions, so a Structured Streaming ingest emits the same
+    (vec_id, cell, codes) rows the batch index projection does — no
+    state, no watermark; writing partitioned by cell at ingest time IS
+    the index build, incrementally."""
+    import os
+    import shutil
+
+    from fireball_data_processing_spark.operators.similarity import (
+        _ivfpq_code_frame,
+        ivfpq_fit,
+    )
+    from fireball_data_processing_spark.sources.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents, books = ivfpq_fit(e, n_cells=4, m=4, ks=4)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    shutil.copy(
+        os.path.join("/root/testdata/sf0.001", "embeddings.parquet"), src
+    )
+    schema = spark.read.parquet(src).schema
+    stream = _ivfpq_code_frame(
+        spark.readStream.schema(schema).parquet(src),
+        cents, books, 64, "vec_id", "embedding",
+    )
+    q = (
+        stream.writeStream.format("memory").queryName("ivfpq_route")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["neighbor_id"]: (r["cell"], list(r["__codes"]))
+        for r in spark.sql("SELECT * FROM ivfpq_route").collect()
+    }
+    want = {
+        r["neighbor_id"]: (r["cell"], list(r["__codes"]))
+        for r in _ivfpq_code_frame(
+            spark.read.parquet(src), cents, books, 64, "vec_id", "embedding"
+        ).collect()
+    }
+    assert got == want and len(got) == len(want) > 0
