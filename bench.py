@@ -107,6 +107,7 @@ EXTRA = (
     "edit_distance_near_dups",
     "dataset_card_summary",
     "lsh_tuning_curve",
+    "domain_budget_fill",
 )
 
 

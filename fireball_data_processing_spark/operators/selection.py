@@ -48,9 +48,10 @@ def budget_fill(
     score_col: str,
     weight_col: str,
     tie_col: str,
-    budget: int,
+    budget: int | DataFrame,
     n_buckets: int = 64,
     cum_col: str = "cum_weight",
+    group_col: str | None = None,
 ) -> DataFrame:
     """Greedy best-score-first selection until a cumulative weight budget
     is exhausted — "fill a token budget with the highest-quality
@@ -59,6 +60,17 @@ def budget_fill(
     exactly the rows whose running total (ordered by ``score_col`` DESC,
     ``tie_col`` ASC) stays within ``budget``; the running total is
     emitted as ``cum_col``.
+
+    With ``group_col`` set, the fill runs PER GROUP: the running total
+    restarts per group and ``budget`` may be a ``(group_col, budget)``
+    DataFrame of per-group budgets (broadcast-joined; groups absent
+    from it are dropped) — the shape that materializes a domain
+    MIXTURE into data: :func:`doremi_mixture_weights` (or any rate
+    planner) decides each domain's token share, this op fills each
+    share with that domain's best-scoring documents. Group keys join
+    null-safely (the percentile-gate lesson: a NULL group is its own
+    partition in every window here, so the budget join must not drop
+    it).
 
     Scale shape — the naive formulation is a global-window trap: a
     cumulative ``sum().over(Window.orderBy(...))`` with no partitionBy
@@ -87,26 +99,59 @@ def budget_fill(
         F.lit(n_buckets - 1),
     )
     sdf = df.withColumn("__bkt", bkt)
-    bucket_sums = sdf.groupBy("__bkt").agg(F.sum(weight_col).alias("__bw"))
-    w_off = Window.orderBy(F.desc("__bkt")).rowsBetween(
-        Window.unboundedPreceding, -1
+    gcols = ([group_col] if group_col is not None else []) + ["__bkt"]
+    bucket_sums = sdf.groupBy(*gcols).agg(F.sum(weight_col).alias("__bw"))
+    w_off = (
+        (
+            Window.partitionBy(group_col)
+            if group_col is not None
+            else Window.partitionBy()
+        )
+        .orderBy(F.desc("__bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = bucket_sums.select(
-        "__bkt", F.coalesce(F.sum("__bw").over(w_off), F.lit(0)).alias("__off")
+        *gcols,
+        F.coalesce(F.sum("__bw").over(w_off), F.lit(0)).alias("__off"),
     )
     w_in = (
-        Window.partitionBy("__bkt")
+        Window.partitionBy(*gcols)
         .orderBy(F.desc(score_col), F.asc(tie_col))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    return (
-        sdf.join(F.broadcast(offsets), "__bkt")
-        .withColumn(
-            cum_col,
-            (F.col("__off") + F.sum(weight_col).over(w_in)).cast("bigint"),
+    if group_col is None:
+        filled = sdf.join(F.broadcast(offsets), "__bkt")
+    else:
+        off = offsets.select(
+            F.col(group_col).alias("__og"),
+            F.col("__bkt").alias("__ob"),
+            "__off",
         )
-        .filter(F.col(cum_col) <= budget)
-        .drop("__bkt", "__off")
+        filled = sdf.join(
+            F.broadcast(off),
+            F.col(group_col).eqNullSafe(F.col("__og"))
+            & (F.col("__bkt") == F.col("__ob")),
+        ).drop("__og", "__ob")
+    filled = filled.withColumn(
+        cum_col,
+        (F.col("__off") + F.sum(weight_col).over(w_in)).cast("bigint"),
+    )
+    if isinstance(budget, DataFrame):
+        if group_col is None:
+            raise ValueError("a budget DataFrame requires group_col")
+        b = budget.select(
+            F.col(group_col).alias("__bg"),
+            F.col("budget").cast("bigint").alias("__budget"),
+        )
+        filled = filled.join(
+            F.broadcast(b), F.col(group_col).eqNullSafe(F.col("__bg"))
+        ).drop("__bg")
+        cut = F.col("__budget")
+    else:
+        cut = F.lit(int(budget))
+    return (
+        filled.filter(F.col(cum_col) <= cut)
+        .drop("__bkt", "__off", "__budget")
     )
 
 

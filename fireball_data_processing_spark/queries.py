@@ -8091,6 +8091,110 @@ def q_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_tuning_curve(spark, num_hashes=8, band_size=2, step_pct=5)
 
 
+_DOMAIN_FILL_ORACLE = (
+    _DOREMI_ORACLE.rstrip()
+    .replace(
+        "\nSELECT domain, n_docs, avg_excess,",
+        "\n, wts AS (\n  SELECT domain, n_docs, avg_excess,",
+        1,
+    )
+    + """
+),
+bud AS (
+  SELECT domain AS lang,
+    CAST(ROUND(weight * 30000, 0) AS BIGINT) AS budget
+  FROM wts
+),
+gw AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+  FROM documents
+),
+gq AS (
+  SELECT doc_id, len(ws)::BIGINT AS n_tokens,
+    ROUND(len(list_filter(ws, x -> list_contains(
+      ['the','a','of','and','to','in','is','it','that','for'], lower(x))))
+      ::DOUBLE / len(ws), 6) AS quality
+  FROM gw
+),
+gl AS (
+  SELECT d.lang, g.doc_id, g.quality, g.n_tokens
+  FROM gq g JOIN documents d USING (doc_id)
+),
+gc AS (
+  SELECT lang, doc_id, quality, n_tokens,
+    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id
+                        ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens
+  FROM gl
+)
+SELECT gc.lang, gc.doc_id, gc.quality, gc.n_tokens, gc.cum_tokens
+FROM gc JOIN bud ON bud.lang = gc.lang
+WHERE gc.cum_tokens <= bud.budget
+"""
+)
+
+
+@query("domain_budget_fill", _DOMAIN_FILL_ORACLE)
+def q_domain_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixture made material (operators/selection.py budget_fill
+    with group_col + a budgets frame): DoReMi's per-language weights
+    slice a 30k-token training budget into per-language budgets, and
+    each language's budget fills with that language's highest-quality
+    documents first (stop-word-ratio quality, doc_id tie-break) — the
+    composition every curated-pretraining run ships (plan the mix,
+    then fill each share greedily). The grouped fill is the two-phase
+    distributed prefix sum PARTITIONED by language: offsets per
+    (lang, bucket) over a bounded frame, per-row windows per
+    (lang, bucket), budgets broadcast null-safely — no language ever
+    serializes the others. The oracle chains both LMs, the weight
+    update, the budget slicing, and the per-language plain-window fill."""
+    from fireball_data_processing_spark.functions.textstats import (
+        bigram_logprob,
+        quality_features,
+        unigram_logprob,
+    )
+    from fireball_data_processing_spark.operators.selection import (
+        budget_fill,
+        doremi_mixture_weights,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    uni = unigram_logprob(d).select(
+        "doc_id", F.col("avg_neg_log2_prob").alias("__uni")
+    )
+    bi = bigram_logprob(d).select(
+        "doc_id", F.col("avg_neg_log2_bigram_prob").alias("__bi")
+    )
+    excess = (
+        uni.join(bi, "doc_id")
+        .join(d.select("doc_id", "lang"), "doc_id")
+        .select(
+            "lang",
+            F.greatest(F.col("__uni") - F.col("__bi"), F.lit(0.0)).alias(
+                "__excess"
+            ),
+        )
+    )
+    budgets = doremi_mixture_weights(
+        excess, domain_col="lang", excess_col="__excess",
+        eta=1.0, smoothing=0.1,
+    ).select(
+        F.col("domain").alias("lang"),
+        F.round(F.col("weight") * 30000, 0).cast("bigint").alias("budget"),
+    )
+    feats = quality_features(F.col("text"))
+    base = d.select(
+        "lang",
+        "doc_id",
+        F.round(feats["stopword_ratio"], 6).alias("quality"),
+        feats["n_words"].alias("n_tokens"),
+    )
+    out = budget_fill(
+        base, "quality", "n_tokens", "doc_id", budget=budgets,
+        cum_col="cum_tokens", group_col="lang",
+    )
+    return out.select("lang", "doc_id", "quality", "n_tokens", "cum_tokens")
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
@@ -8125,6 +8229,7 @@ _PRIORITY = [
     "edit_distance_near_dups",
     "dataset_card_summary",
     "lsh_tuning_curve",
+    "domain_budget_fill",
     # --- newest driver row r3 (oldest attestations) ---
     "incremental_heuristics_merge",
     "windowed_mix_drift",
@@ -8154,7 +8259,6 @@ _PRIORITY = [
     "hybrid_search_rrf",
     "semantic_dedup_survivors",
     "bm25_search_indexed",
-    "incremental_refresh_counts",
     "domain_capped_sample",
     "corpus_pipeline_v2_summary",
     "event_type_rollup",
@@ -8169,6 +8273,7 @@ _PRIORITY = [
     "benchmark_containment_scores",
     "self_bleu_pairs",
     # --- deferred r4-stale (just past the head; first in the r8 head) ---
+    "incremental_refresh_counts",
     "span_scrubbed_docs",
     "temperature_mixture_plan",
     "upsert_merge_counts",

@@ -89,3 +89,54 @@ def test_dsir_plan_broadcasts_distributions(spark):
     # totals ride a window over the merged frame, not a join-back that
     # would re-plan them)
     assert phys.count("Scan parquet") == 3, phys.count("Scan parquet")
+
+def test_budget_fill_grouped_matches_literal_python(spark):
+    """The grouped fill restarts the running total per group, applies
+    per-group budgets from a broadcast frame, drops groups absent from
+    it, and keeps a NULL group working (null-safe budget/offset joins
+    — the percentile-gate lesson)."""
+    import pyspark.sql.functions as F
+
+    from fireball_data_processing_spark.operators.selection import budget_fill
+
+    rows = [
+        # (grp, id, score, weight)
+        ("a", 1, 0.9, 5), ("a", 2, 0.8, 5), ("a", 3, 0.7, 5),
+        ("b", 4, 0.99, 8), ("b", 5, 0.5, 8),
+        (None, 6, 0.6, 4), (None, 7, 0.4, 4),
+        ("dropped", 8, 1.0, 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "grp string, id long, score double, w long"
+    )
+    budgets = spark.createDataFrame(
+        [("a", 10), ("b", 8), (None, 8)], "grp string, budget long"
+    )
+    got = {
+        (r["grp"], r["id"], r["cum_weight"])
+        for r in budget_fill(
+            df, "score", "w", "id", budget=budgets, group_col="grp",
+            n_buckets=4,
+        ).collect()
+    }
+    # a: 1 (5), 2 (10) fit; 3 (15) over. b: 4 (8) fits; 5 (16) over.
+    # null group: 6 (4), 7 (8) fit. "dropped" has no budget row.
+    want = {("a", 1, 5), ("a", 2, 10), ("b", 4, 8),
+            (None, 6, 4), (None, 7, 8)}
+    assert got == want
+
+    # scalar budget still works ungrouped (regression)
+    flat = budget_fill(df, "score", "w", "id", budget=13)
+    assert {r["id"] for r in flat.collect()} == {8, 4}  # 1.0 then 0.99
+
+
+def test_budget_fill_budget_frame_requires_group(spark):
+    import pytest
+
+    from fireball_data_processing_spark.operators.selection import budget_fill
+
+    df = spark.createDataFrame([("a", 1, 0.5, 1)],
+                               "grp string, id long, score double, w long")
+    budgets = spark.createDataFrame([("a", 5)], "grp string, budget long")
+    with pytest.raises(ValueError, match="requires group_col"):
+        budget_fill(df, "score", "w", "id", budget=budgets)
