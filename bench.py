@@ -108,6 +108,7 @@ EXTRA = (
     "dataset_card_summary",
     "lsh_tuning_curve",
     "domain_budget_fill",
+    "agreement_krippendorff",
 )
 
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -63,4 +63,83 @@ def pairwise_kappa(
 
     return pairs.groupBy("rater_a", "rater_b").applyInPandas(
         kappa_fn, schema="rater_a string, rater_b string, n_items bigint, kappa double"
+    )
+
+
+def krippendorff_alpha_nominal(
+    ratings: DataFrame,
+    rater_col: str = "rater",
+    item_col: str = "item",
+    label_col: str = "label",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Krippendorff's alpha, nominal data — the third statistic of the
+    reference's agreement suite (``human_eval/results_analysis.py``
+    computes kappa, tau, AND alpha) and the one that handles what kappa
+    can't: ANY number of raters per item, with missing ratings, in one
+    coefficient. Canonical count form (Krippendorff 2011):
+
+        alpha = 1 - (N - 1) * sum_u sum_c n_uc (n_u - n_uc) / (n_u - 1)
+                    / sum_c n_c (N - n_c)
+
+    over PAIRABLE items only (n_u >= 2 ratings; singleton items carry
+    no agreement evidence), where n_uc counts item u's ratings in
+    category c, n_u = sum_c n_uc, n_c the category total and N the
+    grand total.
+
+    Unlike the reference's pandas loop (and this module's pairwise
+    ``applyInPandas`` statistics), this is a PURE DataFrame aggregate —
+    two groupBys over the (item, label) count frame plus
+    one-row-broadcast totals; no rater self-join, no Python — so it
+    runs at corpus scale and replays exactly in SQL (the query's DuckDB
+    oracle). Output one row: ``(n_items, n_ratings, alpha)``; alpha is
+    NULL when expected disagreement is zero (every pairable rating in
+    one category — undefined by construction)."""
+    iu = (
+        ratings.groupBy(
+            F.col(item_col).alias("__item"), F.col(label_col).alias("__label")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("__nuc"))
+    )
+    w_item = Window.partitionBy("__item")
+    per = iu.withColumn("__nu", F.sum("__nuc").over(w_item)).filter(
+        F.col("__nu") >= 2
+    )
+    do_terms = per.select(
+        "__item",
+        "__nu",
+        (F.col("__nuc") * (F.col("__nu") - F.col("__nuc"))
+         / (F.col("__nu") - 1)).alias("__d"),
+    )
+    totals = per.groupBy("__label").agg(F.sum("__nuc").alias("__nc"))
+    grand = totals.agg(
+        F.sum("__nc").alias("__N"),
+        F.count(F.lit(1)).alias("__ncat"),
+    )
+    de = (
+        totals.crossJoin(F.broadcast(grand))
+        .agg(
+            F.sum(F.col("__nc") * (F.col("__N") - F.col("__nc"))).alias("__de"),
+            F.first("__N").alias("__N"),
+        )
+    )
+    do = do_terms.agg(
+        F.sum("__d").alias("__do"),
+        F.countDistinct("__item").cast("bigint").alias("n_items"),
+    )
+    alpha = F.when(
+        F.col("__de") > 0,
+        F.round(
+            F.lit(1.0)
+            - (F.col("__N") - 1) * F.col("__do") / F.col("__de"),
+            round_dp,
+        ),
+    )
+    return (
+        do.crossJoin(F.broadcast(de))
+        .select(
+            "n_items",
+            F.col("__N").cast("bigint").alias("n_ratings"),
+            alpha.alias("alpha"),
+        )
     )

@@ -8195,6 +8195,65 @@ def q_domain_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("lang", "doc_id", "quality", "n_tokens", "cum_tokens")
 
 
+@query(
+    "agreement_krippendorff",
+    """
+WITH ratings AS (
+  SELECT CAST(user_id % 4 AS VARCHAR) AS rater,
+         event_id % 200 AS item, event_type AS label
+  FROM events
+),
+iu AS (
+  SELECT item, label, COUNT(*)::DOUBLE AS nuc
+  FROM ratings GROUP BY item, label
+),
+per AS (
+  SELECT item, label, nuc, SUM(nuc) OVER (PARTITION BY item) AS nu
+  FROM iu
+  QUALIFY SUM(nuc) OVER (PARTITION BY item) >= 2
+),
+do_agg AS (
+  SELECT SUM(nuc * (nu - nuc) / (nu - 1)) AS do_sum,
+         COUNT(DISTINCT item)::BIGINT AS n_items
+  FROM per
+),
+tot AS (SELECT label, SUM(nuc) AS nc FROM per GROUP BY label),
+grand AS (SELECT SUM(nc) AS n FROM tot),
+de_agg AS (
+  SELECT SUM(nc * (g.n - nc)) AS de_sum, ANY_VALUE(g.n) AS n
+  FROM tot, grand g
+)
+SELECT d.n_items, CAST(e.n AS BIGINT) AS n_ratings,
+  CASE WHEN e.de_sum > 0 THEN
+    ROUND(1.0 - (e.n - 1) * d.do_sum / e.de_sum, 6)
+  END AS alpha
+FROM do_agg d, de_agg e
+""",
+)
+def q_agreement_krippendorff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A21's third statistic, distributed (plans/agreement.py
+    krippendorff_alpha_nominal — reference
+    human_eval/results_analysis.py computes kappa, tau AND alpha):
+    nominal Krippendorff's alpha over the same synthetic rater derivation
+    as agreement_kappa, in the canonical count form over pairable items
+    — any number of raters per item, missing ratings included, one
+    coefficient. Pure DataFrame aggregate (two groupBys over the
+    (item, label) counts + one-row-broadcast totals; no rater self-join,
+    no Python), unlike the reference's pandas loop — so the same code
+    runs at corpus scale; the oracle replays the count form exactly."""
+    from fireball_data_processing_spark.plans.agreement import (
+        krippendorff_alpha_nominal,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    ratings = ev.select(
+        (F.col("user_id") % 4).cast("string").alias("rater"),
+        (F.col("event_id") % 200).alias("item"),
+        F.col("event_type").alias("label"),
+    )
+    return krippendorff_alpha_nominal(ratings)
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
@@ -8230,6 +8289,7 @@ _PRIORITY = [
     "dataset_card_summary",
     "lsh_tuning_curve",
     "domain_budget_fill",
+    "agreement_krippendorff",
     # --- newest driver row r3 (oldest attestations) ---
     "incremental_heuristics_merge",
     "windowed_mix_drift",
@@ -8259,7 +8319,6 @@ _PRIORITY = [
     "hybrid_search_rrf",
     "semantic_dedup_survivors",
     "bm25_search_indexed",
-    "domain_capped_sample",
     "corpus_pipeline_v2_summary",
     "event_type_rollup",
     "cross_doc_line_dedup",
@@ -8273,6 +8332,7 @@ _PRIORITY = [
     "benchmark_containment_scores",
     "self_bleu_pairs",
     # --- deferred r4-stale (just past the head; first in the r8 head) ---
+    "domain_capped_sample",
     "incremental_refresh_counts",
     "span_scrubbed_docs",
     "temperature_mixture_plan",

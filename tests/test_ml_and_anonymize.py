@@ -270,3 +270,59 @@ def test_classify_batches_rejects_colliding_out_cols(spark):
     df = spark.createDataFrame([("x", 0.5)], "text string, prob double")
     with pytest.raises(ValueError, match="prob"):
         classify_batches(df, ["text"], lambda pdf: pd.DataFrame())
+
+
+def test_krippendorff_alpha_matches_literal_python(spark):
+    """Canonical count-form parity: alpha over a multi-rater table with
+    missing ratings and singleton items must match a literal-Python
+    replay; perfect agreement gives exactly 1; single-category data
+    yields NULL (expected disagreement zero)."""
+    import itertools
+
+    import pytest
+
+    from fireball_data_processing_spark.plans.agreement import (
+        krippendorff_alpha_nominal,
+    )
+
+    # 3 raters, 6 items, missing cells, one singleton item (excluded)
+    rows = [
+        ("r1", 1, "a"), ("r2", 1, "a"), ("r3", 1, "b"),
+        ("r1", 2, "b"), ("r2", 2, "b"),
+        ("r1", 3, "a"), ("r3", 3, "a"),
+        ("r2", 4, "c"), ("r3", 4, "b"),
+        ("r1", 5, "c"), ("r2", 5, "c"), ("r3", 5, "c"),
+        ("r1", 6, "a"),  # singleton: no agreement evidence
+    ]
+    df = spark.createDataFrame(rows, "rater string, item long, label string")
+    got = krippendorff_alpha_nominal(df).first()
+
+    from collections import Counter, defaultdict
+
+    by_item = defaultdict(list)
+    for _, it, lab in rows:
+        by_item[it].append(lab)
+    pairable = {it: ls for it, ls in by_item.items() if len(ls) >= 2}
+    N = sum(len(ls) for ls in pairable.values())
+    do = sum(
+        sum(c * (len(ls) - c) for c in Counter(ls).values()) / (len(ls) - 1)
+        for ls in pairable.values()
+    )
+    nc = Counter(itertools.chain.from_iterable(pairable.values()))
+    de = sum(c * (N - c) for c in nc.values())
+    want = 1.0 - (N - 1) * do / de
+    assert got["n_items"] == 5
+    assert got["n_ratings"] == N
+    assert got["alpha"] == pytest.approx(round(want, 6), abs=1e-9)
+
+    perfect = spark.createDataFrame(
+        [(r, i, "x" if i % 2 else "y") for r in ("a", "b") for i in range(4)],
+        "rater string, item long, label string",
+    )
+    assert krippendorff_alpha_nominal(perfect).first()["alpha"] == 1.0
+
+    mono = spark.createDataFrame(
+        [("a", 1, "x"), ("b", 1, "x"), ("a", 2, "x"), ("b", 2, "x")],
+        "rater string, item long, label string",
+    )
+    assert krippendorff_alpha_nominal(mono).first()["alpha"] is None

@@ -862,3 +862,62 @@ def test_bucketed_gate_matches_plain_percent_rank(
         ).collect()
     }
     assert bucketed == plain
+
+
+# ---------------------------------------------------------------------
+# grouped budget fill (round 7): per-group fills must equal a literal
+# greedy fill per group, for ANY bucketing — including null groups,
+# groups without a budget row (dropped), zero budgets, and scores at
+# the clamp edges
+# ---------------------------------------------------------------------
+
+fill_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", None]),                 # group
+        st.sampled_from([0.0, 0.2, 0.2, 0.5, 0.77, 1.0]),  # score
+        st.integers(1, 9),                                 # weight
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(rows=fill_rows, n_buckets=st.sampled_from([1, 3, 16]),
+       budgets=st.fixed_dictionaries(
+           {"a": st.integers(0, 40), "b": st.integers(0, 40)}))
+@settings(**SETTINGS)
+def test_grouped_budget_fill_matches_literal_greedy(
+    spark, rows, n_buckets, budgets
+):
+    from fireball_data_processing_spark.operators.selection import budget_fill
+
+    data = [(g, i, s, w) for i, (g, s, w) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "grp string, id long, score double, w long"
+    )
+    bdf = spark.createDataFrame(
+        [("a", budgets["a"]), ("b", budgets["b"]), (None, 15)],
+        "grp string, budget long",
+    )
+    got = {
+        (r["grp"], r["id"], r["cum_weight"])
+        for r in budget_fill(
+            df, "score", "w", "id", budget=bdf, group_col="grp",
+            n_buckets=n_buckets,
+        ).collect()
+    }
+    want = set()
+    full = dict(budgets)
+    full[None] = 15
+    for g, cap in full.items():
+        members = sorted(
+            ((s, i, w) for gg, i, s, w in data if gg == g),
+            key=lambda t: (-t[0], t[1]),
+        )
+        cum = 0
+        for s, i, w in members:
+            cum += w
+            if cum > cap:
+                break
+            want.add((g, i, cum))
+    assert got == want
