@@ -109,6 +109,7 @@ EXTRA = (
     "lsh_tuning_curve",
     "domain_budget_fill",
     "agreement_krippendorff",
+    "agreement_kendall_tau",
 )
 
 

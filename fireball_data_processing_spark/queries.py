@@ -8254,6 +8254,70 @@ def q_agreement_krippendorff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return krippendorff_alpha_nominal(ratings)
 
 
+@query(
+    "agreement_kendall_tau",
+    """
+WITH ratings AS (
+  SELECT CAST(user_id % 4 AS VARCHAR) AS rater,
+         event_id % 50 AS item,
+         ROUND(AVG(value), 6) AS v
+  FROM events GROUP BY 1, 2
+),
+co AS (
+  SELECT a.rater AS rater_a, b.rater AS rater_b, a.item,
+         a.v AS va, b.v AS vb
+  FROM ratings a JOIN ratings b
+    ON a.item = b.item AND a.rater < b.rater
+),
+ni AS (
+  SELECT rater_a, rater_b, COUNT(*)::BIGINT AS n_items
+  FROM co GROUP BY 1, 2
+),
+p AS (
+  SELECT i.rater_a, i.rater_b,
+    (i.va - j.va) AS dx, (i.vb - j.vb) AS dy
+  FROM co i JOIN co j
+    ON i.rater_a = j.rater_a AND i.rater_b = j.rater_b
+   AND i.item < j.item
+),
+s AS (
+  SELECT rater_a, rater_b,
+    COUNT(*)::DOUBLE AS n0,
+    SUM(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END)::DOUBLE AS c,
+    SUM(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END)::DOUBLE AS d,
+    SUM(CASE WHEN dx = 0 THEN 1 ELSE 0 END)::DOUBLE AS tx,
+    SUM(CASE WHEN dy = 0 THEN 1 ELSE 0 END)::DOUBLE AS ty
+  FROM p GROUP BY 1, 2
+)
+SELECT s.rater_a, s.rater_b, ni.n_items,
+  CASE WHEN SQRT((n0 - tx) * (n0 - ty)) > 0 THEN
+    ROUND((c - d) / SQRT((n0 - tx) * (n0 - ty)), 6)
+  END AS tau
+FROM s JOIN ni USING (rater_a, rater_b)
+""",
+)
+def q_agreement_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A21's second statistic, distributed (plans/agreement.py
+    pairwise_kendall_tau — reference results_analysis.py:141-152 calls
+    scipy's kendalltau, i.e. tau-b): per rater pair over co-rated items
+    (one rating per (rater, item) = the rounded mean event value), the
+    tie-corrected (C-D)/sqrt((n0-tx)(n0-ty)) from explicit
+    concordant/discordant item-pair counts — all JVM aggregates, no
+    scipy, so the DuckDB oracle replays every pair count exactly. The
+    O(n²) item-pair contact is the statistic's own cost and stays
+    inside each rater pair (eval-sized by contract)."""
+    from fireball_data_processing_spark.plans.agreement import (
+        pairwise_kendall_tau,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    ratings = ev.groupBy(
+        (F.col("user_id") % 4).cast("string").alias("rater"),
+        (F.col("event_id") % 50).alias("item"),
+    ).agg(F.round(F.avg("value"), 6).alias("v"))
+    return pairwise_kendall_tau(ratings, value_col="v")
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
@@ -8290,6 +8354,7 @@ _PRIORITY = [
     "lsh_tuning_curve",
     "domain_budget_fill",
     "agreement_krippendorff",
+    "agreement_kendall_tau",
     # --- newest driver row r3 (oldest attestations) ---
     "incremental_heuristics_merge",
     "windowed_mix_drift",
@@ -8317,7 +8382,6 @@ _PRIORITY = [
     "fb_distill4_core",
     "agreement_kappa",
     "hybrid_search_rrf",
-    "semantic_dedup_survivors",
     "bm25_search_indexed",
     "corpus_pipeline_v2_summary",
     "event_type_rollup",
@@ -8332,6 +8396,7 @@ _PRIORITY = [
     "benchmark_containment_scores",
     "self_bleu_pairs",
     # --- deferred r4-stale (just past the head; first in the r8 head) ---
+    "semantic_dedup_survivors",
     "domain_capped_sample",
     "incremental_refresh_counts",
     "span_scrubbed_docs",

@@ -326,3 +326,60 @@ def test_krippendorff_alpha_matches_literal_python(spark):
         "rater string, item long, label string",
     )
     assert krippendorff_alpha_nominal(mono).first()["alpha"] is None
+
+
+def test_kendall_tau_matches_literal_python(spark):
+    """tau-b parity against a literal O(n²) concordant/discordant count
+    (the scipy.stats.kendalltau definition the reference calls),
+    including ties on both sides and the all-tied NULL case."""
+    import itertools
+    import math
+
+    import pytest
+
+    from fireball_data_processing_spark.plans.agreement import (
+        pairwise_kendall_tau,
+    )
+
+    rows = [
+        ("a", 1, 1.0), ("a", 2, 2.0), ("a", 3, 2.0), ("a", 4, 4.0),
+        ("b", 1, 2.0), ("b", 2, 1.0), ("b", 3, 3.0), ("b", 4, 3.0),
+        ("c", 1, 5.0), ("c", 2, 5.0),  # all-tied rater
+    ]
+    df = spark.createDataFrame(rows, "rater string, item long, value double")
+    got = {
+        (r["rater_a"], r["rater_b"]): (r["n_items"], r["tau"])
+        for r in pairwise_kendall_tau(df).collect()
+    }
+
+    vals = {(r, i): v for r, i, v in rows}
+
+    def tau_b(ra, rb):
+        items = sorted(
+            {i for r, i, _ in rows if r == ra}
+            & {i for r, i, _ in rows if r == rb}
+        )
+        c = d = tx = ty = n0 = 0
+        for i, j in itertools.combinations(items, 2):
+            dx = vals[(ra, i)] - vals[(ra, j)]
+            dy = vals[(rb, i)] - vals[(rb, j)]
+            n0 += 1
+            if dx * dy > 0:
+                c += 1
+            elif dx * dy < 0:
+                d += 1
+            if dx == 0:
+                tx += 1
+            if dy == 0:
+                ty += 1
+        den = math.sqrt((n0 - tx) * (n0 - ty))
+        return len(items), (c - d) / den if den > 0 else None
+
+    for pair in [("a", "b"), ("a", "c"), ("b", "c")]:
+        n, t = tau_b(*pair)
+        gn, gt = got[pair]
+        assert gn == n, pair
+        if t is None:
+            assert gt is None, pair
+        else:
+            assert gt == pytest.approx(round(t, 6), abs=1e-9), pair
