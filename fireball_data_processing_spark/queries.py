@@ -7977,15 +7977,16 @@ def q_dataset_card_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate mass, and the vocabulary profile (size + Zipf fit).
 
     Plan: the per-row gates are pure expressions, so volume + length +
-    quality all come from ONE aggregate over one scan; source/language
-    concentration are two bucket-count aggregates (bounded);
-    exact-dup mass is the md5-distinct aggregate; the vocabulary
-    section reuses the zipf_fit shape (one explode, vocab-bounded).
+    quality + dedup mass all come from ONE aggregate over one scan;
+    source/language concentration are two bucket-count aggregates and
+    the vocabulary section reuses the zipf_fit shape (one explode,
+    vocab-bounded) — FIVE scans total, assembled into a single one-row
+    frame by broadcast cross joins and EXPLODED to the long format
+    (union-of-selects would re-plan each subtree per metric row: the
+    first cut planned 15 corpus scans, this plans 5 — plan-audited).
     Every metric is a rounded double so one schema serves all sections
     — the 15-row output is the thing a data team publishes next to the
     shard manifest."""
-    from functools import reduce
-
     from fireball_data_processing_spark.functions.text import normalize_text
     from fireball_data_processing_spark.functions.textstats import (
         flesch_features,
@@ -8001,13 +8002,6 @@ def q_dataset_card_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract_all("text", F.lit(r"\w+|[^\w\s]"), 0)
     )
 
-    def row(section: str, metric: str, value) -> DataFrame:
-        return value.select(
-            F.lit(section).alias("section"),
-            F.lit(metric).alias("metric"),
-            F.round(F.col("v").cast("double"), 6).alias("value"),
-        )
-
     base = d.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum(toks).cast("double").alias("tok"),
@@ -8022,9 +8016,9 @@ def q_dataset_card_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("double").alias("ndist"),
     )
     src = d.groupBy("source").agg(F.count(F.lit(1)).cast("double").alias("c"))
-    src_share = src.agg((F.max("c") / F.sum("c")).alias("v"))
+    src_share = src.agg((F.max("c") / F.sum("c")).alias("src_share"))
     lng = d.groupBy("lang").agg(F.count(F.lit(1)).cast("double").alias("c"))
-    lng_share = lng.agg((F.max("c") / F.sum("c")).alias("v"))
+    lng_share = lng.agg((F.max("c") / F.sum("c")).alias("lng_share"))
     vocab = (
         d.select(
             F.explode(
@@ -8032,34 +8026,48 @@ def q_dataset_card_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("t")
         )
         .filter(F.col("t") != "")
-        .agg(F.countDistinct("t").cast("double").alias("v"))
+        .agg(F.countDistinct("t").cast("double").alias("vocab_size"))
     )
-    z = zipf_fit(d, max_rank=1000)
-    parts = [
-        row("volume", "n_docs", base.select(F.col("n").alias("v"))),
-        row("volume", "n_tokens", base.select(F.col("tok").alias("v"))),
-        row("volume", "n_chars", base.select(F.col("ch").alias("v"))),
-        row("length", "mean_words_per_doc",
-            base.select(F.col("mw").alias("v"))),
-        row("quality", "gopher_pass_frac",
-            base.select(F.col("gp").alias("v"))),
-        row("quality", "readability_pass_frac",
-            base.select(F.col("rp").alias("v"))),
-        row("sources", "n_sources", base.select(F.col("nsrc").alias("v"))),
-        row("sources", "top_source_share", src_share),
-        row("languages", "n_languages",
-            base.select(F.col("nlang").alias("v"))),
-        row("languages", "top_language_share", lng_share),
-        row("dedup", "exact_duplicate_docs",
-            base.select((F.col("n") - F.col("ndist")).alias("v"))),
-        row("dedup", "exact_duplicate_frac",
-            base.select(((F.col("n") - F.col("ndist")) / F.col("n")).alias("v"))),
-        row("vocabulary", "vocab_size", vocab),
-        row("vocabulary", "zipf_exponent",
-            z.select(F.col("zipf_exponent").alias("v"))),
-        row("vocabulary", "zipf_r2", z.select(F.col("r2").alias("v"))),
+    z = zipf_fit(d, max_rank=1000).select(
+        "zipf_exponent", F.col("r2").alias("zipf_r2")
+    )
+    assembled = (
+        base.crossJoin(F.broadcast(src_share))
+        .crossJoin(F.broadcast(lng_share))
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(z))
+    )
+    metrics = [
+        ("volume", "n_docs", F.col("n")),
+        ("volume", "n_tokens", F.col("tok")),
+        ("volume", "n_chars", F.col("ch")),
+        ("length", "mean_words_per_doc", F.col("mw")),
+        ("quality", "gopher_pass_frac", F.col("gp")),
+        ("quality", "readability_pass_frac", F.col("rp")),
+        ("sources", "n_sources", F.col("nsrc")),
+        ("sources", "top_source_share", F.col("src_share")),
+        ("languages", "n_languages", F.col("nlang")),
+        ("languages", "top_language_share", F.col("lng_share")),
+        ("dedup", "exact_duplicate_docs", F.col("n") - F.col("ndist")),
+        ("dedup", "exact_duplicate_frac",
+         (F.col("n") - F.col("ndist")) / F.col("n")),
+        ("vocabulary", "vocab_size", F.col("vocab_size")),
+        ("vocabulary", "zipf_exponent", F.col("zipf_exponent")),
+        ("vocabulary", "zipf_r2", F.col("zipf_r2")),
     ]
-    return reduce(lambda a, b: a.unionByName(b), parts)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(sec).alias("section"),
+                F.lit(met).alias("metric"),
+                F.round(expr.cast("double"), 6).alias("value"),
+            )
+            for sec, met, expr in metrics
+        ]
+    )
+    return assembled.select(F.explode(rows).alias("r")).select(
+        "r.section", "r.metric", "r.value"
+    )
 
 
 @query(
