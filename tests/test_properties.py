@@ -921,3 +921,48 @@ def test_grouped_budget_fill_matches_literal_greedy(
                 break
             want.add((g, i, cum))
     assert got == want
+
+
+# ---------------------------------------------------------------------
+# weighted reservoir sampling (round 7): the per-bucket top-n by
+# u^(1/w) must match the literal md5 replay for arbitrary weights and
+# bucket shapes — including all-equal weights (pure hash order),
+# n larger than the bucket, and weight-1 rows (key = u itself)
+# ---------------------------------------------------------------------
+
+ws_rows = st.lists(
+    st.tuples(st.sampled_from(["a", "b"]), st.integers(1, 10_000)),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(rows=ws_rows, n=st.integers(1, 4))
+@settings(**SETTINGS)
+def test_weighted_sample_matches_md5_replay(spark, rows, n):
+    import hashlib
+
+    from fireball_data_processing_spark.operators.sampling import (
+        weighted_sample_topn,
+    )
+
+    data = [(g, i, w) for i, (g, w) in enumerate(rows)]
+    df = spark.createDataFrame(data, "grp string, id long, w long")
+    got = {
+        (r["grp"], r["id"])
+        for r in weighted_sample_topn(
+            df, F.col("grp"), F.col("w"), n=n, key=F.col("id"), salt="h"
+        ).collect()
+    }
+
+    def u(i):
+        return int(hashlib.md5(f"h{i}".encode()).hexdigest()[:8], 16) / 2**32
+
+    want = set()
+    for g in {g for g, _, _ in data}:
+        keyed = sorted(
+            ((round(u(i) ** (1.0 / w), 12), -i) for gg, i, w in data if gg == g),
+            reverse=True,
+        )
+        want |= {(g, -negi) for _, negi in keyed[:n]}
+    assert got == want
