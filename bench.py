@@ -114,6 +114,8 @@ EXTRA = (
 
 
 def main() -> None:
+    global LOAD_START
+    LOAD_START = round(os.getloadavg()[0], 1)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
@@ -157,6 +159,11 @@ def main() -> None:
     extra_times = {name: timed(name) for name in EXTRA}
 
     total = round(sum(times.values()), 3)
+    # Environment annotation: a shared box under load (e.g. the test
+    # suite running concurrently) inflates wall-clock ~2x; recording the
+    # 1-min load average at start/end makes any such run self-describing
+    # instead of looking like a code regression (BENCH_latest_full r7).
+    load_end = round(os.getloadavg()[0], 1)
     payload = {
         "metric": "headline_suite_seconds",
         "value": total,
@@ -165,11 +172,18 @@ def main() -> None:
         "extra_queries": extra_times,
         "runs": runs,
         "sf": sf,
+        "env": {
+            "cpus_visible": os.cpu_count(),
+            "loadavg1_start": LOAD_START,
+            "loadavg1_end": load_end,
+        },
     }
-    # The driver captures only the tail of stdout, which has truncated
-    # the headline total off the committed BENCH_r05.json artifact —
-    # so ALSO write the full JSON to a repo file the round can commit,
-    # making every per-round number recoverable from the repo alone.
+    # The driver captures only the TAIL of stdout: when the printed JSON
+    # line outgrew the capture window (60+ per-query runs arrays by r7),
+    # the line's head was cut off and the driver recorded parsed: null
+    # (BENCH_r07.json). So the full payload goes to a committed repo file
+    # and stdout gets a COMPACT line — headline total + per-query mins
+    # only (~700 bytes) — that always fits the capture window.
     # $SPARK_GRAFT_ROUND (e.g. "r06") names the artifact; default
     # "latest" keeps ad-hoc runs from colliding with committed rounds.
     bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -179,7 +193,14 @@ def main() -> None:
     with open(os.path.join(bench_dir, f"BENCH_{tag}_full.json"), "w") as f:
         json.dump(payload, f, indent=1)
         f.write("\n")
-    print(json.dumps(payload))
+    compact = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":
