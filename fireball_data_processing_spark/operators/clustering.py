@@ -40,6 +40,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "kcenter_fit",
+    "kcenter_radius",
     "kmeans_assign",
     "kmeans_fit",
     "kmeans_summary",
@@ -229,4 +231,84 @@ def kmeans_summary(assigned: DataFrame, round_dp: int = 6) -> DataFrame:
     return assigned.groupBy("cluster_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_points"),
         F.round(F.sum("dist2"), round_dp).alias("inertia"),
+    )
+
+
+def kcenter_fit(
+    df: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_dp: int = 6,
+) -> list[tuple[int, int, float, list[float]]]:
+    """Greedy k-center selection (Gonzalez's 2-approximation), the
+    coreset / facility-location primitive for diversity-first data
+    selection: each round picks the point FARTHEST from every center
+    chosen so far, so k points cover the corpus with (provably) at most
+    twice the optimal radius. Complements the density-seeking k-means
+    above — k-center hunts the extremes k-means averages away, which is
+    what a "cover the long tail" selection pass wants.
+
+    Deterministic and oracle-replayable, per the house clustering
+    contract: the seed is the lowest-``id_col`` vector, the running
+    min-distance column is ROUNDED to ``round_dp`` each iteration
+    (absorbing any engine float-noise before it can flip an argmax), and
+    the pick tie-breaks to the lowest id via a lexicographic struct max
+    over ``(dist, -id)``. Distances use the sequential-fold ``_dist2``.
+
+    Scale shape: k-1 full-scan aggregate jobs, each reducing to ONE row
+    (max-struct has map-side partial combine — the exchange carries one
+    candidate per partition), and the running min-distance is a pure
+    projection that re-enters each chosen center as a literal, so there
+    is never a join or a per-point shuffle. The collect per round is one
+    row (the new center) — the bounded-collect idiom of ``kmeans_fit``.
+
+    Returns ``[(center_idx, id, gain, vector)]`` where ``gain`` is the
+    picked point's distance to the previously chosen centers (0.0 for
+    the seed) — the coverage-radius curve, monotonically nonincreasing.
+    """
+    vec = F.col(vec_col).cast("array<double>")
+    seed = (
+        df.select(F.col(id_col).alias("__id"), vec.alias("__v"))
+        .orderBy("__id")
+        .limit(1)
+        .collect()[0]
+    )
+    centers = [(0, int(seed["__id"]), 0.0, [float(x) for x in seed["__v"]])]
+    ctr_lit = lambda v: F.array(*[F.lit(float(x)) for x in v])  # noqa: E731
+    md = F.round(_dist2(vec, ctr_lit(centers[0][3])), round_dp)
+    for t in range(1, k):
+        pick = (
+            df.select(
+                F.struct(
+                    md.alias("d"),
+                    (-F.col(id_col)).alias("negid"),
+                    F.col(id_col).alias("id"),
+                    vec.alias("v"),
+                ).alias("__cand")
+            )
+            .agg(F.max("__cand").alias("__best"))
+            .collect()[0]["__best"]
+        )
+        v = [float(x) for x in pick["v"]]
+        centers.append((t, int(pick["id"]), float(pick["d"]), v))
+        md = F.round(F.least(md, _dist2(vec, ctr_lit(v))), round_dp)
+    return centers
+
+
+def kcenter_radius(
+    df: DataFrame,
+    centers: list[tuple[int, int, float, list[float]]],
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Coverage radius of a chosen center set: the max over points of
+    the (rounded) distance to the nearest center — one aggregate, the
+    selection-quality number the k-center guarantee bounds."""
+    vec = F.col(vec_col).cast("array<double>")
+    best = nearest_centroid_expr(
+        [(idx, v) for idx, _, _, v in centers], vec
+    )
+    return df.select(F.round(best["d"], round_dp).alias("__d")).agg(
+        F.max("__d").alias("radius")
     )

@@ -8461,6 +8461,83 @@ def q_quality_score_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kcenter_oracle(k: int) -> str:
+    """Unrolled greedy k-center replaying operators/clustering.py
+    kcenter_fit: lowest-id seed, per-round 6-dp rounding of the running
+    min-distance, (md DESC, vec_id ASC) pick tie-break, sequential
+    distance fold — the kmeans replay contract applied to Gonzalez."""
+    d = (
+        "list_sum(list_transform(generate_series(1, len(m.v)), "
+        "i -> (m.v[i] - c.v[i]) * (m.v[i] - c.v[i])))"
+    )
+    parts = [
+        """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p0 AS (SELECT vec_id, v FROM e QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) = 1),
+m1 AS (
+  SELECT m.vec_id, m.v, ROUND(%s, 6) AS md FROM e m, p0 c
+)""" % d
+    ]
+    for t in range(1, k):
+        parts.append(
+            """,
+p{t} AS (
+  SELECT vec_id, v, md FROM m{t}
+  QUALIFY ROW_NUMBER() OVER (ORDER BY md DESC, vec_id ASC) = 1
+),
+m{n} AS (
+  SELECT m.vec_id, m.v, ROUND(LEAST(m.md, {d}), 6) AS md
+  FROM m{t} m, p{t} c
+)""".format(t=t, n=t + 1, d=d)
+        )
+    gains = ["SELECT 0 AS center_idx, vec_id, 0.0 AS gain FROM p0"] + [
+        f"SELECT {t}, vec_id, md FROM p{t}" for t in range(1, k)
+    ]
+    parts.append(
+        """,
+r AS (SELECT MAX(md) AS radius FROM m{k})
+SELECT s.center_idx::INT AS center_idx, s.vec_id, s.gain, r.radius
+FROM ({gains}) s, r
+""".format(k=k, gains="\n  UNION ALL ".join(gains))
+    )
+    return "".join(parts)
+
+
+@query("kcenter_coreset", _kcenter_oracle(k=5))
+def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset over the embedding corpus
+    (operators/clustering.py kcenter_fit): diversity-first selection —
+    each round takes the point FARTHEST from every center so far, the
+    2-approximate cover k-means' density seeking can't give. Output is
+    the selection trace (center_idx, vec_id, gain) plus the final
+    coverage radius; gains are the monotone radius curve. k-1 one-row
+    aggregate jobs (max-struct partial-combines map-side), min-distance
+    as a pure literal-center projection, bounded one-row collects — the
+    kmeans_fit execution shape, replayed exactly by the unrolled oracle
+    via per-round rounding."""
+    from fireball_data_processing_spark.operators.clustering import (
+        _dist2,
+        kcenter_fit,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    centers = kcenter_fit(e, k=5)
+    trace = spark.createDataFrame(
+        [(idx, vid, gain) for idx, vid, gain, _ in centers],
+        "center_idx int, vec_id bigint, gain double",
+    )
+    # coverage radius from the SAME chained-rounded min-distance the fit
+    # maintained (round(least(round(...), d)) per round), so the oracle's
+    # m{k} table is replayed verbatim
+    vec = F.col("embedding").cast("array<double>")
+    lit = lambda v: F.array(*[F.lit(float(x)) for x in v])  # noqa: E731
+    md = F.round(_dist2(vec, lit(centers[0][3])), 6)
+    for _, _, _, v in centers[1:]:
+        md = F.round(F.least(md, _dist2(vec, lit(v))), 6)
+    radius = e.select(md.alias("__md")).agg(F.max("__md").alias("radius"))
+    return trace.crossJoin(F.broadcast(radius))
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 

@@ -1249,3 +1249,48 @@ def test_ivfpq_ingest_routes_and_encodes_in_stream(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) == len(want) > 0
+
+
+def test_kcenter_hand_computed_1d(spark):
+    """Gonzalez on a 1-D line: picks are the farthest-point sequence."""
+    from fireball_data_processing_spark.operators.clustering import (
+        kcenter_fit,
+        kcenter_radius,
+    )
+
+    pts = [(1, [0.0]), (2, [1.0]), (3, [10.0]), (4, [11.0]), (5, [20.0])]
+    df = spark.createDataFrame(pts, "vec_id bigint, embedding array<double>")
+    centers = kcenter_fit(df, k=3)
+    assert [(idx, vid, gain) for idx, vid, gain, _ in centers] == [
+        (0, 1, 0.0),   # seed: lowest id (x=0)
+        (1, 5, 400.0),  # farthest from 0 is 20 (d2=400)
+        (2, 3, 100.0),  # then 10 (min(100, 100) = 100, ties to low id)
+    ]
+    # remaining points 1 and 11 are both 1 away from a center
+    r = kcenter_radius(df, centers).first()["radius"]
+    assert r == 1.0
+
+
+def test_kcenter_gains_monotone_nonincreasing(spark, sf_dir):
+    from fireball_data_processing_spark.operators.clustering import (
+        kcenter_fit,
+    )
+    from fireball_data_processing_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    centers = kcenter_fit(e, k=6)
+    gains = [gain for _, _, gain, _ in centers[1:]]
+    assert all(a >= b for a, b in zip(gains, gains[1:])), gains
+    assert len({vid for _, vid, _, _ in centers}) == 6  # distinct picks
+
+
+def test_kcenter_tie_breaks_to_lowest_id(spark):
+    from fireball_data_processing_spark.operators.clustering import (
+        kcenter_fit,
+    )
+
+    # ids 2 and 3 are both distance 4 from the seed at 0
+    pts = [(1, [0.0]), (2, [2.0]), (3, [-2.0])]
+    df = spark.createDataFrame(pts, "vec_id bigint, embedding array<double>")
+    centers = kcenter_fit(df, k=2)
+    assert centers[1][1] == 2
