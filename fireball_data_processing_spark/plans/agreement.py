@@ -219,3 +219,150 @@ def pairwise_kendall_tau(
     return stats.join(n_items, ["rater_a", "rater_b"]).select(
         "rater_a", "rater_b", "n_items", tau.alias("tau")
     )
+
+
+def dawid_skene(
+    ratings: DataFrame,
+    labels: list[str],
+    item_col: str = "item",
+    rater_col: str = "rater",
+    label_col: str = "label",
+    n_iter: int = 2,
+    beta: float = 0.01,
+    round_dp: int = 8,
+    out_dp: int = 6,
+) -> DataFrame:
+    """Dawid-Skene (1979) EM label aggregation: infer each item's true
+    label from redundant noisy annotations by jointly estimating
+    per-rater confusion matrices — the aggregation step the pairwise
+    agreement statistics above diagnose but don't perform. Majority vote
+    weights every rater equally; Dawid-Skene learns who to trust, per
+    confusion cell.
+
+    Fully distributed, ZERO driver collects (unlike kmeans_fit's bounded
+    centroid collect, even the model state stays in DataFrames): per EM
+    round the big frames are the per-(item, rater, label) count table
+    and the items x K posterior table, both partitioned by item; the
+    model (class priors p(c): K rows; confusion pi(r, c, l): R*K*K rows)
+    is aggregated small and re-enters the E-step as broadcast joins.
+    Shuffles per round: one item-keyed join + one (rater, c, l)
+    aggregate + one (item, c) aggregate — all partial-combining.
+
+    Cross-engine reproducibility (the kmeans contract, applied to EM):
+    every aggregated quantity — initial vote shares, priors, confusion
+    cells, summed log-posteriors, normalized posteriors — is ROUNDED to
+    ``round_dp`` before downstream use, absorbing summation-order float
+    noise each round, so an unrolled SQL oracle replays the iterations.
+    ``beta`` is additive smoothing (K-ary Laplace) keeping every
+    ln() argument positive. E-step works in log space with a
+    max-subtracted softmax, so vote multiplicities never underflow.
+
+    Returns ``(item, map_label, posterior)``: the MAP label (posterior
+    ties break to label-lexicographic order) and its rounded posterior.
+    """
+    K = len(labels)
+    lab_arr = F.array(*[F.lit(x) for x in labels])
+    counts = (
+        ratings.groupBy(
+            F.col(item_col).alias("item"),
+            F.col(rater_col).alias("rater"),
+            F.col(label_col).alias("label"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    itot = counts.groupBy("item").agg(F.sum("n").alias("ni"))
+    votes = counts.groupBy("item", F.col("label").alias("c")).agg(
+        F.sum("n").alias("v")
+    )
+    t = (
+        itot.select("item", "ni", F.explode(lab_arr).alias("c"))
+        .join(votes, ["item", "c"], "left")
+        .select(
+            "item",
+            "c",
+            F.round(
+                F.coalesce(F.col("v"), F.lit(0.0)) / F.col("ni"), round_dp
+            ).alias("t"),
+        )
+    )
+    nitems = itot.agg(F.count(F.lit(1)).cast("double").alias("n_items"))
+    raters = counts.select("rater").distinct()
+    grid = (
+        raters.crossJoin(F.broadcast(nitems.select(F.explode(lab_arr).alias("c"))))
+        .crossJoin(
+            F.broadcast(nitems.select(F.explode(lab_arr).alias("l")))
+        )
+        .select("rater", "c", "l")
+    )
+    for _ in range(n_iter):
+        priors = (
+            t.groupBy("c")
+            .agg(F.sum("t").alias("__st"))
+            .crossJoin(F.broadcast(nitems))
+            .select(
+                "c",
+                F.round(
+                    (F.col("__st") + F.lit(beta))
+                    / (F.col("n_items") + F.lit(K * beta)),
+                    round_dp,
+                ).alias("p"),
+            )
+        )
+        num = (
+            counts.join(t, "item")
+            .groupBy("rater", "c", F.col("label").alias("l"))
+            .agg(F.sum(F.col("t") * F.col("n")).alias("num"))
+        )
+        den = num.groupBy("rater", "c").agg(F.sum("num").alias("den"))
+        pi = (
+            grid.join(num, ["rater", "c", "l"], "left")
+            .join(den, ["rater", "c"], "left")
+            .select(
+                "rater",
+                "c",
+                "l",
+                F.round(
+                    (F.coalesce(F.col("num"), F.lit(0.0)) + F.lit(beta))
+                    / (F.coalesce(F.col("den"), F.lit(0.0)) + F.lit(K * beta)),
+                    round_dp,
+                ).alias("pi"),
+            )
+        )
+        lp = (
+            counts.join(
+                F.broadcast(pi),
+                (counts["rater"] == pi["rater"]) & (counts["label"] == pi["l"]),
+            )
+            .join(F.broadcast(priors), "c")
+            .groupBy("item", "c")
+            .agg(
+                F.round(
+                    F.log(F.max("p")) + F.sum(F.col("n") * F.log("pi")),
+                    round_dp,
+                ).alias("lp")
+            )
+        )
+        w_item = Window.partitionBy("item")
+        t = lp.select(
+            "item",
+            "c",
+            F.round(
+                F.exp(F.col("lp") - F.max("lp").over(w_item))
+                / F.sum(F.exp(F.col("lp") - F.max("lp").over(w_item))).over(
+                    w_item
+                ),
+                round_dp,
+            ).alias("t"),
+        )
+    w_rank = Window.partitionBy("item").orderBy(
+        F.col("t").desc(), F.col("c").asc()
+    )
+    return (
+        t.withColumn("__rn", F.row_number().over(w_rank))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "item",
+            F.col("c").alias("map_label"),
+            F.round(F.col("t"), out_dp).alias("posterior"),
+        )
+    )

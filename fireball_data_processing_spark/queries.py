@@ -8538,6 +8538,110 @@ def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trace.crossJoin(F.broadcast(radius))
 
 
+def _dawid_skene_oracle(n_iter: int = 2, beta: float = 0.01) -> str:
+    """Unrolled Dawid-Skene EM replaying plans/agreement.py dawid_skene:
+    every aggregated quantity rounded to 8 dp before downstream use (the
+    kmeans replay contract applied to EM), log-space E-step with
+    max-subtracted softmax, (posterior DESC, label ASC) MAP tie-break."""
+    labels = ("view", "click", "purchase", "signup", "error")
+    k = len(labels)
+    vals = ", ".join(f"('{x}')" for x in labels)
+    parts = [
+        f"""
+WITH ratings AS (
+  SELECT event_id % 200 AS item,
+         CAST(user_id % 4 AS VARCHAR) AS rater,
+         event_type AS label
+  FROM events
+),
+counts AS (
+  SELECT item, rater, label, COUNT(*)::DOUBLE AS n
+  FROM ratings GROUP BY 1, 2, 3
+),
+itot AS (SELECT item, SUM(n) AS ni FROM counts GROUP BY 1),
+nitems AS (SELECT COUNT(*)::DOUBLE AS n_items FROM itot),
+labels(c) AS (VALUES {vals}),
+votes AS (SELECT item, label AS c, SUM(n) AS v FROM counts GROUP BY 1, 2),
+t0 AS (
+  SELECT i.item, l.c, ROUND(COALESCE(v.v, 0) / i.ni, 8) AS t
+  FROM itot i CROSS JOIN labels l
+  LEFT JOIN votes v ON v.item = i.item AND v.c = l.c
+),
+grid AS (
+  SELECT r.rater, lc.c, ll.c AS l
+  FROM (SELECT DISTINCT rater FROM counts) r
+  CROSS JOIN labels lc CROSS JOIN labels ll
+)"""
+    ]
+    for it in range(1, n_iter + 1):
+        parts.append(
+            f""",
+p{it} AS (
+  SELECT c, ROUND((SUM(t) + {beta}) / (MAX(n_items) + {k * beta}), 8) AS p
+  FROM t{it - 1}, nitems GROUP BY c
+),
+num{it} AS (
+  SELECT k.rater, t.c, k.label AS l, SUM(t.t * k.n) AS num
+  FROM counts k JOIN t{it - 1} t ON t.item = k.item
+  GROUP BY 1, 2, 3
+),
+den{it} AS (SELECT rater, c, SUM(num) AS den FROM num{it} GROUP BY 1, 2),
+pi{it} AS (
+  SELECT g.rater, g.c, g.l,
+    ROUND((COALESCE(n.num, 0) + {beta})
+            / (COALESCE(d.den, 0) + {k * beta}), 8) AS pi
+  FROM grid g
+  LEFT JOIN num{it} n ON n.rater = g.rater AND n.c = g.c AND n.l = g.l
+  LEFT JOIN den{it} d ON d.rater = g.rater AND d.c = g.c
+),
+lp{it} AS (
+  SELECT k.item, pi.c, ROUND(LN(MAX(p.p)) + SUM(k.n * LN(pi.pi)), 8) AS lp
+  FROM counts k
+  JOIN pi{it} pi ON pi.rater = k.rater AND pi.l = k.label
+  JOIN p{it} p ON p.c = pi.c
+  GROUP BY 1, 2
+),
+t{it} AS (
+  SELECT item, c,
+    ROUND(EXP(lp - m) / SUM(EXP(lp - m)) OVER (PARTITION BY item), 8) AS t
+  FROM (SELECT item, c, lp, MAX(lp) OVER (PARTITION BY item) AS m
+        FROM lp{it}) z
+)"""
+        )
+    parts.append(
+        f"""
+SELECT item, c AS map_label, ROUND(t, 6) AS posterior
+FROM t{n_iter}
+QUALIFY ROW_NUMBER() OVER (PARTITION BY item ORDER BY t DESC, c ASC) = 1
+"""
+    )
+    return "".join(parts)
+
+
+@query("dawid_skene_labels", _dawid_skene_oracle(n_iter=2))
+def q_dawid_skene_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dawid-Skene EM truth inference over the synthetic rater panel
+    (plans/agreement.py dawid_skene) — the aggregation step the
+    engine's kappa/alpha/tau statistics diagnose but don't perform:
+    per-rater confusion matrices and item posteriors estimated jointly,
+    2 EM rounds, MAP label per item. Fully distributed (the model state
+    never leaves DataFrames — priors and confusion re-enter the E-step
+    as broadcast joins; zero collects), replayed exactly by the
+    unrolled oracle via per-aggregate 8-dp rounding."""
+    from fireball_data_processing_spark.plans.agreement import dawid_skene
+
+    ev = load_table(spark, sf_dir, "events")
+    ratings = ev.select(
+        (F.col("event_id") % 200).alias("item"),
+        (F.col("user_id") % 4).cast("string").alias("rater"),
+        F.col("event_type").alias("label"),
+    )
+    return dawid_skene(
+        ratings, labels=["view", "click", "purchase", "signup", "error"],
+        n_iter=2,
+    )
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 

@@ -383,3 +383,39 @@ def test_kendall_tau_matches_literal_python(spark):
             assert gt is None, pair
         else:
             assert gt == pytest.approx(round(t, 6), abs=1e-9), pair
+
+
+# ---------------------------------------------------------------- Dawid-Skene
+
+
+def _ds(spark, rows, **kw):
+    from fireball_data_processing_spark.plans.agreement import dawid_skene
+
+    df = spark.createDataFrame(rows, "item bigint, rater string, label string")
+    out = dawid_skene(df, labels=["a", "b", "c"], **kw)
+    return {r["item"]: (r["map_label"], r["posterior"]) for r in out.collect()}
+
+
+def test_dawid_skene_unanimous_items(spark):
+    rows = [(i, r, "a") for i in range(5) for r in ("r1", "r2", "r3")]
+    got = _ds(spark, rows)
+    assert all(lab == "a" and p > 0.9 for lab, p in got.values())
+
+
+def test_dawid_skene_learns_rater_reliability(spark):
+    """r1/r2 always agree; r3 disagrees at random — the MAP label follows
+    the reliable pair on every item, including where r3 dissents."""
+    truth = {0: "a", 1: "b", 2: "a", 3: "c", 4: "b", 5: "a"}
+    noise = {0: "b", 1: "b", 2: "c", 3: "c", 4: "a", 5: "c"}
+    rows = []
+    for i, t in truth.items():
+        rows += [(i, "r1", t), (i, "r2", t), (i, "r3", noise[i])]
+    got = _ds(spark, rows)
+    assert {i: lab for i, (lab, _) in got.items()} == truth
+
+
+def test_dawid_skene_symmetric_tie_breaks_lexicographic(spark):
+    # one item, two raters, perfectly symmetric a-vs-b evidence
+    rows = [(0, "r1", "a"), (0, "r2", "b")]
+    got = _ds(spark, rows)
+    assert got[0][0] == "a"
