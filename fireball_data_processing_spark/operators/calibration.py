@@ -1,0 +1,177 @@
+"""Distributed model calibration over corpus statistics: a 2-parameter
+logistic fit (Newton-Raphson) and a split-conformal threshold picker —
+the "turn a raw heuristic score into a decision" layer that sits between
+the engine's quality scorers (functions/textstats.py, operators/
+selection.py) and its gates. A raw score is only ordinal; calibration
+makes it a probability (logistic) or a coverage-guaranteed cutoff
+(conformal), which is what a production ingest gate actually thresholds
+on.
+
+Extends the reference's fixed hand-tuned thresholds (heuristic cutoffs
+chosen offline) with the fitting step itself, run distributed.
+
+Scale design:
+
+- **Sufficient statistics, not data movement**: each Newton iteration is
+  ONE full aggregate producing the 5 gradient/Hessian sums (g0, g1, h00,
+  h01, h11) — map-side partial combine does nearly all the work, the
+  exchange carries one 5-tuple per partition, and the 2x2 solve is plain
+  column arithmetic on a 1-row frame. The parameter state never leaves
+  DataFrames (it re-enters each iteration as a broadcast cross join), so
+  there are ZERO driver collects — the dawid_skene execution shape.
+- **Cross-engine reproducibility** (the kmeans contract): the 5 sums are
+  ROUNDED to ``round_dp`` before the solve each iteration, absorbing
+  summation-order float noise, so an unrolled SQL oracle replays the
+  Newton steps exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["logistic_fit_2param", "conformal_threshold"]
+
+
+def _sigmoid(z: Column) -> Column:
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def logistic_fit_2param(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    n_iter: int = 2,
+    round_dp: int = 8,
+    out_dp: int = 6,
+) -> DataFrame:
+    """Newton-Raphson fit of ``P(y=1|x) = sigmoid(b0 + b1*x)`` from
+    ``(0, 0)``, exactly ``n_iter`` steps. Returns ONE row:
+    ``(intercept, slope, n, logloss)`` with the coefficients rounded to
+    ``out_dp`` and logloss (mean negative log-likelihood at the final
+    parameters) rounded likewise.
+
+    Per step, with ``p = sigmoid(b0 + b1*x)`` and ``w = p*(1-p)``:
+    gradient ``(g0, g1) = (sum(y-p), sum((y-p)*x))``, Hessian
+    ``[[h00, h01], [h01, h11]] = [[sum(w), sum(w*x)], [sum(w*x),
+    sum(w*x^2)]]``, update = Hessian^-1 @ gradient via the closed-form
+    2x2 inverse. Sums are rounded to ``round_dp`` before the solve and
+    the updated coefficients are rounded again — both engines then feed
+    identical doubles into the next iteration.
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    params = df.sparkSession.range(1).select(
+        F.lit(0.0).alias("b0"), F.lit(0.0).alias("b1")
+    )
+    for _ in range(n_iter):
+        p = _sigmoid(F.col("b0") + F.col("b1") * x)
+        w = p * (F.lit(1.0) - p)
+        sums = (
+            df.crossJoin(F.broadcast(params))
+            .agg(
+                F.round(F.sum(y - p), round_dp).alias("g0"),
+                F.round(F.sum((y - p) * x), round_dp).alias("g1"),
+                F.round(F.sum(w), round_dp).alias("h00"),
+                F.round(F.sum(w * x), round_dp).alias("h01"),
+                F.round(F.sum(w * x * x), round_dp).alias("h11"),
+                F.max("b0").alias("b0"),
+                F.max("b1").alias("b1"),
+            )
+        )
+        det = F.col("h00") * F.col("h11") - F.col("h01") * F.col("h01")
+        params = sums.select(
+            F.round(
+                F.col("b0")
+                + (F.col("h11") * F.col("g0") - F.col("h01") * F.col("g1"))
+                / det,
+                round_dp,
+            ).alias("b0"),
+            F.round(
+                F.col("b1")
+                + (F.col("h00") * F.col("g1") - F.col("h01") * F.col("g0"))
+                / det,
+                round_dp,
+            ).alias("b1"),
+        )
+    p = _sigmoid(F.col("b0") + F.col("b1") * x)
+    return (
+        df.crossJoin(F.broadcast(params))
+        .agg(
+            F.max("b0").alias("__b0"),
+            F.max("b1").alias("__b1"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(
+                -F.avg(y * F.log(p) + (F.lit(1.0) - y) * F.log(F.lit(1.0) - p)),
+                out_dp,
+            ).alias("logloss"),
+        )
+        .select(
+            F.round(F.col("__b0"), out_dp).alias("intercept"),
+            F.round(F.col("__b1"), out_dp).alias("slope"),
+            "n",
+            "logloss",
+        )
+    )
+
+
+def conformal_threshold(
+    df: DataFrame,
+    score_col: str,
+    key: Column,
+    alpha: float = 0.1,
+    cal_fraction: float = 0.25,
+    salt: str = "cal",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Split-conformal cutoff selection: hash ``cal_fraction`` of the
+    rows into a calibration split (operators/sampling.py hash_rank — the
+    house deterministic split), take the exact interpolated
+    ``alpha``-quantile of the calibration scores as the keep-threshold,
+    and report the pass rate it induces on the held-out rest. With
+    exchangeable scores, ``P(test score >= threshold) ~ 1 - alpha`` —
+    the distribution-free guarantee split conformal gives a gate.
+    Returns ONE row ``(alpha, threshold, n_cal, n_test, test_pass_rate)``.
+
+    Two aggregates over one scan each; the calibration quantile is the
+    small-split exact percentile (calibration sets are sampled small by
+    design — the 100 TB path quantiles the sketch of
+    ``sketches.histogram_quantiles`` instead).
+    """
+    from fireball_data_processing_spark.operators.sampling import hash_rank
+
+    s = F.col(score_col).cast("double")
+    tagged = df.select(
+        s.alias("__s"),
+        (hash_rank(key, salt) < F.lit(cal_fraction)).alias("__is_cal"),
+    )
+    cal = tagged.filter(F.col("__is_cal")).agg(
+        F.round(F.percentile(F.col("__s"), F.lit(alpha)), round_dp).alias(
+            "threshold"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("n_cal"),
+    )
+    test = tagged.filter(~F.col("__is_cal"))
+    return (
+        test.crossJoin(F.broadcast(cal))
+        .agg(
+            F.max("threshold").alias("threshold"),
+            F.max("n_cal").alias("n_cal"),
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.round(
+                F.avg(
+                    F.when(F.col("__s") >= F.col("threshold"), 1.0).otherwise(
+                        0.0
+                    )
+                ),
+                round_dp,
+            ).alias("test_pass_rate"),
+        )
+        .select(
+            F.lit(float(alpha)).alias("alpha"),
+            "threshold",
+            "n_cal",
+            "n_test",
+            "test_pass_rate",
+        )
+    )

@@ -8642,6 +8642,136 @@ def q_dawid_skene_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TTR_DOCS_CTE = """
+WITH d AS (
+  SELECT doc_id,
+    ROUND(len(list_distinct(w))::DOUBLE / len(w), 6) AS x,
+    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+  FROM (
+    SELECT doc_id, lang,
+      string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+    FROM documents
+  )
+)"""
+
+
+def _ttr_xy(d: DataFrame) -> DataFrame:
+    """(doc_id, x, y): type-token-ratio feature + is-English label, the
+    Spark twin of _TTR_DOCS_CTE."""
+    from fireball_data_processing_spark.functions.text import normalize_text
+
+    words = F.split(normalize_text(F.col("text")), " ")
+    return d.select(
+        "doc_id",
+        F.round(
+            F.size(F.array_distinct(words)).cast("double")
+            / F.size(words).cast("double"),
+            6,
+        ).alias("x"),
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+    )
+
+
+def _logistic_oracle(n_iter: int = 2) -> str:
+    """Unrolled Newton-Raphson replaying operators/calibration.py
+    logistic_fit_2param: 8-dp rounding of the five gradient/Hessian sums
+    and of the updated coefficients each step (the kmeans contract)."""
+    parts = [_TTR_DOCS_CTE + ",\nb0_ AS (SELECT 0.0 AS b0, 0.0 AS b1)"]
+    for t in range(1, n_iter + 1):
+        parts.append(
+            """,
+s{t} AS (
+  SELECT ROUND(SUM(y - p), 8) AS g0, ROUND(SUM((y - p) * x), 8) AS g1,
+         ROUND(SUM(p * (1 - p)), 8) AS h00,
+         ROUND(SUM(p * (1 - p) * x), 8) AS h01,
+         ROUND(SUM(p * (1 - p) * x * x), 8) AS h11,
+         MAX(b0) AS b0, MAX(b1) AS b1
+  FROM (SELECT x, y, b0, b1,
+          1.0 / (1.0 + EXP(-(b0 + b1 * x))) AS p
+        FROM d, b{p}_) z
+),
+b{t}_ AS (
+  SELECT
+    ROUND(b0 + (h11 * g0 - h01 * g1) / (h00 * h11 - h01 * h01), 8) AS b0,
+    ROUND(b1 + (h00 * g1 - h01 * g0) / (h00 * h11 - h01 * h01), 8) AS b1
+  FROM s{t}
+)""".format(t=t, p=t - 1)
+        )
+    parts.append(
+        f"""
+SELECT ROUND(MAX(b0), 6) AS intercept, ROUND(MAX(b1), 6) AS slope,
+  COUNT(*)::BIGINT AS n,
+  ROUND(-AVG(y * LN(p) + (1 - y) * LN(1 - p)), 6) AS logloss
+FROM (SELECT x, y, b0, b1, 1.0 / (1.0 + EXP(-(b0 + b1 * x))) AS p
+      FROM d, b{n_iter}_) z
+"""
+    )
+    return "".join(parts)
+
+
+@query("logistic_quality_calibration", _logistic_oracle(n_iter=2))
+def q_logistic_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Newton-Raphson logistic fit
+    (operators/calibration.py): calibrate the type-token-ratio quality
+    score into P(doc is English) — the step that turns an ordinal
+    heuristic into a probability a gate can threshold. Each Newton step
+    is ONE partial-combining aggregate producing the five
+    gradient/Hessian sufficient statistics (one 5-tuple per partition on
+    the exchange); the 2x2 solve is column arithmetic on a 1-row frame
+    and the parameters re-enter as a broadcast — zero collects. The
+    unrolled oracle replays both steps via 8-dp sum/coefficient
+    rounding. Extends the reference's hand-tuned fixed thresholds with
+    the fitting step itself."""
+    from fireball_data_processing_spark.operators.calibration import (
+        logistic_fit_2param,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return logistic_fit_2param(_ttr_xy(d), "x", "y", n_iter=2)
+
+
+@query(
+    "conformal_quality_threshold",
+    _TTR_DOCS_CTE
+    + """,
+s AS (
+  SELECT x,
+    ('0x' || substr(md5('cal' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      / 4294967296.0 < 0.25 AS is_cal
+  FROM d
+),
+cal AS (
+  SELECT ROUND(quantile_cont(x, 0.1), 6) AS threshold,
+         COUNT(*)::BIGINT AS n_cal
+  FROM s WHERE is_cal
+)
+SELECT CAST(0.1 AS DOUBLE) AS alpha, cal.threshold, cal.n_cal,
+  COUNT(*)::BIGINT AS n_test,
+  ROUND(AVG(CASE WHEN t.x >= cal.threshold THEN 1.0 ELSE 0.0 END), 6)
+    AS test_pass_rate
+FROM s t, cal WHERE NOT t.is_cal
+GROUP BY cal.threshold, cal.n_cal
+""",
+)
+def q_conformal_quality_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal gate calibration (operators/calibration.py
+    conformal_threshold): hash a deterministic 25% calibration split
+    (the house hash_rank split — train_test_split_counts' function),
+    cut at the exact alpha-quantile of calibration scores, report the
+    held-out pass rate, which exchangeability pins near 1 - alpha — the
+    distribution-free coverage guarantee a production ingest gate wants
+    attached to its threshold. Two aggregates, one scan each."""
+    from fireball_data_processing_spark.operators.calibration import (
+        conformal_threshold,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return conformal_threshold(
+        _ttr_xy(d), "x", key=F.col("doc_id"), alpha=0.1, cal_fraction=0.25,
+        salt="cal",
+    )
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
