@@ -29,6 +29,8 @@ Scale design:
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -449,3 +451,66 @@ def doremi_mixture_weights(
         "avg_excess",
         F.round(weight, round_dp).alias("weight"),
     )
+
+
+def mad_outlier_stats(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    k: float = 3.0,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-group robust-outlier profile via the median absolute
+    deviation: ``(group..., median, mad, cutoff, n, n_outliers,
+    outlier_rate)`` where ``cutoff = k * 1.4826 * mad`` (1.4826 scales
+    MAD to the stddev of a normal) and a row is an outlier iff
+    ``|x - median| > cutoff``. Mean/stddev z-scores break down exactly
+    when outliers are present (the outliers inflate the stddev that is
+    supposed to flag them); median/MAD have a 50% breakdown point, which
+    is why robust gates want them.
+
+    Two grouped aggregates over two scans: medians first (exact
+    interpolated percentile per group), broadcast back (group cardinality
+    is taxonomy-sized), then deviations + the MAD + the flag count in one
+    pass. The exact per-group percentile buffers values within each
+    group — domain-sized groups at 100 TB swap in the histogram sketch
+    (sketches.histogram_quantiles) or the bucketed-rank idiom of
+    score_percentile_gate; the composition is unchanged.
+    """
+    gcols = [F.col(c) for c in group_cols]
+    v = F.col(value_col).cast("double")
+    med = df.groupBy(*gcols).agg(
+        F.percentile(v, F.lit(0.5)).alias("__med")
+    )
+    dev = df.join(F.broadcast(med), list(group_cols)).select(
+        *gcols, v.alias("__x"), F.col("__med"),
+        F.abs(v - F.col("__med")).alias("__ad"),
+    )
+    mad = dev.groupBy(*gcols).agg(
+        F.percentile(F.col("__ad"), F.lit(0.5)).alias("__mad")
+    )
+    flag = (
+        dev.join(F.broadcast(mad), list(group_cols))
+        .select(
+            *gcols,
+            "__med",
+            "__mad",
+            (
+                F.col("__ad") > F.lit(k * 1.4826) * F.col("__mad")
+            ).cast("int").alias("__out"),
+        )
+        .groupBy(*gcols)
+        .agg(
+            F.round(F.max("__med"), round_dp).alias("median"),
+            F.round(F.max("__mad"), round_dp).alias("mad"),
+            F.round(F.lit(k * 1.4826) * F.max("__mad"), round_dp).alias(
+                "cutoff"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("__out").cast("bigint").alias("n_outliers"),
+            F.round(F.avg(F.col("__out").cast("double")), round_dp).alias(
+                "outlier_rate"
+            ),
+        )
+    )
+    return flag

@@ -8772,6 +8772,50 @@ def q_conformal_quality_threshold(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@query(
+    "mad_outlier_profile",
+    """
+WITH med AS (
+  SELECT event_type, quantile_cont(value::DOUBLE, 0.5) AS med
+  FROM events GROUP BY 1
+),
+dev AS (
+  SELECT e.event_type, e.value::DOUBLE AS x, m.med,
+         ABS(e.value::DOUBLE - m.med) AS ad
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, quantile_cont(ad, 0.5) AS mad FROM dev GROUP BY 1
+)
+SELECT d.event_type,
+  ROUND(MAX(d.med), 6) AS median,
+  ROUND(MAX(m.mad), 6) AS mad,
+  ROUND(3.0 * 1.4826 * MAX(m.mad), 6) AS cutoff,
+  COUNT(*)::BIGINT AS n,
+  SUM(CASE WHEN d.ad > 3.0 * 1.4826 * m.mad THEN 1 ELSE 0 END)::BIGINT
+    AS n_outliers,
+  ROUND(AVG(CASE WHEN d.ad > 3.0 * 1.4826 * m.mad THEN 1.0 ELSE 0.0 END), 6)
+    AS outlier_rate
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+""",
+)
+def q_mad_outlier_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type robust outlier profile (operators/selection.py
+    mad_outlier_stats): median/MAD with the 1.4826 normal-consistency
+    scale and a 3-sigma-equivalent cutoff — the gate mean/stddev
+    z-scores can't be trusted for, because outliers inflate the very
+    stddev meant to flag them (MAD's breakdown point is 50%). Two
+    grouped percentile aggregates + broadcast joins of the tiny
+    per-group stats frames."""
+    from fireball_data_processing_spark.operators.selection import (
+        mad_outlier_stats,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return mad_outlier_stats(ev, "value", ["event_type"], k=3.0)
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 

@@ -140,3 +140,35 @@ def test_budget_fill_budget_frame_requires_group(spark):
     budgets = spark.createDataFrame([("a", 5)], "grp string, budget long")
     with pytest.raises(ValueError, match="requires group_col"):
         budget_fill(df, "score", "w", "id", budget=budgets)
+
+
+def test_mad_outlier_stats_hand_computed(spark):
+    from fireball_data_processing_spark.operators.selection import (
+        mad_outlier_stats,
+    )
+
+    # group g: values 1..9 plus a gross outlier 1000
+    rows = [("g", float(v)) for v in range(1, 10)] + [("g", 1000.0)]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    r = mad_outlier_stats(df, "value", ["grp"], k=3.0).first()
+    # median of (1..9, 1000) = 5.5; sorted deviations |x-5.5| =
+    # 0.5,0.5,1.5,1.5,2.5,2.5,3.5,3.5,4.5,994.5 -> MAD = (2.5+2.5)/2
+    assert r["median"] == 5.5
+    assert r["mad"] == 2.5
+    assert r["cutoff"] == round(3 * 1.4826 * 2.5, 6)
+    assert r["n"] == 10 and r["n_outliers"] == 1
+    # MAD flags only the gross outlier and keeps all of 1..9; a
+    # mean/stddev z-score (stddev ~ 314 here) would flag nothing at 3z
+    assert r["outlier_rate"] == 0.1
+
+
+def test_mad_outlier_stats_constant_group_flags_nothing(spark):
+    from fireball_data_processing_spark.operators.selection import (
+        mad_outlier_stats,
+    )
+
+    df = spark.createDataFrame(
+        [("g", 2.0)] * 8, "grp string, value double"
+    )
+    r = mad_outlier_stats(df, "value", ["grp"]).first()
+    assert r["mad"] == 0.0 and r["n_outliers"] == 0
