@@ -12,16 +12,24 @@ from fireball_data_processing_spark.streaming.quality_stream import (
     score_against_lm,
     stream_quality_gate,
 )
+from fireball_data_processing_spark.streaming.quantile_stream import (
+    histogram_buckets,
+    read_stream_quantiles,
+    stream_histogram_sink,
+)
 from fireball_data_processing_spark.streaming.sources_stream import (
     open_event_stream,
 )
 
 __all__ = [
     "corpus_lm_index",
+    "histogram_buckets",
     "open_event_stream",
     "quality_gate",
+    "read_stream_quantiles",
     "score_against_lm",
     "stream_heuristics",
+    "stream_histogram_sink",
     "stream_new_documents",
     "stream_quality_gate",
 ]

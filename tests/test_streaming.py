@@ -944,3 +944,77 @@ def test_stream_weighted_reservoir_restart_continues_state(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_stream_histogram_quantiles_match_batch_sketch(spark, tmp_path):
+    # streamed fixed-grid histogram state, merged, must reproduce the
+    # batch sketch's estimates when the frozen (lo, hi) equal the batch
+    # min/max (same bucket geometry)
+    from fireball_data_processing_spark.operators.sketches import (
+        histogram_quantiles,
+    )
+    from fireball_data_processing_spark.sources.tables import raw_table_schema
+    from fireball_data_processing_spark.streaming.quantile_stream import (
+        read_stream_quantiles,
+        stream_histogram_sink,
+    )
+
+    batch = load_table(spark, "/root/testdata/sf0.01", "events")
+    lo, hi = batch.selectExpr("min(value)", "max(value)").first()
+
+    src = str(tmp_path / "hq_src")
+    os.makedirs(src)
+    shutil.copy("/root/testdata/sf0.01/events.parquet", src)
+    state = str(tmp_path / "hq_state")
+    q = stream_histogram_sink(
+        spark, src, raw_table_schema(spark, "/root/testdata/sf0.01", "events"),
+        "value", lo, hi, 128, state, str(tmp_path / "hq_ckpt"),
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["q"]: (r["est"], r["n"])
+        for r in read_stream_quantiles(spark, state, lo, hi, 128).collect()
+    }
+    want = {
+        r["q"]: r["est"] for r in histogram_quantiles(batch, "value").collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k], (k, got[k], want[k])
+        assert got[k][1] == batch.count()
+
+
+def test_stream_histogram_epoch_replay_is_idempotent(spark, tmp_path):
+    # re-writing the SAME epoch must not double its counts (the
+    # dynamic-partition overwrite contract)
+    from fireball_data_processing_spark.streaming.quantile_stream import (
+        histogram_buckets,
+        read_stream_quantiles,
+    )
+    from fireball_data_processing_spark.streaming.sinks_stream import (
+        write_epoch_partition,
+    )
+
+    df = spark.createDataFrame([(float(v),) for v in range(100)], "value double")
+    state = str(tmp_path / "state")
+    counts = histogram_buckets(df, "value", 0.0, 100.0, 10)
+    write_epoch_partition(counts, 0, state)
+    write_epoch_partition(counts, 0, state)  # replay
+    n = read_stream_quantiles(spark, state, 0.0, 100.0, 10).first()["n"]
+    assert n == 100
+
+
+def test_histogram_buckets_clamp_out_of_range(spark):
+    from fireball_data_processing_spark.streaming.quantile_stream import (
+        histogram_buckets,
+    )
+
+    df = spark.createDataFrame(
+        [(-5.0,), (0.5,), (9.5,), (50.0,)], "value double"
+    )
+    got = {
+        r["bucket"]: r["cnt"]
+        for r in histogram_buckets(df, "value", 0.0, 10.0, 10).collect()
+    }
+    assert got == {0: 2, 9: 2}  # -5 clamps to bucket 0, 50 to bucket 9
