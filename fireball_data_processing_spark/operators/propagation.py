@@ -54,12 +54,19 @@ def propagate_scores(
     coalesces to the node's own previous score, which for an isolated
     node is invariantly ``s_0``. Returns ``(id_col, score0, score)``.
     """
+    # the edge frame feeds one join per iteration and the node frame
+    # feeds two consumers per iteration (the neighbor aggregate and the
+    # join-back) — persist both, or every iteration re-plans the full
+    # upstream subtree (LSH candidate generation!) per consumer and the
+    # static plan grows combinatorially (the near_dup_pairs lesson).
+    # Caches are invocation-scoped: edges are candidate-pair-bounded,
+    # the node frame is (id, two doubles).
     sym = edges.select(
         F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")
     )
     sym = sym.union(
         sym.select(F.col("__dst").alias("__src"), F.col("__src").alias("__dst"))
-    )
+    ).persist()
     s = nodes.select(
         F.col(id_col),
         F.col(score_col).cast("double").alias("__s0"),
@@ -88,6 +95,7 @@ def propagate_scores(
                     round_dp,
                 ).alias("__s"),
             )
+            .persist()
         )
     return s.select(
         F.col(id_col),

@@ -262,6 +262,12 @@ def dawid_skene(
     """
     K = len(labels)
     lab_arr = F.array(*[F.lit(x) for x in labels])
+    # PERSIST the sufficient statistic: counts feeds 2+2*n_iter consumers
+    # (itot, votes, and the M/E steps of every round) — unpinned, each
+    # consumer re-plans the raw-ratings aggregation subtree and the
+    # static plan explodes combinatorially across iterations (measured
+    # 92 scans / 274 exchanges at n_iter=2 before the pin). The cache is
+    # (items x raters x labels)-bounded, far below the ratings it folds.
     counts = (
         ratings.groupBy(
             F.col(item_col).alias("item"),
@@ -269,11 +275,15 @@ def dawid_skene(
             F.col(label_col).alias("label"),
         )
         .agg(F.count(F.lit(1)).cast("double").alias("n"))
+        .persist()
     )
     itot = counts.groupBy("item").agg(F.sum("n").alias("ni"))
     votes = counts.groupBy("item", F.col("label").alias("c")).agg(
         F.sum("n").alias("v")
     )
+    # each round's posterior table is likewise multi-consumed (priors +
+    # M-step num, then the NEXT round's lineage) — persist per round so
+    # iteration t's plan doesn't embed t-1's whole subtree twice
     t = (
         itot.select("item", "ni", F.explode(lab_arr).alias("c"))
         .join(votes, ["item", "c"], "left")
@@ -284,6 +294,7 @@ def dawid_skene(
                 F.coalesce(F.col("v"), F.lit(0.0)) / F.col("ni"), round_dp
             ).alias("t"),
         )
+        .persist()
     )
     nitems = itot.agg(F.count(F.lit(1)).cast("double").alias("n_items"))
     raters = counts.select("rater").distinct()
@@ -353,7 +364,7 @@ def dawid_skene(
                 ),
                 round_dp,
             ).alias("t"),
-        )
+        ).persist()
     w_rank = Window.partitionBy("item").orderBy(
         F.col("t").desc(), F.col("c").asc()
     )
