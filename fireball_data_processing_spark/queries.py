@@ -8816,6 +8816,95 @@ def q_mad_outlier_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mad_outlier_stats(ev, "value", ["event_type"], k=3.0)
 
 
+@query(
+    "funnel_conversion_steps",
+    """
+WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS ts FROM events),
+u1 AS (
+  SELECT user_id,
+    MIN(CASE WHEN event_type = 'view' THEN ts END) AS t0
+  FROM e GROUP BY 1
+),
+u2 AS (
+  SELECT e.user_id, u1.t0,
+    MIN(CASE WHEN e.event_type = 'click' AND e.ts >= u1.t0
+             THEN e.ts END) AS t1
+  FROM e JOIN u1 USING (user_id) GROUP BY 1, 2
+),
+u3 AS (
+  SELECT e.user_id, u2.t0, u2.t1,
+    MIN(CASE WHEN e.event_type = 'purchase' AND e.ts >= u2.t1
+             THEN e.ts END) AS t2
+  FROM e JOIN u2 USING (user_id) GROUP BY 1, 2, 3
+),
+c AS (
+  SELECT COUNT(t0)::BIGINT AS n0, COUNT(t1)::BIGINT AS n1,
+         COUNT(t2)::BIGINT AS n2
+  FROM u3
+)
+SELECT 1 AS step, 'view' AS event_type, n0 AS n_users,
+  CAST(NULL AS DOUBLE) AS conv_from_prev,
+  ROUND(n0::DOUBLE / NULLIF(n0, 0), 6) AS conv_from_start FROM c
+UNION ALL
+SELECT 2, 'click', n1, ROUND(n1::DOUBLE / NULLIF(n0, 0), 6),
+  ROUND(n1::DOUBLE / NULLIF(n0, 0), 6) FROM c
+UNION ALL
+SELECT 3, 'purchase', n2, ROUND(n2::DOUBLE / NULLIF(n1, 0), 6),
+  ROUND(n2::DOUBLE / NULLIF(n0, 0), 6) FROM c
+""",
+)
+def q_funnel_conversion_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch ordered funnel view -> click -> purchase
+    (operators/funnel.py funnel_steps): step k counts users whose
+    earliest step-k event is at-or-after their step-(k-1) first touch.
+    The conditional-min chain runs as consecutive Window nodes over ONE
+    user-hash exchange (same partitioning all the way down), then a
+    scalar count — one shuffle regardless of funnel depth. The
+    sequence-aggregation staple SURVEY §2.3's per-instance window
+    operators don't express corpus-wide."""
+    from fireball_data_processing_spark.operators.funnel import funnel_steps
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_steps(ev, ["view", "click", "purchase"])
+
+
+@query(
+    "weekly_cohort_retention",
+    """
+WITH e AS (
+  SELECT user_id AS u, epoch_ns(ts) // 604800000000000 AS wk FROM events
+),
+fw AS (SELECT u, MIN(wk) AS cohort_period FROM e GROUP BY 1),
+sizes AS (
+  SELECT cohort_period, COUNT(*)::BIGINT AS cohort_size FROM fw GROUP BY 1
+),
+act AS (
+  SELECT cohort_period, period_offset, COUNT(*)::BIGINT AS n_active
+  FROM (
+    SELECT DISTINCT e.u, f.cohort_period, e.wk - f.cohort_period AS period_offset
+    FROM e JOIN fw f USING (u)
+  ) GROUP BY 1, 2
+)
+SELECT a.cohort_period, a.period_offset, a.n_active, s.cohort_size,
+  ROUND(a.n_active::DOUBLE / s.cohort_size, 6) AS retention
+FROM act a JOIN sizes s USING (cohort_period)
+""",
+)
+def q_weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix (operators/funnel.py
+    cohort_retention): cohort = week of a user's first event; each cell
+    is the cohort's distinct-active share k weeks on. Integer week ids
+    from int64-nano division (never float math on nanos), two
+    partial-combining user-keyed aggregates, and a broadcast of the
+    period-sized cohort table."""
+    from fireball_data_processing_spark.operators.funnel import (
+        cohort_retention,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return cohort_retention(ev)
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
