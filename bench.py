@@ -110,6 +110,16 @@ EXTRA = (
     "domain_budget_fill",
     "agreement_krippendorff",
     "agreement_kendall_tau",
+    # round-8 additions
+    "histogram_quantile_sketch",
+    "quality_score_propagation",
+    "kcenter_coreset",
+    "dawid_skene_labels",
+    "logistic_quality_calibration",
+    "conformal_quality_threshold",
+    "mad_outlier_profile",
+    "funnel_conversion_steps",
+    "weekly_cohort_retention",
 )
 
 

@@ -8920,69 +8920,27 @@ def get(name: str) -> QuerySpec:
 # Names listed here lead in this order; anything not listed follows in
 # declaration order; listed-but-unregistered names are skipped.
 _PRIORITY = [
-    # Round-7 head (the driver samples roughly the first 50 entries).
-    # Layout, continuing the cumulative-attestation rotation: the five
-    # queries NEW this round lead (they have no driver row at all), then
-    # the two r3-stale stragglers deferred from the round-6 head, then 43
-    # of the 50 queries whose newest driver row dates to r4. The seven
-    # deferred r4 entries follow immediately past the head — two of them
-    # (mmr_diverse_topk, bpe_token_stats) are rows-only by nature, so a
-    # driver slot buys them the least; all seven MATCH (or return rows)
-    # in this round's full local drives and rotate first in round 8.
-    # --- new in round 7 (need first-ever driver rows) ---
-    "ivfpq_topk_neighbors",
-    "weighted_source_sample",
-    "doremi_domain_weights",
-    "readability_gate",
-    "curriculum_stages",
-    "zipf_fit_profile",
-    "edit_distance_near_dups",
-    "dataset_card_summary",
-    "lsh_tuning_curve",
-    "domain_budget_fill",
-    "agreement_krippendorff",
-    "agreement_kendall_tau",
-    # --- newest driver row r3 (oldest attestations) ---
-    "incremental_heuristics_merge",
-    "windowed_mix_drift",
-    # --- newest driver row r4 (43 of 50; see deferral note above) ---
-    "heuristics_matrix",
-    "asof_state_backward",
-    "nearest_purchase",
-    "run_lengths",
-    "correlation_groups",
-    "pricing_summary",
-    "revenue_by_nation",
-    "top_customers_page",
-    "customers_without_orders",
-    "late_order_priorities",
-    "znorm_user_values",
-    "deterministic_sample_events",
-    "paginate_events",
-    "exact_dedup_groups",
-    "minhash_signatures",
-    "near_dup_pairs",
-    "simhash_fingerprints",
-    "ann_cosine_topk",
-    "triples_summary",
-    "fsm_buffer_flush",
-    "fb_distill4_core",
-    "agreement_kappa",
-    "hybrid_search_rrf",
-    "bm25_search_indexed",
-    "corpus_pipeline_v2_summary",
-    "event_type_rollup",
-    "cross_doc_line_dedup",
-    "set_similarity_pairs",
-    "doc_bigram_logprob",
-    "segment_scrub_gate",
-    "corpus_pipeline_v3_summary",
-    "winnow_fingerprint_index",
-    "winnow_copy_pairs",
-    "benchmark_contamination_spans",
-    "benchmark_containment_scores",
-    "self_bleu_pairs",
-    # --- deferred r4-stale (just past the head; first in the r8 head) ---
+    # Round-8 head (the driver samples roughly the first 50 entries).
+    # Layout, continuing the cumulative-attestation rotation: the nine
+    # queries NEW this round lead (no driver row at all yet), then ALL
+    # 14 queries whose newest driver row dates to r4 (the seven deferred
+    # from the r7 head plus seven more — after this head, nothing in the
+    # catalog is older than r5), then the 27 alphabetically-first of the
+    # 50 r5-stale queries. The remaining 23 r5-stale entries queue
+    # immediately past the head and rotate first in round 9; every one
+    # of them MATCHes (or returns rows, for the rows-only six) in this
+    # round's full local drives at sf0.01.
+    # --- new in round 8 (need first-ever driver rows) ---
+    "histogram_quantile_sketch",
+    "quality_score_propagation",
+    "kcenter_coreset",
+    "dawid_skene_labels",
+    "logistic_quality_calibration",
+    "conformal_quality_threshold",
+    "mad_outlier_profile",
+    "funnel_conversion_steps",
+    "weekly_cohort_retention",
+    # --- newest driver row r4 (all 14 remaining) ---
     "semantic_dedup_survivors",
     "domain_capped_sample",
     "incremental_refresh_counts",
@@ -8997,6 +8955,58 @@ _PRIORITY = [
     "table_profile",
     "snapshot_diff_counts",
     "corpus_shard_layout",
+    # --- newest driver row r5 (27 of 50, alphabetical) ---
+    "asof_state_forward",
+    "cdc_chunk_dedup",
+    "cluster_balanced_sample",
+    "corpus_checksum",
+    "corpus_diversity_probe",
+    "corpus_overlap_matrix",
+    "corpus_pipeline_v4_summary",
+    "doc_fingerprints",
+    "doc_lang_scores",
+    "doc_token_stats",
+    "doc_truncate_preview",
+    "embedding_rp_sketch",
+    "event_stats_rollup",
+    "fb_actor_stats",
+    "fb_actor_strings",
+    "fb_author_anonymize",
+    "fb_automation_narration",
+    "fb_caster_id",
+    "fb_content_ops",
+    "fb_embed_finding",
+    "fb_heuristics_small",
+    "fb_hp_banding",
+    "fb_snippet_substitution",
+    "fb_triple_constraints",
+    "fb_tupper_candidates",
+    "feature_label_join",
+    "find_error_after_purchase",
+    # --- deferred r5-stale (just past the head; first in the r9 head) ---
+    "gopher_quality_gate",
+    "groups_with_view_head",
+    "heuristics_long_sorted",
+    "history_window_sums",
+    "ic_ooc_classification",
+    "ingest_gate_new_docs",
+    "instance_event_stream",
+    "kmeans_cluster_profile",
+    "last_k_events",
+    "leakage_safe_split",
+    "lm_perplexity_gate",
+    "multimodal_features",
+    "per_key_group_stats",
+    "rp_ann_rerank_topk",
+    "semantic_dedup_kmeans",
+    "session_windows",
+    "token_budget_fill",
+    "train_test_split_counts",
+    "tumbling_hour_windows",
+    "users_view_except_purchase",
+    "value_percentiles",
+    "vocab_growth_curve",
+    "vocab_top_tokens",
 ]
 
 
