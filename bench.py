@@ -120,6 +120,7 @@ EXTRA = (
     "mad_outlier_profile",
     "funnel_conversion_steps",
     "weekly_cohort_retention",
+    "bootstrap_mean_ci",
 )
 
 

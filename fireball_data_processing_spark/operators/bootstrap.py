@@ -1,0 +1,119 @@
+"""Poisson-bootstrap confidence intervals — the resampling method that
+actually distributes: classical bootstrap resampling draws n rows WITH
+replacement per replicate, which requires global coordination (every
+draw needs to know n); the Poisson bootstrap (Chamandy et al. 2012,
+"Estimating Uncertainty for Massive Data Streams") gives each row an
+INDEPENDENT Poisson(1) replication count per replicate, which is
+row-local, streaming-friendly, and asymptotically equivalent. One pass
+computes every replicate's statistic: explode B replicate ids per row,
+weight by the Poisson draw, aggregate per replicate — the exchange
+carries B partial sums per partition, never resampled data.
+
+Determinism (the house contract): the Poisson draw is NOT random — each
+(replicate, row-key) pair hashes to a uniform via the md5 hash_rank
+(operators/sampling.py), inverted through the Poisson(1) CDF as a
+literal threshold ladder, so both engines replay identical counts.
+Replicate means are rounded before the quantile step, absorbing
+summation-order noise.
+
+Extends the reference's point-estimate-only metrics (means in
+results_analysis.py carry no uncertainty) with the error bars a
+corpus-scale report needs.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["poisson_count_expr", "bootstrap_mean_ci"]
+
+# Poisson(1) CDF thresholds for k = 0..3 (9 dp literals — identical
+# constants on both engines); u >= the last threshold draws k = 4,
+# truncating a tail of total mass ~0.004 (bias far below CI resolution)
+_POISSON1_CDF = [
+    round(math.exp(-1) * s, 9)
+    for s in (1.0, 2.0, 2.5, 2.0 + 2.0 / 3.0)
+]
+
+
+def poisson_count_expr(u: Column) -> Column:
+    """Map a uniform in [0, 1) to a Poisson(1) count via the literal
+    CDF ladder (k = 0..4, tail truncated at 4)."""
+    c0, c1, c2, c3 = _POISSON1_CDF
+    return (
+        F.when(u < c0, 0)
+        .when(u < c1, 1)
+        .when(u < c2, 2)
+        .when(u < c3, 3)
+        .otherwise(4)
+    )
+
+
+def poisson_cdf_sql(u_expr: str) -> str:
+    """The same ladder as DuckDB SQL, for oracle construction."""
+    c0, c1, c2, c3 = _POISSON1_CDF
+    return (
+        f"CASE WHEN {u_expr} < {c0} THEN 0 WHEN {u_expr} < {c1} THEN 1 "
+        f"WHEN {u_expr} < {c2} THEN 2 WHEN {u_expr} < {c3} THEN 3 "
+        f"ELSE 4 END"
+    )
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    value_col: str,
+    key: Column,
+    n_replicates: int = 32,
+    level: float = 0.95,
+    salt: str = "boot",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Percentile-bootstrap CI for the mean of ``value_col``: ONE row
+    ``(n, mean, ci_lo, ci_hi, n_replicates)``. Each replicate's weighted
+    mean is ``sum(k * x) / sum(k)`` with ``k`` the deterministic
+    Poisson(1) draw for (replicate, key); the CI is the exact
+    interpolated percentile pair over the ``n_replicates`` rounded
+    replicate means. Cost: one explode(B) pass — the shuffle carries
+    B partial (sum, count) pairs per partition.
+    """
+    from fireball_data_processing_spark.operators.sampling import hash_rank
+
+    v = F.col(value_col).cast("double")
+    exploded = df.select(
+        v.alias("__x"),
+        key.cast("string").alias("__k"),
+        F.explode(F.sequence(F.lit(1), F.lit(int(n_replicates)))).alias("__b"),
+    )
+    u = hash_rank(
+        F.concat(F.col("__b").cast("string"), F.lit("#"), F.col("__k")), salt
+    )
+    k = poisson_count_expr(u).cast("double")
+    reps = (
+        exploded.select(
+            "__b", (k * F.col("__x")).alias("__kx"), k.alias("__kw")
+        )
+        .groupBy("__b")
+        .agg(
+            F.round(F.sum("__kx") / F.sum("__kw"), round_dp + 2).alias("__m")
+        )
+    )
+    alpha = (1.0 - level) / 2.0
+    ci = reps.agg(
+        F.round(F.percentile(F.col("__m"), F.lit(alpha)), round_dp).alias(
+            "ci_lo"
+        ),
+        F.round(
+            F.percentile(F.col("__m"), F.lit(1.0 - alpha)), round_dp
+        ).alias("ci_hi"),
+        F.count(F.lit(1)).cast("bigint").alias("n_replicates"),
+    )
+    point = df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.avg(v), round_dp).alias("mean"),
+    )
+    return point.crossJoin(F.broadcast(ci)).select(
+        "n", "mean", "ci_lo", "ci_hi", "n_replicates"
+    )

@@ -8905,6 +8905,60 @@ def q_weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention(ev)
 
 
+def _bootstrap_oracle(n_replicates: int = 32) -> str:
+    from fireball_data_processing_spark.operators.bootstrap import (
+        poisson_cdf_sql,
+    )
+
+    u = (
+        "('0x' || substr(md5('boot' || CAST(b.b AS VARCHAR) || '#' "
+        "|| CAST(e.event_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0"
+    )
+    return f"""
+WITH r AS (
+  SELECT b.b, e.value::DOUBLE AS x,
+    ({poisson_cdf_sql(u)})::DOUBLE AS k
+  FROM events e, UNNEST(generate_series(1, {n_replicates})) AS b(b)
+),
+reps AS (
+  SELECT b, ROUND(SUM(k * x) / SUM(k), 8) AS m FROM r GROUP BY b
+),
+ci AS (
+  SELECT ROUND(quantile_cont(m, 0.025), 6) AS ci_lo,
+         ROUND(quantile_cont(m, 0.975), 6) AS ci_hi,
+         COUNT(*)::BIGINT AS n_replicates
+  FROM reps
+),
+pt AS (
+  SELECT COUNT(*)::BIGINT AS n, ROUND(AVG(value::DOUBLE), 6) AS mean
+  FROM events
+)
+SELECT pt.n, pt.mean, ci.ci_lo, ci.ci_hi, ci.n_replicates FROM pt, ci
+"""
+
+
+@query("bootstrap_mean_ci", _bootstrap_oracle(n_replicates=32))
+def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% CI for the mean event value
+    (operators/bootstrap.py, Chamandy et al. 2012): each row draws an
+    independent deterministic Poisson(1) replication count per replicate
+    (md5 hash-rank uniform through a literal CDF ladder), so ONE
+    explode(B) pass computes every replicate's weighted mean — the
+    exchange carries B partial sums per partition, never resampled data;
+    the classical with-replacement bootstrap needs global n per draw and
+    doesn't distribute. Adds the error bars the reference's
+    point-estimate metrics never carry."""
+    from fireball_data_processing_spark.operators.bootstrap import (
+        bootstrap_mean_ci,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return bootstrap_mean_ci(
+        ev, "value", key=F.col("event_id"), n_replicates=32, level=0.95,
+        salt="boot",
+    )
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
@@ -8921,12 +8975,12 @@ def get(name: str) -> QuerySpec:
 # declaration order; listed-but-unregistered names are skipped.
 _PRIORITY = [
     # Round-8 head (the driver samples roughly the first 50 entries).
-    # Layout, continuing the cumulative-attestation rotation: the nine
+    # Layout, continuing the cumulative-attestation rotation: the TEN
     # queries NEW this round lead (no driver row at all yet), then ALL
     # 14 queries whose newest driver row dates to r4 (the seven deferred
     # from the r7 head plus seven more — after this head, nothing in the
-    # catalog is older than r5), then the 27 alphabetically-first of the
-    # 50 r5-stale queries. The remaining 23 r5-stale entries queue
+    # catalog is older than r5), then the 26 alphabetically-first of the
+    # 50 r5-stale queries. The remaining 24 r5-stale entries queue
     # immediately past the head and rotate first in round 9; every one
     # of them MATCHes (or returns rows, for the rows-only six) in this
     # round's full local drives at sf0.01.
@@ -8940,6 +8994,7 @@ _PRIORITY = [
     "mad_outlier_profile",
     "funnel_conversion_steps",
     "weekly_cohort_retention",
+    "bootstrap_mean_ci",
     # --- newest driver row r4 (all 14 remaining) ---
     "semantic_dedup_survivors",
     "domain_capped_sample",
@@ -8982,8 +9037,8 @@ _PRIORITY = [
     "fb_triple_constraints",
     "fb_tupper_candidates",
     "feature_label_join",
-    "find_error_after_purchase",
     # --- deferred r5-stale (just past the head; first in the r9 head) ---
+    "find_error_after_purchase",
     "gopher_quality_gate",
     "groups_with_view_head",
     "heuristics_long_sorted",
