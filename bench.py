@@ -121,6 +121,8 @@ EXTRA = (
     "funnel_conversion_steps",
     "weekly_cohort_retention",
     "bootstrap_mean_ci",
+    "dup_graph_triangle_census",
+    "event_audience_overlap",
 )
 
 

@@ -28,7 +28,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile_columns", "vocab_growth", "zipf_fit"]
+__all__ = ["audience_overlap", "profile_columns", "vocab_growth", "zipf_fit"]
 
 
 def profile_columns(
@@ -208,4 +208,81 @@ def zipf_fit(
         F.round(-slope, round_dp).alias("zipf_exponent"),
         F.round(intercept, round_dp).alias("intercept"),
         F.round(r2, round_dp).alias("r2"),
+    )
+
+
+def audience_overlap(
+    df: DataFrame,
+    entity_col: str,
+    category_col: str,
+    categories: list[str],
+    round_dp: int = 6,
+) -> DataFrame:
+    """Exact pairwise audience overlap ("how many users do segments A
+    and B share?") without any pairwise distinct-count join: fold each
+    entity's category memberships into ONE bitmask (``bit_or`` over
+    per-category bit literals — order-insensitive, partial-combining),
+    histogram the masks (at most ``2^len(categories)`` rows), and read
+    every pair's intersection off the tiny mask histogram. Two
+    aggregates over one scan; the classic alternative — a
+    ``COUNT(DISTINCT)`` self-join per category pair — shuffles the
+    entity set ``O(k^2)`` times.
+
+    Returns one row per unordered category pair:
+    ``(cat_a, cat_b, n_a, n_b, n_both, jaccard)``. The exact-set dual
+    of the MinHash ``corpus_minhash_overlap`` (operators/sketches.py):
+    use this while ``2^k`` masks fit an aggregate, the sketch when the
+    category alphabet itself is huge.
+    """
+    mapped = F.col(category_col)
+    expr = None
+    for i, c in enumerate(categories):
+        leg = F.when(mapped == c, F.lit(1 << i))
+        expr = leg if expr is None else expr.when(mapped == c, F.lit(1 << i))
+    mask_bit = expr.otherwise(F.lit(0))
+    masks = (
+        df.select(F.col(entity_col).alias("__e"), mask_bit.alias("__bit"))
+        .groupBy("__e")
+        .agg(F.bit_or("__bit").alias("__m"))
+        .groupBy("__m")
+        .agg(F.count(F.lit(1)).cast("double").alias("__c"))
+    )
+    pair_rows = [
+        F.struct(
+            F.lit(categories[i]).alias("cat_a"),
+            F.lit(categories[j]).alias("cat_b"),
+            F.lit(1 << i).alias("__ba"),
+            F.lit(1 << j).alias("__bb"),
+        )
+        for i in range(len(categories))
+        for j in range(i + 1, len(categories))
+    ]
+    pairs = (
+        df.sparkSession.range(1)
+        .select(F.explode(F.array(*pair_rows)).alias("p"))
+        .select("p.*")
+    )
+    has = lambda b: (F.col("__m").bitwiseAND(b) != 0).cast("int")  # noqa: E731
+    joined = pairs.crossJoin(F.broadcast(masks))
+    out = joined.groupBy("cat_a", "cat_b").agg(
+        F.sum(F.col("__c") * has(F.col("__ba"))).cast("bigint").alias("n_a"),
+        F.sum(F.col("__c") * has(F.col("__bb"))).cast("bigint").alias("n_b"),
+        F.sum(
+            F.col("__c") * has(F.col("__ba")) * has(F.col("__bb"))
+        ).cast("bigint").alias("n_both"),
+    )
+    return out.select(
+        "cat_a",
+        "cat_b",
+        "n_a",
+        "n_b",
+        "n_both",
+        F.round(
+            F.col("n_both")
+            / F.when(
+                (F.col("n_a") + F.col("n_b") - F.col("n_both")) > 0,
+                F.col("n_a") + F.col("n_b") - F.col("n_both"),
+            ),
+            round_dp,
+        ).alias("jaccard"),
     )

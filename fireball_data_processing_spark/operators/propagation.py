@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["propagate_scores"]
+__all__ = ["graph_triangle_stats", "propagate_scores"]
 
 
 def propagate_scores(
@@ -101,4 +101,84 @@ def propagate_scores(
         F.col(id_col),
         F.col("__s0").alias("score0"),
         F.col("__s").alias("score"),
+    )
+
+
+def graph_triangle_stats(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Global triangle census of an undirected graph — ONE row
+    ``(n_vertices, n_edges, n_wedges, n_triangles, transitivity)`` with
+    transitivity = 3T / W (the global clustering coefficient). On the
+    near-dup candidate graph this separates CHAINS (A~B~C where A and C
+    merely share a neighbor — transitivity low, clusters are fragile
+    unions) from CLIQUES (template families where everything matches
+    everything — transitivity high), which tells a dedup pipeline
+    whether connected components over-merge.
+
+    Scale shape — the standard oriented-triangle join (Suri & Vassilvitskii
+    2011's input for the compact-forward algorithm): edges are kept
+    ORIENTED low-id -> high-id (one row per undirected edge), so each
+    triangle a<b<c is counted exactly once as (a,b)+(b,c)+(a,c): two
+    hash-join shuffles on vertex keys. Wedges come from the degree table
+    alone (sum of d*(d-1)/2 — no join). The orientation bounds the join
+    fan-out by the out-degree; production graphs with power-law hubs
+    re-orient by (degree, id) order, which caps out-degree at O(sqrt(m))
+    — the id orientation here matches the oracle's replay exactly and
+    the LSH candidate graph is band-bounded, not power-law.
+    """
+    # orient every input row low->high (accepts either direction) and
+    # dedup; self-loops drop. Persisted: consumed by the degree table,
+    # the edge count, and all three legs of the triangle join.
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .where(F.col("a") < F.col("b"))
+        .distinct()
+        .persist()
+    )
+    ecount = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .union(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("double").alias("d"))
+    )
+    base = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vertices"),
+        F.round(F.sum(F.col("d") * (F.col("d") - 1) / 2), 0)
+        .cast("bigint")
+        .alias("n_wedges"),
+    )
+    wedge = e.alias("e1").join(
+        e.alias("e2"), F.col("e1.b") == F.col("e2.a")
+    ).select(F.col("e1.a").alias("__wa"), F.col("e2.b").alias("__wc"))
+    tri = (
+        wedge.join(
+            e.alias("e3"),
+            (F.col("__wa") == F.col("e3.a"))
+            & (F.col("__wc") == F.col("e3.b")),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    return (
+        base.crossJoin(F.broadcast(tri))
+        .crossJoin(F.broadcast(ecount))
+        .select(
+            "n_vertices",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                F.lit(3.0)
+                * F.col("n_triangles")
+                / F.when(F.col("n_wedges") > 0, F.col("n_wedges")),
+                round_dp,
+            ).alias("transitivity"),
+        )
     )

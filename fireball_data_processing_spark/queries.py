@@ -8959,6 +8959,111 @@ def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dup_graph_triangle_census",
+    _LSH_PAIRS_CTE
+    + """,
+e AS (SELECT id_a AS a, id_b AS b FROM cand),
+deg AS (
+  SELECT v, COUNT(*)::DOUBLE AS d
+  FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v
+),
+base AS (
+  SELECT COUNT(*)::BIGINT AS n_vertices,
+         ROUND(SUM(d * (d - 1) / 2), 0)::BIGINT AS n_wedges
+  FROM deg
+),
+ec AS (SELECT COUNT(*)::BIGINT AS n_edges FROM e),
+tri AS (
+  SELECT COUNT(*)::BIGINT AS n_triangles
+  FROM e e1
+  JOIN e e2 ON e1.b = e2.a
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT base.n_vertices, ec.n_edges, base.n_wedges, tri.n_triangles,
+  ROUND(3.0 * tri.n_triangles / NULLIF(base.n_wedges, 0), 6)
+    AS transitivity
+FROM base, ec, tri
+""",
+)
+def q_dup_graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the LSH near-dup candidate graph
+    (operators/propagation.py graph_triangle_stats): low transitivity
+    means chained clusters (A~B~C with A,C unrelated — connected
+    components over-merge), high means template cliques. Oriented
+    low-id->high-id edges count each triangle once via two hash joins
+    (the Suri-Vassilvitskii shape); wedges come from the degree table
+    alone. The structural-audit complement to the component and
+    propagation views of the same graph."""
+    from fireball_data_processing_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+    from fireball_data_processing_spark.operators.propagation import (
+        graph_triangle_stats,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signature(d, num_hashes=8, shingle_k=3)
+    edges = lsh_candidate_pairs(sigs, num_hashes=8, band_size=2)
+    return graph_triangle_stats(edges)
+
+
+@query(
+    "event_audience_overlap",
+    """
+WITH masks AS (
+  SELECT m, COUNT(*)::DOUBLE AS c FROM (
+    SELECT user_id,
+      BIT_OR(CASE event_type
+               WHEN 'view' THEN 1 WHEN 'click' THEN 2 WHEN 'purchase' THEN 4
+               WHEN 'signup' THEN 8 WHEN 'error' THEN 16 ELSE 0 END) AS m
+    FROM events GROUP BY user_id
+  ) GROUP BY m
+),
+cats(cat, bit) AS (
+  VALUES ('view', 1), ('click', 2), ('purchase', 4),
+         ('signup', 8), ('error', 16)
+),
+pairs AS (
+  SELECT a.cat AS cat_a, b.cat AS cat_b, a.bit AS ba, b.bit AS bb
+  FROM cats a JOIN cats b ON a.bit < b.bit
+),
+agg AS (
+  SELECT p.cat_a, p.cat_b,
+    CAST(SUM(m.c * CASE WHEN (m.m & p.ba) != 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_a,
+    CAST(SUM(m.c * CASE WHEN (m.m & p.bb) != 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_b,
+    CAST(SUM(m.c * CASE WHEN (m.m & p.ba) != 0 THEN 1 ELSE 0 END
+                 * CASE WHEN (m.m & p.bb) != 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_both
+  FROM pairs p, masks m GROUP BY 1, 2
+)
+SELECT cat_a, cat_b, n_a, n_b, n_both,
+  ROUND(n_both / NULLIF(n_a + n_b - n_both, 0)::DOUBLE, 6) AS jaccard
+FROM agg
+""",
+)
+def q_event_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise audience overlap between event-type segments
+    (operators/profile.py audience_overlap): fold each user's
+    memberships into one bitmask (order-insensitive bit_or,
+    partial-combining), histogram the <=2^5 masks, and read every
+    pair's intersection off the tiny histogram — two aggregates over
+    one scan, where the naive form is a COUNT(DISTINCT) self-join per
+    pair. Exact-set dual of the MinHash corpus_overlap_matrix."""
+    from fireball_data_processing_spark.operators.profile import (
+        audience_overlap,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return audience_overlap(
+        ev, "user_id", "event_type",
+        ["view", "click", "purchase", "signup", "error"],
+    )
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
@@ -8975,12 +9080,12 @@ def get(name: str) -> QuerySpec:
 # declaration order; listed-but-unregistered names are skipped.
 _PRIORITY = [
     # Round-8 head (the driver samples roughly the first 50 entries).
-    # Layout, continuing the cumulative-attestation rotation: the TEN
+    # Layout, continuing the cumulative-attestation rotation: the TWELVE
     # queries NEW this round lead (no driver row at all yet), then ALL
     # 14 queries whose newest driver row dates to r4 (the seven deferred
     # from the r7 head plus seven more — after this head, nothing in the
-    # catalog is older than r5), then the 26 alphabetically-first of the
-    # 50 r5-stale queries. The remaining 24 r5-stale entries queue
+    # catalog is older than r5), then the 24 alphabetically-first of the
+    # 50 r5-stale queries. The remaining 26 r5-stale entries queue
     # immediately past the head and rotate first in round 9; every one
     # of them MATCHes (or returns rows, for the rows-only six) in this
     # round's full local drives at sf0.01.
@@ -8995,6 +9100,8 @@ _PRIORITY = [
     "funnel_conversion_steps",
     "weekly_cohort_retention",
     "bootstrap_mean_ci",
+    "dup_graph_triangle_census",
+    "event_audience_overlap",
     # --- newest driver row r4 (all 14 remaining) ---
     "semantic_dedup_survivors",
     "domain_capped_sample",
@@ -9035,9 +9142,9 @@ _PRIORITY = [
     "fb_hp_banding",
     "fb_snippet_substitution",
     "fb_triple_constraints",
+    # --- deferred r5-stale (just past the head; first in the r9 head) ---
     "fb_tupper_candidates",
     "feature_label_join",
-    # --- deferred r5-stale (just past the head; first in the r9 head) ---
     "find_error_after_purchase",
     "gopher_quality_gate",
     "groups_with_view_head",

@@ -59,3 +59,83 @@ def test_uniform_scores_are_fixed_point(spark):
         n_iter=3,
     )
     assert all(v == (0.7, 0.7) for v in got.values())
+
+
+def test_triangle_census_hand_graph(spark):
+    from fireball_data_processing_spark.operators.propagation import (
+        graph_triangle_stats,
+    )
+
+    # triangle 1-2-3 plus pendant 4 on vertex 1; one edge given reversed
+    # and one duplicated — orientation and dedup must absorb both
+    edges = spark.createDataFrame(
+        [(1, 2), (3, 1), (2, 3), (1, 4), (2, 1)], "id_a bigint, id_b bigint"
+    )
+    r = graph_triangle_stats(edges).first()
+    # degrees 3,2,2,1 -> wedges 3+1+1+0 = 5; one triangle
+    assert (
+        r["n_vertices"], r["n_edges"], r["n_wedges"], r["n_triangles"]
+    ) == (4, 4, 5, 1)
+    assert r["transitivity"] == 0.6
+
+
+def test_triangle_census_triangle_free_graph(spark):
+    from fireball_data_processing_spark.operators.propagation import (
+        graph_triangle_stats,
+    )
+
+    # a path 1-2-3-4: wedges exist, triangles don't
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "id_a bigint, id_b bigint"
+    )
+    r = graph_triangle_stats(edges).first()
+    assert r["n_triangles"] == 0 and r["n_wedges"] == 2
+    assert r["transitivity"] == 0.0
+
+
+def test_triangle_census_complete_graph_transitivity_one(spark):
+    from itertools import combinations
+
+    from fireball_data_processing_spark.operators.propagation import (
+        graph_triangle_stats,
+    )
+
+    edges = spark.createDataFrame(
+        list(combinations(range(5), 2)), "id_a bigint, id_b bigint"
+    )
+    r = graph_triangle_stats(edges).first()
+    assert r["n_triangles"] == 10  # C(5,3)
+    assert r["transitivity"] == 1.0
+
+
+def test_audience_overlap_hand_computed(spark):
+    from fireball_data_processing_spark.operators.profile import (
+        audience_overlap,
+    )
+
+    # users: 1 does a+b, 2 does a, 3 does b+c, 4 does a+b+c
+    rows = [
+        (1, "a"), (1, "b"),
+        (2, "a"),
+        (3, "b"), (3, "c"),
+        (4, "a"), (4, "b"), (4, "c"),
+    ]
+    df = spark.createDataFrame(rows, "uid bigint, seg string")
+    got = {
+        (r["cat_a"], r["cat_b"]): (r["n_a"], r["n_b"], r["n_both"], r["jaccard"])
+        for r in audience_overlap(df, "uid", "seg", ["a", "b", "c"]).collect()
+    }
+    assert got[("a", "b")] == (3, 3, 2, 0.5)
+    assert got[("a", "c")] == (3, 2, 1, 0.25)
+    assert got[("b", "c")] == (3, 2, 2, round(2 / 3, 6))
+
+
+def test_audience_overlap_disjoint_segments(spark):
+    from fireball_data_processing_spark.operators.profile import (
+        audience_overlap,
+    )
+
+    rows = [(1, "a"), (2, "b")]
+    df = spark.createDataFrame(rows, "uid bigint, seg string")
+    r = audience_overlap(df, "uid", "seg", ["a", "b"]).first()
+    assert (r["n_a"], r["n_b"], r["n_both"], r["jaccard"]) == (1, 1, 0, 0.0)
