@@ -10,8 +10,9 @@ weight by the Poisson draw, aggregate per replicate — the exchange
 carries B partial sums per partition, never resampled data.
 
 Determinism (the house contract): the Poisson draw is NOT random — each
-(replicate, row-key) pair hashes to a uniform via the md5 hash_rank
-(operators/sampling.py), inverted through the Poisson(1) CDF as a
+(replicate, row-key) pair reads an 8-hex chunk of an md5 digest as a
+uniform (one digest serves four replicates — the hash is the whole
+data-proportional cost), inverted through the Poisson(1) CDF as a
 literal threshold ladder, so both engines replay identical counts.
 Replicate means are rounded before the quantile step, absorbing
 summation-order noise.
@@ -79,17 +80,36 @@ def bootstrap_mean_ci(
     replicate means. Cost: one explode(B) pass — the shuffle carries
     B partial (sum, count) pairs per partition.
     """
-    from fireball_data_processing_spark.operators.sampling import hash_rank
-
     v = F.col(value_col).cast("double")
-    exploded = df.select(
-        v.alias("__x"),
-        key.cast("string").alias("__k"),
-        F.explode(F.sequence(F.lit(1), F.lit(int(n_replicates)))).alias("__b"),
+    # HASH ECONOMY: an md5 yields 32 hex chars = FOUR independent 8-hex
+    # uniforms, so B replicates need ceil(B/4) digests per row, not B.
+    # The digests are materialized as columns BEFORE the explode, so
+    # each is computed once per input row (exploded rows reference the
+    # value); per replicate the draw is a substring + hex-parse of the
+    # right chunk. At B=32 this is 8 md5 calls/row instead of 32 — the
+    # hash is the whole data-proportional cost here (a columnar
+    # 2B-aggregate variant was measured SLOWER: the 64-sum expression
+    # tree falls out of whole-stage codegen).
+    per = 4
+    n_hashes = (int(n_replicates) + per - 1) // per
+    base = df.select(v.alias("__x"), key.cast("string").alias("__k"))
+    hcols = [
+        F.md5(F.concat(F.lit(f"{salt}{h}#"), F.col("__k"))).alias(f"__h{h}")
+        for h in range(n_hashes)
+    ]
+    pre = base.select("__x", *hcols)
+    exploded = pre.select(
+        "__x",
+        F.explode(F.sequence(F.lit(1), F.lit(int(n_replicates)))).alias(
+            "__b"
+        ),
+        *[F.col(f"__h{h}") for h in range(n_hashes)],
     )
-    u = hash_rank(
-        F.concat(F.col("__b").cast("string"), F.lit("#"), F.col("__k")), salt
-    )
+    chunk = F.element_at(
+        F.array(*[F.col(f"__h{h}") for h in range(n_hashes)]),
+        F.floor((F.col("__b") - 1) / per).cast("int") + 1,
+    ).substr(((F.col("__b") - 1) % per) * 8 + 1, F.lit(8))
+    u = F.conv(chunk, 16, 10).cast("bigint") / F.lit(4294967296.0)
     k = poisson_count_expr(u).cast("double")
     reps = (
         exploded.select(

@@ -8910,15 +8910,23 @@ def _bootstrap_oracle(n_replicates: int = 32) -> str:
         poisson_cdf_sql,
     )
 
+    n_hashes = (n_replicates + 3) // 4
+    hdefs = ", ".join(
+        f"md5('boot{h}#' || CAST(event_id AS VARCHAR)) AS h{h}"
+        for h in range(n_hashes)
+    )
+    hlist = ", ".join(f"e.h{h}" for h in range(n_hashes))
     u = (
-        "('0x' || substr(md5('boot' || CAST(b.b AS VARCHAR) || '#' "
-        "|| CAST(e.event_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0"
+        f"('0x' || substr(list_value({hlist})"
+        "[CAST(FLOOR((b.b - 1) / 4) AS INT) + 1], "
+        "((b.b - 1) % 4) * 8 + 1, 8))::BIGINT / 4294967296.0"
     )
     return f"""
-WITH r AS (
+WITH pre AS (SELECT value, {hdefs} FROM events),
+r AS (
   SELECT b.b, e.value::DOUBLE AS x,
     ({poisson_cdf_sql(u)})::DOUBLE AS k
-  FROM events e, UNNEST(generate_series(1, {n_replicates})) AS b(b)
+  FROM pre e, UNNEST(generate_series(1, {n_replicates})) AS b(b)
 ),
 reps AS (
   SELECT b, ROUND(SUM(k * x) / SUM(k), 8) AS m FROM r GROUP BY b
@@ -8942,7 +8950,8 @@ def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson-bootstrap 95% CI for the mean event value
     (operators/bootstrap.py, Chamandy et al. 2012): each row draws an
     independent deterministic Poisson(1) replication count per replicate
-    (md5 hash-rank uniform through a literal CDF ladder), so ONE
+    (an 8-hex md5 chunk as the uniform — one digest serves four
+    replicates — through a literal CDF ladder), so ONE
     explode(B) pass computes every replicate's weighted mean — the
     exchange carries B partial sums per partition, never resampled data;
     the classical with-replacement bootstrap needs global n per draw and
