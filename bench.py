@@ -123,6 +123,8 @@ EXTRA = (
     "bootstrap_mean_ci",
     "dup_graph_triangle_census",
     "event_audience_overlap",
+    "ab_test_delta_ci",
+    "quality_ranking_rbo",
 )
 
 

@@ -29,7 +29,7 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["poisson_count_expr", "bootstrap_mean_ci"]
+__all__ = ["poisson_count_expr", "bootstrap_mean_ci", "bootstrap_delta_ci"]
 
 # Poisson(1) CDF thresholds for k = 0..3 (9 dp literals — identical
 # constants on both engines); u >= the last threshold draws k = 4,
@@ -117,7 +117,13 @@ def bootstrap_mean_ci(
         )
         .groupBy("__b")
         .agg(
-            F.round(F.sum("__kx") / F.sum("__kw"), round_dp + 2).alias("__m")
+            # a replicate over a TINY sample can draw k=0 everywhere;
+            # null its mean out (percentile and the count skip nulls)
+            # instead of tripping ANSI divide-by-zero
+            F.round(
+                F.sum("__kx") / F.when(F.sum("__kw") > 0, F.sum("__kw")),
+                round_dp + 2,
+            ).alias("__m")
         )
     )
     alpha = (1.0 - level) / 2.0
@@ -128,7 +134,7 @@ def bootstrap_mean_ci(
         F.round(
             F.percentile(F.col("__m"), F.lit(1.0 - alpha)), round_dp
         ).alias("ci_hi"),
-        F.count(F.lit(1)).cast("bigint").alias("n_replicates"),
+        F.count("__m").cast("bigint").alias("n_replicates"),
     )
     point = df.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
@@ -136,4 +142,113 @@ def bootstrap_mean_ci(
     )
     return point.crossJoin(F.broadcast(ci)).select(
         "n", "mean", "ci_lo", "ci_hi", "n_replicates"
+    )
+
+
+def bootstrap_delta_ci(
+    df: DataFrame,
+    value_col: str,
+    key: Column,
+    variant_col: str,
+    variant_a: str,
+    variant_b: str,
+    n_replicates: int = 32,
+    level: float = 0.95,
+    salt: str = "boot",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Two-sample (A/B) uncertainty: percentile-bootstrap CI for the
+    difference of means ``mean(B) - mean(A)`` — ONE row ``(n_a, n_b,
+    mean_a, mean_b, delta, ci_lo, ci_hi, n_replicates)``. The question a
+    point delta can't answer — "is this lift real?" — reads directly
+    off whether the CI crosses zero.
+
+    Same execution shape as :func:`bootstrap_mean_ci` (chunked md5
+    draws, one explode(B) pass), with the per-replicate aggregate keyed
+    by (variant, replicate) — 2B cells — and replicate deltas formed by
+    a B-row self-join of the tiny replicate table. Each row keeps its
+    own Poisson draw independent of its variant, which is exactly the
+    two-sample bootstrap's independence requirement.
+    """
+    v = F.col(value_col).cast("double")
+    per = 4
+    n_hashes = (int(n_replicates) + per - 1) // per
+    base = df.select(
+        v.alias("__x"),
+        key.cast("string").alias("__k"),
+        F.col(variant_col).alias("__g"),
+    ).where(F.col("__g").isin([variant_a, variant_b]))
+    hcols = [
+        F.md5(F.concat(F.lit(f"{salt}{h}#"), F.col("__k"))).alias(f"__h{h}")
+        for h in range(n_hashes)
+    ]
+    pre = base.select("__x", "__g", *hcols)
+    exploded = pre.select(
+        "__x",
+        "__g",
+        F.explode(F.sequence(F.lit(1), F.lit(int(n_replicates)))).alias(
+            "__b"
+        ),
+        *[F.col(f"__h{h}") for h in range(n_hashes)],
+    )
+    chunk = F.element_at(
+        F.array(*[F.col(f"__h{h}") for h in range(n_hashes)]),
+        F.floor((F.col("__b") - 1) / per).cast("int") + 1,
+    ).substr(((F.col("__b") - 1) % per) * 8 + 1, F.lit(8))
+    u = F.conv(chunk, 16, 10).cast("bigint") / F.lit(4294967296.0)
+    k = poisson_count_expr(u).cast("double")
+    reps = (
+        exploded.select(
+            "__g", "__b", (k * F.col("__x")).alias("__kx"), k.alias("__kw")
+        )
+        .groupBy("__g", "__b")
+        .agg(
+            F.round(
+                F.sum("__kx") / F.when(F.sum("__kw") > 0, F.sum("__kw")),
+                round_dp + 2,
+            ).alias("__m")
+        )
+    )
+    ra = reps.where(F.col("__g") == variant_a).select(
+        "__b", F.col("__m").alias("__ma")
+    )
+    rb = reps.where(F.col("__g") == variant_b).select(
+        "__b", F.col("__m").alias("__mb")
+    )
+    deltas = ra.join(rb, "__b").select(
+        F.round(F.col("__mb") - F.col("__ma"), round_dp + 2).alias("__d")
+    )
+    alpha = (1.0 - level) / 2.0
+    ci = deltas.agg(
+        F.round(F.percentile(F.col("__d"), F.lit(alpha)), round_dp).alias(
+            "ci_lo"
+        ),
+        F.round(
+            F.percentile(F.col("__d"), F.lit(1.0 - alpha)), round_dp
+        ).alias("ci_hi"),
+        F.count("__d").cast("bigint").alias("n_replicates"),
+    )
+    point = base.groupBy().agg(
+        F.sum(F.when(F.col("__g") == variant_a, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("__g") == variant_b, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.round(
+            F.avg(F.when(F.col("__g") == variant_a, F.col("__x"))), round_dp
+        ).alias("mean_a"),
+        F.round(
+            F.avg(F.when(F.col("__g") == variant_b, F.col("__x"))), round_dp
+        ).alias("mean_b"),
+    )
+    return point.crossJoin(F.broadcast(ci)).select(
+        "n_a",
+        "n_b",
+        "mean_a",
+        "mean_b",
+        F.round(F.col("mean_b") - F.col("mean_a"), round_dp).alias("delta"),
+        "ci_lo",
+        "ci_hi",
+        "n_replicates",
     )

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from fireball_data_processing_spark.functions.text import normalize_text
 
-__all__ = ["bleu_pairs", "py_bleu"]
+__all__ = ["bleu_pairs", "py_bleu", "rbo_at_k"]
 
 
 def _side_grams(words_col: str, side: str, max_n: int):
@@ -182,3 +182,80 @@ def py_bleu(pred: str, ref: str, max_n: int = 2) -> float | None:
         logs.append(math.log((clipped + 1) / (denom + 1)))
     bp = min(1.0, math.exp(1 - len(rw) / len(pw)))
     return round(bp * math.exp(sum(logs) / max_n), 6)
+
+
+def rbo_at_k(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 50,
+    p: float = 0.9,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Rank-biased overlap between two top-k rankings (Webber et al.
+    2010), truncated at depth ``k``:
+
+        RBO@k = (1 - p) * sum_{d=1..k} p^(d-1) * X_d / d
+
+    where ``X_d`` is the size of the intersection of the two rankings'
+    depth-``d`` prefixes. The top-weighted agreement statistic for
+    INDEFINITE rankings — Kendall's tau needs both lists to rank the
+    same items and weights all depths equally; RBO tolerates disjoint
+    tails and geometrically discounts depth, which is what comparing
+    two retrieval runs or two quality orderings actually wants.
+
+    Inputs are (id, rank) frames with ranks 1..k (the callers produce
+    them via the distributed top-k idiom — ``orderBy().limit(k)`` plans
+    as TakeOrdered, never a global single-partition window). Everything
+    here is k-row arithmetic: full outer join of the two prefix lists,
+    ``m = max(rank_a, rank_b)`` per shared id (an id missing from one
+    list never enters an intersection — coalesced past k), the X_d
+    curve as a cumulative histogram of ``m`` over the d = 1..k grid,
+    and one weighted sum. Returns ONE row
+    ``(k, p, rbo, overlap_at_k)`` (overlap_at_k = X_k / k, the plain
+    set-overlap of the full prefixes).
+
+    Deterministic: ranks are integers, ``p^(d-1)`` is rounded to 12 dp
+    per term in both engines (pow replay — the lsh_tuning_curve
+    contract), and the weighted sum is over k rounded terms.
+    """
+    a = ranked_a.select(
+        F.col(id_col).alias("__id"), F.col(rank_col).alias("__ra")
+    )
+    b = ranked_b.select(
+        F.col(id_col).alias("__id"), F.col(rank_col).alias("__rb")
+    )
+    joined = a.join(b, "__id", "full").select(
+        F.greatest(
+            F.coalesce(F.col("__ra"), F.lit(k + 1)),
+            F.coalesce(F.col("__rb"), F.lit(k + 1)),
+        ).alias("__m")
+    )
+    hist = (
+        joined.where(F.col("__m") <= k)
+        .groupBy("__m")
+        .agg(F.count(F.lit(1)).cast("double").alias("__c"))
+    )
+    grid = ranked_a.sparkSession.range(1, k + 1).select(
+        F.col("id").cast("int").alias("__d")
+    )
+    xd = (
+        grid.join(F.broadcast(hist), F.col("__m") <= F.col("__d"), "left")
+        .groupBy("__d")
+        .agg(F.coalesce(F.sum("__c"), F.lit(0.0)).alias("__xd"))
+    )
+    term = (
+        F.round(F.pow(F.lit(float(p)), F.col("__d") - 1), 12)
+        * F.col("__xd")
+        / F.col("__d")
+    )
+    return xd.agg(
+        F.lit(int(k)).alias("k"),
+        F.lit(float(p)).alias("p"),
+        F.round(F.lit(1.0 - p) * F.sum(term), round_dp).alias("rbo"),
+        F.round(
+            F.max(F.when(F.col("__d") == k, F.col("__xd"))) / F.lit(float(k)),
+            round_dp,
+        ).alias("overlap_at_k"),
+    )

@@ -9073,6 +9073,153 @@ def q_event_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ab_delta_oracle(n_replicates: int = 32) -> str:
+    from fireball_data_processing_spark.operators.bootstrap import (
+        poisson_cdf_sql,
+    )
+
+    n_hashes = (n_replicates + 3) // 4
+    hdefs = ", ".join(
+        f"md5('boot{h}#' || CAST(event_id AS VARCHAR)) AS h{h}"
+        for h in range(n_hashes)
+    )
+    hlist = ", ".join(f"e.h{h}" for h in range(n_hashes))
+    u = (
+        f"('0x' || substr(list_value({hlist})"
+        "[CAST(FLOOR((b.b - 1) / 4) AS INT) + 1], "
+        "((b.b - 1) % 4) * 8 + 1, 8))::BIGINT / 4294967296.0"
+    )
+    return f"""
+WITH pre AS (
+  SELECT value,
+    CASE WHEN ('0x' || substr(md5('ab' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+              / 4294967296.0 < 0.5
+         THEN 'a' ELSE 'b' END AS g,
+    {hdefs}
+  FROM events
+),
+r AS (
+  SELECT e.g, b.b, e.value::DOUBLE AS x,
+    ({poisson_cdf_sql(u)})::DOUBLE AS k
+  FROM pre e, UNNEST(generate_series(1, {n_replicates})) AS b(b)
+),
+reps AS (
+  SELECT g, b, ROUND(SUM(k * x) / SUM(k), 8) AS m FROM r GROUP BY 1, 2
+),
+d AS (
+  SELECT ROUND(rb.m - ra.m, 8) AS d
+  FROM (SELECT b, m FROM reps WHERE g = 'a') ra
+  JOIN (SELECT b, m FROM reps WHERE g = 'b') rb USING (b)
+),
+ci AS (
+  SELECT ROUND(quantile_cont(d, 0.025), 6) AS ci_lo,
+         ROUND(quantile_cont(d, 0.975), 6) AS ci_hi,
+         COUNT(*)::BIGINT AS n_replicates
+  FROM d
+),
+pt AS (
+  SELECT SUM(CASE WHEN g = 'a' THEN 1 ELSE 0 END)::BIGINT AS n_a,
+         SUM(CASE WHEN g = 'b' THEN 1 ELSE 0 END)::BIGINT AS n_b,
+         ROUND(AVG(CASE WHEN g = 'a' THEN value::DOUBLE END), 6) AS mean_a,
+         ROUND(AVG(CASE WHEN g = 'b' THEN value::DOUBLE END), 6) AS mean_b
+  FROM pre
+)
+SELECT pt.n_a, pt.n_b, pt.mean_a, pt.mean_b,
+  ROUND(pt.mean_b - pt.mean_a, 6) AS delta,
+  ci.ci_lo, ci.ci_hi, ci.n_replicates
+FROM pt, ci
+"""
+
+
+@query("ab_test_delta_ci", _ab_delta_oracle(n_replicates=32))
+def q_ab_test_delta_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B lift with error bars (operators/bootstrap.py
+    bootstrap_delta_ci): users hash-split 50/50 into variants (the
+    house md5 split — assignment is stable and replayable), then the
+    percentile-bootstrap CI on mean(B) - mean(A); whether the CI
+    crosses zero is the readout a point delta can't give. Same chunked
+    one-pass draw shape as bootstrap_mean_ci, keyed (variant,
+    replicate); a null split like this one should produce a CI
+    straddling zero."""
+    from fireball_data_processing_spark.operators.bootstrap import (
+        bootstrap_delta_ci,
+    )
+    from fireball_data_processing_spark.operators.sampling import hash_rank
+
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.select(
+        "event_id",
+        "value",
+        F.when(hash_rank(F.col("user_id"), "ab") < 0.5, "a")
+        .otherwise("b")
+        .alias("variant"),
+    )
+    return bootstrap_delta_ci(
+        tagged, "value", key=F.col("event_id"), variant_col="variant",
+        variant_a="a", variant_b="b", n_replicates=32,
+    )
+
+
+@query(
+    "quality_ranking_rbo",
+    _TTR_DOCS_CTE
+    + """,
+ra AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY x DESC, doc_id) AS r
+  FROM d QUALIFY r <= 50
+),
+rb AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS r
+  FROM documents QUALIFY r <= 50
+),
+mx AS (
+  SELECT GREATEST(COALESCE(ra.r, 51), COALESCE(rb.r, 51)) AS m
+  FROM ra FULL JOIN rb USING (doc_id)
+),
+hist AS (
+  SELECT m, COUNT(*)::DOUBLE AS c FROM mx WHERE m <= 50 GROUP BY m
+),
+xd AS (
+  SELECT g.d, COALESCE(SUM(h.c), 0) AS xd
+  FROM generate_series(1, 50) AS g(d) LEFT JOIN hist h ON h.m <= g.d
+  GROUP BY g.d
+)
+SELECT 50 AS k, CAST(0.9 AS DOUBLE) AS p,
+  ROUND((CAST(1.0 AS DOUBLE) - CAST(0.9 AS DOUBLE))
+          * SUM(ROUND(POW(0.9, d - 1), 12) * xd / d), 6) AS rbo,
+  ROUND(MAX(CASE WHEN d = 50 THEN xd END) / 50.0, 6) AS overlap_at_k
+FROM xd
+""",
+)
+def q_quality_ranking_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber et al. 2010, operators/evalmetrics.py
+    rbo_at_k) between two top-50 quality orderings of the corpus —
+    type-token ratio vs raw length: do the two heuristics promote the
+    same documents, weighted toward the top? Kendall's tau can't compare
+    indefinite rankings with disjoint tails; RBO geometrically discounts
+    depth. Prefix lists come from the distributed top-k idiom
+    (orderBy().limit(k) plans as TakeOrdered — no global window); all
+    RBO arithmetic runs on the k-row frames."""
+    from fireball_data_processing_spark.operators.evalmetrics import rbo_at_k
+
+    d = load_table(spark, sf_dir, "documents")
+    xy = _ttr_xy(d)
+    w = Window.orderBy(F.desc("x"), "doc_id")
+    ra = (
+        xy.orderBy(F.desc("x"), "doc_id")
+        .limit(50)
+        .select("doc_id", F.row_number().over(w).alias("rank"))
+    )
+    wb = Window.orderBy(F.desc("n_chars"), "doc_id")
+    rb = (
+        d.select("doc_id", "n_chars")
+        .orderBy(F.desc("n_chars"), "doc_id")
+        .limit(50)
+        .select("doc_id", F.row_number().over(wb).alias("rank"))
+    )
+    return rbo_at_k(ra, rb, k=50, p=0.9)
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
@@ -9089,12 +9236,12 @@ def get(name: str) -> QuerySpec:
 # declaration order; listed-but-unregistered names are skipped.
 _PRIORITY = [
     # Round-8 head (the driver samples roughly the first 50 entries).
-    # Layout, continuing the cumulative-attestation rotation: the TWELVE
-    # queries NEW this round lead (no driver row at all yet), then ALL
-    # 14 queries whose newest driver row dates to r4 (the seven deferred
-    # from the r7 head plus seven more — after this head, nothing in the
-    # catalog is older than r5), then the 24 alphabetically-first of the
-    # 50 r5-stale queries. The remaining 26 r5-stale entries queue
+    # Layout, continuing the cumulative-attestation rotation: the
+    # FOURTEEN queries NEW this round lead (no driver row at all yet),
+    # then ALL 14 queries whose newest driver row dates to r4 (the seven
+    # deferred from the r7 head plus seven more — after this head,
+    # nothing in the catalog is older than r5), then the 22
+    # alphabetically-first of the 50 r5-stale queries. The other 28 queue
     # immediately past the head and rotate first in round 9; every one
     # of them MATCHes (or returns rows, for the rows-only six) in this
     # round's full local drives at sf0.01.
@@ -9111,6 +9258,8 @@ _PRIORITY = [
     "bootstrap_mean_ci",
     "dup_graph_triangle_census",
     "event_audience_overlap",
+    "ab_test_delta_ci",
+    "quality_ranking_rbo",
     # --- newest driver row r4 (all 14 remaining) ---
     "semantic_dedup_survivors",
     "domain_capped_sample",
@@ -9150,8 +9299,8 @@ _PRIORITY = [
     "fb_heuristics_small",
     "fb_hp_banding",
     "fb_snippet_substitution",
-    "fb_triple_constraints",
     # --- deferred r5-stale (just past the head; first in the r9 head) ---
+    "fb_triple_constraints",
     "fb_tupper_candidates",
     "feature_label_join",
     "find_error_after_purchase",
