@@ -125,6 +125,9 @@ EXTRA = (
     "event_audience_overlap",
     "ab_test_delta_ci",
     "quality_ranking_rbo",
+    "reliability_diagram_ece",
+    "markov_stationary_profile",
+    "lang_jsd_matrix",
 )
 
 

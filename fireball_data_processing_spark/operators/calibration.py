@@ -30,37 +30,26 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["logistic_fit_2param", "conformal_threshold"]
+__all__ = [
+    "logistic_fit_2param",
+    "conformal_threshold",
+    "reliability_diagram",
+]
 
 
 def _sigmoid(z: Column) -> Column:
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
 
 
-def logistic_fit_2param(
-    df: DataFrame,
-    x_col: str,
-    y_col: str,
-    n_iter: int = 2,
-    round_dp: int = 8,
-    out_dp: int = 6,
+def _newton_params(
+    df: DataFrame, x: Column, y: Column, n_iter: int, round_dp: int
 ) -> DataFrame:
-    """Newton-Raphson fit of ``P(y=1|x) = sigmoid(b0 + b1*x)`` from
-    ``(0, 0)``, exactly ``n_iter`` steps. Returns ONE row:
-    ``(intercept, slope, n, logloss)`` with the coefficients rounded to
-    ``out_dp`` and logloss (mean negative log-likelihood at the final
-    parameters) rounded likewise.
-
-    Per step, with ``p = sigmoid(b0 + b1*x)`` and ``w = p*(1-p)``:
-    gradient ``(g0, g1) = (sum(y-p), sum((y-p)*x))``, Hessian
-    ``[[h00, h01], [h01, h11]] = [[sum(w), sum(w*x)], [sum(w*x),
-    sum(w*x^2)]]``, update = Hessian^-1 @ gradient via the closed-form
-    2x2 inverse. Sums are rounded to ``round_dp`` before the solve and
-    the updated coefficients are rounded again — both engines then feed
-    identical doubles into the next iteration.
-    """
-    x = F.col(x_col).cast("double")
-    y = F.col(y_col).cast("double")
+    """The shared Newton-Raphson loop: returns the 1-row ``(b0, b1)``
+    coefficient frame after exactly ``n_iter`` steps from ``(0, 0)``.
+    Each step is one sufficient-statistic aggregate (5 sums) + a 2x2
+    closed-form solve on a 1-row frame; sums and updated coefficients
+    are rounded to ``round_dp`` so an unrolled SQL oracle replays the
+    trajectory exactly (the kmeans contract)."""
     params = df.sparkSession.range(1).select(
         F.lit(0.0).alias("b0"), F.lit(0.0).alias("b1")
     )
@@ -94,6 +83,34 @@ def logistic_fit_2param(
                 round_dp,
             ).alias("b1"),
         )
+    return params
+
+
+def logistic_fit_2param(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    n_iter: int = 2,
+    round_dp: int = 8,
+    out_dp: int = 6,
+) -> DataFrame:
+    """Newton-Raphson fit of ``P(y=1|x) = sigmoid(b0 + b1*x)`` from
+    ``(0, 0)``, exactly ``n_iter`` steps. Returns ONE row:
+    ``(intercept, slope, n, logloss)`` with the coefficients rounded to
+    ``out_dp`` and logloss (mean negative log-likelihood at the final
+    parameters) rounded likewise.
+
+    Per step, with ``p = sigmoid(b0 + b1*x)`` and ``w = p*(1-p)``:
+    gradient ``(g0, g1) = (sum(y-p), sum((y-p)*x))``, Hessian
+    ``[[h00, h01], [h01, h11]] = [[sum(w), sum(w*x)], [sum(w*x),
+    sum(w*x^2)]]``, update = Hessian^-1 @ gradient via the closed-form
+    2x2 inverse. Sums are rounded to ``round_dp`` before the solve and
+    the updated coefficients are rounded again — both engines then feed
+    identical doubles into the next iteration.
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    params = _newton_params(df, x, y, n_iter, round_dp)
     p = _sigmoid(F.col("b0") + F.col("b1") * x)
     return (
         df.crossJoin(F.broadcast(params))
@@ -175,3 +192,92 @@ def conformal_threshold(
             "test_pass_rate",
         )
     )
+
+
+def reliability_diagram(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    key_col: str | None = None,
+    n_iter: int = 2,
+    n_bins: int = 10,
+    round_dp: int = 8,
+    out_dp: int = 6,
+) -> DataFrame:
+    """Reliability diagram + Expected Calibration Error for the
+    ``n_iter``-step logistic fit of ``P(y=1|x)`` — the diagnostic that
+    says whether the calibrated gate probability can be TRUSTED, which
+    neither the fit's logloss nor the conformal pass rate answers
+    (Guo et al. 2017's ECE, computed distributed).
+
+    Predicted probabilities (rounded to ``round_dp`` so both engines bin
+    identical doubles) are cut into ``n_bins`` bins; per bin the mean
+    confidence, mean observed rate, and their absolute gap; ECE is the
+    support-weighted mean gap, attached to every row via a window over
+    the <= ``n_bins``-row bin frame.
+
+    Binning modes: with ``key_col`` set, EQUAL-MASS bins via
+    ``ntile(n_bins)`` ordered by ``(p, key)`` — the unique key makes the
+    total order (hence bin membership) engine-reproducible even under
+    heavy probability ties, and every bin is populated; without it,
+    EQUAL-WIDTH bins on ``floor(p * n_bins)``, which needs no sort at
+    all. The ntile is one global sort — fine for a diagnostic; at
+    100 TB either use the equal-width mode or pre-bin on
+    ``sketches.histogram_quantiles`` cut points instead of a total sort.
+
+    Plan shape: the Newton loop's one aggregate per step, then ONE
+    groupBy over the scan (n_bins groups — partial combine does all the
+    work) and a window over at most ``n_bins`` rows. Zero collects; the
+    coefficients re-enter as a broadcast. Returns
+    ``(bin, n, avg_conf, avg_acc, gap, ece)`` ordered by bin.
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    from pyspark.sql.window import Window
+
+    params = _newton_params(df, x, y, n_iter, round_dp)
+    p = F.round(_sigmoid(F.col("b0") + F.col("b1") * x), round_dp)
+    if key_col is not None:
+        scored = df.crossJoin(F.broadcast(params)).select(
+            p.alias("__p"), y.alias("__y"), F.col(key_col).alias("__k")
+        )
+        bin_col = (
+            F.ntile(n_bins)
+            .over(Window.orderBy(F.col("__p"), F.col("__k")))
+            .cast("bigint")
+            .alias("bin")
+        )
+        scored = scored.select(bin_col, "__p", "__y")
+    else:
+        scored = df.crossJoin(F.broadcast(params)).select(
+            F.least(F.floor(p * n_bins), F.lit(n_bins - 1))
+            .cast("bigint")
+            .alias("bin"),
+            p.alias("__p"),
+            y.alias("__y"),
+        )
+    bins = (
+        scored.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.avg("__p"), out_dp).alias("avg_conf"),
+            F.round(F.avg("__y"), out_dp).alias("avg_acc"),
+        )
+        .withColumn(
+            "gap",
+            F.round(F.abs(F.col("avg_conf") - F.col("avg_acc")), out_dp),
+        )
+    )
+    w = Window.partitionBy()
+    return bins.select(
+        "bin",
+        "n",
+        "avg_conf",
+        "avg_acc",
+        "gap",
+        F.round(
+            F.sum(F.col("n") * F.col("gap")).over(w)
+            / F.sum(F.col("n")).over(w),
+            out_dp,
+        ).alias("ece"),
+    ).orderBy("bin")

@@ -21,7 +21,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["bucket_shares", "distribution_drift"]
+__all__ = ["bucket_shares", "distribution_drift", "jsd_matrix"]
 
 
 def bucket_shares(df: DataFrame, bucket: Column) -> DataFrame:
@@ -70,4 +70,112 @@ def distribution_drift(
         F.round(q, 6).alias("p_after"),
         F.round((q - p) * F.log(q / p), 6).alias("psi_term"),
         F.round(p * F.log(p / q), 6).alias("kl_term"),
+    )
+
+
+def jsd_matrix(
+    df: DataFrame,
+    domain_col: str,
+    token_col: str,
+    round_dp: int = 8,
+    out_dp: int = 6,
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence (bits) between the per-domain
+    unigram distributions of ``token_col`` — the k-way corpus-composition
+    scorecard ("which domains are token-level redundant, which add
+    genuinely new text?") that PSI/KL drift (two snapshots, category
+    buckets) doesn't give: JSD is symmetric, bounded in [0, 1] bits, and
+    defined WITHOUT smoothing even on disjoint vocabularies.
+
+    Union-free decomposition: with m = (p+q)/2, tokens private to one
+    side contribute exactly ``0.5 * p_i`` bits, so
+
+        JSD(P,Q) = 0.5*(|P| - sum_shared p) + 0.5*(|Q| - sum_shared q)
+                 + sum_shared [0.5*p*log2(2p/(p+q)) + 0.5*q*log2(2q/(p+q))]
+
+    needs only an INNER self-join on token — never a full-outer union
+    frame per pair. |P| is the sum of the rounded probabilities (not a
+    literal 1.0), so the only-mass term is engine-exact.
+
+    Plan shape: one explode + one (domain, token) aggregate over the
+    data; the self-join and everything after run on the per-domain
+    vocabulary table (aggregate-sized). The k^2 pair frame is built from
+    the broadcast domain list, so pairs with zero shared tokens still
+    appear (JSD = 1 bit exactly). Returns
+    ``(domain_a, domain_b, n_shared_tokens, jsd_bits)`` for a < b,
+    ordered.
+    """
+    counts = (
+        df.select(F.col(domain_col).alias("d"), F.col(token_col).alias("t"))
+        .groupBy("d", "t")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = counts.groupBy("d").agg(F.sum("n").alias("tot"))
+    probs = counts.join(F.broadcast(totals), "d").select(
+        "d",
+        "t",
+        F.round(F.col("n").cast("double") / F.col("tot"), round_dp).alias(
+            "p"
+        ),
+    )
+    mass = probs.groupBy("d").agg(F.round(F.sum("p"), round_dp).alias("mass"))
+    a = probs.select(
+        F.col("d").alias("domain_a"), "t", F.col("p").alias("pa")
+    )
+    b = probs.select(
+        F.col("d").alias("domain_b"), "t", F.col("p").alias("pb")
+    )
+    half = F.lit(0.5)
+    shared = (
+        a.join(b, "t")
+        .filter(F.col("domain_a") < F.col("domain_b"))
+        .groupBy("domain_a", "domain_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shared_tokens"),
+            F.round(F.sum("pa"), round_dp).alias("sp"),
+            F.round(F.sum("pb"), round_dp).alias("sq"),
+            F.round(
+                F.sum(
+                    half
+                    * F.col("pa")
+                    * F.log2(
+                        F.lit(2.0) * F.col("pa")
+                        / (F.col("pa") + F.col("pb"))
+                    )
+                    + half
+                    * F.col("pb")
+                    * F.log2(
+                        F.lit(2.0) * F.col("pb")
+                        / (F.col("pa") + F.col("pb"))
+                    )
+                ),
+                round_dp,
+            ).alias("shared_term"),
+        )
+    )
+    doms = mass.select(F.col("d").alias("domain_a"), F.col("mass").alias("ma"))
+    domsb = mass.select(
+        F.col("d").alias("domain_b"), F.col("mass").alias("mb")
+    )
+    pairs = (
+        F.broadcast(doms)
+        .crossJoin(F.broadcast(domsb))
+        .filter(F.col("domain_a") < F.col("domain_b"))
+    )
+    return (
+        pairs.join(shared, ["domain_a", "domain_b"], "left")
+        .select(
+            "domain_a",
+            "domain_b",
+            F.coalesce(F.col("n_shared_tokens"), F.lit(0).cast("bigint")).alias(
+                "n_shared_tokens"
+            ),
+            F.round(
+                half * (F.col("ma") - F.coalesce(F.col("sp"), F.lit(0.0)))
+                + half * (F.col("mb") - F.coalesce(F.col("sq"), F.lit(0.0)))
+                + F.coalesce(F.col("shared_term"), F.lit(0.0)),
+                out_dp,
+            ).alias("jsd_bits"),
+        )
+        .orderBy("domain_a", "domain_b")
     )

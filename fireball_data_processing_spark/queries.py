@@ -8730,6 +8730,85 @@ def q_logistic_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFram
     return logistic_fit_2param(_ttr_xy(d), "x", "y", n_iter=2)
 
 
+def _reliability_oracle(n_iter: int = 2, n_bins: int = 10) -> str:
+    """Reliability-diagram oracle: replay the unrolled Newton fit (same
+    CTE chain as _logistic_oracle), round each predicted probability to
+    8 dp so both engines bin identical doubles, equal-width bin, then
+    the support-weighted ECE via a window over the bin frame."""
+    parts = [_TTR_DOCS_CTE + ",\nb0_ AS (SELECT 0.0 AS b0, 0.0 AS b1)"]
+    for t in range(1, n_iter + 1):
+        parts.append(
+            """,
+s{t} AS (
+  SELECT ROUND(SUM(y - p), 8) AS g0, ROUND(SUM((y - p) * x), 8) AS g1,
+         ROUND(SUM(p * (1 - p)), 8) AS h00,
+         ROUND(SUM(p * (1 - p) * x), 8) AS h01,
+         ROUND(SUM(p * (1 - p) * x * x), 8) AS h11,
+         MAX(b0) AS b0, MAX(b1) AS b1
+  FROM (SELECT x, y, b0, b1,
+          1.0 / (1.0 + EXP(-(b0 + b1 * x))) AS p
+        FROM d, b{p}_) z
+),
+b{t}_ AS (
+  SELECT
+    ROUND(b0 + (h11 * g0 - h01 * g1) / (h00 * h11 - h01 * h01), 8) AS b0,
+    ROUND(b1 + (h00 * g1 - h01 * g0) / (h00 * h11 - h01 * h01), 8) AS b1
+  FROM s{t}
+)""".format(t=t, p=t - 1)
+        )
+    parts.append(
+        f""",
+scored AS (
+  SELECT ROUND(1.0 / (1.0 + EXP(-(b0 + b1 * x))), 8) AS p, y,
+         doc_id
+  FROM d, b{n_iter}_
+),
+binned AS (
+  SELECT CAST(NTILE({n_bins}) OVER (ORDER BY p, doc_id) AS BIGINT) AS bin,
+         p, y
+  FROM scored
+),
+bins AS (
+  SELECT bin, COUNT(*)::BIGINT AS n,
+         ROUND(AVG(p), 6) AS avg_conf,
+         ROUND(AVG(y), 6) AS avg_acc
+  FROM binned GROUP BY 1
+)
+SELECT bin, n, avg_conf, avg_acc,
+  ROUND(ABS(avg_conf - avg_acc), 6) AS gap,
+  ROUND(SUM(n * ROUND(ABS(avg_conf - avg_acc), 6)) OVER ()
+          / SUM(n) OVER (), 6) AS ece
+FROM bins ORDER BY bin
+"""
+    )
+    return "".join(parts)
+
+
+@query("reliability_diagram_ece", _reliability_oracle(n_iter=2, n_bins=10))
+def q_reliability_diagram_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + Expected Calibration Error
+    (operators/calibration.py reliability_diagram) for the Newton
+    logistic calibration of the type-token-ratio score: 10 EQUAL-MASS
+    probability bins (ntile over the 8-dp probability with doc_id as
+    the deterministic tiebreak, so bin membership is engine-exact),
+    per-bin mean confidence vs observed is-English rate,
+    support-weighted ECE (Guo et al. 2017). Completes the calibration
+    family — fit (logistic_quality_calibration), guarantee
+    (conformal_quality_threshold), and now the audit that says whether
+    the fitted probabilities are honest. One groupBy over the scored
+    scan (10 groups, partial-combined) + a window over <= 10 rows; the
+    ntile's total sort is the documented diagnostic-only cost (the
+    operator's equal-width mode is the zero-sort 100 TB path)."""
+    from fireball_data_processing_spark.operators.calibration import (
+        reliability_diagram,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return reliability_diagram(
+        _ttr_xy(d), "x", "y", key_col="doc_id", n_iter=2, n_bins=10
+    )
+
+
 @query(
     "conformal_quality_threshold",
     _TTR_DOCS_CTE
@@ -9220,6 +9299,140 @@ def q_quality_ranking_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rbo_at_k(ra, rb, k=50, p=0.9)
 
 
+def _markov_oracle(n_iter: int = 12) -> str:
+    """Unrolled power-iteration oracle replaying operators/markov.py
+    markov_profile: LEAD pairing, dangling-dst restriction, 8-dp
+    row-normalized probabilities, and n_iter matvec steps each rounded
+    to 8 dp (the kmeans contract)."""
+    parts = [
+        """
+WITH pairs AS (
+  SELECT src, dst, COUNT(*)::BIGINT AS n
+  FROM (SELECT event_type AS src,
+          LEAD(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+            AS dst
+        FROM events) z
+  WHERE dst IS NOT NULL GROUP BY 1, 2
+),
+kept AS (
+  SELECT * FROM pairs WHERE dst IN (SELECT DISTINCT src FROM pairs)
+),
+m AS (
+  SELECT src, dst, n,
+    ROUND(n::DOUBLE / SUM(n) OVER (PARTITION BY src), 8) AS p
+  FROM kept
+),
+states AS (SELECT DISTINCT src AS state FROM m),
+pi0 AS (
+  SELECT state,
+    ROUND(1.0 / (SELECT COUNT(*) FROM states), 8) AS pi
+  FROM states
+)"""
+    ]
+    for t in range(1, n_iter + 1):
+        parts.append(
+            """,
+pi{t} AS (
+  SELECT m.dst AS state, ROUND(SUM(pi.pi * m.p), 8) AS pi
+  FROM m JOIN pi{p} pi ON pi.state = m.src
+  GROUP BY 1
+)""".format(t=t, p=t - 1)
+        )
+    parts.append(
+        f"""
+SELECT s.state, s.n_out, s.self_prob, ROUND(p.pi, 6) AS stationary_prob
+FROM (
+  SELECT src AS state, SUM(n)::BIGINT AS n_out,
+    ROUND(COALESCE(MAX(CASE WHEN src = dst THEN p END), 0.0), 6)
+      AS self_prob
+  FROM m GROUP BY 1
+) s JOIN pi{n_iter} p USING (state)
+ORDER BY state
+"""
+    )
+    return "".join(parts)
+
+
+@query("markov_stationary_profile", _markov_oracle(n_iter=12))
+def q_markov_stationary_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain profile of per-user event streams
+    (operators/markov.py markov_profile): empirical first-order
+    transition matrix along event_id within user, then the stationary
+    distribution via 12 power-iteration steps — "where does a session
+    equilibrate?", the chain-level complement to the funnel's single
+    ordained path (funnel_conversion_steps) and the FSMs' per-event
+    walks. The data-proportional work is one lead window over the
+    per-user hash exchange + one pair-count aggregate; the 12 matvecs
+    run on the persisted <= |states|^2-row matrix frame with broadcast
+    pi — sub-kilobyte exchanges, zero collects. The unrolled oracle
+    replays every iterate via 8-dp rounding."""
+    from fireball_data_processing_spark.operators.markov import markov_profile
+
+    ev = load_table(spark, sf_dir, "events")
+    return markov_profile(
+        ev, key_col="user_id", order_col="event_id", state_col="event_type",
+        n_iter=12,
+    )
+
+
+@query(
+    "lang_jsd_matrix",
+    """
+WITH tok AS (
+  SELECT lang AS d,
+    unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+           ' ')) AS t
+  FROM documents
+),
+counts AS (SELECT d, t, COUNT(*)::BIGINT AS n FROM tok GROUP BY 1, 2),
+probs AS (
+  SELECT d, t,
+    ROUND(n::DOUBLE / SUM(n) OVER (PARTITION BY d), 8) AS p
+  FROM counts
+),
+mass AS (SELECT d, ROUND(SUM(p), 8) AS mass FROM probs GROUP BY 1),
+shared AS (
+  SELECT a.d AS domain_a, b.d AS domain_b,
+    COUNT(*)::BIGINT AS n_shared_tokens,
+    ROUND(SUM(a.p), 8) AS sp, ROUND(SUM(b.p), 8) AS sq,
+    ROUND(SUM(0.5 * a.p * log2(2 * a.p / (a.p + b.p))
+            + 0.5 * b.p * log2(2 * b.p / (a.p + b.p))), 8) AS shared_term
+  FROM probs a JOIN probs b ON a.t = b.t AND a.d < b.d
+  GROUP BY 1, 2
+)
+SELECT ma.d AS domain_a, mb.d AS domain_b,
+  COALESCE(s.n_shared_tokens, 0)::BIGINT AS n_shared_tokens,
+  ROUND(0.5 * (ma.mass - COALESCE(s.sp, 0))
+      + 0.5 * (mb.mass - COALESCE(s.sq, 0))
+      + COALESCE(s.shared_term, 0), 6) AS jsd_bits
+FROM mass ma JOIN mass mb ON ma.d < mb.d
+LEFT JOIN shared s ON s.domain_a = ma.d AND s.domain_b = mb.d
+ORDER BY 1, 2
+""",
+)
+def q_lang_jsd_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence matrix between per-language
+    unigram distributions (operators/drift.py jsd_matrix): the k-way
+    corpus-composition scorecard — symmetric, [0, 1]-bit bounded, and
+    defined without smoothing even on disjoint vocabularies, which
+    PSI/KL drift (windowed_mix_drift's two-snapshot form) is not. The
+    union-free decomposition (private tokens contribute exactly p/2
+    bits) turns the per-pair union frame into ONE inner self-join of
+    the aggregate-sized per-domain vocabulary table; the data-
+    proportional work is one explode + one (domain, token) aggregate.
+    Pairs come off the broadcast domain list, so zero-overlap pairs
+    still report (JSD = 1 bit)."""
+    from fireball_data_processing_spark.functions.text import normalize_text
+    from fireball_data_processing_spark.operators.drift import jsd_matrix
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.col("lang"),
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("token"),
+    )
+    return jsd_matrix(toks, domain_col="lang", token_col="token")
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
@@ -9237,14 +9450,14 @@ def get(name: str) -> QuerySpec:
 _PRIORITY = [
     # Round-8 head (the driver samples roughly the first 50 entries).
     # Layout, continuing the cumulative-attestation rotation: the
-    # FOURTEEN queries NEW this round lead (no driver row at all yet),
+    # SEVENTEEN queries NEW this round lead (no driver row at all yet),
     # then ALL 14 queries whose newest driver row dates to r4 (the seven
     # deferred from the r7 head plus seven more — after this head,
-    # nothing in the catalog is older than r5), then the 22
-    # alphabetically-first of the 50 r5-stale queries. The other 28 queue
-    # immediately past the head and rotate first in round 9; every one
-    # of them MATCHes (or returns rows, for the rows-only six) in this
-    # round's full local drives at sf0.01.
+    # nothing in the catalog is older than r5), then the
+    # alphabetically-first of the 50 r5-stale queries up to the ~50-slot
+    # head. The rest queue immediately past the head and rotate first in
+    # round 9; every one of them MATCHes (or returns rows, for the
+    # rows-only six) in this round's full local drives at sf0.01.
     # --- new in round 8 (need first-ever driver rows) ---
     "histogram_quantile_sketch",
     "quality_score_propagation",
@@ -9260,6 +9473,9 @@ _PRIORITY = [
     "event_audience_overlap",
     "ab_test_delta_ci",
     "quality_ranking_rbo",
+    "reliability_diagram_ece",
+    "markov_stationary_profile",
+    "lang_jsd_matrix",
     # --- newest driver row r4 (all 14 remaining) ---
     "semantic_dedup_survivors",
     "domain_capped_sample",
@@ -9296,10 +9512,10 @@ _PRIORITY = [
     "fb_caster_id",
     "fb_content_ops",
     "fb_embed_finding",
+    # --- deferred r5-stale (just past the head; first in the r9 head) ---
     "fb_heuristics_small",
     "fb_hp_banding",
     "fb_snippet_substitution",
-    # --- deferred r5-stale (just past the head; first in the r9 head) ---
     "fb_triple_constraints",
     "fb_tupper_candidates",
     "feature_label_join",

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from fireball_data_processing_spark.operators.calibration import (
     conformal_threshold,
     logistic_fit_2param,
+    reliability_diagram,
 )
 
 
@@ -51,3 +52,35 @@ def test_conformal_coverage_near_alpha(spark):
     assert out["n_cal"] + out["n_test"] == 2000
     # exchangeable scores: held-out pass rate concentrates near 0.9
     assert 0.85 <= out["test_pass_rate"] <= 0.95, out["test_pass_rate"]
+
+
+def test_reliability_equal_mass_bins_and_ece(spark):
+    # y increasing in x -> a sane fit; equal-mass bins must each hold
+    # ~n/10 rows and ECE must equal the support-weighted mean gap
+    rows = [(i, i / 200.0, 1.0 if (i * 7) % 200 < i else 0.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id bigint, x double, y double")
+    out = reliability_diagram(
+        df, "x", "y", key_col="doc_id", n_iter=2, n_bins=10
+    ).collect()
+    assert [r["bin"] for r in out] == list(range(1, 11))
+    assert all(r["n"] == 20 for r in out)
+    n_tot = sum(r["n"] for r in out)
+    ece = sum(r["n"] * r["gap"] for r in out) / n_tot
+    assert all(abs(r["ece"] - round(ece, 6)) < 1e-9 for r in out)
+    # avg_conf must be nondecreasing across equal-mass bins (sorted by p)
+    confs = [r["avg_conf"] for r in out]
+    assert confs == sorted(confs)
+
+
+def test_reliability_equal_width_mode_no_key(spark):
+    # equal-width mode: bins are floor(p*10) values, no sort needed;
+    # perfectly calibrated constant predictor -> gap 0, ece 0
+    rows = [(i / 100.0, 1.0 if i % 2 == 0 else 0.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    out = reliability_diagram(df, "x", "y", n_iter=0, n_bins=10).collect()
+    # n_iter=0 -> b0=b1=0 -> p=0.5 for every row, one bin, acc=0.5
+    assert len(out) == 1
+    r = out[0]
+    assert r["bin"] == 5 and r["n"] == 100
+    assert r["avg_conf"] == 0.5 and r["avg_acc"] == 0.5
+    assert r["gap"] == 0.0 and r["ece"] == 0.0

@@ -7,7 +7,10 @@ import math
 
 from pyspark.sql import functions as F
 
-from fireball_data_processing_spark.operators.drift import distribution_drift
+from fireball_data_processing_spark.operators.drift import (
+    distribution_drift,
+    jsd_matrix,
+)
 
 
 def _naive(before, after):
@@ -73,3 +76,64 @@ def test_drift_identical_distributions_score_zero(spark):
     a = spark.createDataFrame(rows, ["lang"])
     out = distribution_drift(b, a, F.col("lang")).collect()
     assert all(r.psi_term == 0.0 and r.kl_term == 0.0 for r in out)
+
+
+def _tok_df(spark, rows):
+    return spark.createDataFrame(rows, "d string, t string")
+
+
+def test_jsd_identical_distributions_zero(spark):
+    rows = [("a", t) for t in "xxyyz"] + [("b", t) for t in "xxyyz"]
+    out = jsd_matrix(_tok_df(spark, rows), "d", "t").collect()
+    assert len(out) == 1
+    assert out[0]["jsd_bits"] == 0.0
+    assert out[0]["n_shared_tokens"] == 3
+
+
+def test_jsd_disjoint_vocabularies_one_bit(spark):
+    rows = [("a", t) for t in "xy"] + [("b", t) for t in "uv"]
+    out = jsd_matrix(_tok_df(spark, rows), "d", "t").collect()
+    assert len(out) == 1
+    assert out[0]["n_shared_tokens"] == 0
+    assert out[0]["jsd_bits"] == 1.0
+
+
+def test_jsd_hand_computed_half_overlap(spark):
+    # P = {x: 1.0}; Q = {x: .5, y: .5}
+    # m_x = .75, m_y = .25
+    # jsd = .5*1*log2(1/.75) + .5*(.5*log2(.5/.75) + .5*log2(.5/.25))
+    import math
+
+    rows = [("a", "x"), ("a", "x"), ("b", "x"), ("b", "y")]
+    out = jsd_matrix(_tok_df(spark, rows), "d", "t").collect()
+    exp = 0.5 * math.log2(1 / 0.75) + 0.5 * (
+        0.5 * math.log2(0.5 / 0.75) + 0.5 * math.log2(0.5 / 0.25)
+    )
+    assert abs(out[0]["jsd_bits"] - exp) < 1e-6
+
+
+def test_jsd_matrix_all_pairs_present_and_ordered(spark):
+    rows = (
+        [("a", "x")] * 3
+        + [("b", "y")] * 2
+        + [("c", "x"), ("c", "y")]
+        + [("d", "z")]
+    )
+    out = jsd_matrix(_tok_df(spark, rows), "d", "t").collect()
+    pairs = [(r["domain_a"], r["domain_b"]) for r in out]
+    assert pairs == [
+        ("a", "b"), ("a", "c"), ("a", "d"),
+        ("b", "c"), ("b", "d"), ("c", "d"),
+    ]
+    by = {(r["domain_a"], r["domain_b"]): r for r in out}
+    # disjoint pairs read exactly 1 bit off the broadcast pair frame
+    assert by[("a", "b")]["jsd_bits"] == 1.0
+    assert by[("a", "d")]["jsd_bits"] == 1.0
+    assert 0.0 < by[("a", "c")]["jsd_bits"] < 1.0
+
+
+def test_jsd_partitioning_invariance(spark):
+    rows = [(f"d{i % 3}", f"t{(i * 7) % 11}") for i in range(300)]
+    a = jsd_matrix(_tok_df(spark, rows).repartition(1), "d", "t").collect()
+    b = jsd_matrix(_tok_df(spark, rows).repartition(32), "d", "t").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]

@@ -1,0 +1,88 @@
+"""Markov-chain operators (operators/markov.py): hand-computed
+transition matrix, dangling-state restriction, power-iteration
+convergence to a known stationary distribution, partitioning
+invariance."""
+
+from __future__ import annotations
+
+from fireball_data_processing_spark.operators.markov import (
+    markov_profile,
+    stationary_distribution,
+    transition_matrix,
+)
+
+
+def _seq_df(spark, seqs):
+    rows = []
+    for key, states in seqs.items():
+        for i, s in enumerate(states):
+            rows.append((key, i, s))
+    return spark.createDataFrame(rows, "k bigint, i bigint, s string")
+
+
+def test_transition_matrix_hand_computed(spark):
+    # one sequence a a b a: transitions a->a, a->b, b->a
+    df = _seq_df(spark, {1: ["a", "a", "b", "a"]})
+    m = {
+        (r["src"], r["dst"]): (r["n"], r["p"])
+        for r in transition_matrix(df, "k", "i", "s").collect()
+    }
+    assert m[("a", "a")] == (1, 0.5)
+    assert m[("a", "b")] == (1, 0.5)
+    assert m[("b", "a")] == (1, 1.0)
+
+
+def test_transitions_never_cross_sequences(spark):
+    # two sequences: [a, b] and [b, c] -> no b->b, no a->c
+    df = _seq_df(spark, {1: ["a", "b"], 2: ["b", "c"]})
+    got = {
+        (r["src"], r["dst"])
+        for r in transition_matrix(df, "k", "i", "s").collect()
+    }
+    # c is dangling (never a src) so b->c is dropped by the restriction
+    assert got == {("a", "b")}
+
+
+def test_dangling_state_restriction_renormalizes(spark):
+    # a -> b and a -> x where x never transitions out: x rows dropped,
+    # a's remaining mass renormalized over kept destinations
+    df = _seq_df(spark, {1: ["a", "b", "a", "x"], 2: ["b", "a"]})
+    m = {
+        (r["src"], r["dst"]): r["p"]
+        for r in transition_matrix(df, "k", "i", "s").collect()
+    }
+    assert ("a", "x") not in m
+    # a had transitions a->b, a->x; kept: a->b only -> p = 1.0? No:
+    # renormalization is over kept dst rows: a->b n=1 of kept total 1
+    assert m[("a", "b")] == 1.0
+    assert m[("b", "a")] == 1.0
+
+
+def test_stationary_two_state_chain(spark):
+    # P = [[0.5, 0.5], [1.0, 0.0]] (from counts) -> stationary
+    # pi = (2/3, 1/3); 12 iterations converge well past 6 dp
+    df = _seq_df(spark, {1: ["a", "a", "b", "a", "b", "a", "a"]})
+    # counts: a->a 2, a->b 2, b->a 2 -> P[a] = (.5, .5), P[b] = (1, 0)
+    mat = transition_matrix(df, "k", "i", "s")
+    pi = {
+        r["state"]: r["pi"]
+        for r in stationary_distribution(mat, n_iter=24).collect()
+    }
+    assert abs(pi["a"] - 2.0 / 3.0) < 1e-6
+    assert abs(pi["b"] - 1.0 / 3.0) < 1e-6
+
+
+def test_markov_profile_shape_and_partitioning_invariance(spark):
+    seqs = {
+        k: [["v", "c", "p", "s"][(k * 7 + j * 3) % 4] for j in range(20)]
+        for k in range(12)
+    }
+    df1 = _seq_df(spark, seqs).repartition(1)
+    df32 = _seq_df(spark, seqs).repartition(32)
+    a = [tuple(r) for r in markov_profile(df1, "k", "i", "s").collect()]
+    b = [tuple(r) for r in markov_profile(df32, "k", "i", "s").collect()]
+    assert a == b
+    states = [r[0] for r in a]
+    assert states == sorted(states)
+    # stationary distribution sums to ~1
+    assert abs(sum(r[3] for r in a) - 1.0) < 1e-4
