@@ -128,6 +128,9 @@ EXTRA = (
     "reliability_diagram_ece",
     "markov_stationary_profile",
     "lang_jsd_matrix",
+    "vocab_richness_estimate",
+    "offpolicy_value_snips",
+    "neyman_stratified_sample",
 )
 
 

@@ -28,7 +28,13 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["audience_overlap", "profile_columns", "vocab_growth", "zipf_fit"]
+__all__ = [
+    "audience_overlap",
+    "profile_columns",
+    "vocab_growth",
+    "vocab_richness",
+    "zipf_fit",
+]
 
 
 def profile_columns(
@@ -285,4 +291,75 @@ def audience_overlap(
             ),
             round_dp,
         ).alias("jaccard"),
+    )
+
+
+def vocab_richness(
+    tokens: DataFrame,
+    token_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Species-richness estimators for the corpus vocabulary, off the
+    frequency-of-frequencies alone: how many types does the FULL
+    population hold, given what this sample shows? Complements the
+    extrapolation view of vocab_growth (Heaps' law fits the observed
+    curve; Chao1 bounds the asymptote) and zipf_fit (the shape of the
+    head; richness lives in the tail).
+
+    Returns ONE row:
+
+    - ``n_tokens`` / ``v_observed`` — corpus size and observed types;
+    - ``f1`` / ``f2`` — singleton and doubleton type counts;
+    - ``chao1`` — the bias-corrected Chao1 lower-bound estimate of true
+      vocabulary size, ``V + f1*(f1-1) / (2*(f2+1))`` (defined even at
+      f2 = 0, unlike the classical ``V + f1^2/(2 f2)``);
+    - ``good_coverage`` — Good's coverage estimate ``1 - f1/N``, the
+      probability that the next token drawn is an already-seen type
+      (the Good-Turing total-mass identity);
+    - ``gt_singleton_rate`` — the Good-Turing adjusted count for
+      hapaxes, ``2*f2/f1`` (how often a "singleton" type really
+      occurs), NULL when f1 = 0.
+
+    Plan: one (token) count aggregate — the only data-proportional
+    exchange — then one conditional-sum aggregate over the count table.
+    Both partial-combine; nothing collects.
+    """
+    counts = (
+        tokens.select(F.col(token_col).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("r"))
+    )
+    f1 = F.sum(F.when(F.col("r") == 1, 1).otherwise(0)).cast("bigint")
+    f2 = F.sum(F.when(F.col("r") == 2, 1).otherwise(0)).cast("bigint")
+    return counts.agg(
+        F.sum("r").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("v_observed"),
+        f1.alias("f1"),
+        f2.alias("f2"),
+    ).select(
+        "n_tokens",
+        "v_observed",
+        "f1",
+        "f2",
+        F.round(
+            F.col("v_observed")
+            + F.col("f1").cast("double")
+            * (F.col("f1") - 1).cast("double")
+            / (F.lit(2.0) * (F.col("f2") + 1).cast("double")),
+            round_dp,
+        ).alias("chao1"),
+        F.round(
+            F.lit(1.0)
+            - F.col("f1").cast("double") / F.col("n_tokens").cast("double"),
+            round_dp,
+        ).alias("good_coverage"),
+        F.round(
+            F.when(
+                F.col("f1") > 0,
+                F.lit(2.0)
+                * F.col("f2").cast("double")
+                / F.col("f1").cast("double"),
+            ),
+            round_dp,
+        ).alias("gt_singleton_rate"),
     )

@@ -251,3 +251,70 @@ def weighted_sample_topn(
         .filter(F.col("__wr") <= n)
         .drop("__wr")
     )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    n_total: int,
+    round_dp: int = 8,
+) -> DataFrame:
+    """Variance-optimal (Neyman) allocation of an ``n_total``-row sample
+    budget across strata: ``n_h ∝ N_h * sigma_h``, the allocation that
+    minimizes the variance of the stratified mean estimator — big AND
+    internally-diverse strata earn more budget than big-but-uniform ones
+    (proportional allocation, what ``stratified_sample`` with a constant
+    fraction gives, ignores sigma entirely).
+
+    Returns the per-stratum plan: ``(stratum, n_pop, sigma, share,
+    n_target, rate)`` where ``share = N_h*sigma_h / sum_k N_k*sigma_k``
+    (8-dp rounded for engine replay), ``n_target = floor(n_total *
+    share + 0.5)`` capped at ``N_h`` (half-up on an identical double ->
+    identical on every engine, unlike native ROUND whose half-rule
+    differs), and ``rate = n_target / N_h`` ready to feed
+    ``stratified_sample`` as its per-stratum fraction.
+
+    ONE grouped aggregate over the data (count + stddev_pop partial-
+    combine); shares/targets are window arithmetic over the |strata|-row
+    stats frame. Zero-variance strata get sigma 0 and thus zero budget —
+    correct under Neyman (one row tells you everything about a constant
+    stratum); callers wanting a floor can clamp ``rate``.
+    """
+    from pyspark.sql.window import Window
+
+    stats = (
+        df.groupBy(F.col(stratum_col).alias("stratum"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pop"),
+            F.round(
+                F.coalesce(
+                    F.stddev_pop(F.col(value_col).cast("double")), F.lit(0.0)
+                ),
+                round_dp,
+            ).alias("sigma"),
+        )
+    )
+    w = Window.partitionBy()
+    share = F.round(
+        (F.col("n_pop") * F.col("sigma"))
+        / F.sum(F.col("n_pop") * F.col("sigma")).over(w),
+        round_dp,
+    )
+    out = stats.select("stratum", "n_pop", "sigma", share.alias("share"))
+    n_target = F.least(
+        F.col("n_pop"),
+        F.floor(F.lit(float(n_total)) * F.col("share") + F.lit(0.5)).cast(
+            "bigint"
+        ),
+    )
+    return out.select(
+        "stratum",
+        "n_pop",
+        "sigma",
+        "share",
+        n_target.alias("n_target"),
+        F.round(
+            n_target.cast("double") / F.col("n_pop").cast("double"), round_dp
+        ).alias("rate"),
+    )

@@ -9433,6 +9433,170 @@ def q_lang_jsd_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jsd_matrix(toks, domain_col="lang", token_col="token")
 
 
+@query(
+    "vocab_richness_estimate",
+    """
+WITH tok AS (
+  SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ',
+    'g')), ' ')) AS t
+  FROM documents
+),
+c AS (SELECT t, COUNT(*)::BIGINT AS r FROM tok GROUP BY 1),
+s AS (
+  SELECT SUM(r)::BIGINT AS n_tokens, COUNT(*)::BIGINT AS v_observed,
+    SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END)::BIGINT AS f1,
+    SUM(CASE WHEN r = 2 THEN 1 ELSE 0 END)::BIGINT AS f2
+  FROM c
+)
+SELECT n_tokens, v_observed, f1, f2,
+  ROUND(v_observed + f1::DOUBLE * (f1 - 1) / (2.0 * (f2 + 1)), 6) AS chao1,
+  ROUND(1.0 - f1::DOUBLE / n_tokens, 6) AS good_coverage,
+  ROUND(CASE WHEN f1 > 0 THEN 2.0 * f2 / f1 END, 6) AS gt_singleton_rate
+FROM s
+""",
+)
+def q_vocab_richness_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Species-richness estimate of the corpus vocabulary
+    (operators/profile.py vocab_richness): bias-corrected Chao1 lower
+    bound on TRUE vocabulary size, Good's coverage (P(next token is an
+    already-seen type) = 1 - f1/N), and the Good-Turing adjusted hapax
+    rate — all from the frequency-of-frequencies. Answers the sampling
+    question vocab_growth_curve (observed Heaps' curve) and
+    zipf_fit_profile (head shape) leave open: how much vocabulary has
+    this corpus NOT yet shown? One token-count aggregate (the only
+    data-proportional exchange) + one conditional-sum aggregate over
+    the count table."""
+    from fireball_data_processing_spark.functions.text import normalize_text
+    from fireball_data_processing_spark.operators.profile import vocab_richness
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("token")
+    )
+    return vocab_richness(toks, "token")
+
+
+@query(
+    "offpolicy_value_snips",
+    """
+WITH base AS (
+  SELECT user_id % 4 AS context, event_type AS action, value::DOUBLE AS r
+  FROM events
+),
+props AS (
+  SELECT context, action,
+    ROUND(n::DOUBLE / SUM(n) OVER (PARTITION BY context), 8) AS pi_logged
+  FROM (SELECT context, action, COUNT(*)::BIGINT AS n
+        FROM base GROUP BY 1, 2)
+),
+j AS (
+  SELECT b.r, ROUND(0.2, 8) / p.pi_logged AS w
+  FROM base b JOIN props p USING (context, action)
+),
+agg AS (
+  SELECT COUNT(*)::BIGINT AS n,
+    ROUND(AVG(r), 8) AS logged_value,
+    ROUND(SUM(w * r), 8) AS swr,
+    ROUND(SUM(w), 8) AS sw,
+    ROUND(SUM(w * w), 8) AS sww
+  FROM j
+)
+SELECT n,
+  (SELECT COUNT(DISTINCT action) FROM props)::BIGINT AS n_actions,
+  ROUND(logged_value, 6) AS logged_value,
+  ROUND(swr / n, 6) AS ips_value,
+  ROUND(swr / sw, 6) AS snips_value,
+  ROUND(sw * sw / sww, 6) AS ess
+FROM agg
+""",
+)
+def q_offpolicy_value_snips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-policy value of a uniform routing policy on the logged event
+    stream (operators/ope.py snips_value): IPS and self-normalized IPS
+    estimates of the reward a policy serving every event type with
+    probability 1/5 WOULD have earned, re-weighted from what was
+    actually logged — the counterfactual complement to ab_test_delta_ci
+    (which needs the treatment actually served). Logged propensities are
+    empirical P(action | user-segment) (context = user_id % 4), built by
+    one partial-combining count and broadcast back into the scan; the
+    estimate is one five-sum aggregate. ESS reports how many effective
+    samples survive the re-weighting. Zero collects, zero windows over
+    data."""
+    from fireball_data_processing_spark.operators.ope import snips_value
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        (F.col("user_id") % 4).alias("context"),
+        F.col("event_type").alias("action"),
+        F.col("value").alias("reward"),
+    )
+    uniform = {a: 0.2 for a in ["view", "click", "purchase", "signup", "error"]}
+    return snips_value(
+        base, "context", "action", "reward", target_probs=uniform
+    )
+
+
+@query(
+    "neyman_stratified_sample",
+    """
+WITH stats AS (
+  SELECT source AS stratum, COUNT(*)::BIGINT AS n_pop,
+    ROUND(COALESCE(stddev_pop(n_chars::DOUBLE), 0.0), 8) AS sigma
+  FROM documents GROUP BY 1
+),
+a AS (
+  SELECT stratum, n_pop, sigma,
+    ROUND(n_pop * sigma / SUM(n_pop * sigma) OVER (), 8) AS share
+  FROM stats
+),
+r AS (
+  SELECT stratum, n_pop, sigma, share,
+    LEAST(n_pop, CAST(FLOOR(120.0 * share + 0.5) AS BIGINT)) AS n_target,
+    ROUND(LEAST(n_pop, CAST(FLOOR(120.0 * share + 0.5) AS BIGINT))::DOUBLE
+          / n_pop, 8) AS rate
+  FROM a
+)
+SELECT r.stratum, r.n_pop, r.sigma, r.share, r.n_target,
+  SUM(CASE WHEN ('0x' || substr(md5('neyman' || CAST(d.doc_id AS VARCHAR)),
+                 1, 8))::BIGINT / 4294967296.0 < r.rate
+      THEN 1 ELSE 0 END)::BIGINT AS n_kept
+FROM documents d JOIN r ON d.source = r.stratum
+GROUP BY 1, 2, 3, 4, 5
+ORDER BY 1
+""",
+)
+def q_neyman_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-optimal stratified sampling plan + realization
+    (operators/sampling.py neyman_allocation composed with
+    stratified_sample's hash threshold): allocate a 120-row budget
+    across document sources by n_h ∝ N_h·σ_h (σ of n_chars) — diverse
+    strata earn more budget than uniform ones, the estimator-variance-
+    minimizing rule proportional allocation ignores — then realize each
+    stratum's rate as the zero-shuffle hash-threshold filter (the
+    exact-count rank pick would serialize hot strata; the binomial
+    threshold is the 100 TB form). Reports per-stratum plan vs realized
+    keep count. One grouped aggregate for stats, broadcast plan join,
+    one conditional-sum aggregate."""
+    from fireball_data_processing_spark.operators.sampling import (
+        hash_rank,
+        neyman_allocation,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    alloc = neyman_allocation(d, "source", "n_chars", n_total=120)
+    joined = d.select("doc_id", F.col("source").alias("stratum")).join(
+        F.broadcast(alloc), "stratum"
+    )
+    kept = F.when(
+        hash_rank(F.col("doc_id"), "neyman") < F.col("rate"), 1
+    ).otherwise(0)
+    return (
+        joined.groupBy("stratum", "n_pop", "sigma", "share", "n_target")
+        .agg(F.sum(kept).cast("bigint").alias("n_kept"))
+        .orderBy("stratum")
+    )
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
@@ -9450,7 +9614,7 @@ def get(name: str) -> QuerySpec:
 _PRIORITY = [
     # Round-8 head (the driver samples roughly the first 50 entries).
     # Layout, continuing the cumulative-attestation rotation: the
-    # SEVENTEEN queries NEW this round lead (no driver row at all yet),
+    # TWENTY queries NEW this round lead (no driver row at all yet),
     # then ALL 14 queries whose newest driver row dates to r4 (the seven
     # deferred from the r7 head plus seven more — after this head,
     # nothing in the catalog is older than r5), then the
@@ -9476,6 +9640,9 @@ _PRIORITY = [
     "reliability_diagram_ece",
     "markov_stationary_profile",
     "lang_jsd_matrix",
+    "vocab_richness_estimate",
+    "offpolicy_value_snips",
+    "neyman_stratified_sample",
     # --- newest driver row r4 (all 14 remaining) ---
     "semantic_dedup_survivors",
     "domain_capped_sample",
@@ -9510,9 +9677,9 @@ _PRIORITY = [
     "fb_author_anonymize",
     "fb_automation_narration",
     "fb_caster_id",
+    # --- deferred r5-stale (just past the head; first in the r9 head) ---
     "fb_content_ops",
     "fb_embed_finding",
-    # --- deferred r5-stale (just past the head; first in the r9 head) ---
     "fb_heuristics_small",
     "fb_hp_banding",
     "fb_snippet_substitution",
