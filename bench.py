@@ -131,6 +131,9 @@ EXTRA = (
     "vocab_richness_estimate",
     "offpolicy_value_snips",
     "neyman_stratified_sample",
+    "annotator_disagreement_topk",
+    "sprt_conversion_decision",
+    "decayed_event_value",
 )
 
 

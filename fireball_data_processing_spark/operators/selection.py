@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from fireball_data_processing_spark.operators.retrieval import tokens
 
 __all__ = [
+    "exp_decay_weight",
     "gram_buckets",
     "bucket_distribution",
     "dsir_log_weights",
@@ -514,3 +515,23 @@ def mad_outlier_stats(
         )
     )
     return flag
+
+
+def exp_decay_weight(
+    ts_ns: Column,
+    ref_ns: Column,
+    half_life_days: float,
+    round_dp: int = 8,
+) -> Column:
+    """Exponential freshness weight ``0.5 ** (age_days / half_life)``
+    for recency-weighted curation — stale training data should count
+    less, and a hard recency cutoff is just this weight's limit. Pure
+    codegen arithmetic on int64 epoch-nanos (the engine's canonical
+    event time): age in days as an exact integer-difference divide,
+    then a rounded power so both engines weight identical doubles.
+    Compose with any aggregate: ``F.sum(value * exp_decay_weight(...))``.
+    """
+    age_days = (ref_ns - ts_ns).cast("double") / F.lit(86400.0 * 1e9)
+    return F.round(
+        F.pow(F.lit(0.5), age_days / F.lit(float(half_life_days))), round_dp
+    )

@@ -377,3 +377,61 @@ def dawid_skene(
             F.round(F.col("t"), out_dp).alias("posterior"),
         )
     )
+
+
+def item_disagreement(
+    ratings: DataFrame,
+    item_col: str = "item",
+    label_col: str = "label",
+    out_dp: int = 6,
+) -> DataFrame:
+    """Per-item annotator-disagreement profile: vote entropy (bits),
+    entropy normalized by log2(n_labels_on_item), and the majority
+    share — the ranking that says WHICH items the panel is confused
+    about, where kappa/alpha/tau (corpus-level) and dawid_skene
+    (posterior per item, but opaque about raw conflict) don't directly
+    answer. High normalized entropy + low majority share = route to
+    adjudication.
+
+    One (item, label) count, one (item) aggregate — both partial-
+    combining; entropy terms are per-(item,label) expressions summed in
+    the second aggregate. Returns ``(item, n_votes, n_labels,
+    majority_share, entropy_bits, norm_entropy)``.
+    """
+    from pyspark.sql import functions as F
+
+    counts = (
+        ratings.select(
+            F.col(item_col).alias("item"), F.col(label_col).alias("label")
+        )
+        .groupBy("item", "label")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = Window.partitionBy("item")
+    p = F.col("c").cast("double") / F.sum("c").over(tot)
+    terms = counts.select(
+        "item",
+        F.col("c"),
+        F.sum("c").over(tot).alias("n_votes"),
+        (-p * F.log2(p)).alias("h_term"),
+    )
+    return (
+        terms.groupBy("item")
+        .agg(
+            F.max("n_votes").cast("bigint").alias("n_votes"),
+            F.count(F.lit(1)).cast("bigint").alias("n_labels"),
+            F.round(
+                F.max("c").cast("double")
+                / F.max("n_votes").cast("double"),
+                out_dp,
+            ).alias("majority_share"),
+            F.round(F.sum("h_term"), out_dp).alias("entropy_bits"),
+            F.round(
+                F.when(
+                    F.count(F.lit(1)) > 1,
+                    F.sum("h_term") / F.log2(F.count(F.lit(1)).cast("double")),
+                ).otherwise(0.0),
+                out_dp,
+            ).alias("norm_entropy"),
+        )
+    )

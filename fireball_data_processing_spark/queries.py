@@ -9597,6 +9597,191 @@ def q_neyman_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "annotator_disagreement_topk",
+    """
+WITH r AS (SELECT event_id % 200 AS item, event_type AS label FROM events),
+c AS (SELECT item, label, COUNT(*)::BIGINT AS c FROM r GROUP BY 1, 2),
+t AS (
+  SELECT item, c, SUM(c) OVER (PARTITION BY item) AS n_votes,
+    -(c::DOUBLE / SUM(c) OVER (PARTITION BY item))
+      * log2(c::DOUBLE / SUM(c) OVER (PARTITION BY item)) AS h
+  FROM c
+),
+a AS (
+  SELECT item, MAX(n_votes)::BIGINT AS n_votes,
+    COUNT(*)::BIGINT AS n_labels,
+    ROUND(MAX(c)::DOUBLE / MAX(n_votes), 6) AS majority_share,
+    ROUND(SUM(h), 6) AS entropy_bits,
+    ROUND(CASE WHEN COUNT(*) > 1
+               THEN SUM(h) / log2(COUNT(*)::DOUBLE) ELSE 0.0 END, 6)
+      AS norm_entropy
+  FROM t GROUP BY 1
+)
+SELECT * FROM a
+ORDER BY norm_entropy DESC, entropy_bits DESC, item
+LIMIT 20
+""",
+)
+def q_annotator_disagreement_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 20 most panel-contested items (plans/agreement.py
+    item_disagreement) over the synthetic rater panel dawid_skene uses:
+    per-item vote entropy (bits), entropy normalized by the item's label
+    diversity, and the majority share — WHICH items to adjudicate, the
+    item-level question the corpus-level kappa/alpha/tau and the
+    posterior-producing dawid_skene don't rank. Two partial-combining
+    aggregates over (item, label) counts; top-20 via orderBy().limit()
+    = TakeOrdered, with the item id as the deterministic tiebreak."""
+    from fireball_data_processing_spark.plans.agreement import (
+        item_disagreement,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    ratings = ev.select(
+        (F.col("event_id") % 200).alias("item"),
+        F.col("event_type").alias("label"),
+    )
+    return (
+        item_disagreement(ratings)
+        .orderBy(F.desc("norm_entropy"), F.desc("entropy_bits"), "item")
+        .limit(20)
+    )
+
+
+def _sprt_oracle(
+    p0: float, p1: float, alpha: float, beta: float
+) -> str:
+    import math as _m
+
+    l1 = round(_m.log(p1 / p0), 8)
+    l0 = round(_m.log((1.0 - p1) / (1.0 - p0)), 8)
+    upper = round(_m.log((1.0 - beta) / alpha), 8)
+    lower = round(_m.log(beta / (1.0 - alpha)), 8)
+    return f"""
+WITH s AS (
+  SELECT user_id % 8 AS grp, event_id,
+    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x
+  FROM events
+),
+w AS (
+  SELECT grp,
+    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY event_id) AS k,
+    SUM(x) OVER (PARTITION BY grp ORDER BY event_id
+                 ROWS UNBOUNDED PRECEDING) AS n1
+  FROM s
+),
+sc AS (
+  SELECT grp, k,
+    ROUND(n1 * ({l1}) + (k - n1) * ({l0}), 8) AS llr
+  FROM w
+),
+cr AS (
+  SELECT grp, k, llr,
+    CASE WHEN llr >= ({upper}) THEN 'accept_h1'
+         WHEN llr <= ({lower}) THEN 'accept_h0' END AS crossed
+  FROM sc
+)
+SELECT grp AS "group",
+  COALESCE(arg_min(crossed, k) FILTER (WHERE crossed IS NOT NULL),
+           'continue') AS decision,
+  arg_min(k, k) FILTER (WHERE crossed IS NOT NULL)::BIGINT
+    AS n_at_decision,
+  ROUND(arg_min(llr, k) FILTER (WHERE crossed IS NOT NULL), 6)
+    AS llr_at_decision,
+  MAX(k)::BIGINT AS n_total,
+  ROUND(arg_max(llr, k), 6) AS llr_final
+FROM cr GROUP BY 1 ORDER BY 1
+"""
+
+
+@query(
+    "sprt_conversion_decision",
+    _sprt_oracle(p0=0.15, p1=0.25, alpha=0.05, beta=0.05),
+)
+def q_sprt_conversion_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's SPRT per user segment (operators/seqtest.py
+    sprt_decisions): testing H0 purchase-rate = 0.15 vs H1 = 0.25 at
+    alpha = beta = 0.05, walking each segment's event stream in
+    event_id order and reporting the FIRST boundary crossing — how
+    early the decision could have been called, the sequential
+    complement to the fixed-horizon ab_test_delta_ci. Grouped
+    sequential tests parallelize across the segment hash exchange
+    (a single global test would serialize); the LLR is integer
+    cumulative counts times 8-dp constants, so the crossing index is
+    engine-exact. One window + one aggregate."""
+    from fireball_data_processing_spark.operators.seqtest import sprt_decisions
+
+    ev = load_table(spark, sf_dir, "events")
+    return sprt_decisions(
+        ev.select((F.col("user_id") % 8).alias("seg"), "event_id",
+                  "event_type"),
+        group_col="seg",
+        order_col="event_id",
+        success=F.col("event_type") == "purchase",
+        p0=0.15,
+        p1=0.25,
+        alpha=0.05,
+        beta=0.05,
+    )
+
+
+@query(
+    "decayed_event_value",
+    """
+WITH ref AS (SELECT MAX(epoch_ns(ts)) AS ref_ns FROM events),
+w AS (
+  SELECT event_type, value::DOUBLE AS v,
+    ROUND(POWER(0.5, ((ref.ref_ns - epoch_ns(ts))::DOUBLE
+                      / 86400000000000.0) / 7.0), 8) AS wt
+  FROM events, ref
+)
+SELECT event_type, COUNT(*)::BIGINT AS n,
+  ROUND(ROUND(SUM(v), 8), 6) AS raw_sum,
+  ROUND(ROUND(SUM(v * wt), 8), 6) AS decayed_sum,
+  ROUND(ROUND(SUM(v * wt), 8) / ROUND(SUM(v), 8), 6) AS freshness_ratio
+FROM w GROUP BY 1 ORDER BY 1
+""",
+)
+def q_decayed_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted value per event type
+    (operators/selection.py exp_decay_weight): each event's value
+    decays with a 7-day half-life from the corpus's newest timestamp —
+    the freshness-weighted aggregate a training-data pipeline uses to
+    discount stale traffic (a hard recency cutoff is this weight's
+    limit). The reference anchor is ONE one-row max aggregate broadcast
+    back into the scan; the weight is pure codegen arithmetic on int64
+    epoch-nanos; one grouped aggregate. freshness_ratio =
+    decayed/raw — 1.0 means all-fresh traffic."""
+    from fireball_data_processing_spark.operators.selection import (
+        exp_decay_weight,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    ref = ev.agg(F.max("ts").alias("ref_ns"))
+    wt = exp_decay_weight(F.col("ts"), F.col("ref_ns"), half_life_days=7.0)
+    v = F.col("value").cast("double")
+    return (
+        ev.crossJoin(F.broadcast(ref))
+        .select("event_type", v.alias("v"), wt.alias("wt"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.sum("v"), 8).alias("__raw"),
+            F.round(F.sum(F.col("v") * F.col("wt")), 8).alias("__dec"),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.round(F.col("__raw"), 6).alias("raw_sum"),
+            F.round(F.col("__dec"), 6).alias("decayed_sum"),
+            F.round(F.col("__dec") / F.col("__raw"), 6).alias(
+                "freshness_ratio"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
@@ -9614,7 +9799,7 @@ def get(name: str) -> QuerySpec:
 _PRIORITY = [
     # Round-8 head (the driver samples roughly the first 50 entries).
     # Layout, continuing the cumulative-attestation rotation: the
-    # TWENTY queries NEW this round lead (no driver row at all yet),
+    # TWENTY-THREE queries NEW this round lead (no driver row at all yet),
     # then ALL 14 queries whose newest driver row dates to r4 (the seven
     # deferred from the r7 head plus seven more — after this head,
     # nothing in the catalog is older than r5), then the
@@ -9643,6 +9828,9 @@ _PRIORITY = [
     "vocab_richness_estimate",
     "offpolicy_value_snips",
     "neyman_stratified_sample",
+    "annotator_disagreement_topk",
+    "sprt_conversion_decision",
+    "decayed_event_value",
     # --- newest driver row r4 (all 14 remaining) ---
     "semantic_dedup_survivors",
     "domain_capped_sample",
@@ -9674,10 +9862,10 @@ _PRIORITY = [
     "event_stats_rollup",
     "fb_actor_stats",
     "fb_actor_strings",
+    # --- deferred r5-stale (just past the head; first in the r9 head) ---
     "fb_author_anonymize",
     "fb_automation_narration",
     "fb_caster_id",
-    # --- deferred r5-stale (just past the head; first in the r9 head) ---
     "fb_content_ops",
     "fb_embed_finding",
     "fb_heuristics_small",
