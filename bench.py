@@ -134,6 +134,7 @@ EXTRA = (
     "annotator_disagreement_topk",
     "sprt_conversion_decision",
     "decayed_event_value",
+    "embedding_pca_top_component",
 )
 
 

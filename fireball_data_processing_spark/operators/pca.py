@@ -1,0 +1,101 @@
+"""Distributed PCA by power iteration over an embedding column: the top
+principal component of the (mean-centered) vector corpus, WITHOUT ever
+materializing the d x d covariance matrix — each iteration is one scan
+computing the per-row projection ``s = (x - mu) . v`` as a pure codegen
+expression and one d-column aggregate of ``sum((x - mu)_i * s)``, i.e.
+the matvec ``S v`` against the scatter matrix folded into a single
+partial-combining pass.
+
+Why it belongs in the curation engine: the top component is the
+dominant axis of embedding variance — the "is this corpus one blob or
+two?" diagnostic behind semantic-dedup/cluster quality, the whitening
+direction ANN quantizers remove first, and (via the variance share) a
+one-number answer to "how anisotropic are these embeddings?".
+
+Execution contract (the kmeans shape, operators/clustering.py): model
+state (mu, v — d floats each) is collected to the driver per iteration
+(a BOUNDED d-sized collect, the sanctioned exception to the zero-collect
+policy) and re-enters the next scan as literals, so every per-row
+expression stays inside whole-stage codegen — no explode (which would
+inflate the scan d-fold), no joins, no windows. Every aggregate and
+every derived scalar is rounded to ``round_dp``, so an unrolled SQL
+oracle (dim-exploded joins — same arithmetic, different shape) replays
+the trajectory exactly.
+
+Scale: n_iter + 2 scans of the vector corpus total; each exchange
+carries d partial sums per partition. Deterministic start
+``v0 = (1/sqrt(d), ...)``; convergence to the top eigenvector needs
+v0 not orthogonal to it — all-positive v0 is safe for real corpora and
+the trajectory is engine-replayed bit-for-bit regardless.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["power_iteration_pca"]
+
+
+def power_iteration_pca(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    n_iter: int = 6,
+    round_dp: int = 8,
+    out_dp: int = 6,
+) -> DataFrame:
+    """Top principal component of ``vec_col`` (array<float/double>,
+    ``dim`` entries). Returns ``dim`` rows
+    ``(dim, loading, eigenvalue, var_share)`` ordered by 1-based dim:
+    the unit loading vector after ``n_iter`` scatter-matrix power
+    steps, the scatter eigenvalue estimate ``||S v||`` of the final
+    step, and its share of total scatter (= fraction of embedding
+    variance the component explains)."""
+    x = [F.col(vec_col)[i].cast("double") for i in range(dim)]
+
+    mu_row = df.agg(
+        *[F.round(F.avg(x[i]), round_dp).alias(f"m{i}") for i in range(dim)]
+    ).first()
+    mu = [mu_row[f"m{i}"] for i in range(dim)]
+    c = [x[i] - F.lit(mu[i]) for i in range(dim)]
+
+    tot_row = df.agg(
+        F.round(
+            F.sum(sum((c[i] * c[i] for i in range(dim)), F.lit(0.0))),
+            round_dp,
+        ).alias("tot")
+    ).first()
+    total_scatter = tot_row["tot"]
+
+    v = [round(1.0 / math.sqrt(dim), round_dp)] * dim
+    nrm = None
+    for _ in range(n_iter):
+        s = F.round(
+            sum((c[i] * F.lit(v[i]) for i in range(dim)), F.lit(0.0)),
+            round_dp,
+        )
+        u_row = df.agg(
+            *[
+                F.round(F.sum(c[i] * s), round_dp).alias(f"u{i}")
+                for i in range(dim)
+            ]
+        ).first()
+        u = [u_row[f"u{i}"] for i in range(dim)]
+        nrm = round(math.sqrt(sum(ui * ui for ui in u)), round_dp)
+        v = [round(ui / nrm, round_dp) for ui in u]
+
+    spark = df.sparkSession
+    rows = [
+        (i + 1, round(v[i], out_dp))
+        for i in range(dim)
+    ]
+    out = spark.createDataFrame(rows, "dim bigint, loading double")
+    return out.select(
+        "dim",
+        "loading",
+        F.lit(round(nrm, out_dp)).alias("eigenvalue"),
+        F.lit(round(nrm / total_scatter, out_dp)).alias("var_share"),
+    ).orderBy("dim")

@@ -9782,6 +9782,74 @@ def q_decayed_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pca_oracle(dim: int = 64, n_iter: int = 6) -> str:
+    """Unrolled power-iteration oracle replaying operators/pca.py
+    power_iteration_pca in dim-exploded join form: 8-dp rounding of the
+    mean, every per-vector projection, every matvec component, the norm,
+    and the normalized iterate each step (the kmeans contract)."""
+    parts = [
+        f"""
+WITH x AS (
+  SELECT vec_id, t.d AS d, embedding[t.d]::DOUBLE AS val
+  FROM embeddings, UNNEST(generate_series(1, {dim})) AS t(d)
+),
+mu AS (SELECT d, ROUND(AVG(val), 8) AS mu FROM x GROUP BY 1),
+c AS (
+  SELECT x.vec_id, x.d, x.val - mu.mu AS cv
+  FROM x JOIN mu USING (d)
+),
+tot AS (SELECT ROUND(SUM(cv * cv), 8) AS tot FROM c),
+v0 AS (SELECT d, ROUND(1.0 / SQRT({dim}), 8) AS v FROM mu)"""
+    ]
+    for t in range(1, n_iter + 1):
+        parts.append(
+            """,
+s{t} AS (
+  SELECT c.vec_id, ROUND(SUM(c.cv * v.v), 8) AS s
+  FROM c JOIN v{p} v USING (d) GROUP BY 1
+),
+u{t} AS (
+  SELECT c.d, ROUND(SUM(c.cv * s.s), 8) AS u
+  FROM c JOIN s{t} s USING (vec_id) GROUP BY 1
+),
+n{t} AS (SELECT ROUND(SQRT(SUM(u * u)), 8) AS nrm FROM u{t}),
+v{t} AS (SELECT d, ROUND(u / nrm, 8) AS v FROM u{t}, n{t})""".format(
+                t=t, p=t - 1
+            )
+        )
+    parts.append(
+        f"""
+SELECT v.d AS dim, ROUND(v.v, 6) AS loading,
+  ROUND(n.nrm, 6) AS eigenvalue,
+  ROUND(n.nrm / t.tot, 6) AS var_share
+FROM v{n_iter} v, n{n_iter} n, tot t
+ORDER BY dim
+"""
+    )
+    return "".join(parts)
+
+
+@query("embedding_pca_top_component", _pca_oracle(dim=64, n_iter=6))
+def q_embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus
+    (operators/pca.py power_iteration_pca): 6 power-iteration steps
+    against the scatter matrix WITHOUT materializing it — per step, one
+    scan computes the centered projection s = (x-mu).v as a single
+    codegen expression (no explode, no joins) and one 64-column
+    partial-combining aggregate folds the matvec; mu and v are bounded
+    64-float driver collects re-entering as literals (the kmeans
+    contract). Reports the unit loading vector, the scatter eigenvalue
+    ||S v||, and its share of total scatter — the anisotropy number
+    behind semantic-dedup quality and quantizer design. The unrolled
+    oracle replays the trajectory in dim-exploded join form."""
+    from fireball_data_processing_spark.operators.pca import (
+        power_iteration_pca,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return power_iteration_pca(e, "embedding", dim=64, n_iter=6)
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
@@ -9799,7 +9867,7 @@ def get(name: str) -> QuerySpec:
 _PRIORITY = [
     # Round-8 head (the driver samples roughly the first 50 entries).
     # Layout, continuing the cumulative-attestation rotation: the
-    # TWENTY-THREE queries NEW this round lead (no driver row at all yet),
+    # TWENTY-FOUR queries NEW this round lead (no driver row at all yet),
     # then ALL 14 queries whose newest driver row dates to r4 (the seven
     # deferred from the r7 head plus seven more — after this head,
     # nothing in the catalog is older than r5), then the
@@ -9831,6 +9899,7 @@ _PRIORITY = [
     "annotator_disagreement_topk",
     "sprt_conversion_decision",
     "decayed_event_value",
+    "embedding_pca_top_component",
     # --- newest driver row r4 (all 14 remaining) ---
     "semantic_dedup_survivors",
     "domain_capped_sample",
@@ -9861,8 +9930,8 @@ _PRIORITY = [
     "embedding_rp_sketch",
     "event_stats_rollup",
     "fb_actor_stats",
-    "fb_actor_strings",
     # --- deferred r5-stale (just past the head; first in the r9 head) ---
+    "fb_actor_strings",
     "fb_author_anonymize",
     "fb_automation_narration",
     "fb_caster_id",
