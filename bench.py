@@ -135,6 +135,8 @@ EXTRA = (
     "sprt_conversion_decision",
     "decayed_event_value",
     "embedding_pca_top_component",
+    "kn_bigram_doc_scores",
+    "dedup_mix_bias",
 )
 
 

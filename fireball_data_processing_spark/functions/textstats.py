@@ -597,3 +597,94 @@ def flesch_features(c: Column, round_dp: int = 6) -> dict[str, Column]:
         "n_syllables": n_syll.cast("bigint"),
         "reading_ease": ease,
     }
+
+
+def kneser_ney_logprob(
+    docs,
+    discount: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int = 8,
+    out_dp: int = 6,
+):
+    """Per-document cross-entropy under an interpolated Kneser-Ney
+    bigram model — the smoothing the KenLM models CCNet actually scores
+    with use (add-alpha, :func:`bigram_logprob`, over-penalizes rare but
+    valid continuations; KN backs off to CONTINUATION probability — "how
+    many distinct contexts does this word follow?" — which is the right
+    novelty prior for quality gating):
+
+        P(w|v) = max(c(v,w) - D, 0)/c(v)
+               + (D * N1+(v,.)/c(v)) * N1+(.,w)/N1+(.,.)
+
+    Output: ``(id_col, n_bigrams, kn_bits_per_token)`` (mean
+    ``-log2 P``), docs with fewer than two tokens absent.
+
+    Plan (the table form bigram_logprob documents as its at-scale
+    swap): ONE bigram explode; the probability table is built at
+    bigram-TYPE grain (one groupBy), its three marginals (left counts +
+    distinct-continuation counts, right continuation counts, total
+    types) are aggregates of the type table that re-enter via joins of
+    aggregate-sized frames; occurrences take one hash join against the
+    type-grain probability table, then one per-doc rollup. Self-scoring
+    a corpus means every bigram is in-vocabulary, so no unseen-mass
+    branch is needed.
+    """
+    from pyspark.sql import functions as F
+
+    from fireball_data_processing_spark.functions.text import normalize_text
+
+    d = float(discount)
+    pre = docs.select(
+        F.col(id_col),
+        F.filter(
+            F.split(normalize_text(F.col(text_col)), " "), lambda s: s != ""
+        ).alias("__words"),
+    )
+    words = F.col("__words")
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - 2),
+            lambda i: F.struct(
+                F.element_at(words, i + 1).alias("prev"),
+                F.element_at(words, i + 2).alias("cur"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+    occ = pre.select(F.col(id_col), F.explode(bigrams).alias("bg")).select(
+        id_col, F.col("bg.prev").alias("__prev"), F.col("bg.cur").alias("__cur")
+    )
+    types = occ.groupBy("__prev", "__cur").agg(F.count(F.lit(1)).alias("__c"))
+    left = types.groupBy("__prev").agg(
+        F.sum("__c").alias("__cprev"),
+        F.count(F.lit(1)).alias("__n1_left"),
+    )
+    right = types.groupBy("__cur").agg(F.count(F.lit(1)).alias("__n1_right"))
+    tot = types.agg(F.count(F.lit(1)).cast("double").alias("__n1_tot"))
+    prob = (
+        types.join(left, "__prev")
+        .join(right, "__cur")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "__prev",
+            "__cur",
+            F.round(
+                F.greatest(F.col("__c") - F.lit(d), F.lit(0.0))
+                / F.col("__cprev")
+                + (F.lit(d) * F.col("__n1_left") / F.col("__cprev"))
+                * (F.col("__n1_right") / F.col("__n1_tot")),
+                round_dp,
+            ).alias("__p"),
+        )
+    )
+    return (
+        occ.join(prob, ["__prev", "__cur"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(F.avg(-F.log2(F.col("__p"))), out_dp).alias(
+                "kn_bits_per_token"
+            ),
+        )
+    )

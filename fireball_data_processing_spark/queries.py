@@ -9850,6 +9850,157 @@ def q_embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame
     return power_iteration_pca(e, "embedding", dim=64, n_iter=6)
 
 
+@query(
+    "kn_bigram_doc_scores",
+    """
+WITH words AS (
+  SELECT doc_id,
+    list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ',
+      'g')), ' '), s -> s <> '') AS w
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, w[i] AS prev, w[i + 1] AS cur
+  FROM words, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 2
+),
+types AS (SELECT prev, cur, COUNT(*)::BIGINT AS c FROM occ GROUP BY 1, 2),
+l AS (
+  SELECT prev, SUM(c)::DOUBLE AS cprev, COUNT(*)::DOUBLE AS n1_left
+  FROM types GROUP BY 1
+),
+r AS (SELECT cur, COUNT(*)::DOUBLE AS n1_right FROM types GROUP BY 1),
+tot AS (SELECT COUNT(*)::DOUBLE AS n1_tot FROM types),
+prob AS (
+  SELECT t.prev, t.cur,
+    ROUND(GREATEST(t.c - 0.75, 0) / l.cprev
+        + (0.75 * l.n1_left / l.cprev) * (r.n1_right / tot.n1_tot), 8) AS p
+  FROM types t JOIN l USING (prev) JOIN r USING (cur), tot
+)
+SELECT o.doc_id, COUNT(*)::BIGINT AS n_bigrams,
+  ROUND(AVG(-log2(p.p)), 6) AS kn_bits_per_token
+FROM occ o JOIN prob p USING (prev, cur)
+GROUP BY 1
+""",
+)
+def q_kn_bigram_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under an interpolated Kneser-Ney
+    bigram LM (functions/textstats.py kneser_ney_logprob) — the
+    smoothing class the CCNet KenLM gate actually uses: rare-but-valid
+    continuations back off to CONTINUATION probability (how many
+    distinct contexts a word follows) instead of being flat-penalized
+    like doc_bigram_logprob's add-alpha. One bigram explode; the
+    probability table is type-grain (one groupBy) with aggregate-sized
+    marginal joins; occurrences take one hash join + one per-doc
+    rollup."""
+    from fireball_data_processing_spark.functions.textstats import (
+        kneser_ney_logprob,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return kneser_ney_logprob(d)
+
+
+@query(
+    "dedup_mix_bias",
+    """
+WITH docs AS (
+  SELECT doc_id, source,
+    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash
+  FROM documents
+),
+clusters AS (
+  SELECT content_hash, MIN(doc_id) AS canonical_id, COUNT(*)::BIGINT AS n_docs
+  FROM docs GROUP BY 1
+),
+surv AS (
+  SELECT d.source, c.n_docs
+  FROM docs d JOIN clusters c
+    ON d.content_hash = c.content_hash AND d.doc_id = c.canonical_id
+),
+raw AS (SELECT source, COUNT(*)::BIGINT AS n_raw FROM docs GROUP BY 1),
+s AS (
+  SELECT source, COUNT(*)::BIGINT AS n_survivors,
+    SUM(n_docs)::BIGINT AS reweighted
+  FROM surv GROUP BY 1
+)
+SELECT r.source, r.n_raw, s.n_survivors,
+  ROUND(r.n_raw::DOUBLE / SUM(r.n_raw) OVER (), 6) AS raw_share,
+  ROUND(s.n_survivors::DOUBLE / SUM(s.n_survivors) OVER (), 6)
+    AS survivor_share,
+  ROUND(s.reweighted::DOUBLE / SUM(s.reweighted) OVER (), 6)
+    AS reweighted_share,
+  ROUND(s.n_survivors::DOUBLE / SUM(s.n_survivors) OVER ()
+      - r.n_raw::DOUBLE / SUM(r.n_raw) OVER (), 6) AS dedup_bias
+FROM raw r JOIN s USING (source)
+ORDER BY source
+""",
+)
+def q_dedup_mix_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does deduplication DISTORT the source mix? (operators/dedup.py
+    exact_dedup_groups composed with survivor reweighting): per source,
+    the raw share, the naive post-dedup survivor share, and the
+    reweighted share (each survivor carries its cluster size — the
+    importance weight that makes downstream statistics unbiased again).
+    dedup_bias = survivor_share - raw_share: nonzero when duplicate
+    clusters span sources and the canonical's source absorbs the whole
+    cluster — the composition-shift effect a curation pipeline must
+    check before trusting post-dedup mixture numbers. One digest
+    groupBy + one hash join back + two grouped aggregates; windows run
+    over the |sources|-row frame."""
+    from fireball_data_processing_spark.operators.dedup import (
+        exact_dedup_groups,
+    )
+    from fireball_data_processing_spark.functions.text import normalize_text
+
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        "source",
+        F.md5(normalize_text(F.col("text"))).alias("content_hash"),
+    )
+    clusters = exact_dedup_groups(d)
+    surv = docs.join(clusters, "content_hash").filter(
+        F.col("doc_id") == F.col("canonical_id")
+    )
+    raw = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_raw")
+    )
+    s = surv.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_survivors"),
+        F.sum("n_docs").cast("bigint").alias("reweighted"),
+    )
+    w = Window.partitionBy()
+    return (
+        raw.join(s, "source")
+        .select(
+            "source",
+            "n_raw",
+            "n_survivors",
+            F.round(
+                F.col("n_raw").cast("double") / F.sum("n_raw").over(w), 6
+            ).alias("raw_share"),
+            F.round(
+                F.col("n_survivors").cast("double")
+                / F.sum("n_survivors").over(w),
+                6,
+            ).alias("survivor_share"),
+            F.round(
+                F.col("reweighted").cast("double")
+                / F.sum("reweighted").over(w),
+                6,
+            ).alias("reweighted_share"),
+            F.round(
+                F.col("n_survivors").cast("double")
+                / F.sum("n_survivors").over(w)
+                - F.col("n_raw").cast("double") / F.sum("n_raw").over(w),
+                6,
+            ).alias("dedup_bias"),
+        )
+        .orderBy("source")
+    )
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
@@ -9867,7 +10018,7 @@ def get(name: str) -> QuerySpec:
 _PRIORITY = [
     # Round-8 head (the driver samples roughly the first 50 entries).
     # Layout, continuing the cumulative-attestation rotation: the
-    # TWENTY-FOUR queries NEW this round lead (no driver row at all yet),
+    # TWENTY-SIX queries NEW this round lead (no driver row at all yet),
     # then ALL 14 queries whose newest driver row dates to r4 (the seven
     # deferred from the r7 head plus seven more — after this head,
     # nothing in the catalog is older than r5), then the
@@ -9900,6 +10051,8 @@ _PRIORITY = [
     "sprt_conversion_decision",
     "decayed_event_value",
     "embedding_pca_top_component",
+    "kn_bigram_doc_scores",
+    "dedup_mix_bias",
     # --- newest driver row r4 (all 14 remaining) ---
     "semantic_dedup_survivors",
     "domain_capped_sample",
@@ -9928,9 +10081,9 @@ _PRIORITY = [
     "doc_token_stats",
     "doc_truncate_preview",
     "embedding_rp_sketch",
+    # --- deferred r5-stale (just past the head; first in the r9 head) ---
     "event_stats_rollup",
     "fb_actor_stats",
-    # --- deferred r5-stale (just past the head; first in the r9 head) ---
     "fb_actor_strings",
     "fb_author_anonymize",
     "fb_automation_narration",
