@@ -12,6 +12,10 @@ from fireball_data_processing_spark.streaming.quality_stream import (
     score_against_lm,
     stream_quality_gate,
 )
+from fireball_data_processing_spark.streaming.seqtest_stream import (
+    sprt_monitor,
+    stream_sprt_deltas,
+)
 from fireball_data_processing_spark.streaming.quantile_stream import (
     histogram_buckets,
     read_stream_quantiles,
@@ -28,8 +32,10 @@ __all__ = [
     "quality_gate",
     "read_stream_quantiles",
     "score_against_lm",
+    "sprt_monitor",
     "stream_heuristics",
     "stream_histogram_sink",
     "stream_new_documents",
     "stream_quality_gate",
+    "stream_sprt_deltas",
 ]
