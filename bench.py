@@ -137,6 +137,9 @@ EXTRA = (
     "embedding_pca_top_component",
     "kn_bigram_doc_scores",
     "dedup_mix_bias",
+    "offpolicy_value_dr",
+    "mannwhitney_value_shift",
+    "source_lang_association",
 )
 
 

@@ -1,0 +1,145 @@
+"""Classical hypothesis-test statistics, computed distributed: the
+rank-based two-sample Mann-Whitney U (does one variant's VALUE
+DISTRIBUTION stochastically dominate the other's? — robust where the
+mean-based bootstrap CI is blind to shape) and the chi-squared test of
+independence with Cramér's V (is the corpus's (source x language) — or
+any categorical pair — mix actually associated, and how strongly?).
+
+Scale design:
+
+- **Mann-Whitney at distinct-value grain**: average ranks come from
+  cumulative counts over the per-distinct-value table (one groupBy +
+  one window over value order), never a global per-row sort — ties are
+  handled exactly (midranks + the tie-corrected variance) and the
+  window runs over |distinct values| rows. For continuous values that
+  equals n; at 100 TB pre-bucket values through
+  ``sketches.histogram_quantiles`` cuts, which turns the window into a
+  bucket-count walk (rank tests are bucket-exact under midranks).
+- **Chi-squared over the full category cross**: observed cells come
+  from one contingency aggregate; MISSING cells still contribute their
+  expected mass, so the cell frame is the (row-totals x col-totals)
+  cross of two aggregate-sized frames left-joined with the counts —
+  |rows| x |cols| rows, never data-sized.
+
+Both emit test statistics (U, z, chi2, dof, Cramér's V) and leave
+p-value lookup to the caller — no erf/chi2-CDF primitive exists in
+either engine, and decision thresholds on z / chi2 quantiles are the
+standard production form anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["mann_whitney_u", "chi2_association"]
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    is_b: Column,
+    round_dp: int = 8,
+    out_dp: int = 6,
+) -> DataFrame:
+    """Two-sample Mann-Whitney U with midrank tie handling and the
+    tie-corrected normal approximation. ``is_b`` marks the B sample.
+    Returns ONE row ``(n_a, n_b, u_a, z)`` where ``u_a`` is the U
+    statistic of sample A and ``z = (u_a - n_a n_b / 2) / sigma_tie``
+    (positive z = A's values rank higher)."""
+    vals = df.select(
+        F.col(value_col).cast("double").alias("v"),
+        F.when(is_b, 1).otherwise(0).alias("b"),
+    )
+    per = vals.groupBy("v").agg(
+        F.count(F.lit(1)).cast("double").alias("t"),
+        F.sum("b").cast("double").alias("tb"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per.select(
+        "v",
+        "t",
+        "tb",
+        (F.coalesce(F.sum("t").over(w), F.lit(0.0))
+         + (F.col("t") + 1.0) / 2.0).alias("avg_rank"),
+    )
+    agg = ranked.agg(
+        F.round(F.sum((F.col("t") - F.col("tb")) * F.col("avg_rank")),
+                round_dp).alias("ra"),
+        F.sum(F.col("t") - F.col("tb")).alias("na"),
+        F.sum("tb").alias("nb"),
+        F.round(
+            F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")),
+            round_dp,
+        ).alias("tie_mass"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    n = na + nb
+    u_a = F.col("ra") - na * (na + 1.0) / 2.0
+    var = (na * nb / 12.0) * (
+        (n + 1.0) - F.col("tie_mass") / (n * (n - 1.0))
+    )
+    return agg.select(
+        na.cast("bigint").alias("n_a"),
+        nb.cast("bigint").alias("n_b"),
+        F.round(u_a, out_dp).alias("u_a"),
+        F.round((u_a - na * nb / 2.0) / F.sqrt(var), out_dp).alias("z"),
+    )
+
+
+def chi2_association(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    round_dp: int = 8,
+    out_dp: int = 6,
+) -> DataFrame:
+    """Pearson chi-squared test of independence between two categorical
+    columns plus Cramér's V effect size. Returns ONE row
+    ``(n, n_rows, n_cols, chi2, dof, cramers_v)``. The cell frame is
+    the full (row-category x col-category) cross built from the two
+    aggregate-sized marginal frames, so zero-observed cells contribute
+    their expected mass exactly."""
+    obs = df.select(
+        F.col(a_col).alias("ra"), F.col(b_col).alias("cb")
+    ).groupBy("ra", "cb").agg(F.count(F.lit(1)).cast("double").alias("o"))
+    rows = obs.groupBy("ra").agg(F.sum("o").alias("rt"))
+    cols = obs.groupBy("cb").agg(F.sum("o").alias("ct"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    cells = (
+        F.broadcast(rows)
+        .crossJoin(F.broadcast(cols))
+        .crossJoin(F.broadcast(tot))
+        .join(obs, ["ra", "cb"], "left")
+        .select(
+            "ra",
+            "cb",
+            "n",
+            F.coalesce(F.col("o"), F.lit(0.0)).alias("o"),
+            (F.col("rt") * F.col("ct") / F.col("n")).alias("e"),
+        )
+    )
+    stats = cells.agg(
+        F.max("n").alias("n"),
+        F.countDistinct("ra").cast("bigint").alias("n_rows"),
+        F.countDistinct("cb").cast("bigint").alias("n_cols"),
+        F.round(
+            F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e"))
+                  / F.col("e")),
+            round_dp,
+        ).alias("chi2"),
+    )
+    dof = (F.col("n_rows") - 1) * (F.col("n_cols") - 1)
+    mindim = F.least(F.col("n_rows") - 1, F.col("n_cols") - 1)
+    return stats.select(
+        F.col("n").cast("bigint").alias("n"),
+        "n_rows",
+        "n_cols",
+        F.round(F.col("chi2"), out_dp).alias("chi2"),
+        dof.cast("bigint").alias("dof"),
+        F.round(
+            F.sqrt(F.col("chi2") / (F.col("n") * mindim.cast("double"))),
+            out_dp,
+        ).alias("cramers_v"),
+    )

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["empirical_propensities", "snips_value"]
+__all__ = ["dr_value", "empirical_propensities", "snips_value"]
 
 
 def empirical_propensities(
@@ -121,4 +121,72 @@ def snips_value(
         F.round(
             F.col("sw") * F.col("sw") / F.col("sww"), out_dp
         ).alias("ess"),
+    )
+
+
+def dr_value(
+    df: DataFrame,
+    context_col: str,
+    action_col: str,
+    reward_col: str,
+    target_probs: dict[str, float],
+    round_dp: int = 8,
+    out_dp: int = 6,
+) -> DataFrame:
+    """Doubly-robust off-policy value (Dudik, Langford & Li 2011): the
+    direct-method baseline plus an importance-weighted residual
+    correction,
+
+        V_DR = (1/n) * sum_i [ sum_a pi_t(a) * q(x_i, a)
+                               + w_i * (r_i - q(x_i, a_i)) ]
+
+    with ``q(x, a)`` the empirical mean logged reward per (context,
+    action). Unbiased if EITHER the reward model or the propensities
+    are right — the variance of raw IPS with the bias-resistance the
+    direct method lacks. Returns ONE row
+    ``(n, dm_value, ips_value, dr_value)``.
+
+    Both model tables (propensities, reward means) are aggregate-sized
+    and re-enter the scan as broadcast joins; the per-context direct-
+    method term ``sum_a pi_t(a) q(x, a)`` is itself one tiny aggregate
+    of the reward table. One final four-sum pass; zero collects."""
+    props = empirical_propensities(df, context_col, action_col, round_dp)
+    base = df.select(
+        F.col(context_col).alias("context"),
+        F.col(action_col).alias("action"),
+        F.col(reward_col).cast("double").alias("r"),
+    )
+    qhat = base.groupBy("context", "action").agg(
+        F.round(F.avg("r"), round_dp).alias("q")
+    )
+    mapping = F.create_map(
+        *[F.lit(v) for kv in target_probs.items() for v in kv]
+    )
+    pi_t = F.round(mapping[F.col("action")], round_dp)
+    # direct-method term per context: sum_a pi_t(a) * q(x, a) over the
+    # LOGGED actions of that context (unlogged actions have no q —
+    # standard DM-on-logged-support caveat, same as snips_value)
+    dm = qhat.groupBy("context").agg(
+        F.round(F.sum(pi_t * F.col("q")), round_dp).alias("dm_term")
+    )
+    joined = (
+        base.join(F.broadcast(props.drop("n")), ["context", "action"])
+        .join(F.broadcast(qhat), ["context", "action"])
+        .join(F.broadcast(dm), "context")
+    )
+    w = pi_t / F.col("pi_logged")
+    agg = joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.sum("dm_term"), round_dp).alias("sdm"),
+        F.round(F.sum(w * F.col("r")), round_dp).alias("swr"),
+        F.round(
+            F.sum(F.col("dm_term") + w * (F.col("r") - F.col("q"))),
+            round_dp,
+        ).alias("sdr"),
+    )
+    return agg.select(
+        "n",
+        F.round(F.col("sdm") / F.col("n"), out_dp).alias("dm_value"),
+        F.round(F.col("swr") / F.col("n"), out_dp).alias("ips_value"),
+        F.round(F.col("sdr") / F.col("n"), out_dp).alias("dr_value"),
     )

@@ -10001,6 +10001,162 @@ def q_dedup_mix_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "offpolicy_value_dr",
+    """
+WITH base AS (
+  SELECT user_id % 4 AS context, event_type AS action, value::DOUBLE AS r
+  FROM events
+),
+props AS (
+  SELECT context, action,
+    ROUND(n::DOUBLE / SUM(n) OVER (PARTITION BY context), 8) AS pi_logged
+  FROM (SELECT context, action, COUNT(*)::BIGINT AS n
+        FROM base GROUP BY 1, 2)
+),
+qhat AS (
+  SELECT context, action, ROUND(AVG(r), 8) AS q FROM base GROUP BY 1, 2
+),
+dm AS (
+  SELECT context, ROUND(SUM(ROUND(0.2, 8) * q), 8) AS dm_term
+  FROM qhat GROUP BY 1
+),
+j AS (
+  SELECT b.r, ROUND(0.2, 8) / p.pi_logged AS w, q.q, d.dm_term
+  FROM base b
+  JOIN props p USING (context, action)
+  JOIN qhat q USING (context, action)
+  JOIN dm d USING (context)
+),
+agg AS (
+  SELECT COUNT(*)::BIGINT AS n,
+    ROUND(SUM(dm_term), 8) AS sdm,
+    ROUND(SUM(w * r), 8) AS swr,
+    ROUND(SUM(dm_term + w * (r - q)), 8) AS sdr
+  FROM j
+)
+SELECT n, ROUND(sdm / n, 6) AS dm_value, ROUND(swr / n, 6) AS ips_value,
+  ROUND(sdr / n, 6) AS dr_value
+FROM agg
+""",
+)
+def q_offpolicy_value_dr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doubly-robust off-policy value (operators/ope.py dr_value,
+    Dudik et al. 2011) of the uniform routing policy on logged events:
+    direct-method baseline from the empirical per-(segment, action)
+    reward model plus the importance-weighted residual — unbiased if
+    EITHER model is right, completing the OPE family next to
+    offpolicy_value_snips. All model tables are aggregate-sized
+    broadcast joins; one four-sum final pass; zero collects."""
+    from fireball_data_processing_spark.operators.ope import dr_value
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        (F.col("user_id") % 4).alias("context"),
+        F.col("event_type").alias("action"),
+        F.col("value").alias("reward"),
+    )
+    uniform = {a: 0.2 for a in ["view", "click", "purchase", "signup", "error"]}
+    return dr_value(base, "context", "action", "reward", uniform)
+
+
+@query(
+    "mannwhitney_value_shift",
+    """
+WITH vals AS (
+  SELECT value::DOUBLE AS v,
+    CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS b
+  FROM events
+),
+per AS (
+  SELECT v, COUNT(*)::DOUBLE AS t, SUM(b)::DOUBLE AS tb FROM vals GROUP BY 1
+),
+ranked AS (
+  SELECT v, t, tb,
+    COALESCE(SUM(t) OVER (ORDER BY v
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      + (t + 1) / 2.0 AS avg_rank
+  FROM per
+),
+agg AS (
+  SELECT ROUND(SUM((t - tb) * avg_rank), 8) AS ra,
+    SUM(t - tb) AS na, SUM(tb) AS nb,
+    ROUND(SUM(t * t * t - t), 8) AS tie_mass
+  FROM ranked
+)
+SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+  ROUND(ra - na * (na + 1) / 2.0, 6) AS u_a,
+  ROUND((ra - na * (na + 1) / 2.0 - na * nb / 2.0)
+      / SQRT((na * nb / 12.0)
+             * ((na + nb + 1.0)
+                - tie_mass / ((na + nb) * (na + nb - 1.0)))), 6) AS z
+FROM agg
+""",
+)
+def q_mannwhitney_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U between the two user-parity halves of the event
+    value distribution (operators/hyptest.py mann_whitney_u): the
+    rank-based two-sample test that detects stochastic-dominance shifts
+    the mean-based ab_test_delta_ci is blind to (heavy tails, shape
+    changes), with exact midrank tie handling and the tie-corrected
+    variance. Ranks come from cumulative counts over the
+    distinct-value grain — one groupBy + one window over distinct
+    values, never a global per-row sort (at 100 TB: pre-bucket through
+    histogram_quantiles cuts, documented in the module)."""
+    from fireball_data_processing_spark.operators.hyptest import (
+        mann_whitney_u,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return mann_whitney_u(ev, "value", is_b=F.col("user_id") % 2 == 1)
+
+
+@query(
+    "source_lang_association",
+    """
+WITH obs AS (
+  SELECT source AS ra, lang AS cb, COUNT(*)::DOUBLE AS o
+  FROM documents GROUP BY 1, 2
+),
+rows_ AS (SELECT ra, SUM(o) AS rt FROM obs GROUP BY 1),
+cols_ AS (SELECT cb, SUM(o) AS ct FROM obs GROUP BY 1),
+tot AS (SELECT SUM(o) AS n FROM obs),
+cells AS (
+  SELECT r.ra, c.cb, t.n, COALESCE(obs.o, 0.0) AS o,
+    r.rt * c.ct / t.n AS e
+  FROM rows_ r CROSS JOIN cols_ c CROSS JOIN tot t
+  LEFT JOIN obs ON obs.ra = r.ra AND obs.cb = c.cb
+),
+stats AS (
+  SELECT MAX(n) AS n, COUNT(DISTINCT ra)::BIGINT AS n_rows,
+    COUNT(DISTINCT cb)::BIGINT AS n_cols,
+    ROUND(SUM((o - e) * (o - e) / e), 8) AS chi2
+  FROM cells
+)
+SELECT n::BIGINT AS n, n_rows, n_cols, ROUND(chi2, 6) AS chi2,
+  ((n_rows - 1) * (n_cols - 1))::BIGINT AS dof,
+  ROUND(SQRT(chi2 / (n * LEAST(n_rows - 1, n_cols - 1))), 6) AS cramers_v
+FROM stats
+""",
+)
+def q_source_lang_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared independence test + Cramér's V between document
+    source and language (operators/hyptest.py chi2_association): is the
+    corpus mix separable (every source shares one language profile) or
+    associated (languages concentrate in sources — which changes what
+    source-stratified sampling does to language balance)? The cell
+    frame is the full category cross of two aggregate-sized marginal
+    frames left-joined with the contingency counts, so zero-observed
+    cells contribute their expected mass exactly; one contingency
+    aggregate over the data."""
+    from fireball_data_processing_spark.operators.hyptest import (
+        chi2_association,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return chi2_association(d, "source", "lang")
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
@@ -10018,7 +10174,7 @@ def get(name: str) -> QuerySpec:
 _PRIORITY = [
     # Round-8 head (the driver samples roughly the first 50 entries).
     # Layout, continuing the cumulative-attestation rotation: the
-    # TWENTY-SIX queries NEW this round lead (no driver row at all yet),
+    # TWENTY-NINE queries NEW this round lead (no driver row at all yet),
     # then ALL 14 queries whose newest driver row dates to r4 (the seven
     # deferred from the r7 head plus seven more — after this head,
     # nothing in the catalog is older than r5), then the
@@ -10053,6 +10209,9 @@ _PRIORITY = [
     "embedding_pca_top_component",
     "kn_bigram_doc_scores",
     "dedup_mix_bias",
+    "offpolicy_value_dr",
+    "mannwhitney_value_shift",
+    "source_lang_association",
     # --- newest driver row r4 (all 14 remaining) ---
     "semantic_dedup_survivors",
     "domain_capped_sample",
@@ -10078,10 +10237,10 @@ _PRIORITY = [
     "corpus_pipeline_v4_summary",
     "doc_fingerprints",
     "doc_lang_scores",
+    # --- deferred r5-stale (just past the head; first in the r9 head) ---
     "doc_token_stats",
     "doc_truncate_preview",
     "embedding_rp_sketch",
-    # --- deferred r5-stale (just past the head; first in the r9 head) ---
     "event_stats_rollup",
     "fb_actor_stats",
     "fb_actor_strings",

@@ -1,0 +1,90 @@
+"""Hypothesis-test statistics (operators/hyptest.py) and the
+doubly-robust OPE estimator (operators/ope.py): hand-computed values."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fireball_data_processing_spark.operators.hyptest import (
+    chi2_association,
+    mann_whitney_u,
+)
+from fireball_data_processing_spark.operators.ope import dr_value
+
+
+def _vals(spark, a, b):
+    rows = [(float(v), 0) for v in a] + [(float(v), 1) for v in b]
+    return spark.createDataFrame(rows, "v double, b int")
+
+
+def test_mw_identical_samples_z_zero(spark):
+    df = _vals(spark, [1, 2, 3, 4], [1, 2, 3, 4])
+    r = mann_whitney_u(df, "v", F.col("b") == 1).first()
+    assert r["n_a"] == 4 and r["n_b"] == 4
+    assert r["u_a"] == 8.0  # na*nb/2
+    assert r["z"] == 0.0
+
+
+def test_mw_complete_separation(spark):
+    df = _vals(spark, [10, 11, 12], [1, 2, 3])
+    r = mann_whitney_u(df, "v", F.col("b") == 1).first()
+    assert r["u_a"] == 9.0  # na*nb: every A beats every B
+    assert r["z"] > 1.9
+
+
+def test_mw_hand_computed_with_ties(spark):
+    # A=[1,2], B=[1,3]: midranks 1.5,1.5,3,4 -> u_a=1.5,
+    # tie-corrected var=1.5 -> z=(1.5-2)/sqrt(1.5)=-0.408248
+    df = _vals(spark, [1, 2], [1, 3])
+    r = mann_whitney_u(df, "v", F.col("b") == 1).first()
+    assert r["u_a"] == 1.5
+    assert abs(r["z"] - (-0.408248)) < 1e-6
+
+
+def _cat(spark, rows):
+    return spark.createDataFrame(rows, "a string, b string")
+
+
+def test_chi2_independent_table_zero(spark):
+    rows = (
+        [("r1", "c1")] * 10 + [("r1", "c2")] * 20
+        + [("r2", "c1")] * 5 + [("r2", "c2")] * 10
+    )
+    r = chi2_association(_cat(spark, rows), "a", "b").first()
+    assert r["chi2"] == 0.0
+    assert r["cramers_v"] == 0.0
+    assert r["dof"] == 1
+
+
+def test_chi2_perfect_association(spark):
+    rows = [("r1", "c1")] * 10 + [("r2", "c2")] * 10
+    r = chi2_association(_cat(spark, rows), "a", "b").first()
+    assert r["chi2"] == 20.0
+    assert r["cramers_v"] == 1.0
+
+
+def test_chi2_zero_observed_cell_contributes_expected_mass(spark):
+    # (a, y) never observed: expected 1.5 must still count -> chi2=4.8
+    rows = [("a", "x")] * 4 + [("b", "x")] + [("b", "y")] * 3
+    r = chi2_association(_cat(spark, rows), "a", "b").first()
+    assert abs(r["chi2"] - 4.8) < 1e-6
+    assert abs(r["cramers_v"] - 0.774597) < 1e-6
+
+
+def test_dr_matches_logged_value_when_target_is_logged_policy(spark):
+    rows = [(0, "a", 2.0), (0, "b", 4.0), (0, "a", 2.0), (0, "b", 4.0)]
+    df = spark.createDataFrame(rows, "context bigint, action string, r double")
+    r = dr_value(df, "context", "action", "r", {"a": 0.5, "b": 0.5}).first()
+    assert r["dm_value"] == 3.0
+    assert r["ips_value"] == 3.0
+    assert r["dr_value"] == 3.0
+
+
+def test_dr_single_action_target(spark):
+    # target puts all mass on 'a': DM = q(a) per context; IPS reweights
+    # only 'a' rows; DR agrees with the true mean reward of 'a'
+    rows = [(0, "a", 1.0), (0, "a", 3.0), (0, "b", 100.0), (0, "b", 100.0)]
+    df = spark.createDataFrame(rows, "context bigint, action string, r double")
+    r = dr_value(df, "context", "action", "r", {"a": 1.0, "b": 0.0}).first()
+    assert r["dm_value"] == 2.0
+    assert r["dr_value"] == 2.0
