@@ -140,6 +140,7 @@ EXTRA = (
     "offpolicy_value_dr",
     "mannwhitney_value_shift",
     "source_lang_association",
+    "token_mass_lorenz",
 )
 
 

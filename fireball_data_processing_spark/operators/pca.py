@@ -36,7 +36,91 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["power_iteration_pca"]
+__all__ = ["power_iteration_pca", "power_iteration_pca_k"]
+
+
+def _component(df, c, dim, n_iter, round_dp):
+    """One power-iteration component over centered expressions ``c``:
+    returns (loading list, ||S v|| norm), both ``round_dp``-rounded."""
+    v = [round(1.0 / math.sqrt(dim), round_dp)] * dim
+    nrm = None
+    for _ in range(n_iter):
+        s = F.round(
+            sum((c[i] * F.lit(v[i]) for i in range(dim)), F.lit(0.0)),
+            round_dp,
+        )
+        u_row = df.agg(
+            *[
+                F.round(F.sum(c[i] * s), round_dp).alias(f"u{i}")
+                for i in range(dim)
+            ]
+        ).first()
+        u = [u_row[f"u{i}"] for i in range(dim)]
+        nrm = round(math.sqrt(sum(ui * ui for ui in u)), round_dp)
+        v = [round(ui / nrm, round_dp) for ui in u]
+    return v, nrm
+
+
+def power_iteration_pca_k(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    n_components: int = 2,
+    n_iter: int = 6,
+    round_dp: int = 8,
+    out_dp: int = 6,
+) -> DataFrame:
+    """Top ``n_components`` principal components via power iteration
+    with HOTELLING DEFLATION: after extracting component v, the
+    centered expressions are replaced by ``c - (c . v) v`` (pure
+    codegen arithmetic with v as literals — the deflated frame is never
+    materialized), and the next component is extracted from the
+    residual. Returns ``n_components * dim`` rows
+    ``(component, dim, loading, eigenvalue, var_share)`` ordered by
+    (component, dim); var_share is each eigenvalue's share of TOTAL
+    scatter, so shares across components are comparable and sum below
+    1. Same bounded-collect contract and per-value rounding as
+    :func:`power_iteration_pca`."""
+    x = [F.col(vec_col)[i].cast("double") for i in range(dim)]
+    mu_row = df.agg(
+        *[F.round(F.avg(x[i]), round_dp).alias(f"m{i}") for i in range(dim)]
+    ).first()
+    mu = [mu_row[f"m{i}"] for i in range(dim)]
+    c = [x[i] - F.lit(mu[i]) for i in range(dim)]
+    tot_row = df.agg(
+        F.round(
+            F.sum(sum((c[i] * c[i] for i in range(dim)), F.lit(0.0))),
+            round_dp,
+        ).alias("tot")
+    ).first()
+    total_scatter = tot_row["tot"]
+
+    rows = []
+    for comp in range(1, n_components + 1):
+        v, nrm = _component(df, c, dim, n_iter, round_dp)
+        for i in range(dim):
+            rows.append(
+                (
+                    comp,
+                    i + 1,
+                    round(v[i], out_dp),
+                    round(nrm, out_dp),
+                    round(nrm / total_scatter, out_dp),
+                )
+            )
+        proj = F.round(
+            sum((c[i] * F.lit(v[i]) for i in range(dim)), F.lit(0.0)),
+            round_dp,
+        )
+        c = [c[i] - proj * F.lit(v[i]) for i in range(dim)]
+    return (
+        df.sparkSession.createDataFrame(
+            rows,
+            "component bigint, dim bigint, loading double, "
+            "eigenvalue double, var_share double",
+        )
+        .orderBy("component", "dim")
+    )
 
 
 def power_iteration_pca(
@@ -70,22 +154,7 @@ def power_iteration_pca(
     ).first()
     total_scatter = tot_row["tot"]
 
-    v = [round(1.0 / math.sqrt(dim), round_dp)] * dim
-    nrm = None
-    for _ in range(n_iter):
-        s = F.round(
-            sum((c[i] * F.lit(v[i]) for i in range(dim)), F.lit(0.0)),
-            round_dp,
-        )
-        u_row = df.agg(
-            *[
-                F.round(F.sum(c[i] * s), round_dp).alias(f"u{i}")
-                for i in range(dim)
-            ]
-        ).first()
-        u = [u_row[f"u{i}"] for i in range(dim)]
-        nrm = round(math.sqrt(sum(ui * ui for ui in u)), round_dp)
-        v = [round(ui / nrm, round_dp) for ui in u]
+    v, nrm = _component(df, c, dim, n_iter, round_dp)
 
     spark = df.sparkSession
     rows = [

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "audience_overlap",
+    "lorenz_gini",
     "profile_columns",
     "vocab_growth",
     "vocab_richness",
@@ -363,3 +364,69 @@ def vocab_richness(
             round_dp,
         ).alias("gt_singleton_rate"),
     )
+
+
+def lorenz_gini(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    n_buckets: int = 10,
+    out_dp: int = 6,
+) -> DataFrame:
+    """Lorenz curve (at ``n_buckets`` equal-count points) + Gini
+    coefficient of how ``value_col`` mass distributes across rows —
+    "is corpus token mass concentrated in a few giant documents?", the
+    inequality profile that decides whether doc-count quotas or
+    token-count quotas are the right budget unit (a Gini near 0 makes
+    them equivalent; near 1 they diverge wildly).
+
+    Exact form: one global sort by ``(value, key)`` (the unique key
+    makes ranks engine-deterministic under ties) feeding both the
+    ntile bucketing and the rank-weighted Gini identity
+
+        G = 2 * sum(i * x_i) / (n * sum(x)) - (n + 1) / n .
+
+    The total sort is the documented diagnostic-only cost — at 100 TB
+    bucket values through ``sketches.histogram_quantiles`` cuts first
+    and walk bucket counts instead (midrank arithmetic, same identity).
+
+    Returns ``(bucket, n, value_share, cum_value_share, gini)`` ordered
+    by bucket; ``cum_value_share`` at bucket b is the Lorenz ordinate
+    L(b / n_buckets).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("__v"), F.col("__k"))
+    ranked = df.select(
+        F.col(value_col).cast("double").alias("__v"),
+        F.col(key_col).alias("__k"),
+    ).select(
+        "__v",
+        F.row_number().over(w).alias("__i"),
+        F.ntile(n_buckets).over(w).alias("bucket"),
+    )
+    per = ranked.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("__v").alias("__mass"),
+        F.sum(F.col("__i").cast("double") * F.col("__v")).alias("__iwx"),
+        F.max("__i").cast("double").alias("__max_i"),
+    )
+    tot = Window.partitionBy()
+    cum = Window.partitionBy().orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    n_all = F.sum("n").over(tot).cast("double")
+    mass_all = F.sum("__mass").over(tot)
+    gini = (
+        F.lit(2.0) * F.sum("__iwx").over(tot) / (n_all * mass_all)
+        - (n_all + 1.0) / n_all
+    )
+    return per.select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        "n",
+        F.round(F.col("__mass") / mass_all, out_dp).alias("value_share"),
+        F.round(F.sum("__mass").over(cum) / mass_all, out_dp).alias(
+            "cum_value_share"
+        ),
+        F.round(gini, out_dp).alias("gini"),
+    ).orderBy("bucket")

@@ -10157,6 +10157,61 @@ def q_source_lang_association(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chi2_association(d, "source", "lang")
 
 
+@query(
+    "token_mass_lorenz",
+    """
+WITH d AS (
+  SELECT doc_id,
+    len(list_filter(string_split(trim(regexp_replace(lower(text), '\\s+',
+      ' ', 'g')), ' '), s -> s <> ''))::DOUBLE AS v
+  FROM documents
+),
+ranked AS (
+  SELECT v, ROW_NUMBER() OVER (ORDER BY v, doc_id) AS i,
+    NTILE(10) OVER (ORDER BY v, doc_id) AS bucket
+  FROM d
+),
+per AS (
+  SELECT bucket, COUNT(*)::BIGINT AS n, SUM(v) AS mass,
+    SUM(i * v) AS iwx
+  FROM ranked GROUP BY 1
+)
+SELECT bucket::BIGINT AS bucket, n,
+  ROUND(mass / SUM(mass) OVER (), 6) AS value_share,
+  ROUND(SUM(mass) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+      / SUM(mass) OVER (), 6) AS cum_value_share,
+  ROUND(2.0 * SUM(iwx) OVER ()
+        / (SUM(n) OVER ()::DOUBLE * SUM(mass) OVER ())
+      - (SUM(n) OVER ()::DOUBLE + 1) / SUM(n) OVER ()::DOUBLE, 6) AS gini
+FROM per ORDER BY bucket
+""",
+)
+def q_token_mass_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve + Gini of token mass across documents
+    (operators/profile.py lorenz_gini): how concentrated is the corpus
+    in its longest documents? — the inequality profile that decides
+    whether doc-count or token-count quotas budget a pipeline
+    (token_budget_fill's unit question). Decile Lorenz ordinates + the
+    rank-weighted Gini identity off ONE deterministic sort by
+    (token_count, doc_id); windows after the bucketing run over 10
+    rows. The total sort is the documented diagnostic-only cost; the
+    100 TB path pre-buckets via histogram_quantiles (module note)."""
+    from fireball_data_processing_spark.functions.text import normalize_text
+    from fireball_data_processing_spark.operators.profile import lorenz_gini
+
+    d = load_table(spark, sf_dir, "documents")
+    counted = d.select(
+        "doc_id",
+        F.size(
+            F.filter(
+                F.split(normalize_text(F.col("text")), " "),
+                lambda s: s != "",
+            )
+        ).alias("n_tokens"),
+    )
+    return lorenz_gini(counted, "n_tokens", "doc_id", n_buckets=10)
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
@@ -10174,7 +10229,7 @@ def get(name: str) -> QuerySpec:
 _PRIORITY = [
     # Round-8 head (the driver samples roughly the first 50 entries).
     # Layout, continuing the cumulative-attestation rotation: the
-    # TWENTY-NINE queries NEW this round lead (no driver row at all yet),
+    # THIRTY queries NEW this round lead (no driver row at all yet),
     # then ALL 14 queries whose newest driver row dates to r4 (the seven
     # deferred from the r7 head plus seven more — after this head,
     # nothing in the catalog is older than r5), then the
@@ -10212,6 +10267,7 @@ _PRIORITY = [
     "offpolicy_value_dr",
     "mannwhitney_value_shift",
     "source_lang_association",
+    "token_mass_lorenz",
     # --- newest driver row r4 (all 14 remaining) ---
     "semantic_dedup_survivors",
     "domain_capped_sample",
@@ -10236,8 +10292,8 @@ _PRIORITY = [
     "corpus_overlap_matrix",
     "corpus_pipeline_v4_summary",
     "doc_fingerprints",
-    "doc_lang_scores",
     # --- deferred r5-stale (just past the head; first in the r9 head) ---
+    "doc_lang_scores",
     "doc_token_stats",
     "doc_truncate_preview",
     "embedding_rp_sketch",

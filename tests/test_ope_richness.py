@@ -119,3 +119,38 @@ def test_neyman_target_capped_at_population(spark):
     assert got["tiny"]["n_target"] == 3
     assert got["tiny"]["rate"] == 1.0
     assert got["big"]["n_target"] == 0
+
+
+def test_lorenz_equal_values_gini_zero(spark):
+    from fireball_data_processing_spark.operators.profile import lorenz_gini
+
+    df = spark.createDataFrame(
+        [(i, 5.0) for i in range(100)], "k bigint, v double"
+    )
+    out = lorenz_gini(df, "v", "k", n_buckets=10).collect()
+    assert len(out) == 10
+    assert all(r["gini"] == 0.0 for r in out)
+    # Lorenz curve is the diagonal: each decile holds 10% of mass
+    assert all(abs(r["value_share"] - 0.1) < 1e-6 for r in out)
+    assert abs(out[-1]["cum_value_share"] - 1.0) < 1e-6
+
+
+def test_lorenz_concentrated_mass_high_gini(spark):
+    from fireball_data_processing_spark.operators.profile import lorenz_gini
+
+    rows = [(i, 0.0001) for i in range(99)] + [(99, 1000.0)]
+    df = spark.createDataFrame(rows, "k bigint, v double")
+    out = lorenz_gini(df, "v", "k", n_buckets=10).collect()
+    assert out[0]["gini"] > 0.97
+    # the top decile holds essentially all mass
+    assert out[-1]["value_share"] > 0.999
+
+
+def test_lorenz_hand_computed_two_values(spark):
+    from fireball_data_processing_spark.operators.profile import lorenz_gini
+
+    # values 1, 3: sorted x = (1, 3); G = 2*(1*1+2*3)/(2*4) - 3/2 = 0.25
+    df = spark.createDataFrame([(0, 1.0), (1, 3.0)], "k bigint, v double")
+    out = lorenz_gini(df, "v", "k", n_buckets=2).collect()
+    assert out[0]["gini"] == 0.25
+    assert out[0]["cum_value_share"] == 0.25
