@@ -141,6 +141,9 @@ EXTRA = (
     "mannwhitney_value_shift",
     "source_lang_association",
     "token_mass_lorenz",
+    "embedding_pca_label_separation",
+    "capture_recapture_estimate",
+    "trimmed_value_stats",
 )
 
 

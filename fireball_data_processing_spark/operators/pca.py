@@ -36,7 +36,57 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["power_iteration_pca", "power_iteration_pca_k"]
+__all__ = [
+    "pca_fit",
+    "pca_project_expr",
+    "power_iteration_pca",
+    "power_iteration_pca_k",
+]
+
+
+def pca_fit(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    n_iter: int = 6,
+    round_dp: int = 8,
+) -> tuple[list[float], list[float], float, float]:
+    """Fit the top component and return the bounded model state as
+    plain lists — ``(mu, v, nrm, total_scatter)`` — for callers that
+    project with :func:`pca_project_expr` (the centroid-literal pattern
+    of operators/clustering.py: model re-enters the plan as codegen
+    constants, so projection adds ZERO joins/exchanges)."""
+    x = [F.col(vec_col)[i].cast("double") for i in range(dim)]
+    mu_row = df.agg(
+        *[F.round(F.avg(x[i]), round_dp).alias(f"m{i}") for i in range(dim)]
+    ).first()
+    mu = [mu_row[f"m{i}"] for i in range(dim)]
+    c = [x[i] - F.lit(mu[i]) for i in range(dim)]
+    tot_row = df.agg(
+        F.round(
+            F.sum(sum((c[i] * c[i] for i in range(dim)), F.lit(0.0))),
+            round_dp,
+        ).alias("tot")
+    ).first()
+    v, nrm = _component(df, c, dim, n_iter, round_dp)
+    return mu, v, nrm, tot_row["tot"]
+
+
+def pca_project_expr(
+    vec_col: str, mu: list[float], v: list[float], round_dp: int = 8
+):
+    """The projection ``(x - mu) . v`` as a single codegen Column —
+    literal model state, no joins. Rounded to ``round_dp`` so an
+    oracle's join-form projection reproduces it."""
+    dim = len(mu)
+    x = [F.col(vec_col)[i].cast("double") for i in range(dim)]
+    return F.round(
+        sum(
+            ((x[i] - F.lit(mu[i])) * F.lit(v[i]) for i in range(dim)),
+            F.lit(0.0),
+        ),
+        round_dp,
+    )
 
 
 def _component(df, c, dim, n_iter, round_dp):

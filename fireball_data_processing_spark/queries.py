@@ -9782,11 +9782,13 @@ def q_decayed_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pca_oracle(dim: int = 64, n_iter: int = 6) -> str:
+def _pca_oracle(dim: int = 64, n_iter: int = 6, tail: str | None = None) -> str:
     """Unrolled power-iteration oracle replaying operators/pca.py
     power_iteration_pca in dim-exploded join form: 8-dp rounding of the
     mean, every per-vector projection, every matvec component, the norm,
-    and the normalized iterate each step (the kmeans contract)."""
+    and the normalized iterate each step (the kmeans contract).
+    ``tail`` overrides the final SELECT (queries that PROJECT with the
+    fitted component instead of reporting it)."""
     parts = [
         f"""
 WITH x AS (
@@ -9818,7 +9820,9 @@ v{t} AS (SELECT d, ROUND(u / nrm, 8) AS v FROM u{t}, n{t})""".format(
             )
         )
     parts.append(
-        f"""
+        tail.format(T=n_iter)
+        if tail is not None
+        else f"""
 SELECT v.d AS dim, ROUND(v.v, 6) AS loading,
   ROUND(n.nrm, 6) AS eigenvalue,
   ROUND(n.nrm / t.tot, 6) AS var_share
@@ -10212,6 +10216,189 @@ def q_token_mass_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lorenz_gini(counted, "n_tokens", "doc_id", n_buckets=10)
 
 
+_PCA_PROJECTION_TAIL = """,
+proj AS (
+  SELECT c.vec_id, ROUND(SUM(c.cv * v.v), 8) AS s
+  FROM c JOIN v{T} v USING (d) GROUP BY 1
+)
+SELECT em.label::BIGINT AS label, COUNT(*)::BIGINT AS n,
+  ROUND(AVG(p.s), 6) AS avg_proj,
+  ROUND(MIN(p.s), 6) AS min_proj,
+  ROUND(MAX(p.s), 6) AS max_proj
+FROM proj p JOIN embeddings em USING (vec_id)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@query(
+    "embedding_pca_label_separation",
+    _pca_oracle(dim=64, n_iter=6, tail=_PCA_PROJECTION_TAIL),
+)
+def q_embedding_pca_label_separation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-label statistics of the top-principal-component projection
+    (operators/pca.py pca_fit + pca_project_expr): do the labels
+    separate along the corpus's dominant embedding axis? — the 1-D
+    cluster-separation readout that says whether the top PC is a class
+    signal or a nuisance direction to whiten away. The fitted model
+    re-enters the plan as codegen LITERALS (the centroid pattern), so
+    projection adds zero joins; one grouped aggregate on (label). The
+    unrolled oracle replays the fit and projects in join form."""
+    from fireball_data_processing_spark.operators.pca import (
+        pca_fit,
+        pca_project_expr,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    mu, v, _nrm, _tot = pca_fit(e, "embedding", dim=64, n_iter=6)
+    proj = pca_project_expr("embedding", mu, v)
+    return (
+        e.select(F.col("label").cast("bigint").alias("label"),
+                 proj.alias("__s"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.avg("__s"), 6).alias("avg_proj"),
+            F.round(F.min("__s"), 6).alias("min_proj"),
+            F.round(F.max("__s"), 6).alias("max_proj"),
+        )
+        .orderBy("label")
+    )
+
+
+@query(
+    "capture_recapture_estimate",
+    """
+WITH marked AS (
+  SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+    AS h
+  FROM documents WHERE source = 'src0'
+),
+recap AS (
+  SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+    AS h
+  FROM documents WHERE source = 'src1'
+),
+stats AS (
+  SELECT
+    (SELECT COUNT(*) FROM marked)::BIGINT AS n_a,
+    (SELECT COUNT(*) FROM recap)::BIGINT AS n_b,
+    (SELECT COUNT(*) FROM marked JOIN recap USING (h))::BIGINT AS n_overlap
+)
+SELECT n_a, n_b, n_overlap,
+  (n_a + n_b - n_overlap)::BIGINT AS observed_union,
+  ROUND((n_a + 1.0) * (n_b + 1.0) / (n_overlap + 1.0) - 1.0, 6)
+    AS chapman_estimate
+FROM stats
+""",
+)
+def q_capture_recapture_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-recapture estimate of the TRUE distinct-document
+    population from two overlapping sources (Chapman's bias-corrected
+    Lincoln-Petersen): treat src0's distinct content hashes as the
+    marked sample and src1's as the recapture — the overlap rate
+    estimates how much of the underlying document universe the corpus
+    has actually collected, the acquisition-planning complement to
+    vocab_richness_estimate (unseen vocabulary) and
+    corpus_overlap_matrix (pairwise redundancy). Two distinct-hash
+    aggregates + one digest-keyed join; never raw text on the wire."""
+    from fireball_data_processing_spark.functions.text import normalize_text
+
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(normalize_text(F.col("text"))).alias("h")
+    marked = d.filter(F.col("source") == "src0").select(h).distinct()
+    recap = d.filter(F.col("source") == "src1").select(h).distinct()
+    na = marked.agg(F.count(F.lit(1)).cast("bigint").alias("n_a"))
+    nb = recap.agg(F.count(F.lit(1)).cast("bigint").alias("n_b"))
+    m = (
+        marked.join(recap, "h")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlap"))
+    )
+    return (
+        na.crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(m))
+        .select(
+            "n_a",
+            "n_b",
+            "n_overlap",
+            (F.col("n_a") + F.col("n_b") - F.col("n_overlap"))
+            .cast("bigint")
+            .alias("observed_union"),
+            F.round(
+                (F.col("n_a") + 1.0)
+                * (F.col("n_b") + 1.0)
+                / (F.col("n_overlap") + 1.0)
+                - 1.0,
+                6,
+            ).alias("chapman_estimate"),
+        )
+    )
+
+
+@query(
+    "trimmed_value_stats",
+    """
+WITH q AS (
+  SELECT event_type,
+    ROUND(quantile_cont(value::DOUBLE, 0.1), 8) AS q10,
+    ROUND(quantile_cont(value::DOUBLE, 0.9), 8) AS q90
+  FROM events GROUP BY 1
+)
+SELECT e.event_type, COUNT(*)::BIGINT AS n,
+  ROUND(AVG(e.value::DOUBLE), 6) AS mean,
+  ROUND(AVG(e.value::DOUBLE)
+    FILTER (WHERE e.value::DOUBLE >= q.q10 AND e.value::DOUBLE <= q.q90), 6)
+    AS trimmed_mean,
+  ROUND(AVG(LEAST(GREATEST(e.value::DOUBLE, q.q10), q.q90)), 6)
+    AS winsorized_mean,
+  ROUND(q.q10, 6) AS q10, ROUND(q.q90, 6) AS q90
+FROM events e JOIN q USING (event_type)
+GROUP BY e.event_type, q.q10, q.q90
+ORDER BY e.event_type
+""",
+)
+def q_trimmed_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% two-sided trimmed and winsorized means of event value per
+    type — the robust-location pair that complements the MAD outlier
+    profile (mad_outlier_profile flags rows; trimming/winsorizing
+    reports what the location IS once tails are controlled, the
+    standard pre-aggregation for reward/value columns with heavy
+    tails). Two grouped aggregates: one exact-percentile pass (at
+    100 TB: histogram_quantiles sketch cuts, the house swap), then the
+    broadcast quantile frame re-enters the scan for the conditional
+    and clamped averages."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("double")
+    q = ev.groupBy("event_type").agg(
+        F.round(F.percentile(v, F.lit(0.1)), 8).alias("q10"),
+        F.round(F.percentile(v, F.lit(0.9)), 8).alias("q90"),
+    )
+    joined = ev.join(F.broadcast(q), "event_type")
+    inside = (v >= F.col("q10")) & (v <= F.col("q90"))
+    return (
+        joined.groupBy("event_type", "q10", "q90")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.avg(v), 6).alias("mean"),
+            F.round(F.avg(F.when(inside, v)), 6).alias("trimmed_mean"),
+            F.round(
+                F.avg(F.least(F.greatest(v, F.col("q10")), F.col("q90"))), 6
+            ).alias("winsorized_mean"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "mean",
+            "trimmed_mean",
+            "winsorized_mean",
+            F.round(F.col("q10"), 6).alias("q10"),
+            F.round(F.col("q90"), 6).alias("q90"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
@@ -10229,7 +10416,7 @@ def get(name: str) -> QuerySpec:
 _PRIORITY = [
     # Round-8 head (the driver samples roughly the first 50 entries).
     # Layout, continuing the cumulative-attestation rotation: the
-    # THIRTY queries NEW this round lead (no driver row at all yet),
+    # THIRTY-THREE queries NEW this round lead (no driver row at all yet),
     # then ALL 14 queries whose newest driver row dates to r4 (the seven
     # deferred from the r7 head plus seven more — after this head,
     # nothing in the catalog is older than r5), then the
@@ -10268,6 +10455,9 @@ _PRIORITY = [
     "mannwhitney_value_shift",
     "source_lang_association",
     "token_mass_lorenz",
+    "embedding_pca_label_separation",
+    "capture_recapture_estimate",
+    "trimmed_value_stats",
     # --- newest driver row r4 (all 14 remaining) ---
     "semantic_dedup_survivors",
     "domain_capped_sample",
@@ -10289,10 +10479,10 @@ _PRIORITY = [
     "cluster_balanced_sample",
     "corpus_checksum",
     "corpus_diversity_probe",
+    # --- deferred r5-stale (just past the head; first in the r9 head) ---
     "corpus_overlap_matrix",
     "corpus_pipeline_v4_summary",
     "doc_fingerprints",
-    # --- deferred r5-stale (just past the head; first in the r9 head) ---
     "doc_lang_scores",
     "doc_token_stats",
     "doc_truncate_preview",
