@@ -144,6 +144,8 @@ EXTRA = (
     "embedding_pca_label_separation",
     "capture_recapture_estimate",
     "trimmed_value_stats",
+    "km_conversion_curve",
+    "jackknife_quality_se",
 )
 
 

@@ -29,7 +29,12 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["poisson_count_expr", "bootstrap_mean_ci", "bootstrap_delta_ci"]
+__all__ = [
+    "poisson_count_expr",
+    "bootstrap_mean_ci",
+    "bootstrap_delta_ci",
+    "jackknife_se",
+]
 
 # Poisson(1) CDF thresholds for k = 0..3 (9 dp literals — identical
 # constants on both engines); u >= the last threshold draws k = 4,
@@ -251,4 +256,87 @@ def bootstrap_delta_ci(
         "ci_lo",
         "ci_hi",
         "n_replicates",
+    )
+
+
+def jackknife_se(
+    df: DataFrame,
+    value_col: str,
+    key: Column,
+    n_groups: int = 32,
+    salt: str = "jk",
+    round_dp: int = 8,
+    out_dp: int = 6,
+) -> DataFrame:
+    """Delete-one-GROUP jackknife standard error of the mean (the
+    block-jackknife of survey statistics): hash rows into ``n_groups``
+    deterministic shards, form the g leave-one-shard-out means from the
+    per-shard (sum, count) sufficient statistics, and report
+
+        SE = sqrt( (g-1)/g * sum_g (theta_(g) - theta_bar)^2 ).
+
+    The bias-robust companion to ``bootstrap_mean_ci``: one pass, no
+    replicate draws, and the delete-a-GROUP form stays honest under
+    within-shard dependence (rows sharing a hash shard drop out
+    together). Returns ONE row ``(n, n_groups, mean, jackknife_se)``.
+
+    ONE grouped aggregate to the shard grain (g rows); everything after
+    is window arithmetic over the shard frame. Per-shard sums and each
+    leave-one-out mean are rounded to ``round_dp`` for oracle replay.
+    """
+    from pyspark.sql.window import Window
+
+    from fireball_data_processing_spark.operators.sampling import hash_rank
+
+    g = F.floor(hash_rank(key, salt) * n_groups).cast("bigint")
+    shards = (
+        df.select(
+            g.alias("__shard"), F.col(value_col).cast("double").alias("__v")
+        )
+        .groupBy("__shard")
+        .agg(
+            F.round(F.sum("__v"), round_dp).alias("__s"),
+            F.count(F.lit(1)).cast("bigint").alias("__n"),
+        )
+    )
+    w = Window.partitionBy()
+    S = F.sum("__s").over(w)
+    N = F.sum("__n").over(w)
+    G = F.count(F.lit(1)).over(w).cast("double")
+    loo = shards.select(
+        "__shard",
+        S.alias("__S"),
+        N.alias("__N"),
+        G.alias("__ng"),
+        F.round(
+            (S - F.col("__s")) / (N - F.col("__n")).cast("double"), round_dp
+        ).alias("__theta"),
+    )
+    w2 = Window.partitionBy()
+    tbar = F.avg("__theta").over(w2)
+    scored = loo.select(
+        "__S",
+        "__N",
+        "__ng",
+        "__theta",
+        F.round(tbar, round_dp).alias("__tbar"),
+    )
+    dev = F.col("__theta") - F.col("__tbar")
+    return scored.agg(
+        F.max("__N").alias("__n"),
+        F.max("__ng").alias("__g2"),
+        F.max("__S").alias("__s2"),
+        F.round(
+            F.sqrt(
+                (F.max("__ng") - 1.0) / F.max("__ng") * F.sum(dev * dev)
+            ),
+            out_dp,
+        ).alias("jackknife_se"),
+    ).select(
+        F.col("__n").alias("n"),
+        F.col("__g2").cast("bigint").alias("n_groups"),
+        F.round(F.col("__s2") / F.col("__n").cast("double"), out_dp).alias(
+            "mean"
+        ),
+        "jackknife_se",
     )

@@ -10399,6 +10399,137 @@ def q_trimmed_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "km_conversion_curve",
+    """
+WITH s AS (
+  SELECT user_id, MIN(epoch_ns(ts)) AS s_ts
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+),
+tmax AS (SELECT MAX(epoch_ns(ts)) AS t FROM events),
+p AS (
+  SELECT e.user_id, MIN(epoch_ns(e.ts)) AS p_ts
+  FROM events e JOIN s USING (user_id)
+  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) >= s.s_ts
+  GROUP BY 1
+),
+subj AS (
+  SELECT s.user_id,
+    CAST(FLOOR((COALESCE(p.p_ts, tmax.t) - s.s_ts)
+               / 86400000000000.0) AS BIGINT) AS duration,
+    p.p_ts IS NOT NULL AS event
+  FROM s LEFT JOIN p USING (user_id), tmax
+),
+per AS (
+  SELECT duration,
+    SUM(CASE WHEN event THEN 1 ELSE 0 END)::BIGINT AS n_events,
+    SUM(CASE WHEN event THEN 0 ELSE 1 END)::BIGINT AS n_censored
+  FROM subj GROUP BY 1
+),
+risked AS (
+  SELECT duration,
+    SUM(n_events + n_censored) OVER (ORDER BY duration
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)::BIGINT AS n_risk,
+    n_events, n_censored
+  FROM per
+),
+lt AS (
+  SELECT duration, n_risk, n_events, n_censored,
+    ROUND(CASE WHEN n_events <= 0 THEN 0.0
+               WHEN n_events = n_risk THEN -1000000000.0
+               ELSE LN(1.0 - n_events::DOUBLE / n_risk::DOUBLE) END, 8) AS l
+  FROM risked
+)
+SELECT duration, n_risk, n_events, n_censored,
+  ROUND(EXP(SUM(l) OVER (ORDER BY duration ROWS UNBOUNDED PRECEDING)), 6)
+    AS survival
+FROM lt ORDER BY duration
+""",
+)
+def q_km_conversion_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier signup-to-purchase curve with right censoring
+    (operators/survival.py km_curve): P(user has NOT yet purchased by
+    day t after their first signup), with users who never purchase
+    censored at the corpus horizon — the bias both naive conversion
+    cuts make (dropping pending users under-counts; calling them
+    non-converters over-counts), handled by the product-limit risk-set
+    arithmetic. One per-user aggregate pair (first signup, first
+    purchase after it); risk sets and the cumulative product are
+    windows over the day-grain frame (bounded by the observation
+    window). The d = n boundary takes a -1e9 log sentinel on both
+    engines (ln(0) is NULL in Spark, -inf in DuckDB)."""
+    from fireball_data_processing_spark.operators.survival import km_curve
+
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    tmax = ev.agg(F.max("ts").alias("t"))
+    subj = (
+        s.join(p, "user_id", "left")
+        .crossJoin(F.broadcast(tmax))
+        .select(
+            F.floor(
+                (F.coalesce(F.col("p_ts"), F.col("t")) - F.col("s_ts"))
+                / F.lit(86400.0 * 1e9)
+            )
+            .cast("bigint")
+            .alias("duration"),
+            F.col("p_ts").isNotNull().alias("event"),
+        )
+    )
+    return km_curve(subj)
+
+
+@query(
+    "jackknife_quality_se",
+    _TTR_DOCS_CTE
+    + """,
+shards AS (
+  SELECT CAST(FLOOR(('0x' || substr(md5('jk' || CAST(doc_id AS VARCHAR)),
+      1, 8))::BIGINT / 4294967296.0 * 32) AS BIGINT) AS g,
+    ROUND(SUM(x), 8) AS s, COUNT(*)::BIGINT AS n
+  FROM d GROUP BY 1
+),
+tot AS (SELECT SUM(s) AS S, SUM(n) AS N, COUNT(*)::DOUBLE AS G FROM shards),
+loo AS (
+  SELECT ROUND((t.S - s.s) / (t.N - s.n), 8) AS theta, t.S, t.N, t.G
+  FROM shards s, tot t
+),
+tb AS (SELECT ROUND(AVG(theta), 8) AS tbar FROM loo)
+SELECT t.N::BIGINT AS n, t.G::BIGINT AS n_groups,
+  ROUND(t.S / t.N, 6) AS mean,
+  ROUND(SQRT((t.G - 1) / t.G
+        * SUM((l.theta - tb.tbar) * (l.theta - tb.tbar))), 6)
+    AS jackknife_se
+FROM loo l, tot t, tb
+GROUP BY t.N, t.G, t.S, tb.tbar
+""",
+)
+def q_jackknife_quality_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-shard jackknife standard error of the mean
+    type-token-ratio quality score (operators/bootstrap.py
+    jackknife_se): 32 deterministic hash shards, leave-one-out means
+    from per-shard sufficient statistics — the one-pass, draw-free
+    error bar next to bootstrap_mean_ci, and the block form that stays
+    honest under within-shard dependence. One grouped aggregate to the
+    32-row shard frame; everything after is window arithmetic on it."""
+    from fireball_data_processing_spark.operators.bootstrap import jackknife_se
+
+    d = load_table(spark, sf_dir, "documents")
+    return jackknife_se(_ttr_xy(d), "x", key=F.col("doc_id"), n_groups=32,
+                        salt="jk")
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
@@ -10416,7 +10547,7 @@ def get(name: str) -> QuerySpec:
 _PRIORITY = [
     # Round-8 head (the driver samples roughly the first 50 entries).
     # Layout, continuing the cumulative-attestation rotation: the
-    # THIRTY-THREE queries NEW this round lead (no driver row at all yet),
+    # THIRTY-FIVE queries NEW this round lead (no driver row at all yet),
     # then ALL 14 queries whose newest driver row dates to r4 (the seven
     # deferred from the r7 head plus seven more — after this head,
     # nothing in the catalog is older than r5), then the
@@ -10458,6 +10589,8 @@ _PRIORITY = [
     "embedding_pca_label_separation",
     "capture_recapture_estimate",
     "trimmed_value_stats",
+    "km_conversion_curve",
+    "jackknife_quality_se",
     # --- newest driver row r4 (all 14 remaining) ---
     "semantic_dedup_survivors",
     "domain_capped_sample",
@@ -10477,9 +10610,9 @@ _PRIORITY = [
     "asof_state_forward",
     "cdc_chunk_dedup",
     "cluster_balanced_sample",
+    # --- deferred r5-stale (just past the head; first in the r9 head) ---
     "corpus_checksum",
     "corpus_diversity_probe",
-    # --- deferred r5-stale (just past the head; first in the r9 head) ---
     "corpus_overlap_matrix",
     "corpus_pipeline_v4_summary",
     "doc_fingerprints",
