@@ -12,6 +12,11 @@ from fireball_data_processing_spark.streaming.quality_stream import (
     score_against_lm,
     stream_quality_gate,
 )
+from fireball_data_processing_spark.streaming.decay_stream import (
+    decayed_weight_to_ref,
+    read_decayed,
+    stream_decay_deltas,
+)
 from fireball_data_processing_spark.streaming.seqtest_stream import (
     sprt_monitor,
     stream_sprt_deltas,
@@ -27,14 +32,17 @@ from fireball_data_processing_spark.streaming.sources_stream import (
 
 __all__ = [
     "corpus_lm_index",
+    "decayed_weight_to_ref",
     "histogram_buckets",
     "open_event_stream",
     "quality_gate",
+    "read_decayed",
     "read_stream_quantiles",
     "score_against_lm",
     "sprt_monitor",
     "stream_heuristics",
     "stream_histogram_sink",
+    "stream_decay_deltas",
     "stream_new_documents",
     "stream_quality_gate",
     "stream_sprt_deltas",
