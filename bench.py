@@ -146,6 +146,7 @@ EXTRA = (
     "trimmed_value_stats",
     "km_conversion_curve",
     "jackknife_quality_se",
+    "markov_removal_attribution",
 )
 
 

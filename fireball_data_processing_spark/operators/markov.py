@@ -39,7 +39,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["transition_matrix", "stationary_distribution", "markov_profile"]
+__all__ = [
+    "transition_matrix",
+    "stationary_distribution",
+    "markov_profile",
+    "raw_transition_probs",
+    "removal_attribution",
+]
 
 
 def transition_matrix(
@@ -146,6 +152,197 @@ def markov_profile(
             "n_out",
             "self_prob",
             F.round(F.col("pi"), out_dp).alias("stationary_prob"),
+        )
+        .orderBy("state")
+    )
+
+
+def raw_transition_probs(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    state_col: str,
+    round_dp: int = 8,
+) -> DataFrame:
+    """Un-renormalized empirical transition probabilities: one row per
+    observed (src, dst) with ``p = n / total_out(src)`` over ALL
+    observed successors — unlike :func:`transition_matrix`, nothing is
+    dropped or renormalized, which is what attribution needs (removing
+    a channel must LOSE its probability mass, not redistribute it).
+    Same plan shape: one lead window + one pair-count aggregate."""
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    pairs = (
+        df.select(
+            F.col(state_col).alias("src"),
+            F.lead(state_col).over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = Window.partitionBy("src")
+    return pairs.select(
+        "src",
+        "dst",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(tot), round_dp
+        ).alias("p"),
+    )
+
+
+def _absorption(matrix, conv_state, removed, n_iter, round_dp):
+    """Absorption probability into ``conv_state`` per transient state,
+    with ``removed`` (a state name or None) excluded from the chain —
+    transitions into it are LOST mass. ``n_iter`` fixed-point steps
+    ``a <- direct + P_transient @ a`` from a = 0, each iterate rounded.
+    All frames are at most |states|^2 rows."""
+    m = matrix.filter(F.col("src") != conv_state)
+    if removed is not None:
+        m = m.filter(
+            (F.col("src") != removed) & (F.col("dst") != removed)
+        )
+    m = m.persist()
+    direct = m.filter(F.col("dst") == conv_state).select(
+        F.col("src").alias("state"), F.col("p").alias("d")
+    )
+    trans = m.filter(F.col("dst") != conv_state)
+    states = m.select(F.col("src").alias("state")).distinct()
+    a = states.join(direct, "state", "left").select(
+        "state", F.round(F.coalesce(F.col("d"), F.lit(0.0)), round_dp).alias("a")
+    )
+    for _ in range(n_iter - 1):
+        flow = (
+            trans.join(
+                F.broadcast(a.withColumnRenamed("state", "dst")), "dst"
+            )
+            .groupBy(F.col("src").alias("state"))
+            .agg(F.round(F.sum(F.col("p") * F.col("a")), round_dp).alias("f"))
+        )
+        a = (
+            states.join(direct, "state", "left")
+            .join(flow, "state", "left")
+            .select(
+                "state",
+                F.round(
+                    F.coalesce(F.col("d"), F.lit(0.0))
+                    + F.coalesce(F.col("f"), F.lit(0.0)),
+                    round_dp,
+                ).alias("a"),
+            )
+        )
+    return a
+
+
+def removal_attribution(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    state_col: str,
+    conv_state: str,
+    n_iter: int = 12,
+    round_dp: int = 8,
+    out_dp: int = 6,
+) -> DataFrame:
+    """Markov removal-effect attribution (Anderl et al. 2014, the
+    standard data-driven alternative to last-touch credit): model each
+    user's event stream as a first-order chain ABSORBED at the first
+    ``conv_state``; overall conversion probability is the start-state
+    mix pushed through ``n_iter`` absorption fixed-point steps; a
+    channel's REMOVAL EFFECT is the relative conversion lost when every
+    transition through it becomes lost mass:
+
+        effect(c) = 1 - conv(chain without c) / conv(full chain)
+
+    Returns one row per transient state:
+    ``(state, start_share, conv_full, conv_removed, removal_effect)``
+    ordered by state.
+
+    Scale shape: the data-proportional work is the lead window + pair
+    count (shared by all scenarios) and one first-event-per-user
+    aggregate; each of the |states| removal scenarios re-runs the
+    fixed point on the persisted |states|^2-row matrix — sub-kilobyte
+    joins, zero collects. The unrolled oracle replays every scenario's
+    trajectory via per-iterate rounding."""
+    matrix = raw_transition_probs(
+        df, key_col, order_col, state_col, round_dp
+    ).persist()
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    firsts = (
+        df.select(
+            F.col(key_col).alias("__k"),
+            F.row_number().over(w).alias("__r"),
+            F.col(state_col).alias("state"),
+        )
+        .filter(F.col("__r") == 1)
+        .groupBy("state")
+        .agg(F.count(F.lit(1)).cast("double").alias("__c"))
+    )
+    tot = Window.partitionBy()
+    start = firsts.select(
+        "state",
+        F.round(F.col("__c") / F.sum("__c").over(tot), round_dp).alias("pi0"),
+    ).persist()
+
+    def conv_of(a):
+        # start mass already AT the conversion state converts with prob 1
+        direct_start = start.filter(F.col("state") == conv_state).select(
+            F.col("pi0").alias("v")
+        )
+        routed = (
+            start.filter(F.col("state") != conv_state)
+            .join(a, "state", "left")
+            .select(
+                (F.col("pi0") * F.coalesce(F.col("a"), F.lit(0.0))).alias("v")
+            )
+        )
+        return routed.unionByName(direct_start).agg(
+            F.round(F.sum("v"), round_dp).alias("conv")
+        )
+
+    full = conv_of(
+        _absorption(matrix, conv_state, None, n_iter, round_dp)
+    )
+    # bounded |states|-sized collect (the kmeans contract): scenario
+    # enumeration is driver-side control flow, one chain per channel.
+    # Channels that only RECEIVE traffic (no outgoing edges) still get
+    # a row — their removal effect is well-defined (usually 0: their
+    # incoming mass was already lost).
+    all_states = (
+        matrix.select(F.col("src").alias("s"))
+        .unionByName(matrix.select(F.col("dst").alias("s")))
+        .distinct()
+        .collect()
+    )
+    transient = sorted(
+        r["s"] for r in all_states if r["s"] != conv_state
+    )
+    rows = []
+    for c in transient:
+        a_c = _absorption(matrix, conv_state, c, n_iter, round_dp)
+        conv_c = conv_of(a_c)
+        rows.append(
+            conv_c.select(
+                F.lit(c).alias("state"),
+                F.col("conv").alias("conv_removed"),
+            )
+        )
+    removed = rows[0]
+    for extra in rows[1:]:
+        removed = removed.unionByName(extra)
+    return (
+        removed.crossJoin(F.broadcast(full))
+        .join(start, "state", "left")
+        .select(
+            "state",
+            F.round(F.coalesce(F.col("pi0"), F.lit(0.0)), out_dp).alias(
+                "start_share"
+            ),
+            F.round(F.col("conv"), out_dp).alias("conv_full"),
+            F.round(F.col("conv_removed"), out_dp).alias("conv_removed"),
+            F.round(
+                F.lit(1.0) - F.col("conv_removed") / F.col("conv"), out_dp
+            ).alias("removal_effect"),
         )
         .orderBy("state")
     )

@@ -10530,6 +10530,126 @@ def q_jackknife_quality_se(spark: SparkSession, sf_dir: str) -> DataFrame:
                         salt="jk")
 
 
+def _attribution_oracle(
+    conv: str = "purchase",
+    channels: tuple = ("click", "error", "signup", "view"),
+    n_iter: int = 12,
+) -> str:
+    """Unrolled absorbing-chain oracle replaying operators/markov.py
+    removal_attribution: the raw (un-renormalized) transition matrix,
+    the empirical start mix, and one ``n_iter``-step absorption fixed
+    point per scenario (full chain + one per removed channel), all with
+    8-dp per-iterate rounding."""
+    parts = [
+        f"""
+WITH pairs AS (
+  SELECT src, dst, COUNT(*)::BIGINT AS n
+  FROM (SELECT event_type AS src,
+          LEAD(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+            AS dst
+        FROM events) z
+  WHERE dst IS NOT NULL GROUP BY 1, 2
+),
+m AS (
+  SELECT src, dst,
+    ROUND(n::DOUBLE / SUM(n) OVER (PARTITION BY src), 8) AS p
+  FROM pairs
+),
+firsts AS (
+  SELECT state, COUNT(*)::DOUBLE AS c
+  FROM (SELECT user_id, arg_min(event_type, event_id) AS state
+        FROM events GROUP BY 1) z
+  GROUP BY 1
+),
+start AS (
+  SELECT state, ROUND(c / SUM(c) OVER (), 8) AS pi0 FROM firsts
+)"""
+    ]
+    scenarios = [("full", None)] + [(c, c) for c in channels]
+    for tag, removed in scenarios:
+        cond = f"src <> '{conv}'"
+        if removed is not None:
+            cond += f" AND src <> '{removed}' AND dst <> '{removed}'"
+        parts.append(
+            f""",
+m_{tag} AS (SELECT * FROM m WHERE {cond}),
+st_{tag} AS (SELECT DISTINCT src AS state FROM m_{tag}),
+d_{tag} AS (SELECT src AS state, p AS d FROM m_{tag} WHERE dst = '{conv}'),
+a_{tag}_1 AS (
+  SELECT s.state, ROUND(COALESCE(d.d, 0), 8) AS a
+  FROM st_{tag} s LEFT JOIN d_{tag} d USING (state)
+)"""
+        )
+        for k in range(2, n_iter + 1):
+            parts.append(
+                f""",
+f_{tag}_{k} AS (
+  SELECT t.src AS state, ROUND(SUM(t.p * a.a), 8) AS f
+  FROM m_{tag} t JOIN a_{tag}_{k - 1} a ON a.state = t.dst
+  WHERE t.dst <> '{conv}' GROUP BY 1
+),
+a_{tag}_{k} AS (
+  SELECT s.state, ROUND(COALESCE(d.d, 0) + COALESCE(f.f, 0), 8) AS a
+  FROM st_{tag} s LEFT JOIN d_{tag} d USING (state)
+  LEFT JOIN f_{tag}_{k} f USING (state)
+)"""
+            )
+        parts.append(
+            f""",
+conv_{tag} AS (
+  SELECT ROUND(SUM(v), 8) AS conv FROM (
+    SELECT st.pi0 * COALESCE(a.a, 0) AS v
+    FROM start st LEFT JOIN a_{tag}_{n_iter} a USING (state)
+    WHERE st.state <> '{conv}'
+    UNION ALL
+    SELECT pi0 AS v FROM start WHERE state = '{conv}'
+  ) z
+)"""
+        )
+    selects = []
+    for c in channels:
+        selects.append(
+            f"""
+SELECT '{c}' AS state,
+  ROUND(COALESCE((SELECT pi0 FROM start WHERE state = '{c}'), 0), 6)
+    AS start_share,
+  ROUND((SELECT conv FROM conv_full), 6) AS conv_full,
+  ROUND((SELECT conv FROM conv_{c}), 6) AS conv_removed,
+  ROUND(1.0 - (SELECT conv FROM conv_{c})
+            / (SELECT conv FROM conv_full), 6) AS removal_effect"""
+        )
+    parts.append("\nUNION ALL".join(selects) + "\nORDER BY state\n")
+    return "".join(parts)
+
+
+@query("markov_removal_attribution", _attribution_oracle())
+def q_markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution (operators/markov.py
+    removal_attribution, Anderl et al. 2014): which event channel is
+    load-bearing for conversion? Each user stream becomes a first-order
+    chain absorbed at the first purchase; a channel's credit is the
+    relative conversion probability LOST when every transition through
+    it becomes lost mass — the data-driven alternative to last-touch
+    credit, and a genuinely causal-flavored readout the funnel can't
+    give. The data-proportional work (lead window + pair count + first-
+    event mix) is shared across all five scenarios; each scenario's
+    12-step absorption fixed point runs on the persisted
+    |states|^2-row matrix. The unrolled oracle replays every scenario."""
+    from fireball_data_processing_spark.operators.markov import (
+        removal_attribution,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return removal_attribution(
+        ev.select("user_id", "event_id", "event_type"),
+        key_col="user_id",
+        order_col="event_id",
+        state_col="event_type",
+        conv_state="purchase",
+        n_iter=12,
+    )
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
@@ -10547,7 +10667,7 @@ def get(name: str) -> QuerySpec:
 _PRIORITY = [
     # Round-8 head (the driver samples roughly the first 50 entries).
     # Layout, continuing the cumulative-attestation rotation: the
-    # THIRTY-FIVE queries NEW this round lead (no driver row at all yet),
+    # THIRTY-SIX queries NEW this round lead (no driver row at all yet),
     # then ALL 14 queries whose newest driver row dates to r4 (the seven
     # deferred from the r7 head plus seven more — after this head,
     # nothing in the catalog is older than r5), then the
@@ -10591,6 +10711,7 @@ _PRIORITY = [
     "trimmed_value_stats",
     "km_conversion_curve",
     "jackknife_quality_se",
+    "markov_removal_attribution",
     # --- newest driver row r4 (all 14 remaining) ---
     "semantic_dedup_survivors",
     "domain_capped_sample",
@@ -10609,8 +10730,8 @@ _PRIORITY = [
     # --- newest driver row r5 (27 of 50, alphabetical) ---
     "asof_state_forward",
     "cdc_chunk_dedup",
-    "cluster_balanced_sample",
     # --- deferred r5-stale (just past the head; first in the r9 head) ---
+    "cluster_balanced_sample",
     "corpus_checksum",
     "corpus_diversity_probe",
     "corpus_overlap_matrix",

@@ -86,3 +86,67 @@ def test_markov_profile_shape_and_partitioning_invariance(spark):
     assert states == sorted(states)
     # stationary distribution sums to ~1
     assert abs(sum(r[3] for r in a) - 1.0) < 1e-4
+
+
+def test_raw_probs_keep_all_successors(spark):
+    from fireball_data_processing_spark.operators.markov import (
+        raw_transition_probs,
+    )
+
+    # dangling dst 'c' is kept (unlike transition_matrix)
+    df = _seq_df(spark, {1: ["a", "b"], 2: ["b", "c"]})
+    got = {
+        (r["src"], r["dst"]): r["p"]
+        for r in raw_transition_probs(df, "k", "i", "s").collect()
+    }
+    assert got == {("a", "b"): 1.0, ("b", "c"): 1.0}
+
+
+def test_removal_attribution_gateway_channel_gets_full_credit(spark):
+    from fireball_data_processing_spark.operators.markov import (
+        removal_attribution,
+    )
+
+    # every conversion flows through 'b' (a -> b -> buy); 'x' is a
+    # TERMINAL dead end (no outgoing edges), so its incoming mass is
+    # already lost and removing it changes nothing
+    seqs = {
+        1: ["a", "b", "buy"],
+        2: ["a", "b", "buy"],
+        3: ["a", "x"],
+    }
+    df = _seq_df(spark, seqs)
+    out = {
+        r["state"]: r
+        for r in removal_attribution(
+            df, "k", "i", "s", conv_state="buy", n_iter=16
+        ).collect()
+    }
+    assert out["b"]["removal_effect"] == 1.0  # gateway: all conversion dies
+    assert out["b"]["conv_removed"] == 0.0
+    assert out["x"]["removal_effect"] == 0.0  # dead end: nothing changes
+    assert out["a"]["start_share"] == 1.0  # every user starts at 'a'
+    # full-chain conversion: P(a->b) = 2/3 then b->buy = 1 -> 2/3
+    assert abs(out["a"]["conv_full"] - 2 / 3) < 1e-5
+    # removing the only start state kills everything
+    assert out["a"]["conv_removed"] == 0.0
+    assert out["a"]["removal_effect"] == 1.0
+
+
+def test_removal_attribution_direct_conversions_survive_removals(spark):
+    from fireball_data_processing_spark.operators.markov import (
+        removal_attribution,
+    )
+
+    # users starting AT the conversion state convert regardless
+    seqs = {1: ["buy", "a"], 2: ["a", "buy"], 3: ["a", "c"]}
+    df = _seq_df(spark, seqs)
+    out = {
+        r["state"]: r
+        for r in removal_attribution(
+            df, "k", "i", "s", conv_state="buy", n_iter=16
+        ).collect()
+    }
+    # start mix: buy 1/3 -> conv_removed >= 1/3 for every scenario
+    for r in out.values():
+        assert r["conv_removed"] >= 1 / 3 - 1e-6
