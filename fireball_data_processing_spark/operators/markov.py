@@ -102,7 +102,11 @@ def stationary_distribution(
     |states|^2-row matrix — sub-kilobyte exchanges regardless of input
     scale.
     """
-    m = matrix.select("src", "dst", "p").persist()
+    # localCheckpoint, not persist: n_iter iterations re-expand the
+    # corpus lead-window subtree under every reference in the STATIC
+    # plan (the removal_attribution lesson: 361 scans -> 0); the frame
+    # is |states|^2 rows, so truncating lineage is free.
+    m = matrix.select("src", "dst", "p").localCheckpoint()
     states = m.select(F.col("src").alias("state")).distinct()
     k = F.broadcast(states.agg(F.count(F.lit(1)).alias("__k")))
     pi = states.crossJoin(k).select(
@@ -133,7 +137,7 @@ def markov_profile(
     distribution. Returns ``(state, n_out, self_prob, stationary_prob)``
     ordered by state."""
     mat = transition_matrix(df, key_col, order_col, state_col, round_dp)
-    mat = mat.persist()
+    mat = mat.localCheckpoint()
     pi = stationary_distribution(mat, n_iter=n_iter, round_dp=round_dp)
     per_src = mat.groupBy(F.col("src").alias("state")).agg(
         F.sum("n").cast("bigint").alias("n_out"),
@@ -264,9 +268,18 @@ def removal_attribution(
     fixed point on the persisted |states|^2-row matrix — sub-kilobyte
     joins, zero collects. The unrolled oracle replays every scenario's
     trajectory via per-iterate rounding."""
+    # localCheckpoint (eager), not persist: the |states|^2-row matrix is
+    # consumed by 5 scenarios x n_iter iterations x 3 subframes — with a
+    # lazy persist the STATIC plan re-expands the corpus lead-window
+    # subtree under every reference (measured 361 scans / 1192 shuffles
+    # pre-execution); truncating lineage on the tiny frame collapses
+    # every downstream plan to a cached-scan leaf. Executor-lifetime
+    # durability is fine here: the frame is rebuilt by re-running the
+    # operator, never reused across jobs (contrast setjoin's parquet
+    # checkpoint_dir option for long-lived artifacts).
     matrix = raw_transition_probs(
         df, key_col, order_col, state_col, round_dp
-    ).persist()
+    ).localCheckpoint()
     w = Window.partitionBy(key_col).orderBy(order_col)
     firsts = (
         df.select(
@@ -282,7 +295,7 @@ def removal_attribution(
     start = firsts.select(
         "state",
         F.round(F.col("__c") / F.sum("__c").over(tot), round_dp).alias("pi0"),
-    ).persist()
+    ).localCheckpoint()
 
     def conv_of(a):
         # start mass already AT the conversion state converts with prob 1
