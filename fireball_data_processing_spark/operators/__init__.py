@@ -41,6 +41,39 @@ from fireball_data_processing_spark.operators.packing import (
     pack_sequences,
     token_count_col,
 )
+from fireball_data_processing_spark.operators.bootstrap import (
+    bootstrap_delta_ci,
+    bootstrap_mean_ci,
+    jackknife_se,
+)
+from fireball_data_processing_spark.operators.calibration import (
+    conformal_threshold,
+    logistic_fit_2param,
+    reliability_diagram,
+)
+from fireball_data_processing_spark.operators.hyptest import (
+    chi2_association,
+    mann_whitney_u,
+)
+from fireball_data_processing_spark.operators.markov import (
+    markov_profile,
+    removal_attribution,
+    stationary_distribution,
+    transition_matrix,
+)
+from fireball_data_processing_spark.operators.ope import (
+    dr_value,
+    empirical_propensities,
+    snips_value,
+)
+from fireball_data_processing_spark.operators.pca import (
+    pca_fit,
+    pca_project_expr,
+    power_iteration_pca,
+    power_iteration_pca_k,
+)
+from fireball_data_processing_spark.operators.seqtest import sprt_decisions
+from fireball_data_processing_spark.operators.survival import km_curve
 from fireball_data_processing_spark.operators.sketches import (
     bloom_might_contain,
     bloom_prejoin,
@@ -51,6 +84,27 @@ from fireball_data_processing_spark.operators.sketches import (
 )
 
 __all__ = [
+    "bootstrap_delta_ci",
+    "bootstrap_mean_ci",
+    "chi2_association",
+    "conformal_threshold",
+    "dr_value",
+    "empirical_propensities",
+    "jackknife_se",
+    "km_curve",
+    "logistic_fit_2param",
+    "mann_whitney_u",
+    "markov_profile",
+    "pca_fit",
+    "pca_project_expr",
+    "power_iteration_pca",
+    "power_iteration_pca_k",
+    "reliability_diagram",
+    "removal_attribution",
+    "snips_value",
+    "sprt_decisions",
+    "stationary_distribution",
+    "transition_matrix",
     "build_minhash_index",
     "exact_dedup_groups",
     "jaccard_pairs",
