@@ -147,6 +147,7 @@ EXTRA = (
     "km_conversion_curve",
     "jackknife_quality_se",
     "markov_removal_attribution",
+    "segment_shift_fdr",
 )
 
 

@@ -33,7 +33,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["mann_whitney_u", "chi2_association"]
+__all__ = [
+    "mann_whitney_u",
+    "chi2_association",
+    "normal_sf_expr",
+    "normal_sf_sql",
+    "bh_significant",
+]
 
 
 def mann_whitney_u(
@@ -143,3 +149,64 @@ def chi2_association(
             out_dp,
         ).alias("cramers_v"),
     )
+
+
+def normal_sf_expr(z_abs: Column) -> Column:
+    """Upper-tail probability ``P(Z > z)`` of the standard normal for
+    ``z >= 0``, via the Abramowitz & Stegun 26.2.17 polynomial (max
+    absolute error 7.5e-8) — both engines evaluate the SAME rational
+    polynomial on the SAME rounded double, so p-values are engine-
+    identical without an erf primitive (neither Spark SQL nor DuckDB
+    exposes one). Inputs should be pre-rounded (house contract)."""
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.2316419) * z_abs)
+    poly = t * (
+        F.lit(0.319381530)
+        + t
+        * (
+            F.lit(-0.356563782)
+            + t
+            * (
+                F.lit(1.781477937)
+                + t * (F.lit(-1.821255978) + t * F.lit(1.330274429))
+            )
+        )
+    )
+    pdf = F.exp(-z_abs * z_abs / F.lit(2.0)) / F.lit(2.5066282746310002)
+    return pdf * poly
+
+
+def normal_sf_sql(z_expr: str) -> str:
+    """The same polynomial as DuckDB SQL, for oracle construction."""
+    return (
+        f"(EXP(-({z_expr}) * ({z_expr}) / 2.0) / 2.5066282746310002) * "
+        f"((1.0 / (1.0 + 0.2316419 * ({z_expr}))) * (0.319381530 + "
+        f"(1.0 / (1.0 + 0.2316419 * ({z_expr}))) * (-0.356563782 + "
+        f"(1.0 / (1.0 + 0.2316419 * ({z_expr}))) * (1.781477937 + "
+        f"(1.0 / (1.0 + 0.2316419 * ({z_expr}))) * (-1.821255978 + "
+        f"(1.0 / (1.0 + 0.2316419 * ({z_expr}))) * 1.330274429)))))"
+    )
+
+
+def bh_significant(
+    scored: DataFrame,
+    p_col: str,
+    key_col: str,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR control over a (small,
+    hypothesis-grain) frame: rank p-values ascending (``key_col`` as
+    the deterministic tiebreak), find the largest rank k with
+    ``p_(k) <= k/m * alpha``, and flag ranks <= k significant. Adds
+    ``bh_rank`` and ``significant``. All windows run over the
+    hypothesis-grain frame (one row per test), never the data."""
+    w = Window.orderBy(F.col(p_col), F.col(key_col))
+    ranked = scored.withColumn("bh_rank", F.row_number().over(w))
+    m = Window.partitionBy()
+    crit = (
+        F.col(p_col)
+        <= F.col("bh_rank").cast("double")
+        / F.count(F.lit(1)).over(m).cast("double")
+        * F.lit(float(alpha))
+    )
+    kmax = F.max(F.when(crit, F.col("bh_rank")).otherwise(0)).over(m)
+    return ranked.withColumn("significant", F.col("bh_rank") <= kmax)

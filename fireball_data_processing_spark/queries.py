@@ -10650,6 +10650,97 @@ def q_markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _segment_fdr_oracle(n_segments: int = 16, alpha: float = 0.1) -> str:
+    from fireball_data_processing_spark.operators.hyptest import normal_sf_sql
+
+    sf = normal_sf_sql("ABS(zz)")
+    return f"""
+WITH per AS (
+  SELECT user_id % {n_segments} AS segment, COUNT(*)::BIGINT AS n,
+    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+      AS conv
+  FROM events GROUP BY 1
+),
+s AS (
+  SELECT segment, n, conv,
+    ROUND(conv::DOUBLE / n, 8) AS rate,
+    ROUND(SUM(conv) OVER ()::DOUBLE / SUM(n) OVER (), 8) AS p0
+  FROM per
+),
+z AS (
+  SELECT *, ROUND((rate - p0) / SQRT(p0 * (1 - p0) / n), 8) AS zz FROM s
+),
+p AS (SELECT *, ROUND(2.0 * {sf}, 8) AS pv FROM z),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY pv, segment) AS bh_rank FROM p
+),
+k AS (
+  SELECT MAX(CASE WHEN pv <= bh_rank::DOUBLE
+                        / (SELECT COUNT(*) FROM r) * {alpha}
+             THEN bh_rank ELSE 0 END) AS kmax
+  FROM r
+)
+SELECT segment, n, conv, ROUND(rate, 6) AS rate, ROUND(zz, 6) AS z,
+  ROUND(pv, 6) AS p_value, bh_rank::BIGINT AS bh_rank,
+  bh_rank <= k.kmax AS significant
+FROM r, k ORDER BY segment
+"""
+
+
+@query("segment_shift_fdr", _segment_fdr_oracle(n_segments=16, alpha=0.1))
+def q_segment_shift_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FDR-controlled segment scan (operators/hyptest.py normal_sf_expr
+    + bh_significant): two-proportion z-test of every user segment's
+    purchase rate against the pooled rate, p-values from the
+    Abramowitz-Stegun normal-tail polynomial (identical rational
+    arithmetic on both engines — no erf primitive needed), then
+    Benjamini-Hochberg step-up control at FDR 0.1 — the multiple-
+    testing discipline a 16-segment (or 16,000-segment) sweep needs
+    before anyone acts on "segment 7 shifted!". One grouped aggregate
+    over the data; every window runs over the segment-grain frame."""
+    from fireball_data_processing_spark.operators.hyptest import (
+        bh_significant,
+        normal_sf_expr,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy((F.col("user_id") % 16).alias("segment")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("conv"),
+    )
+    w = Window.partitionBy()
+    s = per.select(
+        "segment",
+        "n",
+        "conv",
+        F.round(F.col("conv").cast("double") / F.col("n"), 8).alias("rate"),
+        F.round(
+            F.sum("conv").over(w).cast("double") / F.sum("n").over(w), 8
+        ).alias("p0"),
+    )
+    zz = F.round(
+        (F.col("rate") - F.col("p0"))
+        / F.sqrt(F.col("p0") * (1 - F.col("p0")) / F.col("n")),
+        8,
+    )
+    scored = s.withColumn("zz", zz).withColumn(
+        "p_value", F.round(F.lit(2.0) * normal_sf_expr(F.abs(F.col("zz"))), 8)
+    )
+    out = bh_significant(scored, "p_value", "segment", alpha=0.1)
+    return out.select(
+        "segment",
+        "n",
+        "conv",
+        F.round(F.col("rate"), 6).alias("rate"),
+        F.round(F.col("zz"), 6).alias("z"),
+        F.round(F.col("p_value"), 6).alias("p_value"),
+        F.col("bh_rank").cast("bigint").alias("bh_rank"),
+        "significant",
+    ).orderBy("segment")
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
@@ -10667,7 +10758,7 @@ def get(name: str) -> QuerySpec:
 _PRIORITY = [
     # Round-8 head (the driver samples roughly the first 50 entries).
     # Layout, continuing the cumulative-attestation rotation: the
-    # THIRTY-SIX queries NEW this round lead (no driver row at all yet),
+    # THIRTY-SEVEN queries NEW this round lead (no driver row at all yet),
     # then ALL 14 queries whose newest driver row dates to r4 (the seven
     # deferred from the r7 head plus seven more — after this head,
     # nothing in the catalog is older than r5), then the
@@ -10712,6 +10803,7 @@ _PRIORITY = [
     "km_conversion_curve",
     "jackknife_quality_se",
     "markov_removal_attribution",
+    "segment_shift_fdr",
     # --- newest driver row r4 (all 14 remaining) ---
     "semantic_dedup_survivors",
     "domain_capped_sample",
@@ -10729,8 +10821,8 @@ _PRIORITY = [
     "corpus_shard_layout",
     # --- newest driver row r5 (27 of 50, alphabetical) ---
     "asof_state_forward",
-    "cdc_chunk_dedup",
     # --- deferred r5-stale (just past the head; first in the r9 head) ---
+    "cdc_chunk_dedup",
     "cluster_balanced_sample",
     "corpus_checksum",
     "corpus_diversity_probe",

@@ -88,3 +88,58 @@ def test_dr_single_action_target(spark):
     r = dr_value(df, "context", "action", "r", {"a": 1.0, "b": 0.0}).first()
     assert r["dm_value"] == 2.0
     assert r["dr_value"] == 2.0
+
+
+def test_normal_sf_polynomial_accuracy(spark):
+    from fireball_data_processing_spark.operators.hyptest import (
+        normal_sf_expr,
+    )
+
+    # known tails: P(Z>1.959964) ~ .025, P(Z>2.575829) ~ .005, P(Z>0)=.5
+    df = spark.createDataFrame(
+        [(0.0,), (1.959964,), (2.575829,)], "z double"
+    )
+    got = [
+        r["p"] for r in df.select(normal_sf_expr(F.col("z")).alias("p"))
+        .collect()
+    ]
+    assert abs(got[0] - 0.5) < 1e-7
+    assert abs(got[1] - 0.025) < 1e-6
+    assert abs(got[2] - 0.005) < 1e-6
+
+
+def test_bh_hand_case(spark):
+    from fireball_data_processing_spark.operators.hyptest import (
+        bh_significant,
+    )
+
+    # m=5, alpha=.1: thresholds .02, .04, .06, .08, .10
+    # p = [.001, .03, .05, .2, .9]: k=3 (.05 <= .06); note rank 2's
+    # .03 <= .04 also holds, and rank 4 fails -> significant = first 3
+    rows = [(1, 0.001), (2, 0.03), (3, 0.05), (4, 0.2), (5, 0.9)]
+    df = spark.createDataFrame(rows, "k bigint, p double")
+    got = {
+        r["k"]: (r["bh_rank"], r["significant"])
+        for r in bh_significant(df, "p", "k", alpha=0.1).collect()
+    }
+    assert got[1] == (1, True)
+    assert got[2] == (2, True)
+    assert got[3] == (3, True)
+    assert got[4] == (4, False)
+    assert got[5] == (5, False)
+
+
+def test_bh_step_up_rescues_earlier_failures(spark):
+    from fireball_data_processing_spark.operators.hyptest import (
+        bh_significant,
+    )
+
+    # step-up property: rank 1 fails its own threshold (.05 > .025) but
+    # rank 2 passes (.05 <= .05), so BOTH are significant
+    rows = [(1, 0.05), (2, 0.05)]
+    df = spark.createDataFrame(rows, "k bigint, p double")
+    got = {
+        r["k"]: r["significant"]
+        for r in bh_significant(df, "p", "k", alpha=0.05).collect()
+    }
+    assert got == {1: True, 2: True}
