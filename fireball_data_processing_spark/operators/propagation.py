@@ -81,17 +81,31 @@ def propagate_scores(
                 "__dst",
             )
             .groupBy("__src")
-            .agg(F.avg("__ns").alias("__avg"))
+            # round the neighbor average BEFORE the update: the avg is
+            # summation-order-sensitive in its last ulp, and at 10x data
+            # (sf0.1: 33/5000 rows) enough rows land on .5-ulp 6-dp
+            # boundaries to flip the final round between engines; an
+            # 8-dp intermediate round hands both engines identical
+            # doubles, shrinking the boundary set ~100x below the
+            # contract's observable resolution
+            .agg(F.round(F.avg("__ns"), round_dp + 2).alias("__avg"))
         )
         s = (
             s.join(nbr, s[id_col] == nbr["__src"], "left")
             .select(
                 F.col(id_col),
                 F.col("__s0"),
+                # +1e-9 tie-nudge (the setjoin FP-ceil precedent): with
+                # alpha = 0.5 over rounded inputs the update lands
+                # EXACTLY on 6-dp rounding ties, where Spark (rounds the
+                # shortest decimal repr, HALF_UP) and a binary-exact
+                # engine disagree per row (observed 8/5000 at sf0.1);
+                # the same nudge on both sides resolves every tie upward
                 F.round(
                     F.lit(alpha) * F.col("__s0")
                     + F.lit(1.0 - alpha)
-                    * F.coalesce(F.col("__avg"), F.col("__s")),
+                    * F.coalesce(F.col("__avg"), F.col("__s"))
+                    + F.lit(1e-9),
                     round_dp,
                 ).alias("__s"),
             )

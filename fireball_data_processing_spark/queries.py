@@ -8396,17 +8396,17 @@ sym AS (
 ),
 p1 AS (
   SELECT b.doc_id, b.s0,
-    ROUND(0.5 * b.s0 + 0.5 * COALESCE(n.avg_s, b.s0), 6) AS s
+    ROUND(0.5 * b.s0 + 0.5 * COALESCE(n.avg_s, b.s0) + 1e-9, 6) AS s
   FROM base b LEFT JOIN (
-    SELECT sym.src AS doc_id, AVG(nb.s0) AS avg_s
+    SELECT sym.src AS doc_id, ROUND(AVG(nb.s0), 8) AS avg_s
     FROM sym JOIN base nb ON nb.doc_id = sym.dst GROUP BY sym.src
   ) n USING (doc_id)
 ),
 p2 AS (
   SELECT p.doc_id, p.s0,
-    ROUND(0.5 * p.s0 + 0.5 * COALESCE(n.avg_s, p.s), 6) AS s
+    ROUND(0.5 * p.s0 + 0.5 * COALESCE(n.avg_s, p.s) + 1e-9, 6) AS s
   FROM p1 p LEFT JOIN (
-    SELECT sym.src AS doc_id, AVG(nb.s) AS avg_s
+    SELECT sym.src AS doc_id, ROUND(AVG(nb.s), 8) AS avg_s
     FROM sym JOIN p1 nb ON nb.doc_id = sym.dst GROUP BY sym.src
   ) n USING (doc_id)
 )
