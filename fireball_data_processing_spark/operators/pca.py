@@ -91,17 +91,28 @@ def pca_project_expr(
 
 def _component(df, c, dim, n_iter, round_dp):
     """One power-iteration component over centered expressions ``c``:
-    returns (loading list, ||S v|| norm), both ``round_dp``-rounded."""
+    returns (loading list, ||S v|| norm), both ``round_dp``-rounded.
+
+    The centered values and the per-row projection are materialized as
+    REAL COLUMNS before the d-sum aggregate — inlining the d-term
+    projection into each of the d sums builds a d^2-operation aggregate
+    expression that overflows whole-stage codegen's method-size limit
+    and falls back to interpreted evaluation (measured 33 s at sf0.1 vs
+    ~1 s with the projection materialized; same arithmetic, same
+    rounded values, so the oracle is untouched)."""
+    base = df.select(*[c[i].alias(f"__c{i}") for i in range(dim)])
+    cc = [F.col(f"__c{i}") for i in range(dim)]
     v = [round(1.0 / math.sqrt(dim), round_dp)] * dim
     nrm = None
     for _ in range(n_iter):
         s = F.round(
-            sum((c[i] * F.lit(v[i]) for i in range(dim)), F.lit(0.0)),
+            sum((cc[i] * F.lit(v[i]) for i in range(dim)), F.lit(0.0)),
             round_dp,
         )
-        u_row = df.agg(
+        scored = base.withColumn("__s", s)
+        u_row = scored.agg(
             *[
-                F.round(F.sum(c[i] * s), round_dp).alias(f"u{i}")
+                F.round(F.sum(cc[i] * F.col("__s")), round_dp).alias(f"u{i}")
                 for i in range(dim)
             ]
         ).first()
