@@ -148,6 +148,8 @@ EXTRA = (
     "jackknife_quality_se",
     "markov_removal_attribution",
     "segment_shift_fdr",
+    "raked_mix_weights",
+    "token_diversity_profile",
 )
 
 

@@ -10741,6 +10741,163 @@ def q_segment_shift_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("segment")
 
 
+def _raking_oracle(
+    row_targets: dict[str, float],
+    col_targets: dict[str, float],
+    n_iter: int = 8,
+) -> str:
+    rt = ", ".join(f"('{k}', {v})" for k, v in sorted(row_targets.items()))
+    ct = ", ".join(f"('{k}', {v})" for k, v in sorted(col_targets.items()))
+    parts = [
+        f"""
+WITH counts AS MATERIALIZED (
+  SELECT source AS row_cat, lang AS col_cat, COUNT(*)::DOUBLE AS n
+  FROM documents GROUP BY 1, 2
+),
+rt(row_cat, t) AS (VALUES {rt}),
+ct(col_cat, t) AS (VALUES {ct}),
+w0 AS MATERIALIZED (SELECT row_cat, col_cat, n, 1.0 AS w FROM counts)"""
+    ]
+    prev = "w0"
+    for i in range(1, n_iter + 1):
+        for margin, tgt in (("row_cat", "rt"), ("col_cat", "ct")):
+            tag = f"{'r' if margin == 'row_cat' else 'c'}{i}"
+            parts.append(
+                f""",
+m{tag} AS MATERIALIZED (
+  SELECT {margin}, ROUND(SUM(n * w), 8) AS mm FROM {prev} GROUP BY 1
+),
+t{tag} AS MATERIALIZED (SELECT ROUND(SUM(n * w), 8) AS tot FROM {prev}),
+w{tag} AS MATERIALIZED (
+  SELECT c.row_cat, c.col_cat, c.n,
+    ROUND(c.w * COALESCE(g.t * t{tag}.tot / m.mm, 1.0), 8) AS w
+  FROM {prev} c
+  JOIN m{tag} m USING ({margin})
+  LEFT JOIN {tgt} g USING ({margin})
+  , t{tag}
+)"""
+            )
+            prev = f"w{tag}"
+    parts.append(
+        f""",
+ft AS (SELECT ROUND(SUM(n * w), 8) AS tot FROM {prev})
+SELECT row_cat, col_cat, n::BIGINT AS n, ROUND(w, 6) AS weight,
+  ROUND(n * w / ft.tot, 6) AS weighted_share
+FROM {prev}, ft
+ORDER BY row_cat, col_cat
+"""
+    )
+    return "".join(parts)
+
+
+_RAKE_COL_TARGETS = {
+    "en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15,
+}
+_RAKE_ROW_TARGETS = {f"src{i}": 0.05 for i in range(20)}
+
+
+@query(
+    "raked_mix_weights",
+    _raking_oracle(_RAKE_ROW_TARGETS, _RAKE_COL_TARGETS, n_iter=8),
+)
+def q_raked_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative proportional fitting (operators/raking.py, Deming &
+    Stephan 1940): per-(source, lang) weights that make the corpus
+    match BOTH a uniform source mix and a 40%-English language mix
+    simultaneously — the reweighting form of mixture control
+    (temperature_mixture_plan resamples; raking keeps every row and
+    emits weights that compose with dedup cluster sizes and freshness
+    decay). One contingency aggregate over the data; 8 IPF iterations
+    (row scale, column scale) on the localCheckpoint'ed 100-cell frame,
+    each factor 8-dp rounded for exact oracle replay."""
+    from fireball_data_processing_spark.operators.raking import raking_weights
+
+    d = load_table(spark, sf_dir, "documents")
+    return raking_weights(
+        d,
+        row_col="source",
+        col_col="lang",
+        row_targets=_RAKE_ROW_TARGETS,
+        col_targets=_RAKE_COL_TARGETS,
+        n_iter=8,
+    )
+
+
+@query(
+    "token_diversity_profile",
+    """
+WITH tok AS (
+  SELECT lang,
+    unnest(list_filter(string_split(trim(regexp_replace(lower(text),
+      '\\s+', ' ', 'g')), ' '), s -> s <> '')) AS t
+  FROM documents
+),
+c AS (SELECT lang, t, COUNT(*)::DOUBLE AS n FROM tok GROUP BY 1, 2),
+tot AS (SELECT lang, SUM(n) AS tot FROM c GROUP BY 1),
+s AS (
+  SELECT c.lang,
+    CAST(tot.tot AS BIGINT) AS n_tokens,
+    COUNT(*)::BIGINT AS richness,
+    ROUND(-SUM((c.n / tot.tot) * log2(c.n / tot.tot)), 6) AS shannon_bits,
+    ROUND(SUM((c.n / tot.tot) * (c.n / tot.tot)), 8) AS simpson
+  FROM c JOIN tot USING (lang)
+  GROUP BY c.lang, tot.tot
+)
+SELECT lang, n_tokens, richness, shannon_bits,
+  ROUND(POWER(2.0, shannon_bits), 6) AS hill1,
+  ROUND(1.0 / simpson, 6) AS hill2,
+  ROUND(POWER(2.0, shannon_bits) / richness, 6) AS evenness
+FROM s ORDER BY lang
+""",
+)
+def q_token_diversity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill-number diversity profile per language: richness (Hill q=0),
+    exp-Shannon effective vocabulary (q=1, in types), inverse-Simpson
+    (q=2, weights common types hardest), and evenness hill1/richness —
+    the ecology-standard spectrum that tells apart "many types, all
+    rare" from "few types dominating", which raw richness
+    (vocab_richness_estimate) alone cannot. Two grouped aggregates
+    ((lang, token) counts, then per-lang sums with the broadcast
+    totals); everything partial-combines."""
+    from fireball_data_processing_spark.functions.text import normalize_text
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang",
+        F.explode(
+            F.filter(
+                F.split(normalize_text(F.col("text")), " "),
+                lambda s: s != "",
+            )
+        ).alias("t"),
+    )
+    c = toks.groupBy("lang", "t").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    tot = c.groupBy("lang").agg(F.sum("n").alias("tot"))
+    p = F.col("n") / F.col("tot")
+    s = (
+        c.join(F.broadcast(tot), "lang")
+        .groupBy("lang", "tot")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("richness"),
+            F.round(-F.sum(p * F.log2(p)), 6).alias("shannon_bits"),
+            F.round(F.sum(p * p), 8).alias("simpson"),
+        )
+    )
+    return s.select(
+        "lang",
+        F.col("tot").cast("bigint").alias("n_tokens"),
+        "richness",
+        "shannon_bits",
+        F.round(F.pow(F.lit(2.0), F.col("shannon_bits")), 6).alias("hill1"),
+        F.round(F.lit(1.0) / F.col("simpson"), 6).alias("hill2"),
+        F.round(
+            F.pow(F.lit(2.0), F.col("shannon_bits"))
+            / F.col("richness").cast("double"),
+            6,
+        ).alias("evenness"),
+    ).orderBy("lang")
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
@@ -10758,7 +10915,7 @@ def get(name: str) -> QuerySpec:
 _PRIORITY = [
     # Round-8 head (the driver samples roughly the first 50 entries).
     # Layout, continuing the cumulative-attestation rotation: the
-    # THIRTY-SEVEN queries NEW this round lead (no driver row at all yet),
+    # THIRTY-NINE queries NEW this round lead (no driver row at all yet),
     # then ALL 14 queries whose newest driver row dates to r4 (the seven
     # deferred from the r7 head plus seven more — after this head,
     # nothing in the catalog is older than r5), then the
@@ -10804,6 +10961,8 @@ _PRIORITY = [
     "jackknife_quality_se",
     "markov_removal_attribution",
     "segment_shift_fdr",
+    "raked_mix_weights",
+    "token_diversity_profile",
     # --- newest driver row r4 (all 14 remaining) ---
     "semantic_dedup_survivors",
     "domain_capped_sample",
@@ -10822,6 +10981,7 @@ _PRIORITY = [
     # --- newest driver row r5 (27 of 50, alphabetical) ---
     "asof_state_forward",
     # --- deferred r5-stale (just past the head; first in the r9 head) ---
+    "asof_state_forward",
     "cdc_chunk_dedup",
     "cluster_balanced_sample",
     "corpus_checksum",
