@@ -150,6 +150,7 @@ EXTRA = (
     "segment_shift_fdr",
     "raked_mix_weights",
     "token_diversity_profile",
+    "cusum_daily_conversion",
 )
 
 

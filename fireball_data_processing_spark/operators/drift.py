@@ -21,7 +21,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["bucket_shares", "distribution_drift", "jsd_matrix"]
+__all__ = ["bucket_shares", "cusum_alarm", "distribution_drift", "jsd_matrix"]
 
 
 def bucket_shares(df: DataFrame, bucket: Column) -> DataFrame:
@@ -179,3 +179,62 @@ def jsd_matrix(
         )
         .orderBy("domain_a", "domain_b")
     )
+
+
+def cusum_alarm(
+    series: DataFrame,
+    time_col: str,
+    value_col: str,
+    target: float,
+    allowance: float,
+    threshold: float,
+    round_dp: int = 8,
+    out_dp: int = 6,
+) -> DataFrame:
+    """One-sided (upward) CUSUM control chart over an ordered series —
+    the change-point monitor that accumulates SMALL persistent shifts a
+    per-point outlier rule (mad_outlier_stats) never trips:
+    ``S_t = max(0, S_{t-1} + (x_t - target - allowance))``, alarm when
+    ``S_t > threshold``.
+
+    The clamped recursion is NOT a plain cumulative sum, but it has a
+    closed window form: with ``C_t = cumsum(x - target - allowance)``,
+
+        S_t = C_t - min(0, running_min(C_t))
+
+    so the whole chart is TWO windows over the (already aggregated,
+    time-grain) series — no recursion, no UDF, no state. Returns
+    ``(time, x, cusum, alarm)`` ordered by time; per-step terms are
+    rounded to ``round_dp`` so a SQL oracle replays the walk exactly.
+    """
+    from pyspark.sql.window import Window
+
+    drift_rate = F.lit(float(target) + float(allowance))
+    w = Window.orderBy(time_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = F.round(
+        F.sum(
+            F.round(F.col(value_col).cast("double") - drift_rate, round_dp)
+        ).over(w),
+        round_dp,
+    )
+    staged = series.select(
+        F.col(time_col).alias("time"),
+        F.round(F.col(value_col).cast("double"), out_dp).alias("x"),
+        c.alias("__c"),
+    )
+    w2 = Window.orderBy("time").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s = F.round(
+        F.col("__c")
+        - F.least(F.lit(0.0), F.min("__c").over(w2)),
+        round_dp,
+    )
+    return staged.select(
+        "time",
+        "x",
+        F.round(s, out_dp).alias("cusum"),
+        (s > F.lit(float(threshold))).alias("alarm"),
+    ).orderBy("time")

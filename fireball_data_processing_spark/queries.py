@@ -10898,6 +10898,65 @@ def q_token_diversity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang")
 
 
+@query(
+    "cusum_daily_conversion",
+    """
+WITH daily AS (
+  SELECT CAST(FLOOR(epoch_ns(ts) / 86400000000000.0) AS BIGINT) AS day,
+    ROUND(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::DOUBLE
+          / COUNT(*), 8) AS share
+  FROM events GROUP BY 1
+),
+tgt AS (SELECT ROUND(AVG(share), 8) AS mu FROM daily),
+c AS (
+  SELECT day, share,
+    ROUND(SUM(ROUND(share - (tgt.mu + 0.005), 8)) OVER (ORDER BY day
+      ROWS UNBOUNDED PRECEDING), 8) AS cc
+  FROM daily, tgt
+)
+SELECT day AS time, ROUND(share, 6) AS x,
+  ROUND(ROUND(cc - LEAST(0.0, MIN(cc) OVER (ORDER BY day
+    ROWS UNBOUNDED PRECEDING)), 8), 6) AS cusum,
+  ROUND(cc - LEAST(0.0, MIN(cc) OVER (ORDER BY day
+    ROWS UNBOUNDED PRECEDING)), 8) > 0.05 AS alarm
+FROM c ORDER BY day
+""",
+)
+def q_cusum_daily_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM over the daily purchase share
+    (operators/drift.py cusum_alarm): accumulates small persistent
+    upward shifts against the corpus-mean baseline (+0.005 allowance,
+    0.05 decision threshold) — the change-point monitor that fires on
+    drifts a per-day outlier rule never trips. The clamped recursion
+    S_t = max(0, S_{t-1} + d_t) has the closed form cumsum minus
+    clamped running-min, so the whole chart is TWO windows over the
+    day-grain series (bounded by the observation window); the baseline
+    is one rounded scalar (bounded collect)."""
+    from fireball_data_processing_spark.operators.drift import cusum_alarm
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.floor(F.col("ts") / F.lit(86400.0 * 1e9)).cast("bigint").alias("day")
+    ).agg(
+        F.round(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1)),
+            8,
+        ).alias("share")
+    )
+    mu = daily.agg(F.round(F.avg("share"), 8).alias("mu")).first()["mu"]
+    return cusum_alarm(
+        daily,
+        time_col="day",
+        value_col="share",
+        target=mu,
+        allowance=0.005,
+        threshold=0.05,
+    )
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
@@ -10915,7 +10974,7 @@ def get(name: str) -> QuerySpec:
 _PRIORITY = [
     # Round-8 head (the driver samples roughly the first 50 entries).
     # Layout, continuing the cumulative-attestation rotation: the
-    # THIRTY-NINE queries NEW this round lead (no driver row at all yet),
+    # FORTY queries NEW this round lead (no driver row at all yet),
     # then ALL 14 queries whose newest driver row dates to r4 (the seven
     # deferred from the r7 head plus seven more — after this head,
     # nothing in the catalog is older than r5), then the
@@ -10963,6 +11022,7 @@ _PRIORITY = [
     "segment_shift_fdr",
     "raked_mix_weights",
     "token_diversity_profile",
+    "cusum_daily_conversion",
     # --- newest driver row r4 (all 14 remaining) ---
     "semantic_dedup_survivors",
     "domain_capped_sample",

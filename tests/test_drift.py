@@ -137,3 +137,52 @@ def test_jsd_partitioning_invariance(spark):
     a = jsd_matrix(_tok_df(spark, rows).repartition(1), "d", "t").collect()
     b = jsd_matrix(_tok_df(spark, rows).repartition(32), "d", "t").collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_cusum_identity_against_literal_recursion(spark):
+    from fireball_data_processing_spark.operators.drift import cusum_alarm
+
+    xs = [0.10, 0.12, 0.09, 0.20, 0.22, 0.21, 0.08, 0.25]
+    df = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(xs)], "t bigint, v double"
+    )
+    out = cusum_alarm(
+        df, "t", "v", target=0.10, allowance=0.02, threshold=0.15
+    ).collect()
+    # literal clamped recursion
+    s, want = 0.0, []
+    for x in xs:
+        s = max(0.0, s + (x - 0.12))
+        want.append(round(s, 6))
+    got = [r["cusum"] for r in out]
+    assert all(abs(g - w) < 1e-6 for g, w in zip(got, want)), (got, want)
+    assert [r["alarm"] for r in out] == [w > 0.15 for w in want]
+
+
+def test_cusum_in_control_series_never_alarms(spark):
+    from fireball_data_processing_spark.operators.drift import cusum_alarm
+
+    xs = [0.10 + 0.001 * ((i * 7) % 5 - 2) for i in range(50)]
+    df = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(xs)], "t bigint, v double"
+    )
+    out = cusum_alarm(
+        df, "t", "v", target=0.10, allowance=0.01, threshold=0.05
+    ).collect()
+    assert not any(r["alarm"] for r in out)
+    assert all(r["cusum"] >= 0.0 for r in out)
+
+
+def test_cusum_detects_persistent_small_shift(spark):
+    from fireball_data_processing_spark.operators.drift import cusum_alarm
+
+    # +0.02 persistent shift after t=25, each point individually tiny
+    xs = [0.10] * 25 + [0.12] * 25
+    df = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(xs)], "t bigint, v double"
+    )
+    out = cusum_alarm(
+        df, "t", "v", target=0.10, allowance=0.005, threshold=0.1
+    ).collect()
+    alarms = [r["time"] for r in out if r["alarm"]]
+    assert alarms and min(alarms) > 25  # fires after the shift, not before
