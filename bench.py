@@ -151,6 +151,8 @@ EXTRA = (
     "raked_mix_weights",
     "token_diversity_profile",
     "cusum_daily_conversion",
+    "ewma_daily_conversion",
+    "theil_sen_daily_trend",
 )
 
 

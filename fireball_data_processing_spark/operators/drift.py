@@ -21,7 +21,14 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["bucket_shares", "cusum_alarm", "distribution_drift", "jsd_matrix"]
+__all__ = [
+    "bucket_shares",
+    "cusum_alarm",
+    "distribution_drift",
+    "ewma_chart",
+    "jsd_matrix",
+    "theil_sen",
+]
 
 
 def bucket_shares(df: DataFrame, bucket: Column) -> DataFrame:
@@ -238,3 +245,148 @@ def cusum_alarm(
         F.round(s, out_dp).alias("cusum"),
         (s > F.lit(float(threshold))).alias("alarm"),
     ).orderBy("time")
+
+
+def ewma_chart(
+    series: DataFrame,
+    time_col: str,
+    value_col: str,
+    mu0: float,
+    sigma0: float,
+    lam: float = 0.2,
+    width: float = 3.0,
+    round_dp: int = 8,
+    out_dp: int = 6,
+) -> DataFrame:
+    """EWMA control chart (Roberts 1959) over a time-grain series — the
+    small-shift monitor tuned the opposite way from CUSUM (geometric
+    memory instead of a hard reset): ``e_t = lam*x_t + (1-lam)*e_{t-1}``
+    from ``e_0 = mu0``, alarm when ``|e_t - mu0|`` exceeds the exact
+    time-varying band ``width * sigma0 * sqrt(lam/(2-lam) *
+    (1-(1-lam)^(2t)))``.
+
+    The recursion has a closed window form: ``e_t = (1-lam)^t * (mu0 +
+    lam * cumsum(x_i * (1-lam)^(-i)))`` — one rank + one cumulative sum
+    over the time-grain frame. The ``(1-lam)^(-i)`` rescaling grows
+    geometrically, so this form is for BOUNDED windows (30 days at
+    lam = 0.2 -> factor ~800; ~700 steps before double overflow) — at
+    longer horizons chunk the series and carry ``e`` across chunks.
+    Returns ``(time, x, ewma, band, alarm)`` ordered by time.
+    """
+    from pyspark.sql.window import Window
+
+    one_m = 1.0 - float(lam)
+    w_rank = Window.orderBy(time_col)
+    w_cum = Window.orderBy("time").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    t = F.row_number().over(w_rank).cast("double")
+    scaled = F.round(
+        F.col(value_col).cast("double") * F.pow(F.lit(one_m), -t), round_dp
+    )
+    staged = series.select(
+        F.col(time_col).alias("time"),
+        F.round(F.col(value_col).cast("double"), out_dp).alias("x"),
+        t.alias("__t"),
+        scaled.alias("__a"),
+    )
+    cum = F.round(F.sum("__a").over(w_cum), round_dp)
+    e = F.round(
+        F.pow(F.lit(one_m), F.col("__t"))
+        * (F.lit(float(mu0)) + F.lit(float(lam)) * cum),
+        round_dp,
+    )
+    band = F.round(
+        F.lit(float(width) * float(sigma0))
+        * F.sqrt(
+            F.lit(float(lam) / (2.0 - float(lam)))
+            * (
+                F.lit(1.0)
+                - F.pow(F.lit(one_m), F.lit(2.0) * F.col("__t"))
+            )
+        ),
+        round_dp,
+    )
+    return staged.select(
+        "time",
+        "x",
+        F.round(e, out_dp).alias("ewma"),
+        F.round(band, out_dp).alias("band"),
+        (F.abs(e - F.lit(float(mu0))) > band).alias("alarm"),
+    ).orderBy("time")
+
+
+def theil_sen(
+    series: DataFrame,
+    time_col: str,
+    value_col: str,
+    group_col: str | None = None,
+    round_dp: int = 8,
+    out_dp: int = 6,
+) -> DataFrame:
+    """Theil-Sen robust trend over a TIME-GRAIN series: the median of
+    all pairwise slopes (breakdown point ~29%, vs 0% for OLS — one
+    crazy day can't flip the sign), intercept = median of
+    ``y - slope * t``. Returns one row (per group):
+    ``(group?, n_points, n_pairs, slope, intercept)``.
+
+    The pairwise self-join is quadratic IN THE TIME GRAIN — the series
+    is already aggregated (days, hours), so |pairs| = O(window^2), not
+    O(data^2); the join is group-keyed (or a broadcast for a single
+    short series). Medians are exact interpolated percentiles over the
+    pair/point frames."""
+    gcols = [group_col] if group_col else []
+    a = series.select(
+        *gcols,
+        F.col(time_col).cast("double").alias("__t1"),
+        F.col(value_col).cast("double").alias("__v1"),
+    )
+    b = series.select(
+        *gcols,
+        F.col(time_col).cast("double").alias("__t2"),
+        F.col(value_col).cast("double").alias("__v2"),
+    )
+    pairs = (
+        a.join(b, gcols) if gcols else a.crossJoin(F.broadcast(b))
+    ).filter(F.col("__t1") < F.col("__t2"))
+    slope_rows = pairs.select(
+        *gcols,
+        F.round(
+            (F.col("__v2") - F.col("__v1"))
+            / (F.col("__t2") - F.col("__t1")),
+            round_dp,
+        ).alias("__slope"),
+    )
+    grp = slope_rows.groupBy(*gcols) if gcols else slope_rows.groupBy()
+    med_slope = grp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(F.percentile(F.col("__slope"), F.lit(0.5)), round_dp).alias(
+            "slope"
+        ),
+    )
+    joined = (
+        a.join(F.broadcast(med_slope), gcols)
+        if gcols
+        else a.crossJoin(F.broadcast(med_slope))
+    )
+    resid = joined.select(
+        *gcols,
+        "n_pairs",
+        "slope",
+        F.round(
+            F.col("__v1") - F.col("slope") * F.col("__t1"), round_dp
+        ).alias("__r"),
+    )
+    grp2 = resid.groupBy(*gcols, "n_pairs", "slope")
+    out = grp2.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.round(F.percentile(F.col("__r"), F.lit(0.5)), out_dp).alias(
+            "intercept"
+        ),
+    )
+    cols = (
+        [*gcols, "n_points", "n_pairs",
+         F.round(F.col("slope"), out_dp).alias("slope"), "intercept"]
+    )
+    result = out.select(*cols)
+    return result.orderBy(group_col) if group_col else result

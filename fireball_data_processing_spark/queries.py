@@ -10957,6 +10957,137 @@ def q_cusum_daily_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ewma_daily_conversion",
+    """
+WITH daily AS (
+  SELECT CAST(FLOOR(epoch_ns(ts) / 86400000000000.0) AS BIGINT) AS day,
+    ROUND(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::DOUBLE
+          / COUNT(*), 8) AS share
+  FROM events GROUP BY 1
+),
+tgt AS (
+  SELECT ROUND(AVG(share), 8) AS mu,
+    ROUND(COALESCE(stddev_pop(share), 0), 8) AS sig
+  FROM daily
+),
+r AS (
+  SELECT day, share,
+    CAST(ROW_NUMBER() OVER (ORDER BY day) AS DOUBLE) AS t
+  FROM daily
+),
+a AS (
+  SELECT day, share, t, ROUND(share * POWER(0.8, -t), 8) AS sa FROM r
+),
+c AS (
+  SELECT day, share, t,
+    ROUND(SUM(sa) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING), 8) AS cum
+  FROM a
+)
+SELECT day AS time, ROUND(share, 6) AS x,
+  ROUND(ROUND(POWER(0.8, t) * (tgt.mu + 0.2 * cum), 8), 6) AS ewma,
+  ROUND(ROUND(3 * tgt.sig * SQRT(0.2 / 1.8 * (1 - POWER(0.8, 2 * t))), 8),
+        6) AS band,
+  ABS(ROUND(POWER(0.8, t) * (tgt.mu + 0.2 * cum), 8) - tgt.mu)
+    > ROUND(3 * tgt.sig * SQRT(0.2 / 1.8 * (1 - POWER(0.8, 2 * t))), 8)
+    AS alarm
+FROM c, tgt ORDER BY day
+""",
+)
+def q_ewma_daily_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart over the daily purchase share
+    (operators/drift.py ewma_chart, Roberts 1959): geometric-memory
+    small-shift monitoring with the exact time-varying 3-sigma band —
+    CUSUM's complement (cusum_daily_conversion hard-resets; EWMA
+    forgets geometrically). The recursion runs as ONE rank + ONE
+    cumulative sum via the (1-lam)^(-t) rescaling (bounded-window form,
+    documented); baseline mu/sigma are two rounded scalars (bounded
+    collect)."""
+    from fireball_data_processing_spark.operators.drift import ewma_chart
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.floor(F.col("ts") / F.lit(86400.0 * 1e9)).cast("bigint").alias("day")
+    ).agg(
+        F.round(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1)),
+            8,
+        ).alias("share")
+    )
+    base = daily.agg(
+        F.round(F.avg("share"), 8).alias("mu"),
+        F.round(F.coalesce(F.stddev_pop("share"), F.lit(0.0)), 8).alias(
+            "sig"
+        ),
+    ).first()
+    return ewma_chart(
+        daily,
+        time_col="day",
+        value_col="share",
+        mu0=base["mu"],
+        sigma0=base["sig"],
+        lam=0.2,
+        width=3.0,
+    )
+
+
+@query(
+    "theil_sen_daily_trend",
+    """
+WITH daily AS (
+  SELECT event_type,
+    CAST(FLOOR(epoch_ns(ts) / 86400000000000.0) AS BIGINT)::DOUBLE AS t,
+    COUNT(*)::DOUBLE AS v
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.event_type, ROUND((b.v - a.v) / (b.t - a.t), 8) AS s
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.t < b.t
+),
+ms AS (
+  SELECT event_type, COUNT(*)::BIGINT AS n_pairs,
+    ROUND(quantile_cont(s, 0.5), 8) AS slope
+  FROM pairs GROUP BY 1
+),
+res AS (
+  SELECT d.event_type, ms.n_pairs, ms.slope,
+    ROUND(d.v - ms.slope * d.t, 8) AS r
+  FROM daily d JOIN ms USING (event_type)
+)
+SELECT event_type, COUNT(*)::BIGINT AS n_points, n_pairs,
+  ROUND(slope, 6) AS slope,
+  ROUND(quantile_cont(r, 0.5), 6) AS intercept
+FROM res GROUP BY event_type, n_pairs, slope
+ORDER BY event_type
+""",
+)
+def q_theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily event volume per type
+    (operators/drift.py theil_sen): median of all pairwise day-to-day
+    slopes (29% breakdown point — one crazy day can't flip the sign the
+    way it flips OLS), intercept = median residual. The pairwise join
+    is quadratic in the TIME GRAIN only (30 days -> 435 pairs per
+    type), group-keyed; medians are exact percentiles over the
+    pair/point frames."""
+    from fireball_data_processing_spark.operators.drift import theil_sen
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(F.col("ts") / F.lit(86400.0 * 1e9))
+        .cast("bigint")
+        .cast("double")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("v"))
+    return theil_sen(
+        daily, time_col="day", value_col="v", group_col="event_type"
+    )
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
@@ -10974,7 +11105,7 @@ def get(name: str) -> QuerySpec:
 _PRIORITY = [
     # Round-8 head (the driver samples roughly the first 50 entries).
     # Layout, continuing the cumulative-attestation rotation: the
-    # FORTY queries NEW this round lead (no driver row at all yet),
+    # FORTY-TWO queries NEW this round lead (no driver row at all yet),
     # then ALL 14 queries whose newest driver row dates to r4 (the seven
     # deferred from the r7 head plus seven more — after this head,
     # nothing in the catalog is older than r5), then the
@@ -11023,6 +11154,8 @@ _PRIORITY = [
     "raked_mix_weights",
     "token_diversity_profile",
     "cusum_daily_conversion",
+    "ewma_daily_conversion",
+    "theil_sen_daily_trend",
     # --- newest driver row r4 (all 14 remaining) ---
     "semantic_dedup_survivors",
     "domain_capped_sample",

@@ -186,3 +186,70 @@ def test_cusum_detects_persistent_small_shift(spark):
     ).collect()
     alarms = [r["time"] for r in out if r["alarm"]]
     assert alarms and min(alarms) > 25  # fires after the shift, not before
+
+
+def test_ewma_identity_against_literal_recursion(spark):
+    from fireball_data_processing_spark.operators.drift import ewma_chart
+
+    xs = [0.1, 0.15, 0.08, 0.2, 0.12, 0.3, 0.1]
+    df = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(xs)], "t bigint, v double"
+    )
+    out = ewma_chart(
+        df, "t", "v", mu0=0.1, sigma0=0.05, lam=0.2, width=3.0
+    ).collect()
+    e, want = 0.1, []
+    for x in xs:
+        e = 0.2 * x + 0.8 * e
+        want.append(e)
+    got = [r["ewma"] for r in out]
+    assert all(abs(g - w) < 1e-5 for g, w in zip(got, want)), (got, want)
+    # band grows monotonically toward the asymptote
+    bands = [r["band"] for r in out]
+    assert bands == sorted(bands)
+
+
+def test_ewma_flat_series_never_alarms(spark):
+    from fireball_data_processing_spark.operators.drift import ewma_chart
+
+    df = spark.createDataFrame(
+        [(i, 0.1) for i in range(30)], "t bigint, v double"
+    )
+    out = ewma_chart(df, "t", "v", mu0=0.1, sigma0=0.02).collect()
+    assert not any(r["alarm"] for r in out)
+    assert all(abs(r["ewma"] - 0.1) < 1e-6 for r in out)
+
+
+def test_theil_sen_exact_line_recovered(spark):
+    from fireball_data_processing_spark.operators.drift import theil_sen
+
+    rows = [(float(t), 2.5 * t + 1.0) for t in range(10)]
+    df = spark.createDataFrame(rows, "t double, v double")
+    r = theil_sen(df, "t", "v").first()
+    assert r["slope"] == 2.5
+    assert r["intercept"] == 1.0
+    assert r["n_pairs"] == 45
+
+
+def test_theil_sen_robust_to_single_outlier(spark):
+    from fireball_data_processing_spark.operators.drift import theil_sen
+
+    rows = [(float(t), 2.0 * t) for t in range(20)]
+    rows[10] = (10.0, 1000.0)  # one crazy day
+    df = spark.createDataFrame(rows, "t double, v double")
+    r = theil_sen(df, "t", "v").first()
+    assert abs(r["slope"] - 2.0) < 0.05  # OLS would be wrecked
+
+
+def test_theil_sen_grouped_independent(spark):
+    from fireball_data_processing_spark.operators.drift import theil_sen
+
+    rows = [("up", float(t), 3.0 * t) for t in range(8)] + [
+        ("down", float(t), -1.0 * t + 5) for t in range(8)
+    ]
+    df = spark.createDataFrame(rows, "g string, t double, v double")
+    got = {
+        r["g"]: r["slope"]
+        for r in theil_sen(df, "t", "v", group_col="g").collect()
+    }
+    assert got == {"up": 3.0, "down": -1.0}
