@@ -153,6 +153,8 @@ EXTRA = (
     "cusum_daily_conversion",
     "ewma_daily_conversion",
     "theil_sen_daily_trend",
+    "isotonic_quality_calibration",
+    "benford_value_audit",
 )
 
 

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "logistic_fit_2param",
     "conformal_threshold",
+    "isotonic_bucket_fit",
     "reliability_diagram",
 ]
 
@@ -281,3 +282,107 @@ def reliability_diagram(
             out_dp,
         ).alias("ece"),
     ).orderBy("bin")
+
+
+def isotonic_bucket_fit(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    key_col: str,
+    n_buckets: int = 20,
+    round_dp: int = 8,
+    out_dp: int = 6,
+) -> DataFrame:
+    """Isotonic (monotone) calibration at bucket grain — the
+    non-parametric partner of the logistic fit: no sigmoid shape
+    assumption, just "higher score must mean higher rate", which is
+    exactly what a ranking-derived quality score promises. Scores are
+    cut into ``n_buckets`` equal-mass buckets (ntile over ``(x, key)``
+    — the unique key pins bucket membership across engines), and the
+    pool-adjacent-violators SOLUTION is computed in closed minimax form
+
+        iso_t = max_{i <= t} min_{j >= t} mean(y, buckets i..j)
+
+    (Ayer et al. 1955) — no iterative pooling: interval means come from
+    prefix sums over the bucket frame, and the max-min runs over the
+    (i, t, j) triple frame, which is O(n_buckets^3) rows of PURE
+    AGGREGATE data (8000 at 20 buckets), never the corpus.
+
+    Returns ``(bucket, n, avg_x, raw_rate, iso_rate)`` ordered by
+    bucket; ``iso_rate`` is non-decreasing by construction. One ntile
+    sort + one bucket aggregate over the data; everything after is
+    bucket-grain arithmetic."""
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("__x"), F.col("__k"))
+    bucketed = df.select(
+        F.col(x_col).cast("double").alias("__x"),
+        F.col(y_col).cast("double").alias("__y"),
+        F.col(key_col).alias("__k"),
+    ).select(
+        F.ntile(n_buckets).over(w).cast("bigint").alias("bucket"),
+        "__x",
+        "__y",
+    )
+    per = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.round(F.avg("__x"), out_dp).alias("avg_x"),
+        F.round(F.sum("__y"), round_dp).alias("__sy"),
+    )
+    wc = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pref = per.select(
+        "bucket",
+        "__n",
+        "avg_x",
+        "__sy",
+        F.sum("__n").over(wc).alias("__cn"),
+        F.sum("__sy").over(wc).alias("__cs"),
+    ).localCheckpoint()
+    lo = pref.select(
+        F.col("bucket").alias("i"),
+        (F.col("__cn") - F.col("__n")).alias("__cn0"),
+        (F.col("__cs") - F.col("__sy")).alias("__cs0"),
+    )
+    hi = pref.select(
+        F.col("bucket").alias("j"),
+        F.col("__cn").alias("__cnj"),
+        F.col("__cs").alias("__csj"),
+    )
+    intervals = (
+        F.broadcast(lo)
+        .crossJoin(F.broadcast(hi))
+        .filter(F.col("i") <= F.col("j"))
+        .select(
+            "i",
+            "j",
+            F.round(
+                (F.col("__csj") - F.col("__cs0"))
+                / (F.col("__cnj") - F.col("__cn0")),
+                round_dp,
+            ).alias("m"),
+        )
+    )
+    ts = pref.select(F.col("bucket").alias("t"))
+    triple = (
+        intervals.crossJoin(F.broadcast(ts))
+        .filter((F.col("i") <= F.col("t")) & (F.col("t") <= F.col("j")))
+    )
+    inner = triple.groupBy("t", "i").agg(
+        F.round(F.min("m"), round_dp).alias("mm")
+    )
+    iso = inner.groupBy("t").agg(
+        F.round(F.max("mm"), round_dp).alias("__iso")
+    )
+    return (
+        per.join(iso, per["bucket"] == iso["t"])
+        .select(
+            "bucket",
+            F.col("__n").cast("bigint").alias("n"),
+            "avg_x",
+            F.round(F.col("__sy") / F.col("__n"), out_dp).alias("raw_rate"),
+            F.round(F.col("__iso"), out_dp).alias("iso_rate"),
+        )
+        .orderBy("bucket")
+    )

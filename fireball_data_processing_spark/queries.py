@@ -11088,6 +11088,138 @@ def q_theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "isotonic_quality_calibration",
+    _TTR_DOCS_CTE
+    + """,
+b AS (
+  SELECT CAST(NTILE(20) OVER (ORDER BY x, doc_id) AS BIGINT) AS bucket,
+    x, y
+  FROM d
+),
+per AS (
+  SELECT bucket, COUNT(*)::DOUBLE AS n, ROUND(AVG(x), 6) AS avg_x,
+    ROUND(SUM(y), 8) AS sy
+  FROM b GROUP BY 1
+),
+pref AS (
+  SELECT bucket, n, avg_x, sy,
+    SUM(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cn,
+    SUM(sy) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cs
+  FROM per
+),
+iv AS (
+  SELECT l.bucket AS i, h.bucket AS j,
+    ROUND((h.cs - (l.cs - l.sy)) / (h.cn - (l.cn - l.n)), 8) AS m
+  FROM pref l JOIN pref h ON l.bucket <= h.bucket
+),
+tri AS (
+  SELECT t.bucket AS t, iv.i, iv.m
+  FROM iv JOIN pref t ON iv.i <= t.bucket AND t.bucket <= iv.j
+),
+inn AS (SELECT t, i, ROUND(MIN(m), 8) AS mm FROM tri GROUP BY 1, 2),
+iso AS (SELECT t, ROUND(MAX(mm), 8) AS iso FROM inn GROUP BY 1)
+SELECT p.bucket, CAST(p.n AS BIGINT) AS n, p.avg_x,
+  ROUND(p.sy / p.n, 6) AS raw_rate, ROUND(iso.iso, 6) AS iso_rate
+FROM per p JOIN iso ON iso.t = p.bucket
+ORDER BY p.bucket
+""",
+)
+def q_isotonic_quality_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Isotonic calibration of the TTR quality score against the
+    is-English label (operators/calibration.py isotonic_bucket_fit,
+    Ayer et al. 1955): the non-parametric partner of
+    logistic_quality_calibration — no sigmoid assumption, just
+    monotonicity, computed in the closed minimax form
+    max_{i<=t} min_{j>=t} mean(i..j) over 20 equal-mass score buckets.
+    No iterative pooling: interval means come from prefix sums of the
+    bucket frame, the max-min from the O(buckets^3) triple frame of
+    pure aggregate rows. iso_rate is non-decreasing by construction
+    where raw_rate can zig-zag."""
+    from fireball_data_processing_spark.operators.calibration import (
+        isotonic_bucket_fit,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return isotonic_bucket_fit(
+        _ttr_xy(d), "x", "y", key_col="doc_id", n_buckets=20
+    )
+
+
+@query(
+    "benford_value_audit",
+    """
+WITH pos AS (SELECT value::DOUBLE AS v FROM events WHERE value > 0),
+digits AS (
+  SELECT CAST(FLOOR(v / POWER(10, FLOOR(LOG10(v)))) AS BIGINT) AS digit
+  FROM pos
+),
+obs AS (SELECT digit, COUNT(*)::DOUBLE AS o FROM digits GROUP BY 1),
+full_ AS (
+  SELECT d.digit,
+    COALESCE(obs.o, 0.0) AS o,
+    ROUND(LOG10(1.0 + 1.0 / d.digit), 8) AS benford_share
+  FROM (SELECT UNNEST(generate_series(1, 9)) AS digit) d
+  LEFT JOIN obs USING (digit)
+),
+tot AS (SELECT SUM(o) AS n FROM full_)
+SELECT f.digit, CAST(f.o AS BIGINT) AS n,
+  ROUND(f.o / tot.n, 6) AS observed_share,
+  ROUND(f.benford_share, 6) AS benford_share,
+  ROUND(SUM((f.o - tot.n * f.benford_share)
+            * (f.o - tot.n * f.benford_share)
+            / (tot.n * f.benford_share)) OVER (), 6) AS chi2
+FROM full_ f, tot
+ORDER BY f.digit
+""",
+)
+def q_benford_value_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit of the event value column:
+    observed vs log10(1 + 1/d) digit shares plus the chi-squared
+    goodness-of-fit statistic — the classic "is this numeric column
+    organic or fabricated/truncated?" data-quality screen (synthetic
+    uniform-ish values should FAIL it loudly, which is itself the
+    audit's calibration check). One digit aggregate over the scan; the
+    9-digit frame comes off a broadcast literal so absent digits still
+    contribute their expected mass; windows run over 9 rows."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("double")
+    digits = ev.filter(v > 0).select(
+        F.floor(v / F.pow(F.lit(10.0), F.floor(F.log10(v))))
+        .cast("bigint")
+        .alias("digit")
+    )
+    obs = digits.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("double").alias("o")
+    )
+    full = (
+        spark.range(1, 10)
+        .select(F.col("id").cast("bigint").alias("digit"))
+        .join(F.broadcast(obs), "digit", "left")
+        .select(
+            "digit",
+            F.coalesce(F.col("o"), F.lit(0.0)).alias("o"),
+            F.round(
+                F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit")), 8
+            ).alias("benford_share"),
+        )
+    )
+    w = Window.partitionBy()
+    n = F.sum("o").over(w)
+    e = n * F.col("benford_share")
+    return full.select(
+        "digit",
+        F.col("o").cast("bigint").alias("n"),
+        F.round(F.col("o") / n, 6).alias("observed_share"),
+        F.round(F.col("benford_share"), 6).alias("benford_share"),
+        F.round(
+            F.sum((F.col("o") - e) * (F.col("o") - e) / e).over(w), 6
+        ).alias("chi2"),
+    ).orderBy("digit")
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
@@ -11105,7 +11237,7 @@ def get(name: str) -> QuerySpec:
 _PRIORITY = [
     # Round-8 head (the driver samples roughly the first 50 entries).
     # Layout, continuing the cumulative-attestation rotation: the
-    # FORTY-TWO queries NEW this round lead (no driver row at all yet),
+    # FORTY-FOUR queries NEW this round lead (no driver row at all yet),
     # then ALL 14 queries whose newest driver row dates to r4 (the seven
     # deferred from the r7 head plus seven more — after this head,
     # nothing in the catalog is older than r5), then the
@@ -11156,6 +11288,8 @@ _PRIORITY = [
     "cusum_daily_conversion",
     "ewma_daily_conversion",
     "theil_sen_daily_trend",
+    "isotonic_quality_calibration",
+    "benford_value_audit",
     # --- newest driver row r4 (all 14 remaining) ---
     "semantic_dedup_survivors",
     "domain_capped_sample",

@@ -84,3 +84,62 @@ def test_reliability_equal_width_mode_no_key(spark):
     assert r["bin"] == 5 and r["n"] == 100
     assert r["avg_conf"] == 0.5 and r["avg_acc"] == 0.5
     assert r["gap"] == 0.0 and r["ece"] == 0.0
+
+
+def test_isotonic_monotone_and_mean_preserving(spark):
+    from fireball_data_processing_spark.operators.calibration import (
+        isotonic_bucket_fit,
+    )
+
+    # noisy but increasing relationship
+    rows = [
+        (i, i / 100.0, 1.0 if (i * 13) % 100 < i else 0.0)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, x double, y double")
+    out = isotonic_bucket_fit(df, "x", "y", "doc_id", n_buckets=10).collect()
+    iso = [r["iso_rate"] for r in out]
+    assert iso == sorted(iso)  # non-decreasing by construction
+    # weighted mean preservation (PAV property): sum n*iso == sum n*raw
+    wi = sum(r["n"] * r["iso_rate"] for r in out)
+    wr = sum(r["n"] * r["raw_rate"] for r in out)
+    assert abs(wi - wr) < 1e-2
+
+
+def test_isotonic_already_monotone_is_identity(spark):
+    from fireball_data_processing_spark.operators.calibration import (
+        isotonic_bucket_fit,
+    )
+
+    # strictly increasing bucket rates: PAV must not pool anything
+    rows = []
+    k = 0
+    for b in range(5):
+        for j in range(20):
+            rows.append((k, float(b), 1.0 if j < 4 * b else 0.0))
+            k += 1
+    df = spark.createDataFrame(rows, "doc_id bigint, x double, y double")
+    out = isotonic_bucket_fit(df, "x", "y", "doc_id", n_buckets=5).collect()
+    for r in out:
+        assert abs(r["iso_rate"] - r["raw_rate"]) < 1e-6
+
+
+def test_isotonic_pools_a_violation(spark):
+    from fireball_data_processing_spark.operators.calibration import (
+        isotonic_bucket_fit,
+    )
+
+    # bucket rates 0.2, 0.8, 0.4 (violation): PAV pools the last two to
+    # their weighted mean 0.6
+    rows = []
+    k = 0
+    for b, rate in enumerate([0.2, 0.8, 0.4]):
+        for j in range(10):
+            rows.append((k, float(b), 1.0 if j < rate * 10 else 0.0))
+            k += 1
+    df = spark.createDataFrame(rows, "doc_id bigint, x double, y double")
+    out = isotonic_bucket_fit(df, "x", "y", "doc_id", n_buckets=3).collect()
+    got = [r["iso_rate"] for r in out]
+    assert abs(got[0] - 0.2) < 1e-6
+    assert abs(got[1] - 0.6) < 1e-6
+    assert abs(got[2] - 0.6) < 1e-6
