@@ -155,6 +155,7 @@ EXTRA = (
     "theil_sen_daily_trend",
     "isotonic_quality_calibration",
     "benford_value_audit",
+    "logrank_conversion_test",
 )
 
 

@@ -20,7 +20,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["km_curve"]
+__all__ = ["km_curve", "logrank_test"]
 
 
 def km_curve(
@@ -90,3 +90,110 @@ def km_curve(
         "n_censored",
         F.round(F.exp(F.sum(log_term).over(cum)), out_dp).alias("survival"),
     ).orderBy("duration")
+
+
+def logrank_test(
+    durations: DataFrame,
+    group_col: str,
+    duration_col: str = "duration",
+    event_col: str = "event",
+    round_dp: int = 8,
+    out_dp: int = 6,
+) -> DataFrame:
+    """Two-sample log-rank test (Mantel 1966) — "do these two cohorts
+    convert at the same hazard?", the hypothesis test the two KM curves
+    alone can't settle. ``group_col`` must take exactly two values; the
+    statistic is computed for the lexicographically FIRST group:
+
+        z = sum_t (O1_t - E1_t) / sqrt(sum_t V_t)
+
+    with, at each duration bucket t having d_t events out of n_t at
+    risk: ``E1 = n1 * d / n`` and hypergeometric variance
+    ``V = d * (n1/n) * (1 - n1/n) * (n - d) / (n - 1)`` (0 when
+    n <= 1). Returns ONE row
+    ``(group_a, group_b, n_a, n_b, o_minus_e, var, z)``.
+
+    Same scale shape as km_curve: one per-(group, duration) aggregate,
+    suffix-sum windows for the per-group risk sets, then arithmetic on
+    the duration-grain frame. Per-bucket terms are rounded so a SQL
+    oracle replays the statistic exactly."""
+    from pyspark.sql.window import Window
+
+    per = (
+        durations.select(
+            F.col(group_col).alias("g"),
+            F.col(duration_col).cast("bigint").alias("t"),
+            F.when(F.col(event_col).cast("boolean"), 1)
+            .otherwise(0)
+            .alias("__e"),
+        )
+        .groupBy("g", "t")
+        .agg(
+            F.sum("__e").cast("double").alias("d"),
+            F.count(F.lit(1)).cast("double").alias("c"),
+        )
+    )
+    groups = sorted(r["g"] for r in per.select("g").distinct().collect())
+    ga, gb = groups[0], groups[1]
+    suffix = Window.partitionBy("g").orderBy("t").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    risked = per.select(
+        "g", "t", "d", F.sum("c").over(suffix).alias("n_risk")
+    )
+    a = risked.filter(F.col("g") == ga).select(
+        F.col("t"), F.col("d").alias("d1"), F.col("n_risk").alias("n1")
+    )
+    b = risked.filter(F.col("g") == gb).select(
+        F.col("t"), F.col("d").alias("d2"), F.col("n_risk").alias("n2")
+    )
+    # per-duration table over the union of observed buckets: a group
+    # with no row at t is still AT RISK with its next bucket's suffix
+    # count — carry it via a running backfill (last_value of the suffix
+    # sums ordered descending). Simpler exact form: full outer join and
+    # coalesce the missing side's n from the other rows' frame — here
+    # the duration grid is the union and missing n must be the group's
+    # risk just after t, i.e. the suffix count at the NEXT observed
+    # bucket of that group.
+    grid = a.join(b, "t", "full_outer")
+    wdesc = Window.orderBy(F.desc("t")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    filled = grid.select(
+        "t",
+        F.coalesce(F.col("d1"), F.lit(0.0)).alias("d1"),
+        F.coalesce(F.col("d2"), F.lit(0.0)).alias("d2"),
+        F.coalesce(
+            F.col("n1"), F.max(F.col("n1")).over(wdesc), F.lit(0.0)
+        ).alias("n1"),
+        F.coalesce(
+            F.col("n2"), F.max(F.col("n2")).over(wdesc), F.lit(0.0)
+        ).alias("n2"),
+    )
+    d = F.col("d1") + F.col("d2")
+    n = F.col("n1") + F.col("n2")
+    e1 = F.col("n1") * d / n
+    v = F.when(
+        n > 1.0,
+        d * (F.col("n1") / n) * (1.0 - F.col("n1") / n) * (n - d) / (n - 1.0),
+    ).otherwise(F.lit(0.0))
+    terms = filled.select(
+        F.round(F.col("d1") - e1, round_dp).alias("__ome"),
+        F.round(v, round_dp).alias("__v"),
+        F.col("d1").alias("__d1"),
+    )
+    na = durations.filter(F.col(group_col) == ga).count()
+    nb = durations.filter(F.col(group_col) == gb).count()
+    agg = terms.agg(
+        F.round(F.sum("__ome"), round_dp).alias("ome"),
+        F.round(F.sum("__v"), round_dp).alias("var"),
+    )
+    return agg.select(
+        F.lit(ga).alias("group_a"),
+        F.lit(gb).alias("group_b"),
+        F.lit(int(na)).cast("bigint").alias("n_a"),
+        F.lit(int(nb)).cast("bigint").alias("n_b"),
+        F.round(F.col("ome"), out_dp).alias("o_minus_e"),
+        F.round(F.col("var"), out_dp).alias("var"),
+        F.round(F.col("ome") / F.sqrt(F.col("var")), out_dp).alias("z"),
+    )

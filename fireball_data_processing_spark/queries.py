@@ -11220,6 +11220,115 @@ def q_benford_value_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("digit")
 
 
+@query(
+    "logrank_conversion_test",
+    """
+WITH s AS (
+  SELECT user_id, MIN(epoch_ns(ts)) AS s_ts
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+),
+tmax AS (SELECT MAX(epoch_ns(ts)) AS t FROM events),
+p AS (
+  SELECT e.user_id, MIN(epoch_ns(e.ts)) AS p_ts
+  FROM events e JOIN s USING (user_id)
+  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) >= s.s_ts
+  GROUP BY 1
+),
+subj AS (
+  SELECT CAST(s.user_id % 2 AS VARCHAR) AS g,
+    CAST(FLOOR((COALESCE(p.p_ts, tmax.t) - s.s_ts)
+               / 86400000000000.0) AS BIGINT) AS t,
+    p.p_ts IS NOT NULL AS event
+  FROM s LEFT JOIN p USING (user_id), tmax
+),
+per AS (
+  SELECT g, t, SUM(CASE WHEN event THEN 1 ELSE 0 END)::DOUBLE AS d,
+    COUNT(*)::DOUBLE AS c
+  FROM subj GROUP BY 1, 2
+),
+risked AS (
+  SELECT g, t, d,
+    SUM(c) OVER (PARTITION BY g ORDER BY t
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_risk
+  FROM per
+),
+a AS (SELECT t, d AS d1, n_risk AS n1 FROM risked WHERE g = '0'),
+b AS (SELECT t, d AS d2, n_risk AS n2 FROM risked WHERE g = '1'),
+grid AS (SELECT * FROM a FULL OUTER JOIN b USING (t)),
+filled AS (
+  SELECT t, COALESCE(d1, 0) AS d1, COALESCE(d2, 0) AS d2,
+    COALESCE(n1, MAX(n1) OVER (ORDER BY t DESC
+      ROWS UNBOUNDED PRECEDING), 0) AS n1,
+    COALESCE(n2, MAX(n2) OVER (ORDER BY t DESC
+      ROWS UNBOUNDED PRECEDING), 0) AS n2
+  FROM grid
+),
+terms AS (
+  SELECT
+    ROUND(d1 - n1 * (d1 + d2) / (n1 + n2), 8) AS ome,
+    ROUND(CASE WHEN n1 + n2 > 1
+      THEN (d1 + d2) * (n1 / (n1 + n2)) * (1 - n1 / (n1 + n2))
+           * ((n1 + n2) - (d1 + d2)) / ((n1 + n2) - 1)
+      ELSE 0 END, 8) AS v
+  FROM filled
+),
+counts AS (
+  SELECT SUM(CASE WHEN g = '0' THEN 1 ELSE 0 END)::BIGINT AS n_a,
+    SUM(CASE WHEN g = '1' THEN 1 ELSE 0 END)::BIGINT AS n_b
+  FROM subj
+)
+SELECT '0' AS group_a, '1' AS group_b, counts.n_a, counts.n_b,
+  ROUND(ROUND(SUM(ome), 8), 6) AS o_minus_e,
+  ROUND(ROUND(SUM(v), 8), 6) AS var,
+  ROUND(ROUND(SUM(ome), 8) / SQRT(ROUND(SUM(v), 8)), 6) AS z
+FROM terms, counts
+GROUP BY counts.n_a, counts.n_b
+""",
+)
+def q_logrank_conversion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample log-rank test (operators/survival.py logrank_test,
+    Mantel 1966) between the user-parity cohorts' signup-to-purchase
+    curves: do the two halves convert at the same HAZARD? — the
+    hypothesis test km_conversion_curve's pictures can't settle, with
+    censoring handled by the same risk-set arithmetic. One
+    per-(group, duration) aggregate; suffix-sum risk sets, a
+    duration-grid full-outer join with the monotone-risk backfill (a
+    group absent at t is still at risk with its next bucket's suffix
+    count — valid because risk sets are non-increasing), then one
+    summary aggregate over the duration-grain terms."""
+    from fireball_data_processing_spark.operators.survival import logrank_test
+
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    tmax = ev.agg(F.max("ts").alias("t"))
+    subj = (
+        s.join(p, "user_id", "left")
+        .crossJoin(F.broadcast(tmax))
+        .select(
+            (F.col("user_id") % 2).cast("string").alias("g"),
+            F.floor(
+                (F.coalesce(F.col("p_ts"), F.col("t")) - F.col("s_ts"))
+                / F.lit(86400.0 * 1e9)
+            )
+            .cast("bigint")
+            .alias("duration"),
+            F.col("p_ts").isNotNull().alias("event"),
+        )
+    )
+    return logrank_test(subj, group_col="g")
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
@@ -11237,7 +11346,7 @@ def get(name: str) -> QuerySpec:
 _PRIORITY = [
     # Round-8 head (the driver samples roughly the first 50 entries).
     # Layout, continuing the cumulative-attestation rotation: the
-    # FORTY-FOUR queries NEW this round lead (no driver row at all yet),
+    # FORTY-FIVE queries NEW this round lead (no driver row at all yet),
     # then ALL 14 queries whose newest driver row dates to r4 (the seven
     # deferred from the r7 head plus seven more — after this head,
     # nothing in the catalog is older than r5), then the
@@ -11290,6 +11399,7 @@ _PRIORITY = [
     "theil_sen_daily_trend",
     "isotonic_quality_calibration",
     "benford_value_audit",
+    "logrank_conversion_test",
     # --- newest driver row r4 (all 14 remaining) ---
     "semantic_dedup_survivors",
     "domain_capped_sample",

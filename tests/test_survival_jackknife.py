@@ -82,3 +82,42 @@ def test_jackknife_partitioning_invariance(spark):
         "x", key=F.col("doc_id"),
     ).first()
     assert a == b
+
+
+def test_logrank_identical_groups_z_zero(spark):
+    from fireball_data_processing_spark.operators.survival import logrank_test
+
+    rows = [(g, t, True) for g in ("a", "b") for t in (1, 2, 3, 4)]
+    df = spark.createDataFrame(rows, "g string, duration bigint, event boolean")
+    r = logrank_test(df, "g").first()
+    assert r["group_a"] == "a" and r["group_b"] == "b"
+    assert r["o_minus_e"] == 0.0
+    assert r["z"] == 0.0
+
+
+def test_logrank_clearly_faster_group_is_negative_for_slow_first_group(spark):
+    from fireball_data_processing_spark.operators.survival import logrank_test
+
+    # group 'a' converts late (t 10..14), 'b' early (t 1..5): a has
+    # FEWER early events than expected -> O1 - E1 < 0 -> z < 0
+    rows = [("a", 10 + i, True) for i in range(5)] + [
+        ("b", 1 + i, True) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "g string, duration bigint, event boolean")
+    r = logrank_test(df, "g").first()
+    assert r["z"] < -1.5
+    assert r["n_a"] == 5 and r["n_b"] == 5
+
+
+def test_logrank_censoring_enters_risk_sets_only(spark):
+    from fireball_data_processing_spark.operators.survival import logrank_test
+
+    # pure-censoring rows contribute no events but keep subjects at
+    # risk; with all events shared equally the statistic stays 0
+    rows = (
+        [("a", 1, True), ("b", 1, True)]
+        + [("a", 5, False), ("b", 5, False)]
+    )
+    df = spark.createDataFrame(rows, "g string, duration bigint, event boolean")
+    r = logrank_test(df, "g").first()
+    assert r["o_minus_e"] == 0.0
