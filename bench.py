@@ -156,6 +156,7 @@ EXTRA = (
     "isotonic_quality_calibration",
     "benford_value_audit",
     "logrank_conversion_test",
+    "quantile_normalized_lengths",
 )
 
 

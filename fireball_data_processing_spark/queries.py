@@ -11329,6 +11329,102 @@ def q_logrank_conversion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return logrank_test(subj, group_col="g")
 
 
+@query(
+    "quantile_normalized_lengths",
+    """
+WITH d AS (SELECT doc_id, source, n_chars::DOUBLE AS v FROM documents),
+wr AS (
+  SELECT doc_id, source, v,
+    PERCENT_RANK() OVER (PARTITION BY source ORDER BY v, doc_id) AS r
+  FROM d
+),
+pool AS (
+  SELECT doc_id, v,
+    PERCENT_RANK() OVER (ORDER BY v, doc_id) AS r
+  FROM d
+),
+u AS (
+  SELECT r, 0 AS tag, doc_id, v AS pv,
+    NULL::VARCHAR AS source, NULL::DOUBLE AS rawv
+  FROM pool
+  UNION ALL
+  SELECT r, 1 AS tag, doc_id, NULL::DOUBLE AS pv, source, v AS rawv
+  FROM wr
+),
+merged AS (
+  SELECT *,
+    LAST_VALUE(pv IGNORE NULLS) OVER (ORDER BY r, tag, doc_id
+      ROWS UNBOUNDED PRECEDING) AS nv
+  FROM u
+)
+SELECT source, COUNT(*)::BIGINT AS n,
+  ROUND(AVG(rawv), 6) AS mean_raw,
+  ROUND(AVG(nv), 6) AS mean_normalized
+FROM merged WHERE tag = 1
+GROUP BY source ORDER BY source
+""",
+)
+def q_quantile_normalized_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization of document length — the
+    batch-effect correction from bioinformatics, here as a corpus-merge
+    tool: each document's WITHIN-SOURCE rank is mapped to the POOLED
+    value at the same quantile, so every source's length distribution
+    becomes the pooled one and per-source summary statistics are
+    comparable (mean_normalized converges across sources where mean_raw
+    diverges). The quantile lookup is the house single-union merge: tag
+    pooled anchor rows and request rows, one ordered window with
+    last-non-null carry (the nearest-run-join idiom, operators/asof.py)
+    — no per-row percentile calls, no join explosion. percent_rank with
+    the doc_id tiebreak is exact integer arithmetic, so no rounding is
+    needed before the merge."""
+    ev = load_table(spark, sf_dir, "documents")
+    d = ev.select("doc_id", "source", F.col("n_chars").cast("double").alias("v"))
+    wr = d.select(
+        "doc_id",
+        "source",
+        F.col("v").alias("rawv"),
+        F.percent_rank()
+        .over(Window.partitionBy("source").orderBy("v", "doc_id"))
+        .alias("r"),
+    )
+    pool = d.select(
+        "doc_id",
+        F.col("v").alias("pv"),
+        F.percent_rank().over(Window.orderBy("v", "doc_id")).alias("r"),
+    )
+    u = pool.select(
+        "r",
+        F.lit(0).alias("tag"),
+        "doc_id",
+        "pv",
+        F.lit(None).cast("string").alias("source"),
+        F.lit(None).cast("double").alias("rawv"),
+    ).unionByName(
+        wr.select(
+            "r",
+            F.lit(1).alias("tag"),
+            "doc_id",
+            F.lit(None).cast("double").alias("pv"),
+            "source",
+            "rawv",
+        )
+    )
+    w = Window.orderBy("r", "tag", "doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    merged = u.withColumn("nv", F.last("pv", ignorenulls=True).over(w))
+    return (
+        merged.filter(F.col("tag") == 1)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.avg("rawv"), 6).alias("mean_raw"),
+            F.round(F.avg("nv"), 6).alias("mean_normalized"),
+        )
+        .orderBy("source")
+    )
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
@@ -11346,7 +11442,7 @@ def get(name: str) -> QuerySpec:
 _PRIORITY = [
     # Round-8 head (the driver samples roughly the first 50 entries).
     # Layout, continuing the cumulative-attestation rotation: the
-    # FORTY-FIVE queries NEW this round lead (no driver row at all yet),
+    # FORTY-SIX queries NEW this round lead (no driver row at all yet),
     # then ALL 14 queries whose newest driver row dates to r4 (the seven
     # deferred from the r7 head plus seven more — after this head,
     # nothing in the catalog is older than r5), then the
@@ -11400,6 +11496,7 @@ _PRIORITY = [
     "isotonic_quality_calibration",
     "benford_value_audit",
     "logrank_conversion_test",
+    "quantile_normalized_lengths",
     # --- newest driver row r4 (all 14 remaining) ---
     "semantic_dedup_survivors",
     "domain_capped_sample",
