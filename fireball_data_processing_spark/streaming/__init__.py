@@ -12,6 +12,10 @@ from fireball_data_processing_spark.streaming.quality_stream import (
     score_against_lm,
     stream_quality_gate,
 )
+from fireball_data_processing_spark.streaming.cusum_stream import (
+    cusum_monitor,
+    stream_rate_deltas,
+)
 from fireball_data_processing_spark.streaming.decay_stream import (
     decayed_weight_to_ref,
     read_decayed,
@@ -32,6 +36,7 @@ from fireball_data_processing_spark.streaming.sources_stream import (
 
 __all__ = [
     "corpus_lm_index",
+    "cusum_monitor",
     "decayed_weight_to_ref",
     "histogram_buckets",
     "open_event_stream",
@@ -44,6 +49,7 @@ __all__ = [
     "stream_histogram_sink",
     "stream_decay_deltas",
     "stream_new_documents",
+    "stream_rate_deltas",
     "stream_quality_gate",
     "stream_sprt_deltas",
 ]
