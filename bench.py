@@ -157,6 +157,8 @@ EXTRA = (
     "benford_value_audit",
     "logrank_conversion_test",
     "quantile_normalized_lengths",
+    "markov_entropy_rate",
+    "extreme_value_return_levels",
 )
 
 

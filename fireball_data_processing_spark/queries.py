@@ -11425,6 +11425,145 @@ def q_quantile_normalized_lengths(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _entropy_rate_oracle(n_iter: int = 12) -> str:
+    """Reuses the markov_stationary chain (dangling-restricted,
+    renormalized matrix + unrolled power iteration) and contracts it
+    with the per-state transition entropies."""
+    base = _markov_oracle(n_iter=n_iter)
+    head = base[: base.rindex("\nSELECT")]
+    return (
+        head
+        + f""",
+hs AS (
+  SELECT src AS state, ROUND(SUM(-p * log2(p)), 8) AS h FROM m GROUP BY 1
+)
+SELECT COUNT(*)::BIGINT AS n_states,
+  ROUND(SUM(pi.pi * hs.h), 6) AS entropy_rate_bits,
+  ROUND(LOG2(COUNT(*)), 6) AS max_entropy_bits,
+  ROUND(SUM(pi.pi * hs.h) / LOG2(COUNT(*)), 6) AS efficiency
+FROM pi{n_iter} pi JOIN hs USING (state)
+"""
+    )
+
+
+@query("markov_entropy_rate", _entropy_rate_oracle(n_iter=12))
+def q_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the user-event Markov chain: the stationary-
+    weighted mean per-state transition entropy, in bits per event — how
+    PREDICTABLE is the next user action given the current one? (1 bit =
+    a coin flip; log2(k) = fully random walk over k states). Composes
+    the existing transition matrix and unrolled power iteration
+    (operators/markov.py) with one per-state entropy aggregate and a
+    |states|-row contraction; the data-proportional work is unchanged
+    from markov_stationary_profile. Efficiency = H / log2(k), the
+    predictability headroom number."""
+    from fireball_data_processing_spark.operators.markov import (
+        stationary_distribution,
+        transition_matrix,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    mat = transition_matrix(
+        ev.select("user_id", "event_id", "event_type"),
+        key_col="user_id",
+        order_col="event_id",
+        state_col="event_type",
+    ).localCheckpoint()
+    pi = stationary_distribution(mat, n_iter=12)
+    hs = mat.groupBy(F.col("src").alias("state")).agg(
+        F.round(F.sum(-F.col("p") * F.log2(F.col("p"))), 8).alias("h")
+    )
+    k = F.count(F.lit(1))
+    return pi.join(hs, "state").agg(
+        k.cast("bigint").alias("n_states"),
+        F.round(F.sum(F.col("pi") * F.col("h")), 6).alias(
+            "entropy_rate_bits"
+        ),
+        F.round(F.log2(k.cast("double")), 6).alias("max_entropy_bits"),
+        F.round(
+            F.sum(F.col("pi") * F.col("h")) / F.log2(k.cast("double")), 6
+        ).alias("efficiency"),
+    )
+
+
+@query(
+    "extreme_value_return_levels",
+    """
+WITH daily AS (
+  SELECT CAST(FLOOR(epoch_ns(ts) / 86400000000000.0) AS BIGINT) AS day,
+    MAX(value::DOUBLE) AS mx
+  FROM events GROUP BY 1
+),
+fit AS (
+  SELECT COUNT(*)::BIGINT AS n_blocks,
+    ROUND(AVG(mx), 8) AS m,
+    ROUND(stddev_samp(mx), 8) AS s
+  FROM daily
+),
+params AS (
+  SELECT n_blocks, m, s,
+    ROUND(s * SQRT(6.0) / 3.141592653589793, 8) AS beta
+  FROM fit
+),
+p2 AS (
+  SELECT n_blocks, beta,
+    ROUND(m - 0.5772156649015329 * beta, 8) AS mu
+  FROM params
+)
+SELECT t.period, p2.n_blocks,
+  ROUND(p2.mu, 6) AS mu, ROUND(p2.beta, 6) AS beta,
+  ROUND(p2.mu - p2.beta * LN(-LN(1.0 - 1.0 / t.period)), 6)
+    AS return_level
+FROM p2, (SELECT UNNEST([7, 30, 90, 365]) AS period) t
+ORDER BY t.period
+""",
+)
+def q_extreme_value_return_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel extreme-value return levels for the daily value maximum:
+    method-of-moments fit (beta = s*sqrt(6)/pi, mu = m - gamma*beta)
+    over the block-maxima series, then the T-period return level
+    mu - beta*ln(-ln(1 - 1/T)) for T in {7, 30, 90, 365} days — "how
+    big a daily spike should capacity planning expect per week /
+    month / quarter / year?", the tail question mean/percentile
+    profiles don't answer (EVT extrapolates BEYOND the observed
+    maxima). One block-max aggregate + one two-moment aggregate; the
+    four return levels are arithmetic on a broadcast literal frame."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.floor(F.col("ts") / F.lit(86400.0 * 1e9)).cast("bigint").alias("day")
+    ).agg(F.max(F.col("value").cast("double")).alias("mx"))
+    fit = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+        F.round(F.avg("mx"), 8).alias("m"),
+        F.round(F.stddev_samp("mx"), 8).alias("s"),
+    )
+    beta = F.round(F.col("s") * F.sqrt(F.lit(6.0)) / F.lit(3.141592653589793), 8)
+    p2 = fit.select(
+        "n_blocks",
+        beta.alias("beta"),
+        F.round(F.col("m") - F.lit(0.5772156649015329) * beta, 8).alias("mu"),
+    )
+    periods = spark.createDataFrame(
+        [(7,), (30,), (90,), (365,)], "period bigint"
+    )
+    return (
+        p2.crossJoin(F.broadcast(periods))
+        .select(
+            "period",
+            "n_blocks",
+            F.round(F.col("mu"), 6).alias("mu"),
+            F.round(F.col("beta"), 6).alias("beta"),
+            F.round(
+                F.col("mu")
+                - F.col("beta")
+                * F.log(-F.log(F.lit(1.0) - F.lit(1.0) / F.col("period"))),
+                6,
+            ).alias("return_level"),
+        )
+        .orderBy("period")
+    )
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
@@ -11442,7 +11581,7 @@ def get(name: str) -> QuerySpec:
 _PRIORITY = [
     # Round-8 head (the driver samples roughly the first 50 entries).
     # Layout, continuing the cumulative-attestation rotation: the
-    # FORTY-SIX queries NEW this round lead (no driver row at all yet),
+    # FORTY-EIGHT queries NEW this round lead (no driver row at all yet),
     # then ALL 14 queries whose newest driver row dates to r4 (the seven
     # deferred from the r7 head plus seven more — after this head,
     # nothing in the catalog is older than r5), then the
@@ -11497,6 +11636,8 @@ _PRIORITY = [
     "benford_value_audit",
     "logrank_conversion_test",
     "quantile_normalized_lengths",
+    "markov_entropy_rate",
+    "extreme_value_return_levels",
     # --- newest driver row r4 (all 14 remaining) ---
     "semantic_dedup_survivors",
     "domain_capped_sample",

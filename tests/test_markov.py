@@ -150,3 +150,35 @@ def test_removal_attribution_direct_conversions_survive_removals(spark):
     # start mix: buy 1/3 -> conv_removed >= 1/3 for every scenario
     for r in out.values():
         assert r["conv_removed"] >= 1 / 3 - 1e-6
+
+
+def test_entropy_rate_of_deterministic_and_uniform_chains(spark):
+    from fireball_data_processing_spark.operators.markov import (
+        stationary_distribution,
+        transition_matrix,
+    )
+    from pyspark.sql import functions as F
+
+    # deterministic cycle a->b->a: per-state entropy 0
+    det = _seq_df(spark, {1: ["a", "b"] * 10})
+    mat = transition_matrix(det, "k", "i", "s").localCheckpoint()
+    hs = mat.groupBy("src").agg(
+        F.sum(-F.col("p") * F.log2(F.col("p"))).alias("h")
+    )
+    assert all(r["h"] == 0.0 for r in hs.collect())
+
+    # uniform 2-state chain: entropy rate = 1 bit
+    uni = _seq_df(
+        spark, {1: ["a", "a", "b", "b", "a", "b", "b", "a", "a", "b"] * 4}
+    )
+    m2 = transition_matrix(uni, "k", "i", "s").localCheckpoint()
+    pi = stationary_distribution(m2, n_iter=24)
+    h2 = m2.groupBy(F.col("src").alias("state")).agg(
+        F.sum(-F.col("p") * F.log2(F.col("p"))).alias("h")
+    )
+    rate = (
+        pi.join(h2, "state")
+        .agg(F.sum(F.col("pi") * F.col("h")).alias("r"))
+        .first()["r"]
+    )
+    assert 0.9 < rate <= 1.0 + 1e-9
