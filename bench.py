@@ -159,6 +159,7 @@ EXTRA = (
     "quantile_normalized_lengths",
     "markov_entropy_rate",
     "extreme_value_return_levels",
+    "shapley_channel_attribution",
 )
 
 

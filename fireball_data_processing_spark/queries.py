@@ -11564,6 +11564,95 @@ def q_extreme_value_return_levels(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _shapley_oracle(channels: tuple = ("click", "error", "signup", "view")) -> str:
+    from fireball_data_processing_spark.operators.shapley import (
+        coalition_table,
+    )
+
+    k = len(channels)
+    co = ", ".join(
+        f"({ci}, {mw}, {mv}, {w})"
+        for ci, mw, mv, w in coalition_table(k)
+    )
+    case = " ".join(
+        f"WHEN '{c}' THEN {1 << i}" for i, c in enumerate(channels)
+    )
+    names = ", ".join(
+        f"({i}, '{c}', {1 << i})" for i, c in enumerate(channels)
+    )
+    return f"""
+WITH fp AS (
+  SELECT user_id, MIN(event_id) AS fp
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+pre AS (
+  SELECT e.user_id, e.event_type, fp.fp IS NOT NULL AS conv
+  FROM events e LEFT JOIN fp USING (user_id)
+  WHERE fp.fp IS NULL OR e.event_id <= fp.fp
+),
+pu AS (
+  SELECT user_id,
+    BIT_OR(CASE event_type {case} ELSE 0 END) AS mask,
+    MAX(CASE WHEN conv THEN 1.0 ELSE 0.0 END) AS conv
+  FROM pre GROUP BY 1
+),
+v AS (SELECT mask, ROUND(AVG(conv), 8) AS v FROM pu GROUP BY 1),
+co(ci, mask_wo, mask_w, w) AS (VALUES {co}),
+credit AS (
+  SELECT ci,
+    ROUND(SUM(w * (COALESCE(vw.v, 0) - COALESCE(vo.v, 0))), 8) AS credit
+  FROM co
+  LEFT JOIN v vw ON vw.mask = co.mask_w
+  LEFT JOIN v vo ON vo.mask = co.mask_wo
+  GROUP BY 1
+),
+names(ci, channel, bitv) AS (VALUES {names}),
+touched AS (
+  SELECT n.ci, COUNT(*)::BIGINT AS touched
+  FROM pu, names n WHERE (pu.mask & n.bitv) <> 0 GROUP BY 1
+)
+SELECT n.channel, ROUND(c.credit, 6) AS shapley_credit,
+  COALESCE(t.touched, 0)::BIGINT AS touched_users
+FROM credit c JOIN names n USING (ci) LEFT JOIN touched t USING (ci)
+ORDER BY n.channel
+"""
+
+
+@query("shapley_channel_attribution", _shapley_oracle())
+def q_shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Shapley conversion credit per channel
+    (operators/shapley.py, Shapley 1953 / Dalessandro et al. 2012): the
+    order-free cooperative-game attribution next to the sequential
+    Markov removal effect — each channel's average marginal
+    contribution to the empirical conversion rate over all 2^4
+    coalitions of pre-purchase touches, at BITMASK grain (the
+    audience_overlap idiom): one per-user bit_or aggregate, one
+    mask-grain rate aggregate, and the Shapley sum over a 32-row
+    literal coalition table joined broadcast against the tiny v table.
+    Missing coalitions contribute v = 0 (empirical-game convention,
+    mirrored in the oracle)."""
+    from fireball_data_processing_spark.operators.shapley import (
+        shapley_attribution,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("event_id").alias("fp"))
+    )
+    pre = ev.join(fp, "user_id", "left").filter(
+        F.col("fp").isNull() | (F.col("event_id") <= F.col("fp"))
+    )
+    return shapley_attribution(
+        pre,
+        user_col="user_id",
+        channel_col="event_type",
+        converted=F.col("fp").isNotNull(),
+        channels=["click", "error", "signup", "view"],
+    )
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
@@ -11581,7 +11670,7 @@ def get(name: str) -> QuerySpec:
 _PRIORITY = [
     # Round-8 head (the driver samples roughly the first 50 entries).
     # Layout, continuing the cumulative-attestation rotation: the
-    # FORTY-EIGHT queries NEW this round lead (no driver row at all yet),
+    # FORTY-NINE queries NEW this round lead (no driver row at all yet),
     # then ALL 14 queries whose newest driver row dates to r4 (the seven
     # deferred from the r7 head plus seven more — after this head,
     # nothing in the catalog is older than r5), then the
@@ -11638,6 +11727,7 @@ _PRIORITY = [
     "quantile_normalized_lengths",
     "markov_entropy_rate",
     "extreme_value_return_levels",
+    "shapley_channel_attribution",
     # --- newest driver row r4 (all 14 remaining) ---
     "semantic_dedup_survivors",
     "domain_capped_sample",
