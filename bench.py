@@ -194,10 +194,23 @@ def main() -> None:
     times: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
 
-    def timed(name: str) -> float:
+    # EXTRA has grown past 100 queries; a full min-of-3/5 pass over all
+    # of them can outrun a driver-side timeout and lose the WHOLE
+    # artifact. Budget guard: the headline suite always gets full rigor;
+    # once the wall-clock budget is spent, remaining EXTRA queries get
+    # ONE run each (still a number on record, flagged in
+    # "single_run_extras" so a reader knows which mins are 1-sample).
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "1500"))
+    bench_start = time.perf_counter()
+    single_run_extras: list[str] = []
+
+    def timed(name: str, min_runs: int = 3) -> float:
         fn = catalog.REGISTRY[name].fn
         samples: list[float] = []
-        while len(samples) < 3 or (min(samples) < 1.0 and len(samples) < 5):
+        max_runs = 5 if min_runs >= 3 else min_runs
+        while len(samples) < min_runs or (
+            min(samples) < 1.0 and len(samples) < max_runs
+        ):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(round(time.perf_counter() - t0, 3))
@@ -206,7 +219,12 @@ def main() -> None:
 
     for name in HEADLINE:
         times[name] = timed(name)
-    extra_times = {name: timed(name) for name in EXTRA}
+    extra_times = {}
+    for name in EXTRA:
+        over = time.perf_counter() - bench_start > budget_s
+        if over:
+            single_run_extras.append(name)
+        extra_times[name] = timed(name, min_runs=1 if over else 3)
 
     total = round(sum(times.values()), 3)
     # Environment annotation: a shared box under load (e.g. the test
@@ -220,6 +238,7 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "extra_queries": extra_times,
+        "single_run_extras": single_run_extras,
         "runs": runs,
         "sf": sf,
         "env": {
