@@ -52,6 +52,11 @@ HEADLINE = (
     # Like-for-like vs r6: subtract this query's time from the r7+
     # total (r6 headline covered the first 17 names).
     "pq_adc_topk_neighbors",
+    # Round-9 growth: the round-8 statistical-analytics representative
+    # (lead window -> transition matrix -> 12-step stationary power
+    # iteration). Like-for-like vs r7/r8: subtract this query's time
+    # from the r9+ total (r7-r8 headlines covered the first 18 names).
+    "markov_stationary_profile",
 )
 
 # Timed the same way but reported under "extra_queries" and NOT counted
@@ -126,7 +131,7 @@ EXTRA = (
     "ab_test_delta_ci",
     "quality_ranking_rbo",
     "reliability_diagram_ece",
-    "markov_stationary_profile",
+    # markov_stationary_profile promoted to HEADLINE in r9
     "lang_jsd_matrix",
     "vocab_richness_estimate",
     "offpolicy_value_snips",

@@ -18,10 +18,13 @@ Scale design:
   sessionization), and the pair count is a partial-combining aggregate
   onto at most |states|^2 rows. Everything after — normalization, power
   iteration — runs on the tiny matrix frame, never on the data.
-- **Zero collects**: the matrix and the iterate both stay DataFrames;
-  each power step is a broadcast-joined matvec (pi is |states| rows, P
-  is |states|^2) and the matrix frame is persisted once so 20 steps
-  don't re-plan the corpus-side subtree 20 times.
+- **Bounded collects only** (the operators/raking.py contract): the
+  matrix is |states|^2 rows BY CONSTRUCTION, so the power/fixed-point
+  iterations collect it once and run driver-side with ``_spark_round``
+  replicating the engine's rounding — frame-resident loops were
+  measured spending 2-12 s of pure stage-launch overhead per query on
+  sub-kilobyte joins, invariant across 100x SF. Per-row data NEVER
+  crosses to the driver.
 - **Cross-engine replay** (the kmeans contract): row-normalized
   probabilities and each iterate are rounded to ``round_dp``, so an
   unrolled SQL oracle reproduces the trajectory bit-for-bit.
@@ -34,6 +37,8 @@ Scale design:
 """
 
 from __future__ import annotations
+
+from decimal import ROUND_HALF_UP, Decimal
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -96,31 +101,41 @@ def stationary_distribution(
     """Power iteration ``pi <- pi @ P`` from the uniform start, exactly
     ``n_iter`` steps, each iterate rounded to ``round_dp`` (engine
     replay). ``matrix`` is the (src, dst, p) frame from
-    transition_matrix. Returns ``(state, pi)``.
+    transition_matrix. Returns ``(state, pi)`` — a |states|-row frame
+    consumers join back to distributed data (Spark broadcasts it).
 
-    Every step is a join of a |states|-row frame with the persisted
-    |states|^2-row matrix — sub-kilobyte exchanges regardless of input
-    scale.
+    The matrix is |states|^2-bounded BY CONSTRUCTION, so the iteration
+    runs DRIVER-SIDE on the collected table (the operators/raking.py
+    contract, applied to removal_attribution in r9 and here for the
+    same measured reason: a frame-resident loop spends seconds of
+    stage-launch overhead per query on sub-kilobyte joins — at every
+    SF — while IEEE-double driver arithmetic with ``_spark_round``
+    replicating the engine's per-iterate rounding is value-identical
+    and free). Join/group semantics mirror the frame form: states with
+    no incoming transition drop out of the iterate after step 1, and
+    per-destination sums run in sorted-source order (reassociation
+    noise absorbed by ``round_dp``, the cross-engine oracle contract).
     """
-    # localCheckpoint, not persist: n_iter iterations re-expand the
-    # corpus lead-window subtree under every reference in the STATIC
-    # plan (the removal_attribution lesson: 361 scans -> 0); the frame
-    # is |states|^2 rows, so truncating lineage is free.
-    m = matrix.select("src", "dst", "p").localCheckpoint()
-    states = m.select(F.col("src").alias("state")).distinct()
-    k = F.broadcast(states.agg(F.count(F.lit(1)).alias("__k")))
-    pi = states.crossJoin(k).select(
-        "state", F.round(F.lit(1.0) / F.col("__k"), round_dp).alias("pi")
-    )
-    for _ in range(n_iter):
-        pi = (
-            m.join(
-                F.broadcast(pi.withColumnRenamed("state", "src")), "src"
-            )
-            .groupBy(F.col("dst").alias("state"))
-            .agg(F.round(F.sum(F.col("pi") * F.col("p")), round_dp).alias("pi"))
+    rows = [
+        (r["src"], r["dst"], r["p"])
+        for r in matrix.select("src", "dst", "p").collect()
+    ]  # bounded: |states|^2
+    states = sorted({s for s, _, _ in rows})
+    if not states:
+        return matrix.sparkSession.createDataFrame(
+            [], "state string, pi double"
         )
-    return pi
+    start = _spark_round(1.0 / len(states), round_dp)
+    pi = {s: start for s in states}
+    for _ in range(n_iter):
+        acc: dict = {}
+        for s, d, p in sorted(rows):
+            if s in pi:
+                acc.setdefault(d, []).append(pi[s] * p)
+        pi = {d: _spark_round(sum(v), round_dp) for d, v in acc.items()}
+    return matrix.sparkSession.createDataFrame(
+        sorted(pi.items()), "state string, pi double"
+    )
 
 
 def markov_profile(
@@ -195,46 +210,64 @@ def raw_transition_probs(
     )
 
 
-def _absorption(matrix, conv_state, removed, n_iter, round_dp):
-    """Absorption probability into ``conv_state`` per transient state,
-    with ``removed`` (a state name or None) excluded from the chain —
-    transitions into it are LOST mass. ``n_iter`` fixed-point steps
-    ``a <- direct + P_transient @ a`` from a = 0, each iterate rounded.
-    All frames are at most |states|^2 rows."""
-    m = matrix.filter(F.col("src") != conv_state)
-    if removed is not None:
-        m = m.filter(
-            (F.col("src") != removed) & (F.col("dst") != removed)
+def _spark_round(x: float, dp: int) -> float:
+    """Exact driver-side replica of Spark's ``F.round`` on DOUBLE:
+    Spark converts via ``BigDecimal.valueOf(x)`` — the SHORTEST decimal
+    representation (``Double.toString``), which Python's ``repr`` also
+    produces — then ``setScale(dp, HALF_UP)``. Python's builtin
+    ``round`` (banker's, on the exact binary value) differs at ties, so
+    driver-resident arithmetic that must stay hash-identical to an
+    engine trajectory uses this instead."""
+    return float(
+        Decimal(repr(x)).quantize(
+            Decimal(1).scaleb(-dp), rounding=ROUND_HALF_UP
         )
-    m = m.persist()
-    direct = m.filter(F.col("dst") == conv_state).select(
-        F.col("src").alias("state"), F.col("p").alias("d")
     )
-    trans = m.filter(F.col("dst") != conv_state)
-    states = m.select(F.col("src").alias("state")).distinct()
-    a = states.join(direct, "state", "left").select(
-        "state", F.round(F.coalesce(F.col("d"), F.lit(0.0)), round_dp).alias("a")
-    )
+
+
+def _absorption(m, conv_state, removed, n_iter, round_dp):
+    """Driver-side absorption fixed point: probability of absorbing
+    into ``conv_state`` per transient state, with ``removed`` (a state
+    name or None) excluded from the chain — transitions into it are
+    LOST mass. ``n_iter`` steps ``a <- direct + P_transient @ a`` from
+    a = 0, each iterate value ``_spark_round``-ed.
+
+    ``m`` is the COLLECTED transition list ``[(src, dst, p), ...]`` —
+    bounded at |states|^2 rows by construction, so this follows the
+    documented driver-side-loop contract of operators/raking.py: a
+    DataFrame-resident fixed point here spends ~10 s of stage-launch
+    and deep-plan analysis overhead on sub-kilobyte frames (measured:
+    one chain per scenario 12.2 s, all scenarios fused into
+    scenario-keyed frames still 9.5 s — both data-invariant across
+    100x SF), while IEEE-double driver arithmetic with per-step
+    rounding is value-identical and runs in microseconds. Join/group
+    semantics mirror the frame form exactly: ``states`` = distinct
+    sources, flow terms only for destinations that are themselves
+    transient sources, per-term sums in sorted-key order (order noise
+    is absorbed by the ``round_dp`` rounding, the same cross-engine
+    contract the unrolled DuckDB oracle relies on)."""
+    rows = [
+        (s, d, p)
+        for s, d, p in m
+        if s != conv_state and (removed is None or (s != removed and d != removed))
+    ]
+    states = sorted({s for s, _, _ in rows})
+    direct = {s: p for s, d, p in rows if d == conv_state}
+    a = {s: _spark_round(direct.get(s, 0.0), round_dp) for s in states}
     for _ in range(n_iter - 1):
-        flow = (
-            trans.join(
-                F.broadcast(a.withColumnRenamed("state", "dst")), "dst"
-            )
-            .groupBy(F.col("src").alias("state"))
-            .agg(F.round(F.sum(F.col("p") * F.col("a")), round_dp).alias("f"))
-        )
-        a = (
-            states.join(direct, "state", "left")
-            .join(flow, "state", "left")
-            .select(
-                "state",
-                F.round(
-                    F.coalesce(F.col("d"), F.lit(0.0))
-                    + F.coalesce(F.col("f"), F.lit(0.0)),
-                    round_dp,
-                ).alias("a"),
-            )
-        )
+        flow = {}
+        for s in states:
+            terms = [
+                p * a[d]
+                for _, d, p in sorted(r for r in rows if r[0] == s)
+                if d != conv_state and d in a
+            ]
+            if terms:
+                flow[s] = _spark_round(sum(terms), round_dp)
+        a = {
+            s: _spark_round(direct.get(s, 0.0) + flow.get(s, 0.0), round_dp)
+            for s in states
+        }
     return a
 
 
@@ -264,22 +297,24 @@ def removal_attribution(
 
     Scale shape: the data-proportional work is the lead window + pair
     count (shared by all scenarios) and one first-event-per-user
-    aggregate; each of the |states| removal scenarios re-runs the
-    fixed point on the persisted |states|^2-row matrix — sub-kilobyte
-    joins, zero collects. The unrolled oracle replays every scenario's
-    trajectory via per-iterate rounding."""
-    # localCheckpoint (eager), not persist: the |states|^2-row matrix is
-    # consumed by 5 scenarios x n_iter iterations x 3 subframes — with a
-    # lazy persist the STATIC plan re-expands the corpus lead-window
-    # subtree under every reference (measured 361 scans / 1192 shuffles
-    # pre-execution); truncating lineage on the tiny frame collapses
-    # every downstream plan to a cached-scan leaf. Executor-lifetime
-    # durability is fine here: the frame is rebuilt by re-running the
-    # operator, never reused across jobs (contrast setjoin's parquet
-    # checkpoint_dir option for long-lived artifacts).
-    matrix = raw_transition_probs(
-        df, key_col, order_col, state_col, round_dp
-    ).localCheckpoint()
+    aggregate — two distributed jobs whose results are BY CONSTRUCTION
+    bounded (|states|^2 transition rows, |states| start rows). The
+    |states|+1 absorption fixed points then run DRIVER-SIDE on the
+    collected table (the operators/raking.py contract: model state of
+    known small size crosses once; per-row work never does) with
+    ``_spark_round`` replicating the engine's rounding exactly, so the
+    unrolled oracle replays every scenario's trajectory unchanged.
+    Frame-resident variants measured 12.2 s (one fixed-point chain per
+    scenario) and 9.5 s (scenario-keyed fused frames) at EVERY SF —
+    pure stage-launch + deep-plan overhead on sub-kilobyte frames; the
+    collected form keeps only the data-proportional 1-2 s."""
+    # bounded |states|^2-sized collect: the matrix IS the model state
+    matrix = [
+        (r["src"], r["dst"], r["p"])
+        for r in raw_transition_probs(
+            df, key_col, order_col, state_col, round_dp
+        ).collect()
+    ]
     w = Window.partitionBy(key_col).orderBy(order_col)
     firsts = (
         df.select(
@@ -292,70 +327,66 @@ def removal_attribution(
         .agg(F.count(F.lit(1)).cast("double").alias("__c"))
     )
     tot = Window.partitionBy()
-    start = firsts.select(
-        "state",
-        F.round(F.col("__c") / F.sum("__c").over(tot), round_dp).alias("pi0"),
-    ).localCheckpoint()
+    pi0 = {
+        r["state"]: r["pi0"]
+        for r in firsts.select(
+            "state",
+            F.round(
+                F.col("__c") / F.sum("__c").over(tot), round_dp
+            ).alias("pi0"),
+        ).collect()  # bounded: |states| rows
+    }
 
-    def conv_of(a):
-        # start mass already AT the conversion state converts with prob 1
-        direct_start = start.filter(F.col("state") == conv_state).select(
-            F.col("pi0").alias("v")
-        )
-        routed = (
-            start.filter(F.col("state") != conv_state)
-            .join(a, "state", "left")
-            .select(
-                (F.col("pi0") * F.coalesce(F.col("a"), F.lit(0.0))).alias("v")
-            )
-        )
-        return routed.unionByName(direct_start).agg(
-            F.round(F.sum("v"), round_dp).alias("conv")
+    # scenario enumeration is driver-side control flow, one scenario
+    # per channel. Channels that only RECEIVE traffic (no outgoing
+    # edges) still get a row — their removal effect is well-defined
+    # (usually 0: their incoming mass was already lost).
+    all_states = {s for s, _, _ in matrix} | {d for _, d, _ in matrix}
+    transient = sorted(s for s in all_states if s != conv_state)
+    if not transient:
+        # degenerate chain (no events, or only the conversion state):
+        # no channel to remove, so no attribution rows
+        return df.sparkSession.createDataFrame(
+            [],
+            "state string, start_share double, conv_full double, "
+            "conv_removed double, removal_effect double",
         )
 
-    full = conv_of(
+    def conv_of(a: dict) -> float:
+        # start mass already AT the conversion state converts with
+        # prob 1; everything else routes through its absorption
+        # probability (missing = 0); sorted-state term order
+        v = sum(
+            pi0[s] * a.get(s, 0.0)
+            for s in sorted(pi0)
+            if s != conv_state
+        )
+        if conv_state in pi0:
+            v += pi0[conv_state]
+        return _spark_round(v, round_dp)
+
+    conv_full = conv_of(
         _absorption(matrix, conv_state, None, n_iter, round_dp)
-    )
-    # bounded |states|-sized collect (the kmeans contract): scenario
-    # enumeration is driver-side control flow, one chain per channel.
-    # Channels that only RECEIVE traffic (no outgoing edges) still get
-    # a row — their removal effect is well-defined (usually 0: their
-    # incoming mass was already lost).
-    all_states = (
-        matrix.select(F.col("src").alias("s"))
-        .unionByName(matrix.select(F.col("dst").alias("s")))
-        .distinct()
-        .collect()
-    )
-    transient = sorted(
-        r["s"] for r in all_states if r["s"] != conv_state
     )
     rows = []
     for c in transient:
-        a_c = _absorption(matrix, conv_state, c, n_iter, round_dp)
-        conv_c = conv_of(a_c)
+        conv_c = conv_of(
+            _absorption(matrix, conv_state, c, n_iter, round_dp)
+        )
         rows.append(
-            conv_c.select(
-                F.lit(c).alias("state"),
-                F.col("conv").alias("conv_removed"),
+            (
+                c,
+                _spark_round(pi0.get(c, 0.0), out_dp),
+                _spark_round(conv_full, out_dp),
+                _spark_round(conv_c, out_dp),
+                # degenerate zero-conversion chain: no credit to assign
+                None
+                if conv_full == 0.0
+                else _spark_round(1.0 - conv_c / conv_full, out_dp),
             )
         )
-    removed = rows[0]
-    for extra in rows[1:]:
-        removed = removed.unionByName(extra)
-    return (
-        removed.crossJoin(F.broadcast(full))
-        .join(start, "state", "left")
-        .select(
-            "state",
-            F.round(F.coalesce(F.col("pi0"), F.lit(0.0)), out_dp).alias(
-                "start_share"
-            ),
-            F.round(F.col("conv"), out_dp).alias("conv_full"),
-            F.round(F.col("conv_removed"), out_dp).alias("conv_removed"),
-            F.round(
-                F.lit(1.0) - F.col("conv_removed") / F.col("conv"), out_dp
-            ).alias("removal_effect"),
-        )
-        .orderBy("state")
-    )
+    return df.sparkSession.createDataFrame(
+        rows,
+        "state string, start_share double, conv_full double, "
+        "conv_removed double, removal_effect double",
+    ).orderBy("state")

@@ -1,9 +1,9 @@
 """Distributed PCA by power iteration over an embedding column: the top
 principal component of the (mean-centered) vector corpus, WITHOUT ever
-materializing the d x d covariance matrix — each iteration is one scan
-computing the per-row projection ``s = (x - mu) . v`` as a pure codegen
-expression and one d-column aggregate of ``sum((x - mu)_i * s)``, i.e.
-the matvec ``S v`` against the scatter matrix folded into a single
+materializing the d x d covariance matrix — each iteration computes the
+per-row projection ``s = (x - mu) . v`` as a single array left-fold and
+one d-bucket aggregate of ``sum((x - mu)_i * s)``, i.e. the matvec
+``S v`` against the scatter matrix folded into a single
 partial-combining pass.
 
 Why it belongs in the curation engine: the top component is the
@@ -15,25 +15,47 @@ one-number answer to "how anisotropic are these embeddings?".
 Execution contract (the kmeans shape, operators/clustering.py): model
 state (mu, v — d floats each) is collected to the driver per iteration
 (a BOUNDED d-sized collect, the sanctioned exception to the zero-collect
-policy) and re-enters the next scan as literals, so every per-row
-expression stays inside whole-stage codegen — no explode (which would
-inflate the scan d-fold), no joins, no windows. Every aggregate and
-every derived scalar is rounded to ``round_dp``, so an unrolled SQL
-oracle (dim-exploded joins — same arithmetic, different shape) replays
-the trajectory exactly.
+policy) and re-enters the next step as an array literal. Every
+aggregate and every derived scalar is rounded to ``round_dp``, so an
+unrolled SQL oracle (dim-exploded joins — same arithmetic, different
+shape) replays the trajectory exactly.
 
-Scale: n_iter + 2 scans of the vector corpus total; each exchange
-carries d partial sums per partition. Deterministic start
-``v0 = (1/sqrt(d), ...)``; convergence to the top eigenvector needs
-v0 not orthogonal to it — all-positive v0 is safe for real corpora and
-the trajectory is engine-replayed bit-for-bit regardless.
+Fit-floor design (r9 re-plan): the first cut kept the centered vector
+as d SEPARATE double columns so every expression stayed in wide
+codegen — correct, but each of the 8 sequential driver jobs spent
+~1.5 s in CATALYST ANALYSIS of 64-column expression trees (measured:
+execution on the cached frame was milliseconds; the per-iteration floor
+was pure driver-side plan work, invariant under codegen caching).
+The representation is now ONE ``array<double>`` column:
+
+- the centered corpus is materialized ONCE into a persisted frame
+  (n x d doubles, MEMORY_AND_DISK — the standard
+  iterate-over-cached-projection trade, freed on exit);
+- the per-row projection is ``aggregate(zip_with(c, v, *), 0, +)`` —
+  the exact left-fold ``((0 + c_0 v_0) + c_1 v_1) + ...`` the
+  column-form ``sum()`` generated, so per-row doubles are unchanged;
+- the matvec aggregate is ``posexplode`` + ``groupBy(dim)`` — d-fold
+  row inflation on the CACHED tiny frame, map-side combined to d rows
+  per partition before the exchange, and the sum per dim is the same
+  term set as the d-column aggregate (partial-sum order differs; the
+  ``round_dp`` rounding absorbs reassociation noise — the identical
+  contract the dim-exploded DuckDB oracle already relies on);
+- plan trees per iteration are now ~5 expressions, so the 6 power
+  steps cost ~0.2 s each instead of ~1.5 s.
+
+Scale: ONE source scan for the mean plus ONE materializing scan that
+caches the centered projection; the remaining power steps iterate over
+the cache, each exchange carrying d partial sums per partition.
+Deterministic start ``v0 = (1/sqrt(d), ...)``; convergence to the top
+eigenvector needs v0 not orthogonal to it — all-positive v0 is safe
+for real corpora and the trajectory is engine-replayed regardless.
 """
 
 from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -42,6 +64,28 @@ __all__ = [
     "power_iteration_pca",
     "power_iteration_pca_k",
 ]
+
+
+def _centered_expr(vec_col: str, mu: list[float]) -> Column:
+    """``x - mu`` as one array<double> expression (mu as array literal)."""
+    xd = F.transform(F.col(vec_col), lambda e: e.cast("double"))
+    return F.zip_with(xd, F.lit(mu), lambda a, b: a - b)
+
+
+def _mean(df: DataFrame, vec_col: str, dim: int, round_dp: int) -> list[float]:
+    """Per-dimension rounded mean via ONE posexplode aggregate (d-bucket
+    groupBy with map-side combine — one source scan, d output rows)."""
+    xd = F.transform(F.col(vec_col), lambda e: e.cast("double"))
+    rows = (
+        df.select(F.posexplode(xd).alias("__i", "__x"))
+        .groupBy("__i")
+        .agg(F.round(F.avg("__x"), round_dp).alias("__m"))
+        .collect()  # bounded: d rows
+    )
+    mu = [0.0] * dim
+    for r in rows:
+        mu[r["__i"]] = r["__m"]
+    return mu
 
 
 def pca_fit(
@@ -56,20 +100,11 @@ def pca_fit(
     project with :func:`pca_project_expr` (the centroid-literal pattern
     of operators/clustering.py: model re-enters the plan as codegen
     constants, so projection adds ZERO joins/exchanges)."""
-    x = [F.col(vec_col)[i].cast("double") for i in range(dim)]
-    mu_row = df.agg(
-        *[F.round(F.avg(x[i]), round_dp).alias(f"m{i}") for i in range(dim)]
-    ).first()
-    mu = [mu_row[f"m{i}"] for i in range(dim)]
-    c = [x[i] - F.lit(mu[i]) for i in range(dim)]
-    tot_row = df.agg(
-        F.round(
-            F.sum(sum((c[i] * c[i] for i in range(dim)), F.lit(0.0))),
-            round_dp,
-        ).alias("tot")
-    ).first()
-    v, nrm = _component(df, c, dim, n_iter, round_dp)
-    return mu, v, nrm, tot_row["tot"]
+    mu = _mean(df, vec_col, dim, round_dp)
+    v, nrm, total = _component(
+        df, _centered_expr(vec_col, mu), dim, n_iter, round_dp, with_total=True
+    )
+    return mu, v, nrm, total
 
 
 def pca_project_expr(
@@ -89,36 +124,68 @@ def pca_project_expr(
     )
 
 
-def _component(df, c, dim, n_iter, round_dp):
-    """One power-iteration component over centered expressions ``c``:
-    returns (loading list, ||S v|| norm), both ``round_dp``-rounded.
-
-    The centered values and the per-row projection are materialized as
-    REAL COLUMNS before the d-sum aggregate — inlining the d-term
-    projection into each of the d sums builds a d^2-operation aggregate
-    expression that overflows whole-stage codegen's method-size limit
-    and falls back to interpreted evaluation (measured 33 s at sf0.1 vs
-    ~1 s with the projection materialized; same arithmetic, same
-    rounded values, so the oracle is untouched)."""
-    base = df.select(*[c[i].alias(f"__c{i}") for i in range(dim)])
-    cc = [F.col(f"__c{i}") for i in range(dim)]
-    v = [round(1.0 / math.sqrt(dim), round_dp)] * dim
-    nrm = None
-    for _ in range(n_iter):
-        s = F.round(
-            sum((cc[i] * F.lit(v[i]) for i in range(dim)), F.lit(0.0)),
-            round_dp,
-        )
-        scored = base.withColumn("__s", s)
-        u_row = scored.agg(
-            *[
-                F.round(F.sum(cc[i] * F.col("__s")), round_dp).alias(f"u{i}")
-                for i in range(dim)
-            ]
-        ).first()
-        u = [u_row[f"u{i}"] for i in range(dim)]
-        nrm = round(math.sqrt(sum(ui * ui for ui in u)), round_dp)
-        v = [round(ui / nrm, round_dp) for ui in u]
+def _component(df, carr, dim, n_iter, round_dp, with_total=False):
+    """One power-iteration component over the centered array expression
+    ``carr``: returns (loading list, ||S v|| norm) — or, with
+    ``with_total``, (loading list, norm, total scatter) — every value
+    ``round_dp``-rounded. See the module docstring for the
+    representation and rounding contract."""
+    base = df.select(carr.alias("__c")).persist()
+    try:
+        total = None
+        if with_total:
+            # same per-row left-fold sum(c_i^2) and single Spark sum as
+            # the historical standalone scatter job; this action also
+            # materializes the cache the power steps iterate over
+            total = base.agg(
+                F.round(
+                    F.sum(
+                        F.aggregate(
+                            "__c",
+                            F.lit(0.0),
+                            lambda acc, e: acc + e * e,
+                        )
+                    ),
+                    round_dp,
+                ).alias("__tot")
+            ).first()["__tot"]
+        v = [round(1.0 / math.sqrt(dim), round_dp)] * dim
+        nrm = None
+        for _ in range(n_iter):
+            s = F.round(
+                F.aggregate(
+                    F.zip_with("__c", F.lit(v), lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, e: acc + e,
+                ),
+                round_dp,
+            )
+            u_rows = (
+                base.withColumn("__s", s)
+                .select("__s", F.posexplode("__c").alias("__i", "__ci"))
+                .groupBy("__i")
+                .agg(
+                    F.round(F.sum(F.col("__ci") * F.col("__s")), round_dp).alias(
+                        "__u"
+                    )
+                )
+                .collect()  # bounded: d rows
+            )
+            u = [0.0] * dim
+            for r in u_rows:
+                u[r["__i"]] = r["__u"]
+            nrm = round(math.sqrt(sum(ui * ui for ui in u)), round_dp)
+            if nrm == 0.0:
+                raise ValueError(
+                    "power iteration collapsed: S v = 0 (zero-variance "
+                    "corpus, or start vector orthogonal to every "
+                    "eigenvector after rounding)"
+                )
+            v = [round(ui / nrm, round_dp) for ui in u]
+    finally:
+        base.unpersist()
+    if with_total:
+        return v, nrm, total
     return v, nrm
 
 
@@ -133,32 +200,28 @@ def power_iteration_pca_k(
 ) -> DataFrame:
     """Top ``n_components`` principal components via power iteration
     with HOTELLING DEFLATION: after extracting component v, the
-    centered expressions are replaced by ``c - (c . v) v`` (pure
-    codegen arithmetic with v as literals — the deflated frame is never
-    materialized), and the next component is extracted from the
-    residual. Returns ``n_components * dim`` rows
+    centered array is replaced by ``c - (c . v) v`` (pure array
+    arithmetic with v as an array literal — the deflated frame is
+    materialized only inside the next component's cached base), and the
+    next component is extracted from the residual. Returns
+    ``n_components * dim`` rows
     ``(component, dim, loading, eigenvalue, var_share)`` ordered by
     (component, dim); var_share is each eigenvalue's share of TOTAL
     scatter, so shares across components are comparable and sum below
     1. Same bounded-collect contract and per-value rounding as
     :func:`power_iteration_pca`."""
-    x = [F.col(vec_col)[i].cast("double") for i in range(dim)]
-    mu_row = df.agg(
-        *[F.round(F.avg(x[i]), round_dp).alias(f"m{i}") for i in range(dim)]
-    ).first()
-    mu = [mu_row[f"m{i}"] for i in range(dim)]
-    c = [x[i] - F.lit(mu[i]) for i in range(dim)]
-    tot_row = df.agg(
-        F.round(
-            F.sum(sum((c[i] * c[i] for i in range(dim)), F.lit(0.0))),
-            round_dp,
-        ).alias("tot")
-    ).first()
-    total_scatter = tot_row["tot"]
+    mu = _mean(df, vec_col, dim, round_dp)
+    carr = _centered_expr(vec_col, mu)
+    total_scatter = None
 
     rows = []
     for comp in range(1, n_components + 1):
-        v, nrm = _component(df, c, dim, n_iter, round_dp)
+        if comp == 1:
+            v, nrm, total_scatter = _component(
+                df, carr, dim, n_iter, round_dp, with_total=True
+            )
+        else:
+            v, nrm = _component(df, carr, dim, n_iter, round_dp)
         for i in range(dim):
             rows.append(
                 (
@@ -169,11 +232,16 @@ def power_iteration_pca_k(
                     round(nrm / total_scatter, out_dp),
                 )
             )
+        # projection (c . v) as the same left-fold as the power step
         proj = F.round(
-            sum((c[i] * F.lit(v[i]) for i in range(dim)), F.lit(0.0)),
+            F.aggregate(
+                F.zip_with(carr, F.lit(v), lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, e: acc + e,
+            ),
             round_dp,
         )
-        c = [c[i] - proj * F.lit(v[i]) for i in range(dim)]
+        carr = F.zip_with(carr, F.lit(v), lambda a, b: a - proj * b)
     return (
         df.sparkSession.createDataFrame(
             rows,
@@ -199,23 +267,10 @@ def power_iteration_pca(
     steps, the scatter eigenvalue estimate ``||S v||`` of the final
     step, and its share of total scatter (= fraction of embedding
     variance the component explains)."""
-    x = [F.col(vec_col)[i].cast("double") for i in range(dim)]
-
-    mu_row = df.agg(
-        *[F.round(F.avg(x[i]), round_dp).alias(f"m{i}") for i in range(dim)]
-    ).first()
-    mu = [mu_row[f"m{i}"] for i in range(dim)]
-    c = [x[i] - F.lit(mu[i]) for i in range(dim)]
-
-    tot_row = df.agg(
-        F.round(
-            F.sum(sum((c[i] * c[i] for i in range(dim)), F.lit(0.0))),
-            round_dp,
-        ).alias("tot")
-    ).first()
-    total_scatter = tot_row["tot"]
-
-    v, nrm = _component(df, c, dim, n_iter, round_dp)
+    mu = _mean(df, vec_col, dim, round_dp)
+    v, nrm, total_scatter = _component(
+        df, _centered_expr(vec_col, mu), dim, n_iter, round_dp, with_total=True
+    )
 
     spark = df.sparkSession
     rows = [

@@ -46,6 +46,7 @@ def propagate_scores(
     alpha: float = 0.5,
     n_iter: int = 2,
     round_dp: int = 6,
+    tie_nudge: float = 1e-9,
 ) -> DataFrame:
     """Iterate ``s_{t+1}(v) = round(alpha * s_0(v) + (1 - alpha) *
     avg_{u ~ v} s_t(u), round_dp)`` for ``n_iter`` rounds over the
@@ -53,6 +54,15 @@ def propagate_scores(
     here). Nodes with no neighbors keep their prior: the neighbor term
     coalesces to the node's own previous score, which for an isolated
     node is invariantly ``s_0``. Returns ``(id_col, score0, score)``.
+
+    ``tie_nudge`` is added inside each round (default 1e-9, the
+    cross-engine contract: with alpha=0.5 over rounded inputs the
+    update lands exactly on ``round_dp``-decimal rounding ties, where
+    Spark's shortest-decimal HALF_UP and a binary-exact engine disagree
+    per row — the nudge resolves every tie upward on BOTH sides and its
+    bias is 3 orders below the output resolution). Library callers who
+    want the unbiased update and don't need cross-engine hash equality
+    can pass ``tie_nudge=0.0``.
     """
     # the edge frame feeds one join per iteration and the node frame
     # feeds two consumers per iteration (the neighbor aggregate and the
@@ -105,7 +115,7 @@ def propagate_scores(
                     F.lit(alpha) * F.col("__s0")
                     + F.lit(1.0 - alpha)
                     * F.coalesce(F.col("__avg"), F.col("__s"))
-                    + F.lit(1e-9),
+                    + F.lit(tie_nudge),
                     round_dp,
                 ).alias("__s"),
             )

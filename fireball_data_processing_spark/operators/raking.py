@@ -75,7 +75,15 @@ def raking_weights(
         tot = round(sum(n * w[key] for key, n in n_of.items()), round_dp)
         for key in w:
             t = targets.get(key[axis])
-            factor = 1.0 if t is None else t * tot / margins[key[axis]]
+            # zero-margin guard: a target share of 0.0 zeroes its
+            # category's weights on the first pass; scaling again would
+            # divide 0/0. Leave already-dead cells at factor 1 — their
+            # weight stays 0 and every other margin still converges.
+            factor = (
+                1.0
+                if t is None or margins[key[axis]] == 0.0
+                else t * tot / margins[key[axis]]
+            )
             w[key] = round(w[key] * factor, round_dp)
 
     for _ in range(n_iter):
@@ -89,7 +97,11 @@ def raking_weights(
             cc,
             int(n),
             round(w[(rc, cc)], out_dp),
-            round(n * w[(rc, cc)] / final_tot, out_dp),
+            # all-zero-weight table (every category targeted at 0.0):
+            # shares are vacuously 0 rather than a ZeroDivisionError
+            0.0
+            if final_tot == 0.0
+            else round(n * w[(rc, cc)] / final_tot, out_dp),
         )
         for rc, cc, n in sorted(cells)
     ]

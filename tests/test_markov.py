@@ -182,3 +182,30 @@ def test_entropy_rate_of_deterministic_and_uniform_chains(spark):
         .first()["r"]
     )
     assert 0.9 < rate <= 1.0 + 1e-9
+
+
+def test_removal_attribution_empty_transient_returns_empty(spark):
+    # ADVICE r8: a chain with no transient states raised IndexError.
+    # Only self-transitions at the conversion state -> nothing to remove.
+    df = _seq_df(spark, {1: ["buy", "buy"], 2: ["buy", "buy"]})
+    from fireball_data_processing_spark.operators.markov import (
+        removal_attribution,
+    )
+
+    out = removal_attribution(df, "k", "i", "s", conv_state="buy")
+    assert out.count() == 0
+    assert out.columns == [
+        "state", "start_share", "conv_full", "conv_removed", "removal_effect",
+    ]
+
+
+def test_spark_round_matches_engine_half_up():
+    # the driver-side fixed point must replicate F.round exactly: Spark
+    # rounds the SHORTEST decimal repr HALF_UP; Python's builtin round
+    # is banker's (round(0.5) == 0) and would diverge at ties
+    from fireball_data_processing_spark.operators.markov import _spark_round
+
+    assert _spark_round(0.000000125, 8) == 1.3e-07  # half-up, not banker's
+    assert _spark_round(2.675, 2) == 2.68  # repr-based, not binary 2.67499...
+    assert _spark_round(-0.000000125, 8) == -1.3e-07
+    assert _spark_round(0.1 + 0.2, 8) == 0.3

@@ -110,3 +110,14 @@ def test_pca_k_first_component_matches_single(spark):
     assert [(r["dim"], r["loading"], r["eigenvalue"], r["var_share"]) for r in single] == [
         (r["dim"], r["loading"], r["eigenvalue"], r["var_share"]) for r in multi
     ]
+
+
+def test_pca_zero_variance_corpus_raises_descriptive(spark):
+    # ADVICE r8: a constant corpus made every power iterate zero and
+    # died with a bare ZeroDivisionError mid-iteration
+    import pytest
+
+    rows = [([1.0, 2.0, 3.0, 4.0],)] * 6
+    df = spark.createDataFrame(rows, "embedding array<double>")
+    with pytest.raises(ValueError, match="power iteration collapsed"):
+        power_iteration_pca(df, "embedding", dim=4).collect()

@@ -86,3 +86,36 @@ def test_hill_numbers_uniform_and_dominated(spark):
     # richness 4
     assert by["d"]["rich"] == 4
     assert 1.0 < 1.0 / by["d"]["simp"] < 1.3
+
+
+def test_raking_zero_target_margin_is_guarded(spark):
+    # ADVICE r8: a 0.0 target share zeroed its category's weights on
+    # pass 1 and then divided 0/0 on pass 2. Now: the dead category's
+    # weights pin to 0, every other margin still converges, no error.
+    rows = [("a", "x")] * 40 + [("b", "x")] * 40 + [("b", "y")] * 20
+    out = raking_weights(
+        _cat_df(spark, rows), "r", "c",
+        row_targets={"a": 0.0, "b": 1.0},
+        col_targets={"x": 0.6, "y": 0.4},
+        n_iter=8,
+    ).collect()
+    dead = [r for r in out if r["row_cat"] == "a"]
+    assert dead and all(r["weight"] == 0.0 for r in dead)
+    live = {}
+    for r in out:
+        if r["row_cat"] == "b":
+            live[r["col_cat"]] = live.get(r["col_cat"], 0.0) + r["weighted_share"]
+    assert abs(live["x"] - 0.6) < 1e-4 and abs(live["y"] - 0.4) < 1e-4
+
+
+def test_raking_all_zero_targets_yield_zero_shares(spark):
+    # degenerate: every present category targeted at 0 -> all weights 0,
+    # shares reported as 0 instead of a ZeroDivisionError
+    rows = [("a", "x")] * 3 + [("b", "y")] * 2
+    out = raking_weights(
+        _cat_df(spark, rows), "r", "c",
+        row_targets={"a": 0.0, "b": 0.0},
+        col_targets={},
+        n_iter=4,
+    ).collect()
+    assert all(r["weight"] == 0.0 and r["weighted_share"] == 0.0 for r in out)
