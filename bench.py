@@ -165,6 +165,10 @@ EXTRA = (
     "markov_entropy_rate",
     "extreme_value_return_levels",
     "shapley_channel_attribution",
+    # round-9 additions
+    "kruskal_value_by_type",
+    "spearman_doc_metrics",
+    "mcnemar_gate_disagreement",
 )
 
 

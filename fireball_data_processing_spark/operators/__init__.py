@@ -53,7 +53,10 @@ from fireball_data_processing_spark.operators.calibration import (
 )
 from fireball_data_processing_spark.operators.hyptest import (
     chi2_association,
+    kruskal_wallis,
     mann_whitney_u,
+    mcnemar_paired,
+    spearman_matrix,
 )
 from fireball_data_processing_spark.operators.markov import (
     markov_profile,
@@ -87,6 +90,9 @@ __all__ = [
     "bootstrap_delta_ci",
     "bootstrap_mean_ci",
     "chi2_association",
+    "kruskal_wallis",
+    "mcnemar_paired",
+    "spearman_matrix",
     "conformal_threshold",
     "dr_value",
     "empirical_propensities",

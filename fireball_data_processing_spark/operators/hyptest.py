@@ -36,6 +36,9 @@ from pyspark.sql.window import Window
 __all__ = [
     "mann_whitney_u",
     "chi2_association",
+    "kruskal_wallis",
+    "spearman_matrix",
+    "mcnemar_paired",
     "normal_sf_expr",
     "normal_sf_sql",
     "bh_significant",
@@ -210,3 +213,216 @@ def bh_significant(
     )
     kmax = F.max(F.when(crit, F.col("bh_rank")).otherwise(0)).over(m)
     return ranked.withColumn("significant", F.col("bh_rank") <= kmax)
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    round_dp: int = 8,
+    out_dp: int = 6,
+) -> DataFrame:
+    """Kruskal-Wallis H test — the k-group generalization of
+    :func:`mann_whitney_u` (Kruskal & Wallis 1952): do ANY of the
+    groups' value distributions differ, judged on ranks (robust to
+    outliers and shape where a k-group mean comparison is not)?
+    Returns ONE row ``(n, n_groups, h, dof, tie_correction, h_adj,
+    epsilon_sq)`` — the raw H, the tie-corrected ``h_adj = H / C``
+    with ``C = 1 - sum(t^3 - t) / (n^3 - n)``, and the epsilon-squared
+    effect size ``h_adj / (n - 1)``.
+
+    Scale shape (the mann_whitney_u contract): midranks come from one
+    cumulative window over the per-DISTINCT-VALUE table, never a
+    per-row sort — (value, group) counts aggregate first, the window
+    runs over |distinct values| rows, and per-group rank sums are one
+    more aggregate. For continuous values |distinct| ~ n; at 100 TB
+    pre-bucket through ``sketches.histogram_quantiles`` cuts (rank
+    tests are bucket-exact under midranks)."""
+    vals = df.select(
+        F.col(value_col).cast("double").alias("v"),
+        F.col(group_col).alias("g"),
+    )
+    per_vg = vals.groupBy("v", "g").agg(
+        F.count(F.lit(1)).cast("double").alias("tg")
+    )
+    per_v = per_vg.groupBy("v").agg(F.sum("tg").alias("t"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_v.select(
+        "v",
+        "t",
+        (F.coalesce(F.sum("t").over(w), F.lit(0.0))
+         + (F.col("t") + 1.0) / 2.0).alias("avg_rank"),
+    )
+    per_g = (
+        per_vg.join(ranked.select("v", "avg_rank"), "v")
+        .groupBy("g")
+        .agg(
+            F.sum("tg").alias("n_g"),
+            F.round(F.sum(F.col("tg") * F.col("avg_rank")), round_dp).alias(
+                "r_g"
+            ),
+        )
+    )
+    gstats = per_g.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum("n_g").alias("n"),
+        F.round(
+            F.sum(F.col("r_g") * F.col("r_g") / F.col("n_g")), round_dp
+        ).alias("s"),
+    )
+    tstats = ranked.agg(
+        F.round(
+            F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")),
+            round_dp,
+        ).alias("tie_mass")
+    )
+    n, k, s = F.col("n"), F.col("k"), F.col("s")
+    h = F.lit(12.0) / (n * (n + 1.0)) * s - 3.0 * (n + 1.0)
+    c = F.lit(1.0) - F.col("tie_mass") / (n * n * n - n)
+    return gstats.crossJoin(F.broadcast(tstats)).select(
+        n.cast("bigint").alias("n"),
+        k.cast("bigint").alias("n_groups"),
+        F.round(h, out_dp).alias("h"),
+        (k - 1.0).cast("bigint").alias("dof"),
+        F.round(c, out_dp).alias("tie_correction"),
+        F.round(h / c, out_dp).alias("h_adj"),
+        F.round(h / c / (n - 1.0), out_dp).alias("epsilon_sq"),
+    )
+
+
+def spearman_matrix(
+    df: DataFrame,
+    id_col: str,
+    metrics: dict[str, Column],
+    round_dp: int = 8,
+    out_dp: int = 6,
+) -> DataFrame:
+    """Pairwise Spearman rank correlation between the given per-row
+    ``metrics`` (name -> numeric Column): Pearson's formula on MIDRANKS
+    — which metrics measure the same thing, monotonically, without
+    assuming linearity? The standard screen for redundant quality
+    signals before composing them into one score. Returns one row per
+    unordered pair ``(metric_a, metric_b, n, rho)`` with
+    ``metric_a < metric_b``, ordered by pair.
+
+    Scale shape: metrics melt to long form (one explode, |metrics|-fold
+    — a handful of doubles per row), midranks come from a cumulative
+    window over the per-(metric, distinct value) table PARTITIONED BY
+    METRIC (the mann_whitney_u escape applies per metric at 100 TB),
+    ranks join back on (metric, value), and the pair frame is a
+    self-join on ``id_col`` filtered to ordered pairs — one hash
+    exchange on the id, |metrics| x |metrics| row fan-out, then one
+    partial-combining aggregate per pair. Metric expressions must be
+    engine-exact (integer counts, single IEEE divisions): value-grain
+    grouping relies on bit-identical doubles across engines."""
+    long = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("metric"),
+                        expr.cast("double").alias("x"),
+                    )
+                    for name, expr in sorted(metrics.items())
+                ]
+            )
+        ).alias("__m"),
+    ).select("__id", F.col("__m.metric").alias("metric"), F.col("__m.x").alias("x"))
+    per_mx = long.groupBy("metric", "x").agg(
+        F.count(F.lit(1)).cast("double").alias("t")
+    )
+    w = (
+        Window.partitionBy("metric")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked_vals = per_mx.select(
+        "metric",
+        "x",
+        (F.coalesce(F.sum("t").over(w), F.lit(0.0))
+         + (F.col("t") + 1.0) / 2.0).alias("r"),
+    )
+    ranked = long.join(ranked_vals, ["metric", "x"]).select(
+        "__id", "metric", "r"
+    )
+    a, b = ranked.alias("a"), ranked.alias("b")
+    pairs = (
+        a.join(b, F.col("a.__id") == F.col("b.__id"))
+        .filter(F.col("a.metric") < F.col("b.metric"))
+        .select(
+            F.col("a.metric").alias("metric_a"),
+            F.col("b.metric").alias("metric_b"),
+            F.col("a.r").alias("ra"),
+            F.col("b.r").alias("rb"),
+        )
+    )
+    g = pairs.groupBy("metric_a", "metric_b").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.round(F.sum("ra"), round_dp).alias("sa"),
+        F.round(F.sum("rb"), round_dp).alias("sb"),
+        F.round(F.sum(F.col("ra") * F.col("rb")), round_dp).alias("sab"),
+        F.round(F.sum(F.col("ra") * F.col("ra")), round_dp).alias("saa"),
+        F.round(F.sum(F.col("rb") * F.col("rb")), round_dp).alias("sbb"),
+    )
+    n = F.col("n")
+    num = n * F.col("sab") - F.col("sa") * F.col("sb")
+    den = F.sqrt(
+        (n * F.col("saa") - F.col("sa") * F.col("sa"))
+        * (n * F.col("sbb") - F.col("sb") * F.col("sb"))
+    )
+    return g.select(
+        "metric_a",
+        "metric_b",
+        n.cast("bigint").alias("n"),
+        F.round(
+            F.when(den > 0, num / den), out_dp
+        ).alias("rho"),
+    ).orderBy("metric_a", "metric_b")
+
+
+def mcnemar_paired(
+    df: DataFrame,
+    gate_a: Column,
+    gate_b: Column,
+) -> DataFrame:
+    """McNemar's test on PAIRED booleans (McNemar 1947) — do two gates
+    (or two classifiers scored on the same items) disagree
+    systematically, judged only on the discordant cells? The standard
+    paired comparison for "did the new filter change decisions, or
+    just shuffle them symmetrically?". Returns ONE row
+    ``(n, both_pass, a_only, b_only, neither, chi2_cc)`` where
+    ``chi2_cc = (max(|a_only - b_only| - 1, 0))^2 / (a_only + b_only)``
+    (continuity-corrected, 1 dof; NULL when there are no discordant
+    pairs). One partial-combining aggregate over pure per-row
+    expressions — zero shuffles beyond the final single-row combine,
+    the same scan shape at 100 TB."""
+    a = F.coalesce(gate_a, F.lit(False))
+    b = F.coalesce(gate_b, F.lit(False))
+    cells = df.select(
+        F.when(a & b, 1).otherwise(0).alias("ab"),
+        F.when(a & ~b, 1).otherwise(0).alias("a_"),
+        F.when(~a & b, 1).otherwise(0).alias("b_"),
+        F.when(~a & ~b, 1).otherwise(0).alias("nn"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("ab").alias("both_pass"),
+        F.sum("a_").alias("a_only"),
+        F.sum("b_").alias("b_only"),
+        F.sum("nn").alias("neither"),
+    )
+    disc = (F.col("a_only") + F.col("b_only")).cast("double")
+    diff = F.greatest(
+        F.abs(F.col("a_only") - F.col("b_only")).cast("double") - 1.0,
+        F.lit(0.0),
+    )
+    return cells.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("both_pass").cast("bigint").alias("both_pass"),
+        F.col("a_only").cast("bigint").alias("a_only"),
+        F.col("b_only").cast("bigint").alias("b_only"),
+        F.col("neither").cast("bigint").alias("neither"),
+        F.round(
+            F.when(disc > 0, diff * diff / disc), 6
+        ).alias("chi2_cc"),
+    )

@@ -10169,6 +10169,246 @@ def q_source_lang_association(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "kruskal_value_by_type",
+    """
+WITH vals AS (
+  SELECT value::DOUBLE AS v, event_type AS g FROM events
+),
+pvg AS (
+  SELECT v, g, COUNT(*)::DOUBLE AS tg FROM vals GROUP BY 1, 2
+),
+pv AS (SELECT v, SUM(tg) AS t FROM pvg GROUP BY 1),
+rv AS (
+  SELECT v, t,
+    COALESCE(SUM(t) OVER (ORDER BY v
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      + (t + 1) / 2.0 AS avg_rank
+  FROM pv
+),
+pg AS (
+  SELECT g, SUM(tg) AS n_g, ROUND(SUM(tg * avg_rank), 8) AS r_g
+  FROM pvg JOIN rv USING (v) GROUP BY g
+),
+gs AS (
+  SELECT COUNT(*)::DOUBLE AS k, SUM(n_g) AS n,
+    ROUND(SUM(r_g * r_g / n_g), 8) AS s
+  FROM pg
+),
+ts AS (SELECT ROUND(SUM(t * t * t - t), 8) AS tie_mass FROM rv)
+SELECT n::BIGINT AS n, k::BIGINT AS n_groups,
+  ROUND(12.0 / (n * (n + 1.0)) * s - 3.0 * (n + 1.0), 6) AS h,
+  (k - 1)::BIGINT AS dof,
+  ROUND(1.0 - tie_mass / (n * n * n - n), 6) AS tie_correction,
+  ROUND((12.0 / (n * (n + 1.0)) * s - 3.0 * (n + 1.0))
+      / (1.0 - tie_mass / (n * n * n - n)), 6) AS h_adj,
+  ROUND((12.0 / (n * (n + 1.0)) * s - 3.0 * (n + 1.0))
+      / (1.0 - tie_mass / (n * n * n - n)) / (n - 1.0), 6) AS epsilon_sq
+FROM gs CROSS JOIN ts
+""",
+)
+def q_kruskal_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across the five event-type groups on value
+    (operators/hyptest.py kruskal_wallis): the k-group generalization
+    of mannwhitney_value_shift — do ANY event types draw from a
+    different value distribution, judged on midranks with the exact
+    tie correction? Same distinct-value-grain rank machinery (one
+    groupBy + one window over distinct values, never a per-row global
+    sort; pre-bucket through histogram_quantiles cuts at 100 TB), one
+    extra per-group aggregate, single-row output with the
+    epsilon-squared effect size."""
+    from fireball_data_processing_spark.operators.hyptest import (
+        kruskal_wallis,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return kruskal_wallis(ev, "value", "event_type")
+
+
+@query(
+    "spearman_doc_metrics",
+    """
+WITH q AS (
+  SELECT doc_id,
+    length(text) AS n_chars,
+    regexp_split_to_array(trim(text), '\\s+') AS words
+  FROM documents
+),
+base AS (
+  SELECT doc_id,
+    n_chars::DOUBLE AS n_chars,
+    len(words)::DOUBLE AS n_words,
+    COALESCE(CASE WHEN len(words) > 0 THEN
+      list_sum(list_transform(words, w -> length(w)))::DOUBLE / len(words)
+    END, 0.0) AS mean_word_len,
+    COALESCE(CASE WHEN len(words) > 0 THEN
+      len(list_filter(words, w -> lower(w) IN
+        ('the','a','of','and','to','in','is','it','that','for')))::DOUBLE
+      / len(words) END, 0.0) AS stopword_ratio
+  FROM q
+),
+long AS (
+  SELECT doc_id, 'mean_word_len' AS metric, mean_word_len AS x FROM base
+  UNION ALL SELECT doc_id, 'n_chars', n_chars FROM base
+  UNION ALL SELECT doc_id, 'n_words', n_words FROM base
+  UNION ALL SELECT doc_id, 'stopword_ratio', stopword_ratio FROM base
+),
+pmx AS (
+  SELECT metric, x, COUNT(*)::DOUBLE AS t FROM long GROUP BY 1, 2
+),
+rv AS (
+  SELECT metric, x,
+    COALESCE(SUM(t) OVER (PARTITION BY metric ORDER BY x
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      + (t + 1) / 2.0 AS r
+  FROM pmx
+),
+ranked AS (
+  SELECT l.doc_id, l.metric, rv.r
+  FROM long l JOIN rv ON l.metric = rv.metric AND l.x = rv.x
+),
+pairs AS (
+  SELECT a.metric AS metric_a, b.metric AS metric_b,
+    a.r AS ra, b.r AS rb
+  FROM ranked a JOIN ranked b ON a.doc_id = b.doc_id
+  WHERE a.metric < b.metric
+),
+g AS (
+  SELECT metric_a, metric_b, COUNT(*)::DOUBLE AS n,
+    ROUND(SUM(ra), 8) AS sa, ROUND(SUM(rb), 8) AS sb,
+    ROUND(SUM(ra * rb), 8) AS sab,
+    ROUND(SUM(ra * ra), 8) AS saa, ROUND(SUM(rb * rb), 8) AS sbb
+  FROM pairs GROUP BY 1, 2
+)
+SELECT metric_a, metric_b, n::BIGINT AS n,
+  ROUND(CASE WHEN (n * saa - sa * sa) * (n * sbb - sb * sb) > 0 THEN
+    (n * sab - sa * sb)
+      / SQRT((n * saa - sa * sa) * (n * sbb - sb * sb)) END, 6) AS rho
+FROM g ORDER BY metric_a, metric_b
+""",
+)
+def q_spearman_doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Spearman rank correlation between four document quality
+    metrics (operators/hyptest.py spearman_matrix): which signals are
+    monotonically redundant before composing them into one quality
+    score? Metrics melt to long form (one explode), midranks come from
+    a per-metric cumulative window over the (metric, distinct value)
+    grain, and the 6 pairs aggregate off one self-join on doc_id.
+    Metric expressions are engine-exact (integer counts and single
+    IEEE divisions), so value-grain rank grouping agrees bit-for-bit
+    cross-engine."""
+    from fireball_data_processing_spark.functions.textstats import (
+        quality_features,
+    )
+    from fireball_data_processing_spark.operators.hyptest import (
+        spearman_matrix,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    feats = quality_features(F.col("text"))
+    metrics = {
+        "n_chars": feats["n_chars"].cast("double"),
+        "n_words": feats["n_words"].cast("double"),
+        "mean_word_len": F.coalesce(feats["mean_word_len"], F.lit(0.0)),
+        "stopword_ratio": F.coalesce(feats["stopword_ratio"], F.lit(0.0)),
+    }
+    return spearman_matrix(d, "doc_id", metrics)
+
+
+@query(
+    "mcnemar_gate_disagreement",
+    """
+WITH w AS (
+  SELECT doc_id, text,
+    regexp_split_to_array(trim(text), '\\s+') AS words,
+    string_split(text, chr(10)) AS lines
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+    len(words) AS n_words,
+    list_sum(list_transform(words, x -> length(x)))::DOUBLE / len(words) AS mean_wl,
+    ((length(text) - length(replace(text, '#', '')))
+     + (length(text) - length(replace(text, '...', ''))) / 3)::DOUBLE
+      / len(words) AS symbol_ratio,
+    len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+      / len(words) AS alpha_ratio,
+    len(list_filter(words, x -> list_contains(
+      ['the','a','of','and','to','in','is','it','that','for'], lower(x))))
+      AS stop_hits,
+    len(list_filter(lines, l -> starts_with(l, '- ') OR starts_with(l, '* ')
+      OR starts_with(l, chr(8226))))::DOUBLE / len(lines) AS bullet_ratio,
+    len(list_filter(lines, l -> l LIKE '%...'))::DOUBLE / len(lines)
+      AS ellipsis_ratio
+  FROM w
+),
+gop AS (
+  SELECT doc_id,
+    COALESCE((n_words >= 50 AND n_words <= 100000
+      AND mean_wl >= 3.0 AND mean_wl <= 10.0
+      AND symbol_ratio <= 0.1 AND alpha_ratio >= 0.8 AND stop_hits >= 2
+      AND bullet_ratio <= 0.9 AND ellipsis_ratio <= 0.3), FALSE) AS a
+  FROM m
+),
+f AS (
+  SELECT doc_id,
+    len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                    s -> s <> '')) AS n_words,
+    greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+  FROM documents
+),
+rd AS (
+  SELECT doc_id,
+    COALESCE(CASE WHEN n_words > 0 THEN
+      ROUND(206.835 - 1.015 * n_words / n_sentences
+                    - 84.6 * n_syllables / n_words, 6) >= 30.0 END, FALSE)
+      AS b
+  FROM f
+),
+j AS (SELECT a, b FROM gop JOIN rd USING (doc_id)),
+cells AS (
+  SELECT COUNT(*) AS n,
+    SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS both_pass,
+    SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS a_only,
+    SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS b_only,
+    SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS neither
+  FROM j
+)
+SELECT n::BIGINT AS n, both_pass::BIGINT AS both_pass,
+  a_only::BIGINT AS a_only, b_only::BIGINT AS b_only,
+  neither::BIGINT AS neither,
+  ROUND(CASE WHEN a_only + b_only > 0 THEN
+    (GREATEST(ABS(a_only - b_only)::DOUBLE - 1.0, 0.0)
+     * GREATEST(ABS(a_only - b_only)::DOUBLE - 1.0, 0.0))
+    / (a_only + b_only) END, 6) AS chi2_cc
+FROM cells
+""",
+)
+def q_mcnemar_gate_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test between the Gopher shape gate and the
+    Flesch readability gate on the SAME documents (operators/hyptest.py
+    mcnemar_paired): do the two filters disagree symmetrically (they
+    reject different random slices) or systematically (one is strictly
+    stricter — the continuity-corrected chi-squared on the discordant
+    cells)? The paired design is the right comparison for gate A/B
+    decisions; comparing marginal pass rates ignores that both score
+    the same items. Pure per-row expressions + one single-row
+    aggregate — zero shuffles."""
+    from fireball_data_processing_spark.functions.textstats import (
+        flesch_features,
+        gopher_rules,
+    )
+    from fireball_data_processing_spark.operators.hyptest import (
+        mcnemar_paired,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    gop = gopher_rules(F.col("text"))["passes_gopher"]
+    ease = flesch_features(F.col("text"))["reading_ease"]
+    return mcnemar_paired(d, gop, ease >= 30.0)
+
+
+@query(
     "token_mass_lorenz",
     """
 WITH d AS (
@@ -11676,17 +11916,24 @@ def get(name: str) -> QuerySpec:
 # declaration order; listed-but-unregistered names are skipped.
 _PRIORITY = [
     # Round-9 head (the driver samples roughly the first 50 entries).
-    # Consolidation round — NO new catalog queries; per VERDICT r8 the
-    # whole head is attestation freshness. Layout: the 13 queries whose
+    # Consolidation round — 3 new catalog queries (within VERDICT r8's
+    # <=5 budget); the rest of the head is attestation freshness.
+    # Layout: the 3 new queries, then the 13 queries whose
     # newest driver row dates to r4 (all re-verified MATCH locally in
     # r8 and again on r9 code), then the 3 queries whose ENGINES were
     # re-planned this round (PCA array-form fit, driver-side Markov
     # fixed point — oracle-verified at sf0.01 AND sf0.1 on the new
     # code, but the newest driver rows predate the re-plan), then the
     # alphabetically-first 34 of the 50 r5-stale queries. The 16
-    # remaining r5-stale queue immediately past the head and rotate
-    # first in round 10; after THIS head lands, no catalog query's
-    # newest driver row predates r5.
+    # remaining r5-stale (plus the 3 tail entries the new queries
+    # displaced) queue immediately past the head and rotate first in
+    # round 10; after THIS head lands, no catalog query's newest
+    # driver row predates r5 except that displaced tail.
+    # --- new in round 9 (need first-ever driver rows; 3 total, within
+    # the consolidation budget of <=5) ---
+    "kruskal_value_by_type",
+    "spearman_doc_metrics",
+    "mcnemar_gate_disagreement",
     # --- newest driver row r4 (all 13) ---
     "bpe_token_stats",
     "corpus_shard_layout",

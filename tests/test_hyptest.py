@@ -143,3 +143,143 @@ def test_bh_step_up_rescues_earlier_failures(spark):
         for r in bh_significant(df, "p", "k", alpha=0.05).collect()
     }
     assert got == {1: True, 2: True}
+
+
+def _kw_literal(groups):
+    # literal-Python Kruskal-Wallis with midranks + tie correction
+    all_v = sorted(v for g in groups.values() for v in g)
+    n = len(all_v)
+    rank = {}
+    i = 0
+    while i < len(all_v):
+        j = i
+        while j < len(all_v) and all_v[j] == all_v[i]:
+            j += 1
+        rank[all_v[i]] = (i + 1 + j) / 2.0
+        i = j
+    s = sum(
+        sum(rank[v] for v in vs) ** 2 / len(vs) for vs in groups.values()
+    )
+    h = 12.0 / (n * (n + 1)) * s - 3.0 * (n + 1)
+    ties = {}
+    for v in all_v:
+        ties[v] = ties.get(v, 0) + 1
+    c = 1.0 - sum(t**3 - t for t in ties.values()) / (n**3 - n)
+    return h, h / c
+
+
+def test_kruskal_hand_computed_three_groups(spark):
+    from fireball_data_processing_spark.operators.hyptest import (
+        kruskal_wallis,
+    )
+
+    groups = {"a": [1.0, 2.0, 3.0], "b": [2.0, 4.0, 6.0], "c": [5.0, 7.0, 9.0]}
+    rows = [(v, g) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "v double, g string")
+    r = kruskal_wallis(df, "v", "g").first()
+    h, h_adj = _kw_literal(groups)
+    assert r["n"] == 9 and r["n_groups"] == 3 and r["dof"] == 2
+    assert abs(r["h"] - round(h, 6)) < 1e-6
+    assert abs(r["h_adj"] - round(h_adj, 6)) < 1e-6
+
+
+def test_kruskal_identical_groups_h_zero(spark):
+    rows = [(float(v), g) for g in "ab" for v in (1, 2, 3)]
+    df = spark.createDataFrame(rows, "v double, g string")
+    r = kruskal_wallis_import(df)
+    assert abs(r["h_adj"]) < 1e-9
+    assert r["tie_correction"] < 1.0  # every value tied across groups
+
+
+def kruskal_wallis_import(df):
+    from fireball_data_processing_spark.operators.hyptest import (
+        kruskal_wallis,
+    )
+
+    return kruskal_wallis(df, "v", "g").first()
+
+
+def test_spearman_perfect_monotone_and_reversed(spark):
+    from fireball_data_processing_spark.operators.hyptest import (
+        spearman_matrix,
+    )
+
+    rows = [(i, float(i), float(i * i), float(10 - i)) for i in range(1, 9)]
+    df = spark.createDataFrame(rows, "id bigint, m1 double, m2 double, m3 double")
+    out = {
+        (r["metric_a"], r["metric_b"]): r["rho"]
+        for r in spearman_matrix(
+            df, "id",
+            {"m1": F.col("m1"), "m2": F.col("m2"), "m3": F.col("m3")},
+        ).collect()
+    }
+    # m2 = m1^2 is a perfect monotone map -> rho exactly 1;
+    # m3 = 10 - m1 reverses it -> rho exactly -1
+    assert out[("m1", "m2")] == 1.0
+    assert out[("m1", "m3")] == -1.0
+    assert out[("m2", "m3")] == -1.0
+
+
+def test_spearman_ties_match_literal_python(spark):
+    from fireball_data_processing_spark.operators.hyptest import (
+        spearman_matrix,
+    )
+
+    x = [1.0, 2.0, 2.0, 3.0, 4.0, 4.0, 4.0, 5.0]
+    y = [2.0, 1.0, 3.0, 3.0, 5.0, 4.0, 4.0, 6.0]
+
+    def midranks(vals):
+        sv = sorted(vals)
+        first = {}
+        cnt = {}
+        for i, v in enumerate(sv):
+            first.setdefault(v, i + 1)
+            cnt[v] = cnt.get(v, 0) + 1
+        return [first[v] + (cnt[v] - 1) / 2.0 for v in vals]
+
+    rx, ry = midranks(x), midranks(y)
+    n = float(len(x))
+    sx, sy = sum(rx), sum(ry)
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    sxx = sum(a * a for a in rx)
+    syy = sum(b * b for b in ry)
+    rho = (n * sxy - sx * sy) / (
+        ((n * sxx - sx * sx) * (n * syy - sy * sy)) ** 0.5
+    )
+    rows = [(i, x[i], y[i]) for i in range(len(x))]
+    df = spark.createDataFrame(rows, "id bigint, mx double, my double")
+    r = spearman_matrix(
+        df, "id", {"mx": F.col("mx"), "my": F.col("my")}
+    ).first()
+    assert abs(r["rho"] - round(rho, 6)) < 1e-6
+
+
+def test_mcnemar_hand_computed(spark):
+    from fireball_data_processing_spark.operators.hyptest import (
+        mcnemar_paired,
+    )
+
+    # both=3, a_only=6, b_only=2, neither=1 -> chi2_cc=(|6-2|-1)^2/8=1.125
+    rows = (
+        [(True, True)] * 3 + [(True, False)] * 6
+        + [(False, True)] * 2 + [(False, False)] * 1
+    )
+    df = spark.createDataFrame(rows, "ga boolean, gb boolean")
+    r = mcnemar_paired(df, F.col("ga"), F.col("gb")).first()
+    assert (r["n"], r["both_pass"], r["a_only"], r["b_only"], r["neither"]) == (
+        12, 3, 6, 2, 1,
+    )
+    assert r["chi2_cc"] == 1.125
+
+
+def test_mcnemar_no_discordance_null_stat_and_null_gates(spark):
+    from fireball_data_processing_spark.operators.hyptest import (
+        mcnemar_paired,
+    )
+
+    rows = [(True, True), (False, False), (None, None)]
+    df = spark.createDataFrame(rows, "ga boolean, gb boolean")
+    r = mcnemar_paired(df, F.col("ga"), F.col("gb")).first()
+    # nulls coalesce to fail; zero discordant pairs -> stat undefined
+    assert (r["both_pass"], r["neither"]) == (1, 2)
+    assert r["chi2_cc"] is None
