@@ -309,12 +309,17 @@ def spearman_matrix(
     — a handful of doubles per row), midranks come from a cumulative
     window over the per-(metric, distinct value) table PARTITIONED BY
     METRIC (the mann_whitney_u escape applies per metric at 100 TB),
-    ranks join back on (metric, value), and the pair frame is a
-    self-join on ``id_col`` filtered to ordered pairs — one hash
-    exchange on the id, |metrics| x |metrics| row fan-out, then one
-    partial-combining aggregate per pair. Metric expressions must be
-    engine-exact (integer counts, single IEEE divisions): value-grain
-    grouping relies on bit-identical doubles across engines."""
+    ranks join back on (metric, value) via a broadcast of the
+    rank-table side, then PIVOT WIDE on the id (one hash exchange) so
+    ALL k(k-1)/2 pair statistics come out of ONE partial-combining
+    aggregate over the wide frame. A ranked-frame self-join was tried
+    first and rejected: each side of the join re-plans the entire
+    melt+rank subtree (2 source scans in the physical plan) and the
+    join fans out |metrics|^2 rows per id — the pivot form scans the
+    source ONCE and never builds the pair-grain frame at all. Metric
+    expressions must be engine-exact (integer counts, single IEEE
+    divisions): value-grain grouping relies on bit-identical doubles
+    across engines."""
     long = df.select(
         F.col(id_col).alias("__id"),
         F.explode(
@@ -343,42 +348,48 @@ def spearman_matrix(
         (F.coalesce(F.sum("t").over(w), F.lit(0.0))
          + (F.col("t") + 1.0) / 2.0).alias("r"),
     )
-    ranked = long.join(ranked_vals, ["metric", "x"]).select(
-        "__id", "metric", "r"
-    )
-    a, b = ranked.alias("a"), ranked.alias("b")
-    pairs = (
-        a.join(b, F.col("a.__id") == F.col("b.__id"))
-        .filter(F.col("a.metric") < F.col("b.metric"))
-        .select(
-            F.col("a.metric").alias("metric_a"),
-            F.col("b.metric").alias("metric_b"),
-            F.col("a.r").alias("ra"),
-            F.col("b.r").alias("rb"),
+    ranked = long.join(
+        F.broadcast(ranked_vals), ["metric", "x"]
+    ).select("__id", "metric", "r")
+    names = sorted(metrics)
+    wide = ranked.groupBy("__id").pivot("metric", names).agg(F.first("r"))
+    pair_list = [
+        (a, b) for i, a in enumerate(names) for b in names[i + 1 :]
+    ]
+    aggs = [F.count(F.lit(1)).cast("double").alias("__n")]
+    for m in names:
+        aggs.append(F.round(F.sum(F.col(m)), round_dp).alias(f"__s_{m}"))
+        aggs.append(
+            F.round(F.sum(F.col(m) * F.col(m)), round_dp).alias(f"__ss_{m}")
         )
+    for a, b in pair_list:
+        aggs.append(
+            F.round(F.sum(F.col(a) * F.col(b)), round_dp).alias(
+                f"__sp_{a}__{b}"
+            )
+        )
+    stats = wide.agg(*aggs)
+    n = F.col("__n")
+    out_rows = []
+    for a, b in pair_list:
+        sa, sb = F.col(f"__s_{a}"), F.col(f"__s_{b}")
+        saa, sbb = F.col(f"__ss_{a}"), F.col(f"__ss_{b}")
+        sab = F.col(f"__sp_{a}__{b}")
+        num = n * sab - sa * sb
+        den = F.sqrt((n * saa - sa * sa) * (n * sbb - sb * sb))
+        out_rows.append(
+            F.struct(
+                F.lit(a).alias("metric_a"),
+                F.lit(b).alias("metric_b"),
+                n.cast("bigint").alias("n"),
+                F.round(F.when(den > 0, num / den), out_dp).alias("rho"),
+            )
+        )
+    return (
+        stats.select(F.explode(F.array(*out_rows)).alias("__p"))
+        .select("__p.metric_a", "__p.metric_b", "__p.n", "__p.rho")
+        .orderBy("metric_a", "metric_b")
     )
-    g = pairs.groupBy("metric_a", "metric_b").agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.round(F.sum("ra"), round_dp).alias("sa"),
-        F.round(F.sum("rb"), round_dp).alias("sb"),
-        F.round(F.sum(F.col("ra") * F.col("rb")), round_dp).alias("sab"),
-        F.round(F.sum(F.col("ra") * F.col("ra")), round_dp).alias("saa"),
-        F.round(F.sum(F.col("rb") * F.col("rb")), round_dp).alias("sbb"),
-    )
-    n = F.col("n")
-    num = n * F.col("sab") - F.col("sa") * F.col("sb")
-    den = F.sqrt(
-        (n * F.col("saa") - F.col("sa") * F.col("sa"))
-        * (n * F.col("sbb") - F.col("sb") * F.col("sb"))
-    )
-    return g.select(
-        "metric_a",
-        "metric_b",
-        n.cast("bigint").alias("n"),
-        F.round(
-            F.when(den > 0, num / den), out_dp
-        ).alias("rho"),
-    ).orderBy("metric_a", "metric_b")
 
 
 def mcnemar_paired(
