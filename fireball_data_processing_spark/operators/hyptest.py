@@ -242,8 +242,18 @@ def kruskal_wallis(
         F.col(value_col).cast("double").alias("v"),
         F.col(group_col).alias("g"),
     )
-    per_vg = vals.groupBy("v", "g").agg(
-        F.count(F.lit(1)).cast("double").alias("tg")
+    # eager lineage truncation on the (value, group)-grain counts: the
+    # frame feeds BOTH the rank window (via the value-grain rollup,
+    # itself consumed by the rank table and the tie-mass aggregate) and
+    # the per-group rank-sum join — left lazy, the static plan re-plans
+    # the source scan under every consumer (3 scans observed). The
+    # frame is |distinct values| x |groups| rows, n at worst for
+    # continuous values — the same bound as the rank window itself,
+    # and bucket-grain under the documented 100 TB pre-bucket escape.
+    per_vg = (
+        vals.groupBy("v", "g")
+        .agg(F.count(F.lit(1)).cast("double").alias("tg"))
+        .localCheckpoint()
     )
     per_v = per_vg.groupBy("v").agg(F.sum("tg").alias("t"))
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
