@@ -169,6 +169,7 @@ EXTRA = (
     "kruskal_value_by_type",
     "spearman_doc_metrics",
     "mcnemar_gate_disagreement",
+    "cochran_gate_family",
 )
 
 

@@ -53,6 +53,7 @@ from fireball_data_processing_spark.operators.calibration import (
 )
 from fireball_data_processing_spark.operators.hyptest import (
     chi2_association,
+    cochran_q,
     kruskal_wallis,
     mann_whitney_u,
     mcnemar_paired,
@@ -90,6 +91,7 @@ __all__ = [
     "bootstrap_delta_ci",
     "bootstrap_mean_ci",
     "chi2_association",
+    "cochran_q",
     "kruskal_wallis",
     "mcnemar_paired",
     "spearman_matrix",

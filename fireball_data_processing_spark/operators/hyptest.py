@@ -39,6 +39,7 @@ __all__ = [
     "kruskal_wallis",
     "spearman_matrix",
     "mcnemar_paired",
+    "cochran_q",
     "normal_sf_expr",
     "normal_sf_sql",
     "bh_significant",
@@ -323,10 +324,12 @@ def spearman_matrix(
     rank-table side, then PIVOT WIDE on the id (one hash exchange) so
     ALL k(k-1)/2 pair statistics come out of ONE partial-combining
     aggregate over the wide frame. A ranked-frame self-join was tried
-    first and rejected: each side of the join re-plans the entire
-    melt+rank subtree (2 source scans in the physical plan) and the
-    join fans out |metrics|^2 rows per id — the pivot form scans the
-    source ONCE and never builds the pair-grain frame at all. Metric
+    first and rejected: each side of the join re-planned the ENTIRE
+    melt + rank-window subtree and fanned out |metrics|^2 rows per id
+    — the pivot form runs the rank window once, never builds the
+    pair-grain frame, and its only duplication is the projected source
+    scan under the long frame's two consumers (the rank table and the
+    join-back; the melt is a handful of per-row expressions). Metric
     expressions must be engine-exact (integer counts, single IEEE
     divisions): value-grain grouping relies on bit-identical doubles
     across engines."""
@@ -446,4 +449,64 @@ def mcnemar_paired(
         F.round(
             F.when(disc > 0, diff * diff / disc), 6
         ).alias("chi2_cc"),
+    )
+
+
+def cochran_q(
+    df: DataFrame,
+    gates: dict[str, Column],
+    round_dp: int = 8,
+    out_dp: int = 6,
+) -> DataFrame:
+    """Cochran's Q test (Cochran 1950) — the k-gate generalization of
+    :func:`mcnemar_paired`: do k boolean gates scored on the SAME rows
+    pass at the same rate, accounting for the pairing? (For k = 2 it
+    reduces to the uncorrected McNemar.) Returns ONE row
+    ``(n, k, q, dof)`` plus one ``pass_<name>`` count per gate, with
+
+        Q = (k - 1) * (k * sum_j G_j^2 - T^2) / (k * T - sum_i L_i^2)
+
+    where G_j = per-gate pass count, L_i = per-row pass count, and
+    T = sum of either. NULL gate values count as fail (the
+    mcnemar_paired convention); Q is NULL when every row is unanimous
+    (denominator 0 — no discordance to test).
+
+    Scale shape: the per-row pass count L_i and its square fold into
+    the SAME single partial-combining aggregate as the per-gate sums —
+    one scan, zero shuffles beyond the single-row combine, identical
+    at 100 TB."""
+    names = sorted(gates)
+    k = float(len(names))
+    cols = [
+        F.when(F.coalesce(gates[m], F.lit(False)), 1).otherwise(0).alias(
+            f"__g_{m}"
+        )
+        for m in names
+    ]
+    base = df.select(*cols)
+    li = sum((F.col(f"__g_{m}") for m in names), F.lit(0))
+    aggs = [
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum(li).cast("double").alias("__t"),
+        F.sum(li * li).cast("double").alias("__l2"),
+    ] + [
+        F.sum(F.col(f"__g_{m}")).cast("double").alias(f"__s_{m}")
+        for m in names
+    ]
+    stats = base.agg(*aggs)
+    g2 = sum(
+        (F.col(f"__s_{m}") * F.col(f"__s_{m}") for m in names), F.lit(0.0)
+    )
+    t = F.col("__t")
+    den = F.lit(k) * t - F.col("__l2")
+    q = F.lit(k - 1.0) * (F.lit(k) * g2 - t * t) / den
+    return stats.select(
+        F.col("__n").cast("bigint").alias("n"),
+        F.lit(int(k)).cast("bigint").alias("k"),
+        F.round(F.when(den > 0, q), out_dp).alias("q"),
+        F.lit(int(k) - 1).cast("bigint").alias("dof"),
+        *[
+            F.col(f"__s_{m}").cast("bigint").alias(f"pass_{m}")
+            for m in names
+        ],
     )

@@ -10409,6 +10409,113 @@ def q_mcnemar_gate_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cochran_gate_family",
+    """
+WITH w AS (
+  SELECT doc_id, text,
+    regexp_split_to_array(trim(text), '\\s+') AS words,
+    string_split(text, chr(10)) AS lines
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+    len(words) AS n_words,
+    list_sum(list_transform(words, x -> length(x)))::DOUBLE / len(words) AS mean_wl,
+    ((length(text) - length(replace(text, '#', '')))
+     + (length(text) - length(replace(text, '...', ''))) / 3)::DOUBLE
+      / len(words) AS symbol_ratio,
+    len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+      / len(words) AS alpha_ratio,
+    len(list_filter(words, x -> list_contains(
+      ['the','a','of','and','to','in','is','it','that','for'], lower(x))))
+      AS stop_hits,
+    len(list_filter(lines, l -> starts_with(l, '- ') OR starts_with(l, '* ')
+      OR starts_with(l, chr(8226))))::DOUBLE / len(lines) AS bullet_ratio,
+    len(list_filter(lines, l -> l LIKE '%...'))::DOUBLE / len(lines)
+      AS ellipsis_ratio
+  FROM w
+),
+gop AS (
+  SELECT doc_id,
+    COALESCE((n_words >= 50 AND n_words <= 100000
+      AND mean_wl >= 3.0 AND mean_wl <= 10.0
+      AND symbol_ratio <= 0.1 AND alpha_ratio >= 0.8 AND stop_hits >= 2
+      AND bullet_ratio <= 0.9 AND ellipsis_ratio <= 0.3), FALSE) AS ga
+  FROM m
+),
+f AS (
+  SELECT doc_id,
+    len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                    s -> s <> '')) AS n_words,
+    greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+  FROM documents
+),
+rd AS (
+  SELECT doc_id,
+    COALESCE(CASE WHEN n_words > 0 THEN
+      ROUND(206.835 - 1.015 * n_words / n_sentences
+                    - 84.6 * n_syllables / n_words, 6) >= 30.0 END, FALSE)
+      AS gb
+  FROM f
+),
+al AS (
+  SELECT doc_id,
+    COALESCE(CASE WHEN length(text) > 0 THEN
+      length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+        / length(text) >= 0.6 END, FALSE) AS gc
+  FROM documents
+),
+j AS (
+  SELECT (CASE WHEN ga THEN 1 ELSE 0 END) AS a,
+    (CASE WHEN gb THEN 1 ELSE 0 END) AS b,
+    (CASE WHEN gc THEN 1 ELSE 0 END) AS c
+  FROM gop JOIN rd USING (doc_id) JOIN al USING (doc_id)
+),
+s AS (
+  SELECT COUNT(*)::DOUBLE AS n, SUM(a + b + c)::DOUBLE AS t,
+    SUM((a + b + c) * (a + b + c))::DOUBLE AS l2,
+    SUM(a)::DOUBLE AS sa, SUM(b)::DOUBLE AS sb, SUM(c)::DOUBLE AS sc
+  FROM j
+)
+SELECT n::BIGINT AS n, 3::BIGINT AS k,
+  ROUND(CASE WHEN 3.0 * t - l2 > 0 THEN
+    2.0 * (3.0 * (sa * sa + sb * sb + sc * sc) - t * t)
+      / (3.0 * t - l2) END, 6) AS q,
+  2::BIGINT AS dof,
+  sc::BIGINT AS pass_alphaness, sa::BIGINT AS pass_gopher,
+  sb::BIGINT AS pass_readability
+FROM s
+""",
+)
+def q_cochran_gate_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q across THREE quality gates scored on the same
+    documents (operators/hyptest.py cochran_q — the k-gate
+    generalization of mcnemar_gate_disagreement): do the Gopher shape
+    gate, the Flesch readability gate, and an alphabetic-density gate
+    pass at the same rate once the pairing is accounted for? The
+    family-level sanity check before composing gates into one filter
+    (k = 2 reduces to uncorrected McNemar). Per-row pass count and its
+    square fold into the SAME single aggregate as the per-gate sums —
+    one scan, zero shuffles."""
+    from fireball_data_processing_spark.functions.textstats import (
+        flesch_features,
+        gopher_rules,
+        quality_features,
+    )
+    from fireball_data_processing_spark.operators.hyptest import cochran_q
+
+    d = load_table(spark, sf_dir, "documents")
+    gates = {
+        "gopher": gopher_rules(F.col("text"))["passes_gopher"],
+        "readability": flesch_features(F.col("text"))["reading_ease"]
+        >= 30.0,
+        "alphaness": quality_features(F.col("text"))["alpha_ratio"] >= 0.6,
+    }
+    return cochran_q(d, gates)
+
+
+@query(
     "token_mass_lorenz",
     """
 WITH d AS (
@@ -11916,24 +12023,24 @@ def get(name: str) -> QuerySpec:
 # declaration order; listed-but-unregistered names are skipped.
 _PRIORITY = [
     # Round-9 head (the driver samples roughly the first 50 entries).
-    # Consolidation round — 3 new catalog queries (within VERDICT r8's
-    # <=5 budget); the rest of the head is attestation freshness.
-    # Layout: the 3 new queries, then the 13 queries whose
-    # newest driver row dates to r4 (all re-verified MATCH locally in
-    # r8 and again on r9 code), then the 3 queries whose ENGINES were
-    # re-planned this round (PCA array-form fit, driver-side Markov
-    # fixed point — oracle-verified at sf0.01 AND sf0.1 on the new
-    # code, but the newest driver rows predate the re-plan), then the
-    # alphabetically-first 34 of the 50 r5-stale queries. The 16
-    # remaining r5-stale (plus the 3 tail entries the new queries
-    # displaced) queue immediately past the head and rotate first in
-    # round 10; after THIS head lands, no catalog query's newest
-    # driver row predates r5 except that displaced tail.
-    # --- new in round 9 (need first-ever driver rows; 3 total, within
-    # the consolidation budget of <=5) ---
+    # Consolidation round — 4 new catalog queries (VERDICT r8 budget:
+    # <=5); the rest of the head is attestation freshness. Layout: the
+    # 4 new queries, then the 13 queries whose newest driver row dates
+    # to r4 (all re-verified MATCH locally in r8 and again on r9
+    # code), then the 3 queries whose ENGINES were re-planned this
+    # round (PCA array-form fit, driver-side Markov fixed point —
+    # oracle-verified at sf0.01 AND sf0.1 on the new code, but the
+    # newest driver rows predate the re-plan), then the r5-stale
+    # queries alphabetically — the 50-slot cut lands after the 30th
+    # (heuristics_long_sorted). The 20 remaining r5-stale queue
+    # immediately past the head and rotate first in round 10; after
+    # THIS head lands, no catalog query's newest driver row predates
+    # r5 except that queued tail.
+    # --- new in round 9 (need first-ever driver rows; 4 total) ---
     "kruskal_value_by_type",
     "spearman_doc_metrics",
     "mcnemar_gate_disagreement",
+    "cochran_gate_family",
     # --- newest driver row r4 (all 13) ---
     "bpe_token_stats",
     "corpus_shard_layout",

@@ -283,3 +283,52 @@ def test_mcnemar_no_discordance_null_stat_and_null_gates(spark):
     # nulls coalesce to fail; zero discordant pairs -> stat undefined
     assert (r["both_pass"], r["neither"]) == (1, 2)
     assert r["chi2_cc"] is None
+
+
+def test_cochran_q_hand_computed(spark):
+    from fireball_data_processing_spark.operators.hyptest import cochran_q
+
+    # rows (a,b,c): classic 3-gate table; L_i and G_j by hand:
+    # G = (4, 2, 1), T = 7, sum L^2 = 4+4+1+4+0+0 = 13
+    rows = [
+        (True, True, False),
+        (True, False, True),
+        (True, False, False),
+        (True, True, False),
+        (False, False, False),
+        (None, None, None),
+    ]
+    df = spark.createDataFrame(rows, "a boolean, b boolean, c boolean")
+    import pyspark.sql.functions as F
+
+    r = cochran_q(
+        df, {"a": F.col("a"), "b": F.col("b"), "c": F.col("c")}
+    ).first()
+    assert (r["n"], r["k"], r["dof"]) == (6, 3, 2)
+    assert (r["pass_a"], r["pass_b"], r["pass_c"]) == (4, 2, 1)
+    # Q = 2*(3*(16+4+1) - 49) / (3*7 - 13) = 2*14/8 = 3.5
+    assert r["q"] == 3.5
+
+
+def test_cochran_q_unanimous_rows_null(spark):
+    from fireball_data_processing_spark.operators.hyptest import cochran_q
+    import pyspark.sql.functions as F
+
+    rows = [(True, True), (False, False)]
+    df = spark.createDataFrame(rows, "a boolean, b boolean")
+    r = cochran_q(df, {"a": F.col("a"), "b": F.col("b")}).first()
+    assert r["q"] is None  # no discordance anywhere
+
+
+def test_cochran_q_k2_equals_uncorrected_mcnemar(spark):
+    from fireball_data_processing_spark.operators.hyptest import cochran_q
+    import pyspark.sql.functions as F
+
+    # b_disc=6, c_disc=2 -> uncorrected McNemar = (6-2)^2/8 = 2.0
+    rows = (
+        [(True, True)] * 3 + [(True, False)] * 6
+        + [(False, True)] * 2 + [(False, False)] * 1
+    )
+    df = spark.createDataFrame(rows, "a boolean, b boolean")
+    r = cochran_q(df, {"a": F.col("a"), "b": F.col("b")}).first()
+    assert r["q"] == 2.0
