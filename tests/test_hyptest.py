@@ -332,3 +332,22 @@ def test_cochran_q_k2_equals_uncorrected_mcnemar(spark):
     df = spark.createDataFrame(rows, "a boolean, b boolean")
     r = cochran_q(df, {"a": F.col("a"), "b": F.col("b")}).first()
     assert r["q"] == 2.0
+
+
+def test_kruskal_two_groups_equals_mannwhitney_z_squared(spark):
+    # with exactly two groups, the tie-corrected H equals z^2 from the
+    # tie-corrected Mann-Whitney normal approximation — a cross-check
+    # of both rank machineries against each other
+    from fireball_data_processing_spark.operators.hyptest import (
+        kruskal_wallis,
+        mann_whitney_u,
+    )
+
+    a = [1.0, 3.0, 3.0, 5.0, 9.0, 2.0]
+    b = [2.0, 4.0, 4.0, 8.0, 8.0]
+    df = spark.createDataFrame(
+        [(v, "a") for v in a] + [(v, "b") for v in b], "v double, g string"
+    )
+    kw = kruskal_wallis(df, "v", "g").first()
+    mw = mann_whitney_u(df, "v", F.col("g") == "b").first()
+    assert abs(kw["h_adj"] - mw["z"] ** 2) < 1e-4

@@ -209,3 +209,26 @@ def test_spark_round_matches_engine_half_up():
     assert _spark_round(2.675, 2) == 2.68  # repr-based, not binary 2.67499...
     assert _spark_round(-0.000000125, 8) == -1.3e-07
     assert _spark_round(0.1 + 0.2, 8) == 0.3
+
+
+def test_spark_round_fuzz_matches_engine_round(spark):
+    # the driver-side fixed points are only value-safe if _spark_round
+    # reproduces F.round on arbitrary doubles — fuzz a deterministic
+    # sample including tie-prone values near the 8-dp grid
+    import random
+
+    from pyspark.sql import functions as F
+
+    from fireball_data_processing_spark.operators.markov import _spark_round
+
+    rng = random.Random(42)
+    xs = [rng.uniform(-2, 2) for _ in range(400)]
+    xs += [round(rng.uniform(0, 1), 8) + 5e-9 for _ in range(200)]  # ties
+    xs += [rng.uniform(0, 1) * 10 ** -rng.randint(0, 12) for _ in range(200)]
+    df = spark.createDataFrame([(x,) for x in xs], "x double")
+    got = [
+        r["y"]
+        for r in df.select(F.round("x", 8).alias("y")).collect()
+    ]
+    want = [_spark_round(x, 8) for x in xs]
+    assert got == want
