@@ -239,10 +239,15 @@ def kruskal_wallis(
     more aggregate. For continuous values |distinct| ~ n; at 100 TB
     pre-bucket through ``sketches.histogram_quantiles`` cuts (rank
     tests are bucket-exact under midranks)."""
+    # NULL values are OMITTED (the standard rank-test treatment, and
+    # the only cross-engine-safe one: Spark's window ORDER BY puts
+    # NULLS FIRST, DuckDB's NULLS LAST, so a ranked NULL group would
+    # shift every real rank differently per engine while the
+    # null-unsafe rank join dropped it from n — an out-of-range H)
     vals = df.select(
         F.col(value_col).cast("double").alias("v"),
         F.col(group_col).alias("g"),
-    )
+    ).filter(F.col("v").isNotNull())
     # eager lineage truncation on the (value, group)-grain counts: the
     # frame feeds BOTH the rank window (via the value-grain rollup,
     # itself consumed by the rank table and the tie-mass aggregate) and
@@ -314,7 +319,13 @@ def spearman_matrix(
     assuming linearity? The standard screen for redundant quality
     signals before composing them into one score. Returns one row per
     unordered pair ``(metric_a, metric_b, n, rho)`` with
-    ``metric_a < metric_b``, ordered by pair.
+    ``metric_a < metric_b``, ordered by pair. NULL metric values take
+    the COMPLETE-CASE (listwise-deletion) contract: rows where ANY
+    metric is NULL are dropped before ranking, so ranks, every pair's
+    ``n``, and every sum are computed over the same complete rows —
+    the internally consistent estimator (equal to pandas
+    ``dropna().corr(method='spearman')``), instead of silently mixing
+    a full count with null-dropped sums.
 
     Scale shape: metrics melt to long form (one explode, |metrics|-fold
     — a handful of doubles per row), midranks come from a cumulative
@@ -333,6 +344,11 @@ def spearman_matrix(
     expressions must be engine-exact (integer counts, single IEEE
     divisions): value-grain grouping relies on bit-identical doubles
     across engines."""
+    keep = None
+    for expr in metrics.values():
+        cond = expr.isNotNull()
+        keep = cond if keep is None else (keep & cond)
+    df = df.filter(keep) if keep is not None else df
     long = df.select(
         F.col(id_col).alias("__id"),
         F.explode(
@@ -369,6 +385,9 @@ def spearman_matrix(
     pair_list = [
         (a, b) for i, a in enumerate(names) for b in names[i + 1 :]
     ]
+    # complete-case input (the filter above) means every rank column
+    # is non-null, so the per-metric sums are shared across pairs —
+    # 2k + k(k-1)/2 + 1 aggregate columns, one combine
     aggs = [F.count(F.lit(1)).cast("double").alias("__n")]
     for m in names:
         aggs.append(F.round(F.sum(F.col(m)), round_dp).alias(f"__s_{m}"))

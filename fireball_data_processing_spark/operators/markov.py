@@ -38,11 +38,12 @@ Scale design:
 
 from __future__ import annotations
 
-from decimal import ROUND_HALF_UP, Decimal
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StructField, StructType
 from pyspark.sql.window import Window
+
+from fireball_data_processing_spark.functions.rounding import spark_round
 
 __all__ = [
     "transition_matrix",
@@ -116,25 +117,33 @@ def stationary_distribution(
     per-destination sums run in sorted-source order (reassociation
     noise absorbed by ``round_dp``, the cross-engine oracle contract).
     """
-    rows = [
-        (r["src"], r["dst"], r["p"])
-        for r in matrix.select("src", "dst", "p").collect()
-    ]  # bounded: |states|^2
-    states = sorted({s for s, _, _ in rows})
+    state_type = matrix.schema["src"].dataType
+    out_schema = StructType(
+        [
+            StructField("state", state_type, True),
+            StructField("pi", DoubleType(), True),
+        ]
+    )
+    rows = sorted(
+        (
+            (r["src"], r["dst"], r["p"])
+            for r in matrix.select("src", "dst", "p").collect()
+        ),
+        key=lambda r: (_sort_key(r[0]), _sort_key(r[1])),
+    )  # bounded: |states|^2; sorted ONCE, outside the iteration
+    states = sorted({s for s, _, _ in rows}, key=_sort_key)
     if not states:
-        return matrix.sparkSession.createDataFrame(
-            [], "state string, pi double"
-        )
+        return matrix.sparkSession.createDataFrame([], out_schema)
     start = _spark_round(1.0 / len(states), round_dp)
     pi = {s: start for s in states}
     for _ in range(n_iter):
         acc: dict = {}
-        for s, d, p in sorted(rows):
+        for s, d, p in rows:
             if s in pi:
                 acc.setdefault(d, []).append(pi[s] * p)
         pi = {d: _spark_round(sum(v), round_dp) for d, v in acc.items()}
     return matrix.sparkSession.createDataFrame(
-        sorted(pi.items()), "state string, pi double"
+        sorted(pi.items(), key=lambda kv: _sort_key(kv[0])), out_schema
     )
 
 
@@ -210,19 +219,17 @@ def raw_transition_probs(
     )
 
 
-def _spark_round(x: float, dp: int) -> float:
-    """Exact driver-side replica of Spark's ``F.round`` on DOUBLE:
-    Spark converts via ``BigDecimal.valueOf(x)`` — the SHORTEST decimal
-    representation (``Double.toString``), which Python's ``repr`` also
-    produces — then ``setScale(dp, HALF_UP)``. Python's builtin
-    ``round`` (banker's, on the exact binary value) differs at ties, so
-    driver-resident arithmetic that must stay hash-identical to an
-    engine trajectory uses this instead."""
-    return float(
-        Decimal(repr(x)).quantize(
-            Decimal(1).scaleb(-dp), rounding=ROUND_HALF_UP
-        )
-    )
+# exact driver-side replica of Spark's F.round (shortest-decimal
+# HALF_UP) — shared by every driver-resident fixed point; see
+# functions/rounding.py for the semantics note
+_spark_round = spark_round
+
+
+def _sort_key(s):
+    """None-tolerant ordering key: NULL states (a nullable state_col is
+    legal — transition_matrix only filters NULL dst) sort first instead
+    of raising TypeError in sorted()."""
+    return (s is None, s)
 
 
 def _absorption(m, conv_state, removed, n_iter, round_dp):
@@ -241,27 +248,33 @@ def _absorption(m, conv_state, removed, n_iter, round_dp):
     scenario-keyed frames still 9.5 s — both data-invariant across
     100x SF), while IEEE-double driver arithmetic with per-step
     rounding is value-identical and runs in microseconds. Join/group
-    semantics mirror the frame form exactly: ``states`` = distinct
-    sources, flow terms only for destinations that are themselves
-    transient sources, per-term sums in sorted-key order (order noise
-    is absorbed by the ``round_dp`` rounding, the same cross-engine
-    contract the unrolled DuckDB oracle relies on)."""
+    semantics mirror the frame/SQL form exactly: NULL sources are
+    DROPPED (SQL ``src <> conv`` is three-valued — the frame form never
+    kept them), ``states`` = distinct sources, flow terms only for
+    destinations that are themselves transient sources, per-term sums
+    in sorted-key order (order noise is absorbed by the ``round_dp``
+    rounding, the same cross-engine contract the unrolled DuckDB
+    oracle relies on). The per-source adjacency is built ONCE — the
+    first cut re-filtered and re-sorted the whole edge list per state
+    per iteration, which was wasted work even at bounded sizes."""
     rows = [
         (s, d, p)
         for s, d, p in m
-        if s != conv_state and (removed is None or (s != removed and d != removed))
+        if s is not None
+        and s != conv_state
+        and (removed is None or (s != removed and d != removed))
     ]
     states = sorted({s for s, _, _ in rows})
     direct = {s: p for s, d, p in rows if d == conv_state}
+    adj: dict = {s: [] for s in states}
+    for s, d, p in sorted(rows, key=lambda r: (r[0], _sort_key(r[1]))):
+        if d != conv_state:
+            adj[s].append((d, p))
     a = {s: _spark_round(direct.get(s, 0.0), round_dp) for s in states}
     for _ in range(n_iter - 1):
         flow = {}
         for s in states:
-            terms = [
-                p * a[d]
-                for _, d, p in sorted(r for r in rows if r[0] == s)
-                if d != conv_state and d in a
-            ]
+            terms = [p * a[d] for d, p in adj[s] if d in a]
             if terms:
                 flow[s] = _spark_round(sum(terms), round_dp)
         a = {
@@ -342,15 +355,26 @@ def removal_attribution(
     # edges) still get a row — their removal effect is well-defined
     # (usually 0: their incoming mass was already lost).
     all_states = {s for s, _, _ in matrix} | {d for _, d, _ in matrix}
-    transient = sorted(s for s in all_states if s != conv_state)
+    # NULL states are excluded exactly as the frame/SQL form excludes
+    # them (three-valued `state <> conv`): never a scenario, never a
+    # start-mix term
+    transient = sorted(
+        s for s in all_states if s is not None and s != conv_state
+    )
+    state_type = df.schema[state_col].dataType
+    out_schema = StructType(
+        [
+            StructField("state", state_type, True),
+            StructField("start_share", DoubleType(), True),
+            StructField("conv_full", DoubleType(), True),
+            StructField("conv_removed", DoubleType(), True),
+            StructField("removal_effect", DoubleType(), True),
+        ]
+    )
     if not transient:
         # degenerate chain (no events, or only the conversion state):
         # no channel to remove, so no attribution rows
-        return df.sparkSession.createDataFrame(
-            [],
-            "state string, start_share double, conv_full double, "
-            "conv_removed double, removal_effect double",
-        )
+        return df.sparkSession.createDataFrame([], out_schema)
 
     def conv_of(a: dict) -> float:
         # start mass already AT the conversion state converts with
@@ -358,8 +382,8 @@ def removal_attribution(
         # probability (missing = 0); sorted-state term order
         v = sum(
             pi0[s] * a.get(s, 0.0)
-            for s in sorted(pi0)
-            if s != conv_state
+            for s in sorted(pi0, key=_sort_key)
+            if s is not None and s != conv_state
         )
         if conv_state in pi0:
             v += pi0[conv_state]
@@ -385,8 +409,6 @@ def removal_attribution(
                 else _spark_round(1.0 - conv_c / conv_full, out_dp),
             )
         )
-    return df.sparkSession.createDataFrame(
-        rows,
-        "state string, start_share double, conv_full double, "
-        "conv_removed double, removal_effect double",
-    ).orderBy("state")
+    return df.sparkSession.createDataFrame(rows, out_schema).orderBy(
+        "state"
+    )

@@ -58,6 +58,8 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from fireball_data_processing_spark.functions.rounding import spark_round
+
 __all__ = [
     "pca_fit",
     "pca_project_expr",
@@ -67,15 +69,25 @@ __all__ = [
 
 
 def _centered_expr(vec_col: str, mu: list[float]) -> Column:
-    """``x - mu`` as one array<double> expression (mu as array literal)."""
-    xd = F.transform(F.col(vec_col), lambda e: e.cast("double"))
+    """``x - mu`` as one array<double> expression (mu as array literal).
+    The vector is SLICED to ``len(mu)`` first: callers may pass a dim
+    smaller than the stored vectors (the column form indexed only the
+    leading dim coordinates; posexplode over the raw array would
+    instead emit out-of-range positions and crash the d-sized driver
+    buffers)."""
+    xd = F.transform(
+        F.slice(F.col(vec_col), 1, len(mu)), lambda e: e.cast("double")
+    )
     return F.zip_with(xd, F.lit(mu), lambda a, b: a - b)
 
 
 def _mean(df: DataFrame, vec_col: str, dim: int, round_dp: int) -> list[float]:
     """Per-dimension rounded mean via ONE posexplode aggregate (d-bucket
-    groupBy with map-side combine — one source scan, d output rows)."""
-    xd = F.transform(F.col(vec_col), lambda e: e.cast("double"))
+    groupBy with map-side combine — one source scan, d output rows).
+    Slices to the leading ``dim`` coordinates (see _centered_expr)."""
+    xd = F.transform(
+        F.slice(F.col(vec_col), 1, dim), lambda e: e.cast("double")
+    )
     rows = (
         df.select(F.posexplode(xd).alias("__i", "__x"))
         .groupBy("__i")
@@ -149,7 +161,7 @@ def _component(df, carr, dim, n_iter, round_dp, with_total=False):
                     round_dp,
                 ).alias("__tot")
             ).first()["__tot"]
-        v = [round(1.0 / math.sqrt(dim), round_dp)] * dim
+        v = [spark_round(1.0 / math.sqrt(dim), round_dp)] * dim
         nrm = None
         for _ in range(n_iter):
             s = F.round(
@@ -174,14 +186,14 @@ def _component(df, carr, dim, n_iter, round_dp, with_total=False):
             u = [0.0] * dim
             for r in u_rows:
                 u[r["__i"]] = r["__u"]
-            nrm = round(math.sqrt(sum(ui * ui for ui in u)), round_dp)
+            nrm = spark_round(math.sqrt(sum(ui * ui for ui in u)), round_dp)
             if nrm == 0.0:
                 raise ValueError(
                     "power iteration collapsed: S v = 0 (zero-variance "
                     "corpus, or start vector orthogonal to every "
                     "eigenvector after rounding)"
                 )
-            v = [round(ui / nrm, round_dp) for ui in u]
+            v = [spark_round(ui / nrm, round_dp) for ui in u]
     finally:
         base.unpersist()
     if with_total:
@@ -227,9 +239,9 @@ def power_iteration_pca_k(
                 (
                     comp,
                     i + 1,
-                    round(v[i], out_dp),
-                    round(nrm, out_dp),
-                    round(nrm / total_scatter, out_dp),
+                    spark_round(v[i], out_dp),
+                    spark_round(nrm, out_dp),
+                    spark_round(nrm / total_scatter, out_dp),
                 )
             )
         # projection (c . v) as the same left-fold as the power step
@@ -274,13 +286,13 @@ def power_iteration_pca(
 
     spark = df.sparkSession
     rows = [
-        (i + 1, round(v[i], out_dp))
+        (i + 1, spark_round(v[i], out_dp))
         for i in range(dim)
     ]
     out = spark.createDataFrame(rows, "dim bigint, loading double")
     return out.select(
         "dim",
         "loading",
-        F.lit(round(nrm, out_dp)).alias("eigenvalue"),
-        F.lit(round(nrm / total_scatter, out_dp)).alias("var_share"),
+        F.lit(spark_round(nrm, out_dp)).alias("eigenvalue"),
+        F.lit(spark_round(nrm / total_scatter, out_dp)).alias("var_share"),
     ).orderBy("dim")

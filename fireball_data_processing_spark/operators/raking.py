@@ -17,15 +17,19 @@ A DataFrame-resident loop was tried first and rejected: each scaling
 step has three consumers of the previous cell frame, so the static
 plan TRIPLES per step (3^16 nodes by iteration 8 — analysis-time OOM)
 unless every step checkpoints, and 16 eager checkpoints churn far more
-than one 100-row collect. Python floats are IEEE doubles, so the
-driver-side arithmetic with per-step ``round()`` is bit-identical to
-an engine's — the unrolled SQL oracle replays it exactly.
+than one 100-row collect. Python floats are IEEE doubles and the
+per-step rounding goes through ``functions/rounding.spark_round``
+(shortest-decimal HALF_UP — builtin ``round`` is banker's and would
+diverge from an engine's ROUND at exact ties), so the unrolled SQL
+oracle replays the trajectory exactly.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from fireball_data_processing_spark.functions.rounding import spark_round
 
 __all__ = ["raking_weights"]
 
@@ -64,6 +68,8 @@ def raking_weights(
             .collect()  # bounded: |row cats| x |col cats| cells
         )
     ]
+    cells.sort()  # collect order is not deterministic; every driver-
+    # side sum below runs in sorted-cell order so reruns are bit-stable
     w = {(rc, cc): 1.0 for rc, cc, _ in cells}
     n_of = {(rc, cc): n for rc, cc, n in cells}
 
@@ -71,8 +77,8 @@ def raking_weights(
         margins: dict[str, float] = {}
         for key, n in n_of.items():
             margins[key[axis]] = margins.get(key[axis], 0.0) + n * w[key]
-        margins = {k: round(v, round_dp) for k, v in margins.items()}
-        tot = round(sum(n * w[key] for key, n in n_of.items()), round_dp)
+        margins = {k: spark_round(v, round_dp) for k, v in margins.items()}
+        tot = spark_round(sum(n * w[key] for key, n in n_of.items()), round_dp)
         for key in w:
             t = targets.get(key[axis])
             # zero-margin guard: a target share of 0.0 zeroes its
@@ -84,24 +90,24 @@ def raking_weights(
                 if t is None or margins[key[axis]] == 0.0
                 else t * tot / margins[key[axis]]
             )
-            w[key] = round(w[key] * factor, round_dp)
+            w[key] = spark_round(w[key] * factor, round_dp)
 
     for _ in range(n_iter):
         _scale(0, row_targets)
         _scale(1, col_targets)
 
-    final_tot = round(sum(n * w[key] for key, n in n_of.items()), round_dp)
+    final_tot = spark_round(sum(n * w[key] for key, n in n_of.items()), round_dp)
     rows = [
         (
             rc,
             cc,
             int(n),
-            round(w[(rc, cc)], out_dp),
+            spark_round(w[(rc, cc)], out_dp),
             # all-zero-weight table (every category targeted at 0.0):
             # shares are vacuously 0 rather than a ZeroDivisionError
             0.0
             if final_tot == 0.0
-            else round(n * w[(rc, cc)] / final_tot, out_dp),
+            else spark_round(n * w[(rc, cc)] / final_tot, out_dp),
         )
         for rc, cc, n in sorted(cells)
     ]

@@ -10173,6 +10173,7 @@ def q_source_lang_association(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH vals AS (
   SELECT value::DOUBLE AS v, event_type AS g FROM events
+  WHERE value IS NOT NULL
 ),
 pvg AS (
   SELECT v, g, COUNT(*)::DOUBLE AS tg FROM vals GROUP BY 1, 2
@@ -12059,7 +12060,8 @@ _PRIORITY = [
     "embedding_pca_top_component",
     "embedding_pca_label_separation",
     "markov_removal_attribution",
-    # --- newest driver row r5 (first 34 of 50, alphabetical) ---
+    # --- newest driver row r5 (alphabetical; the ~50-slot driver cut
+    # lands after heuristics_long_sorted, position 50) ---
     "asof_state_forward",
     "cdc_chunk_dedup",
     "cluster_balanced_sample",
@@ -12090,11 +12092,12 @@ _PRIORITY = [
     "gopher_quality_gate",
     "groups_with_view_head",
     "heuristics_long_sorted",
+    # --- r5-stale queue (past the ~50-slot cut; first in the r10
+    # head, together with the rest below) ---
     "history_window_sums",
     "ic_ooc_classification",
     "ingest_gate_new_docs",
     "instance_event_stream",
-    # --- r5-stale queue (just past the head; first in the r10 head) ---
     "kmeans_cluster_profile",
     "last_k_events",
     "leakage_safe_split",

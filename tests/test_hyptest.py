@@ -351,3 +351,47 @@ def test_kruskal_two_groups_equals_mannwhitney_z_squared(spark):
     kw = kruskal_wallis(df, "v", "g").first()
     mw = mann_whitney_u(df, "v", F.col("g") == "b").first()
     assert abs(kw["h_adj"] - mw["z"] ** 2) < 1e-4
+
+
+def test_spearman_null_metric_complete_case(spark):
+    # review repro: one NULL in metric b must shrink n and re-rank over
+    # the complete rows (listwise deletion == pandas dropna().corr),
+    # not silently mix a full count with null-dropped sums
+    from fireball_data_processing_spark.operators.hyptest import (
+        spearman_matrix,
+    )
+
+    rows = [(1, 1.0, 1.0), (2, 2.0, 2.0), (3, 3.0, None),
+            (4, 4.0, 4.0), (5, 5.0, 5.0)]
+    df = spark.createDataFrame(rows, "id bigint, ma double, mb double")
+    r = spearman_matrix(
+        df, "id", {"ma": F.col("ma"), "mb": F.col("mb")}
+    ).first()
+    assert r["n"] == 4
+    assert r["rho"] == 1.0  # ranks over complete rows: still monotone
+    import pandas as pd
+
+    want = (
+        pd.DataFrame(rows, columns=["id", "ma", "mb"])[["ma", "mb"]]
+        .dropna()
+        .corr(method="spearman")
+        .loc["ma", "mb"]
+    )
+    assert abs(r["rho"] - round(want, 6)) < 1e-6
+
+
+def test_kruskal_null_values_omitted(spark):
+    # NULL values are omitted (engines disagree on NULL rank order and
+    # the old join dropped them from n but not from the rank shift)
+    from fireball_data_processing_spark.operators.hyptest import (
+        kruskal_wallis,
+    )
+
+    clean = [(1.0, "a"), (2.0, "a"), (3.0, "b"), (4.0, "b")]
+    dirty = clean + [(None, "b"), (None, "a")]
+    d1 = spark.createDataFrame(clean, "v double, g string")
+    d2 = spark.createDataFrame(dirty, "v double, g string")
+    r1 = kruskal_wallis(d1, "v", "g").first()
+    r2 = kruskal_wallis(d2, "v", "g").first()
+    assert r1 == r2
+    assert r2["n"] == 4

@@ -232,3 +232,32 @@ def test_spark_round_fuzz_matches_engine_round(spark):
     ]
     want = [_spark_round(x, 8) for x in xs]
     assert got == want
+
+
+def test_stationary_preserves_state_dtype(spark):
+    # review repro: bigint states must come back as bigint, not string
+    rows = []
+    for i in range(20):
+        rows.append((1, i, 10 if i % 2 == 0 else 20))
+    df = spark.createDataFrame(rows, "k bigint, i bigint, s bigint")
+    mat = transition_matrix(df, "k", "i", "s")
+    pi = stationary_distribution(mat, n_iter=8)
+    assert dict(pi.dtypes)["state"] == "bigint"
+    got = {r["state"]: r["pi"] for r in pi.collect()}
+    assert set(got) == {10, 20}
+
+
+def test_removal_attribution_null_states_tolerated(spark):
+    # NULL state events follow SQL three-valued semantics: dropped from
+    # scenarios and start mix, never a sorted() TypeError
+    from fireball_data_processing_spark.operators.markov import (
+        removal_attribution,
+    )
+
+    rows = [(1, 0, "a"), (1, 1, None), (1, 2, "buy"),
+            (2, 0, "a"), (2, 1, "buy")]
+    df = spark.createDataFrame(rows, "k bigint, i bigint, s string")
+    out = removal_attribution(df, "k", "i", "s", conv_state="buy").collect()
+    states = [r["state"] for r in out]
+    assert None not in states and "buy" not in states
+    assert "a" in states

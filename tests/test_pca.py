@@ -121,3 +121,16 @@ def test_pca_zero_variance_corpus_raises_descriptive(spark):
     df = spark.createDataFrame(rows, "embedding array<double>")
     with pytest.raises(ValueError, match="power iteration collapsed"):
         power_iteration_pca(df, "embedding", dim=4).collect()
+
+
+def test_pca_dim_truncates_longer_vectors(spark):
+    # review repro: dim smaller than the stored vectors must analyze
+    # the leading dim coordinates (the column-form contract), not crash
+    full = [([1.0, 0.0, 0.0, 0.0, 99.0],), ([2.0, 0.0, 0.0, 0.0, -7.0],),
+            ([3.0, 0.0, 0.0, 0.0, 42.0],)]
+    cut = [(r[0][:4],) for r in full]
+    d_full = spark.createDataFrame(full, "embedding array<double>")
+    d_cut = spark.createDataFrame(cut, "embedding array<double>")
+    a = power_iteration_pca(d_full, "embedding", dim=4).collect()
+    b = power_iteration_pca(d_cut, "embedding", dim=4).collect()
+    assert a == b
