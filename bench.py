@@ -170,6 +170,7 @@ EXTRA = (
     "spearman_doc_metrics",
     "mcnemar_gate_disagreement",
     "cochran_gate_family",
+    "acf_daily_events",
 )
 
 

@@ -11443,6 +11443,71 @@ def q_theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ACF_ORACLE = """
+WITH daily AS (
+  SELECT event_type AS g,
+    CAST(FLOOR(epoch_ns(ts) / 86400000000000.0) AS BIGINT)::DOUBLE AS t,
+    COUNT(*)::DOUBLE AS v
+  FROM events GROUP BY 1, 2
+),
+st AS (
+  SELECT g, COUNT(*)::DOUBLE AS n, ROUND(AVG(v), 8) AS mu
+  FROM daily GROUP BY 1
+),
+cent AS (
+  SELECT d.g, d.t, st.n, d.v - st.mu AS e FROM daily d JOIN st USING (g)
+),
+den AS (SELECT g, ROUND(SUM(e * e), 8) AS den FROM cent GROUP BY 1),
+nums AS (
+  SELECT a.g, CAST(b.t - a.t AS BIGINT) AS lag, MAX(a.n) AS n,
+    ROUND(SUM(a.e * b.e), 8) AS num
+  FROM cent a JOIN cent b
+    ON a.g = b.g AND b.t - a.t >= 1 AND b.t - a.t <= 7
+  GROUP BY 1, 2
+),
+rho AS (
+  SELECT nums.g, lag, n,
+    ROUND(CASE WHEN den.den > 0 THEN num / den.den END, 8) AS rho8
+  FROM nums JOIN den ON nums.g = den.g
+),
+q AS (
+  SELECT g, lag, n, rho8,
+    SUM(ROUND(rho8 * rho8 / (n - lag), 8)) OVER (
+      PARTITION BY g ORDER BY lag
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS qs
+  FROM rho
+)
+SELECT g AS event_type, lag, n::BIGINT AS n_points,
+  ROUND(rho8, 6) AS rho, ROUND(n * (n + 2.0) * qs, 6) AS q_stat
+FROM q ORDER BY event_type, lag
+"""
+
+
+@query("acf_daily_events", _ACF_ORACLE)
+def q_acf_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of daily event volume per type at lags
+    1..7 with the cumulative Ljung-Box Q (operators/drift.py
+    acf_profile): is daily traffic white noise, weekly-seasonal (a
+    lag-7 spike), or momentum-driven (slow lag-1 decay)? The
+    time-series diagnostic the trend/change-point monitors assume;
+    everything after the one daily aggregate is day-grain-bounded (one
+    group-keyed self-join covers all 7 lags, the Ljung-Box cumulation
+    rides a lag-grain window)."""
+    from fireball_data_processing_spark.operators.drift import acf_profile
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(F.col("ts") / F.lit(86400.0 * 1e9))
+        .cast("bigint")
+        .cast("double")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("v"))
+    return acf_profile(
+        daily, "day", "v", group_col="event_type", max_lag=7
+    )
+
+
 @query(
     "isotonic_quality_calibration",
     _TTR_DOCS_CTE
@@ -12024,24 +12089,26 @@ def get(name: str) -> QuerySpec:
 # declaration order; listed-but-unregistered names are skipped.
 _PRIORITY = [
     # Round-9 head (the driver samples roughly the first 50 entries).
-    # Consolidation round — 4 new catalog queries (VERDICT r8 budget:
-    # <=5); the rest of the head is attestation freshness. Layout: the
+    # Consolidation round — 5 new catalog queries (the full VERDICT
+    # r8 budget); the rest of the head is attestation freshness. Layout: the
     # 4 new queries, then the 13 queries whose newest driver row dates
     # to r4 (all re-verified MATCH locally in r8 and again on r9
     # code), then the 3 queries whose ENGINES were re-planned this
     # round (PCA array-form fit, driver-side Markov fixed point —
     # oracle-verified at sf0.01 AND sf0.1 on the new code, but the
     # newest driver rows predate the re-plan), then the r5-stale
-    # queries alphabetically — the 50-slot cut lands after the 30th
-    # (heuristics_long_sorted). The 20 remaining r5-stale queue
+    # queries alphabetically — the 50-slot cut lands after the 29th
+    # (groups_with_view_head). The 21 remaining r5-stale queue
     # immediately past the head and rotate first in round 10; after
     # THIS head lands, no catalog query's newest driver row predates
     # r5 except that queued tail.
-    # --- new in round 9 (need first-ever driver rows; 4 total) ---
+    # --- new in round 9 (need first-ever driver rows; 5 total — the
+    # full VERDICT r8 budget) ---
     "kruskal_value_by_type",
     "spearman_doc_metrics",
     "mcnemar_gate_disagreement",
     "cochran_gate_family",
+    "acf_daily_events",
     # --- newest driver row r4 (all 13) ---
     "bpe_token_stats",
     "corpus_shard_layout",
@@ -12091,9 +12158,9 @@ _PRIORITY = [
     "find_error_after_purchase",
     "gopher_quality_gate",
     "groups_with_view_head",
-    "heuristics_long_sorted",
     # --- r5-stale queue (past the ~50-slot cut; first in the r10
     # head, together with the rest below) ---
+    "heuristics_long_sorted",
     "history_window_sums",
     "ic_ooc_classification",
     "ingest_gate_new_docs",

@@ -253,3 +253,57 @@ def test_theil_sen_grouped_independent(spark):
         for r in theil_sen(df, "t", "v", group_col="g").collect()
     }
     assert got == {"up": 3.0, "down": -1.0}
+
+
+def _acf_literal(ys, max_lag):
+    n = len(ys)
+    mu = round(sum(ys) / n, 8)
+    e = [y - mu for y in ys]
+    den = round(sum(x * x for x in e), 8)
+    out = {}
+    q = 0.0
+    for k in range(1, max_lag + 1):
+        num = round(sum(e[i] * e[i + k] for i in range(n - k)), 8)
+        rho = round(num / den, 8)
+        q += round(rho * rho / (n - k), 8)
+        out[k] = (rho, n * (n + 2.0) * q)
+    return out
+
+
+def test_acf_alternating_series_hand_computed(spark):
+    from fireball_data_processing_spark.operators.drift import acf_profile
+    from pyspark.sql import functions as F
+
+    ys = [1.0, 3.0, 1.0, 3.0, 1.0, 3.0, 1.0, 3.0, 1.0, 3.0]
+    df = spark.createDataFrame(
+        [(float(t), y) for t, y in enumerate(ys)], "t double, v double"
+    )
+    got = {
+        r["lag"]: (r["rho"], r["q_stat"])
+        for r in acf_profile(df, "t", "v", max_lag=3).collect()
+    }
+    want = _acf_literal(ys, 3)
+    for k in (1, 2, 3):
+        assert abs(got[k][0] - round(want[k][0], 6)) < 1e-6
+        assert abs(got[k][1] - round(want[k][1], 6)) < 1e-6
+    # alternating series: strong negative lag-1, positive lag-2
+    assert got[1][0] < -0.8 and got[2][0] > 0.7
+
+
+def test_acf_grouped_and_gapped_series(spark):
+    from fireball_data_processing_spark.operators.drift import acf_profile
+    from pyspark.sql import functions as F
+
+    rows = []
+    for t in range(12):
+        rows.append(("a", float(t), float(t % 3)))
+        if t != 5:  # group b has a gap at t=5
+            rows.append(("b", float(t), float(t)))
+    df = spark.createDataFrame(rows, "g string, t double, v double")
+    out = acf_profile(df, "t", "v", group_col="g", max_lag=2).collect()
+    by = {(r["g"], r["lag"]): r for r in out}
+    # every (group, lag) present; gap only drops pairs, never crashes
+    assert set(by) == {("a", 1), ("a", 2), ("b", 1), ("b", 2)}
+    assert by[("b", 1)]["n_points"] == 11
+    # a strongly increasing series has high positive lag-1 rho
+    assert by[("b", 1)]["rho"] > 0.5
