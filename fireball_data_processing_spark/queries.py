@@ -12091,7 +12091,7 @@ _PRIORITY = [
     # Round-9 head (the driver samples roughly the first 50 entries).
     # Consolidation round — 5 new catalog queries (the full VERDICT
     # r8 budget); the rest of the head is attestation freshness. Layout: the
-    # 4 new queries, then the 13 queries whose newest driver row dates
+    # 5 new queries, then the 13 queries whose newest driver row dates
     # to r4 (all re-verified MATCH locally in r8 and again on r9
     # code), then the 3 queries whose ENGINES were re-planned this
     # round (PCA array-form fit, driver-side Markov fixed point —
