@@ -447,3 +447,63 @@ def test_leakage_split_plan_bounded(spark):
     assert "CartesianProduct" not in phys, phys
     assert "BroadcastNestedLoopJoin" not in phys, phys
     assert "BatchEvalPython" not in phys and "ArrowEvalPython" not in phys, phys
+
+
+def test_kruskal_checkpoint_truncates_source_scans(spark):
+    # the round-9 re-plan: the (value, group)-grain counts are
+    # localCheckpointed, so the downstream H computation must never
+    # re-plan the parquet scan under its three consumers (the rank
+    # window, the tie-mass aggregate, the per-group rank-sum join) —
+    # left lazy, 3 source scans were observed
+    phys = _phys(catalog.REGISTRY["kruskal_value_by_type"].fn(spark, SMOKE))
+    assert "Scan parquet" not in phys, phys
+    assert "ExistingRDD" in phys, phys  # the checkpointed counts frame
+    assert "SortMergeJoin" not in phys, phys  # rank join-back broadcasts
+    assert "BroadcastHashJoin" in phys, phys
+
+
+def test_spearman_pivot_single_rank_subtree(spark):
+    # the round-9 re-plan: the rejected ranked-frame self-join planned
+    # the melt + rank-window subtree ONCE PER SIDE (4 scans, metrics^2
+    # fan-out); the pivot-wide form's only duplication is the projected
+    # source scan under the long frame's two consumers (the rank table
+    # and the join-back) — exactly 2 scans, one rank window, rank
+    # join-back broadcast, all pair stats from one combine
+    phys = _phys(catalog.REGISTRY["spearman_doc_metrics"].fn(spark, SMOKE))
+    assert phys.count("Scan parquet") == 2, phys
+    assert phys.count("Window") == 1, phys
+    assert "SortMergeJoin" not in phys, phys
+    assert "BroadcastHashJoin" in phys, phys
+    assert _count_shuffles(
+        catalog.REGISTRY["spearman_doc_metrics"].fn(spark, SMOKE)
+    ) <= 4
+
+
+def test_mcnemar_single_scan_zero_shuffles(spark):
+    # paired-gate contingency folds into ONE partial-combining aggregate
+    # over one projected scan — no shuffle wider than the combine
+    df = catalog.REGISTRY["mcnemar_gate_disagreement"].fn(spark, SMOKE)
+    phys = _phys(df)
+    assert phys.count("Scan parquet") == 1, phys
+    assert _count_shuffles(df) == 0, phys
+
+
+def test_cochran_q_single_scan_zero_shuffles(spark):
+    # k-gate generalization keeps the McNemar shape: per-row pass count
+    # and its square fold into the same single aggregate as the
+    # per-gate sums
+    df = catalog.REGISTRY["cochran_gate_family"].fn(spark, SMOKE)
+    phys = _phys(df)
+    assert phys.count("Scan parquet") == 1, phys
+    assert _count_shuffles(df) == 0, phys
+
+
+def test_acf_day_grain_broadcast_joins(spark):
+    # the lag self-join and Ljung-Box cumulation run over the
+    # checkpointed DAY-GRAIN series (365-row scale), never the raw
+    # events: no parquet re-scan downstream, every join broadcast
+    phys = _phys(catalog.REGISTRY["acf_daily_events"].fn(spark, SMOKE))
+    assert "Scan parquet" not in phys, phys
+    assert "ExistingRDD" in phys, phys
+    assert "SortMergeJoin" not in phys, phys
+    assert "CartesianProduct" not in phys, phys
