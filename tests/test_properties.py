@@ -966,3 +966,89 @@ def test_weighted_sample_matches_md5_replay(spark, rows, n):
         )
         want |= {(g, -negi) for _, negi in keyed[:n]}
     assert got == want
+
+
+# --- round-9 rank statistics: randomized parity with literal references ---
+
+kw_pairs = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 2)),
+    min_size=4,
+    max_size=28,
+)
+
+
+def _kw_literal_pairs(pairs):
+    from collections import Counter
+
+    cnt = Counter(v for v, _ in pairs)
+    n = len(pairs)
+    rank, cum = {}, 0
+    for v in sorted(cnt):
+        rank[v] = cum + (cnt[v] + 1) / 2.0
+        cum += cnt[v]
+    groups = {}
+    for v, g in pairs:
+        groups.setdefault(g, []).append(rank[v])
+    s = sum(sum(rs) ** 2 / len(rs) for rs in groups.values())
+    h = 12.0 / (n * (n + 1.0)) * s - 3.0 * (n + 1.0)
+    c = 1.0 - sum(t**3 - t for t in cnt.values()) / float(n**3 - n)
+    return h, h / c
+
+
+@given(pairs=kw_pairs)
+@settings(**SETTINGS)
+def test_kruskal_matches_literal_midranks(spark, pairs):
+    # arbitrary tied integer samples over up to 3 groups: the
+    # distinct-value-grain window form must equal the textbook
+    # midrank computation (Kruskal & Wallis 1952) done literally
+    from hypothesis import assume
+
+    from fireball_data_processing_spark.operators.hyptest import kruskal_wallis
+
+    assume(len({v for v, _ in pairs}) >= 2)  # c > 0
+    df = spark.createDataFrame(
+        [(float(v), f"g{g}") for v, g in pairs], "v double, g string"
+    )
+    r = kruskal_wallis(df, "v", "g").first()
+    h, h_adj = _kw_literal_pairs(pairs)
+    assert r["n"] == len(pairs)
+    assert abs(r["h"] - h) < 1e-5, (r["h"], h)
+    assert abs(r["h_adj"] - h_adj) < 1e-5, (r["h_adj"], h_adj)
+
+
+sp_rows = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 5), st.integers(0, 5)),
+    min_size=3,
+    max_size=20,
+)
+
+
+@given(rows=sp_rows)
+@settings(**SETTINGS)
+def test_spearman_matrix_matches_pandas(spark, rows):
+    # heavy-tie integer metrics: every pairwise rho must equal pandas
+    # corr(method='spearman'), and a constant metric must yield NULL
+    # where pandas yields NaN (the den > 0 guard)
+    import math
+
+    from fireball_data_processing_spark.operators.hyptest import spearman_matrix
+
+    pdf = pd.DataFrame(rows, columns=["m1", "m2", "m3"])
+    want = pdf.corr(method="spearman")
+    df = spark.createDataFrame(
+        [(i, float(a), float(b), float(c)) for i, (a, b, c) in enumerate(rows)],
+        "id bigint, m1 double, m2 double, m3 double",
+    )
+    got = {
+        (r["metric_a"], r["metric_b"]): r["rho"]
+        for r in spearman_matrix(
+            df, "id", {m: F.col(m) for m in ["m1", "m2", "m3"]}
+        ).collect()
+    }
+    assert set(got) == {("m1", "m2"), ("m1", "m3"), ("m2", "m3")}
+    for (a, b), rho in got.items():
+        ref = want.loc[a, b]
+        if math.isnan(ref):
+            assert rho is None, (a, b, rho)
+        else:
+            assert rho is not None and abs(rho - ref) < 1e-5, (a, b, rho, ref)
