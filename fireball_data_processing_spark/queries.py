@@ -3338,7 +3338,21 @@ _HEUR_LONG_ORACLE = (
 def q_heuristics_long_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S11/O1: the heuristics matrix unpivoted to the reference's long
     (instance, heuristic, score) result shape, globally sorted by score
-    (heuristic_worker.py:114) with a deterministic rank."""
+    (heuristic_worker.py:114) with a deterministic rank.
+
+    Scale shape (two-phase exact global rank — the token_budget_fill
+    bucketed prefix-sum pattern): a naive
+    ``row_number().over(Window.orderBy(...))`` moves the whole
+    user-grain long frame to ONE partition. Instead the frame is cut
+    into order-monotone score buckets (quantile cuts collected once
+    from the checkpointed frame; NULL scores take bucket -1, matching
+    asc_nulls_first), ranked WITHIN each bucket by the full sort key
+    (partitioned window), and the bucket-count prefix offsets ride a
+    broadcast join back. Rank values are identical to the global
+    window's — the composite key is unique and bucketing is monotone
+    nondecreasing in the score-major order — so the oracle is
+    unchanged; the only unpartitioned window left is the
+    (n_buckets+1)-row offset cumulation."""
     from pyspark.sql.window import Window
 
     wide = q_heuristics_matrix(spark, sf_dir)
@@ -3346,11 +3360,34 @@ def q_heuristics_long_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     stack_expr = "stack({}, {}) as (heuristic, score)".format(
         len(names), ", ".join(f"'{n}', cast({n} as double)" for n in names)
     )
-    long_df = wide.select("user_id", F.expr(stack_expr))
-    w = Window.orderBy(
+    # checkpoint: the long frame feeds the quantile probe, the bucket
+    # counts, and the final rank — left lazy, the heuristics aggregate
+    # would recompute once per consumer
+    long_df = wide.select("user_id", F.expr(stack_expr)).localCheckpoint()
+    cuts = sorted(
+        set(long_df.approxQuantile("score", [i / 8.0 for i in range(1, 8)], 0.01))
+    )
+    b = F.lit(0)
+    for c in cuts:
+        b = b + F.when(F.col("score") >= F.lit(float(c)), 1).otherwise(0)
+    sdf = long_df.withColumn(
+        "__bkt", F.when(F.col("score").isNull(), F.lit(-1)).otherwise(b)
+    )
+    counts = sdf.groupBy("__bkt").agg(F.count(F.lit(1)).alias("__n"))
+    w_off = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offs = counts.select(
+        "__bkt", F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off")
+    )
+    w_in = Window.partitionBy("__bkt").orderBy(
         F.col("score").asc_nulls_first(), F.col("heuristic"), F.col("user_id")
     )
-    return long_df.withColumn("rank", F.row_number().over(w).cast("bigint"))
+    return (
+        sdf.join(F.broadcast(offs), "__bkt")
+        .withColumn(
+            "rank", (F.row_number().over(w_in) + F.col("__off")).cast("bigint")
+        )
+        .select("user_id", "heuristic", "score", "rank")
+    )
 
 
 # =====================================================================
@@ -11796,7 +11833,12 @@ def q_quantile_normalized_lengths(spark: SparkSession, sf_dir: str) -> DataFrame
     last-non-null carry (the nearest-run-join idiom, operators/asof.py)
     — no per-row percentile calls, no join explosion. percent_rank with
     the doc_id tiebreak is exact integer arithmetic, so no rounding is
-    needed before the merge."""
+    needed before the merge. The merge's ordered window is corpus-grain
+    by the idiom's nature (documented diagnostic escape, the
+    lorenz_gini class): at 100 TB, bucket the rank axis first —
+    B rank-range buckets, each carrying the previous bucket's last
+    pooled anchor as a bucket-grain prefix (the token_budget_fill
+    offsets shape) — and the carry window becomes per-bucket."""
     ev = load_table(spark, sf_dir, "documents")
     d = ev.select("doc_id", "source", F.col("n_chars").cast("double").alias("v"))
     wr = d.select(

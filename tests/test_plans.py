@@ -507,3 +507,29 @@ def test_acf_day_grain_broadcast_joins(spark):
     assert "ExistingRDD" in phys, phys
     assert "SortMergeJoin" not in phys, phys
     assert "CartesianProduct" not in phys, phys
+
+
+def _global_ordered_windows(phys: str) -> int:
+    # Window with an empty partition spec: [exprs], [order] (two bracket
+    # groups, order group carries ASC/DESC) or [exprs] alone — WindowExec
+    # moves the whole input to a single partition for these
+    n = 0
+    for line in phys.splitlines():
+        if re.search(r"\bWindow \[", line):
+            groups = re.findall(r"\[[^\[\]]*(?:\[[^\[\]]*\][^\[\]]*)*\]", line)
+            if len(groups) == 1 or (
+                len(groups) == 2 and re.search(r" (ASC|DESC)\b", groups[-1])
+            ):
+                n += 1
+    return n
+
+
+def test_heuristics_long_rank_two_phase(spark):
+    # the two-phase global rank: the user-grain long frame is ranked
+    # inside score buckets (partitioned window) with broadcast prefix
+    # offsets — the only single-partition window left is the
+    # (n_buckets+1)-row offset cumulation
+    phys = _phys(catalog.REGISTRY["heuristics_long_sorted"].fn(spark, SMOKE))
+    assert _global_ordered_windows(phys) == 1, phys
+    assert re.search(r"Window \[row_number\(\)[^\n]*\], \[__bkt#\d+\],", phys), phys
+    assert "BroadcastHashJoin" in phys, phys
