@@ -63,6 +63,8 @@ HEADLINE = (
 # in the headline total, so round-over-round totals stay comparable
 # while the newer subsystems still get per-round numbers on record.
 EXTRA = (
+    # two-phase global rank re-plan (late r9) — tracked from r9 on
+    "heuristics_long_sorted",
     "semantic_dedup_survivors",
     "span_scrubbed_docs",
     "hybrid_search_rrf",
