@@ -13,6 +13,7 @@ from fireball_data_processing_spark.operators.windows import (
     find_first_after,
     history_window,
     paginate,
+    two_phase_global_rank,
 )
 from fireball_data_processing_spark.operators.sampling import (
     deterministic_sample,
@@ -137,6 +138,7 @@ __all__ = [
     "find_first_after",
     "history_window",
     "paginate",
+    "two_phase_global_rank",
     "deterministic_sample",
     "deterministic_split",
     "bloom_might_contain",

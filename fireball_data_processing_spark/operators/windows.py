@@ -101,3 +101,66 @@ def paginate(
         .filter(F.col("__rn") > page * page_size)
         .drop("__rn")
     )
+
+
+def two_phase_global_rank(
+    df: DataFrame,
+    score_col: str,
+    tiebreak_cols: Sequence[str],
+    rank_col: str = "rank",
+    n_buckets: int = 8,
+    rel_err: float = 0.01,
+) -> DataFrame:
+    """Exact global ``row_number`` over ``(score asc_nulls_first,
+    *tiebreak_cols asc)`` WITHOUT a single-partition window — the
+    scale-correct form of ``F.row_number().over(Window.orderBy(...))``,
+    whose WindowExec moves the entire input to one task.
+
+    The token_budget_fill bucketed prefix-sum pattern generalized to
+    ranking: quantile cuts (collected once from the checkpointed
+    frame, ``n_buckets - 1`` doubles) define order-monotone score
+    buckets (NULL scores take bucket -1, matching asc_nulls_first);
+    rows are ranked WITHIN each bucket by the full sort key
+    (partitioned window), and the bucket-count prefix offsets ride a
+    broadcast join back. The only unpartitioned window left is the
+    cumulation over the (n_buckets + 1)-row offset frame.
+
+    Rank values equal the naive global window's EXACTLY — bucketing is
+    monotone nondecreasing in the score-major order and the composite
+    key ``(score_col, *tiebreak_cols)`` must be UNIQUE (with duplicate
+    full keys, row_number is arbitrary among the duplicates in either
+    form). Cut placement only shapes the partitioning, never the
+    output, so approxQuantile's sketch error is load skew, not
+    a correctness concern. Size ``n_buckets`` to the cluster: ranks
+    within one bucket still sort in a single task each.
+
+    Returns ``df``'s columns plus ``rank_col`` (bigint, 1-based). The
+    input is localCheckpointed (it feeds the quantile probe, the
+    bucket counts, and the rank — lazy, its lineage would recompute
+    once per consumer)."""
+    chk = df.localCheckpoint()
+    probs = [i / float(n_buckets) for i in range(1, n_buckets)]
+    cuts = sorted(set(chk.approxQuantile(score_col, probs, rel_err)))
+    b = F.lit(0)
+    for c in cuts:
+        b = b + F.when(F.col(score_col) >= F.lit(float(c)), 1).otherwise(0)
+    sdf = chk.withColumn(
+        "__bkt", F.when(F.col(score_col).isNull(), F.lit(-1)).otherwise(b)
+    )
+    counts = sdf.groupBy("__bkt").agg(F.count(F.lit(1)).alias("__n"))
+    w_off = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offs = counts.select(
+        "__bkt", F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off")
+    )
+    w_in = Window.partitionBy("__bkt").orderBy(
+        F.col(score_col).asc_nulls_first(),
+        *[F.col(c).asc() for c in tiebreak_cols],
+    )
+    return (
+        sdf.join(F.broadcast(offs), "__bkt")
+        .withColumn(
+            rank_col,
+            (F.row_number().over(w_in) + F.col("__off")).cast("bigint"),
+        )
+        .select(*df.columns, rank_col)
+    )

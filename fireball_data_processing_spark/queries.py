@@ -3340,53 +3340,27 @@ def q_heuristics_long_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     (instance, heuristic, score) result shape, globally sorted by score
     (heuristic_worker.py:114) with a deterministic rank.
 
-    Scale shape (two-phase exact global rank — the token_budget_fill
-    bucketed prefix-sum pattern): a naive
+    Scale shape: ranked via ``operators/windows.two_phase_global_rank``
+    — the token_budget_fill bucketed prefix-sum pattern generalized to
+    exact global ranking (a naive
     ``row_number().over(Window.orderBy(...))`` moves the whole
-    user-grain long frame to ONE partition. Instead the frame is cut
-    into order-monotone score buckets (quantile cuts collected once
-    from the checkpointed frame; NULL scores take bucket -1, matching
-    asc_nulls_first), ranked WITHIN each bucket by the full sort key
-    (partitioned window), and the bucket-count prefix offsets ride a
-    broadcast join back. Rank values are identical to the global
-    window's — the composite key is unique and bucketing is monotone
-    nondecreasing in the score-major order — so the oracle is
+    user-grain long frame to ONE partition). Rank values are identical
+    to the global window's — the composite key is unique and the
+    quantile-cut bucketing is order-monotone — so the oracle is
     unchanged; the only unpartitioned window left is the
     (n_buckets+1)-row offset cumulation."""
-    from pyspark.sql.window import Window
+    from fireball_data_processing_spark.operators.windows import (
+        two_phase_global_rank,
+    )
 
     wide = q_heuristics_matrix(spark, sf_dir)
     names = [c for c in wide.columns if c != "user_id"]
     stack_expr = "stack({}, {}) as (heuristic, score)".format(
         len(names), ", ".join(f"'{n}', cast({n} as double)" for n in names)
     )
-    # checkpoint: the long frame feeds the quantile probe, the bucket
-    # counts, and the final rank — left lazy, the heuristics aggregate
-    # would recompute once per consumer
-    long_df = wide.select("user_id", F.expr(stack_expr)).localCheckpoint()
-    cuts = sorted(
-        set(long_df.approxQuantile("score", [i / 8.0 for i in range(1, 8)], 0.01))
-    )
-    b = F.lit(0)
-    for c in cuts:
-        b = b + F.when(F.col("score") >= F.lit(float(c)), 1).otherwise(0)
-    sdf = long_df.withColumn(
-        "__bkt", F.when(F.col("score").isNull(), F.lit(-1)).otherwise(b)
-    )
-    counts = sdf.groupBy("__bkt").agg(F.count(F.lit(1)).alias("__n"))
-    w_off = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
-    offs = counts.select(
-        "__bkt", F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off")
-    )
-    w_in = Window.partitionBy("__bkt").orderBy(
-        F.col("score").asc_nulls_first(), F.col("heuristic"), F.col("user_id")
-    )
-    return (
-        sdf.join(F.broadcast(offs), "__bkt")
-        .withColumn(
-            "rank", (F.row_number().over(w_in) + F.col("__off")).cast("bigint")
-        )
-        .select("user_id", "heuristic", "score", "rank")
+    long_df = wide.select("user_id", F.expr(stack_expr))
+    return two_phase_global_rank(
+        long_df, "score", ["heuristic", "user_id"], n_buckets=8
     )
 
 

@@ -533,3 +533,43 @@ def test_heuristics_long_rank_two_phase(spark):
     assert _global_ordered_windows(phys) == 1, phys
     assert re.search(r"Window \[row_number\(\)[^\n]*\], \[__bkt#\d+\],", phys), phys
     assert "BroadcastHashJoin" in phys, phys
+
+
+def test_two_phase_rank_matches_naive_global_window(spark):
+    # randomized + edge shapes: ranks from the bucketed two-phase form
+    # must equal the naive single-partition window exactly — ties in
+    # score (unique composite key), NULL scores first, all-equal
+    # scores collapsing to one bucket, and the empty frame
+    import random
+
+    from pyspark.sql.window import Window as W
+
+    from fireball_data_processing_spark.operators.windows import (
+        two_phase_global_rank,
+    )
+
+    rnd = random.Random(9)
+    cases = [
+        [(i, f"h{rnd.randint(0, 3)}",
+          rnd.choice([None, 0.0, 1.5, 2.5, rnd.random()]))
+         for i in range(60)],
+        [(i, "h", 7.0) for i in range(10)],  # all-equal scores
+        [(i, "h", None) for i in range(5)],  # all-null scores
+        [],
+    ]
+    for rows in cases:
+        df = spark.createDataFrame(rows, "id bigint, h string, score double")
+        got = {
+            (r["id"], r["h"]): r["rank"]
+            for r in two_phase_global_rank(
+                df, "score", ["h", "id"], n_buckets=4
+            ).collect()
+        }
+        w = W.orderBy(F.col("score").asc_nulls_first(), "h", "id")
+        want = {
+            (r["id"], r["h"]): r["rank"]
+            for r in df.withColumn(
+                "rank", F.row_number().over(w).cast("bigint")
+            ).collect()
+        }
+        assert got == want, (len(rows), got, want)
