@@ -36,6 +36,8 @@ Scale design (the classic Spark k-means shape, same as MLlib's):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -48,6 +50,100 @@ __all__ = [
     "nearest_centroid_expr",
     "nearest_centroids_expr",
 ]
+
+
+# ---------------------------------------------------------------------
+# SQL-text expression builders — the plan-construction fast path.
+#
+# Classic PySpark builds every Column node through a py4j round-trip
+# (~0.4 ms each), and higher-order-function lambdas cost dozens of
+# round-trips apiece — profiling the IVFPQ query showed ~2.5 s of a
+# 3 s plan build spent on 12k+ py4j socket calls, all data-invariant
+# overhead. These builders render the SAME expressions as SQL text and
+# parse them JVM-side in ONE ``F.expr`` call (the ``_matrix_literal``
+# idiom from operators/similarity.py, generalized from literals to the
+# full lambda tree). Values are bit-identical: ``repr(float)`` is the
+# shortest round-trip decimal and Spark parses double literals with
+# correctly-rounded ``Double.parseDouble``; the ``D`` suffix pins
+# DOUBLE (a bare decimal literal would parse as DECIMAL). Each builder
+# defines lambda variables under its own prefix (``nc_``/``np_``), so
+# embedded fragments can never be captured by an inner scope.
+# ---------------------------------------------------------------------
+
+
+def _double_sql(x: float) -> str:
+    """``x`` as a Spark SQL DOUBLE literal, bit-identical to ``F.lit(x)``."""
+    x = float(x)
+    if not math.isfinite(x):
+        raise ValueError(f"non-finite value in SQL literal: {x!r}")
+    return repr(x) + "D"
+
+
+def _vec_sql(vec: list[float]) -> str:
+    """``array<double>`` literal text."""
+    return "array(" + ",".join(_double_sql(x) for x in vec) + ")"
+
+
+def _ident_sql(name: str) -> str:
+    """A column name as a quoted SQL identifier."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _cast_vec_sql(vec_col: str) -> str:
+    """The standard vector input fragment: column cast to array<double>."""
+    return f"cast({_ident_sql(vec_col)} as array<double>)"
+
+
+def _centroid_literal_sql(centroids: list[tuple[int, list[float]]]) -> str:
+    """``array<struct<cid:int, v:array<double>>>`` literal text — the
+    text twin of :func:`_centroid_literal`."""
+    return (
+        "array("
+        + ",".join(
+            f"named_struct('cid',{int(cid)},'v',{_vec_sql(v)})"
+            for cid, v in centroids
+        )
+        + ")"
+    )
+
+
+def _dist2_sql(a: str, b: str) -> str:
+    """Squared-L2 text twin of :func:`_dist2` — same sequential fold.
+    ``a``/``b`` are spliced outside the lambda bodies, so their
+    variable references cannot be shadowed."""
+    return (
+        f"aggregate(zip_with({a},{b},(x,y)->(x-y)*(x-y)),"
+        "0.0D,(acc,z)->acc+z)"
+    )
+
+
+def nearest_centroid_sql(
+    centroids: list[tuple[int, list[float]]], vec_sql: str
+) -> str:
+    """Text twin of :func:`nearest_centroid_expr` over a SQL fragment:
+    same bind-once wrapper, same (dist2, cid) struct-lexicographic
+    ``array_min``, same field names."""
+    return (
+        f"element_at(transform(array({vec_sql}),nc_v->array_min(transform("
+        + _centroid_literal_sql(centroids)
+        + ",nc_c->named_struct('d',"
+        + _dist2_sql("nc_v", "nc_c.v")
+        + ",'cid',nc_c.cid)))),1)"
+    )
+
+
+def nearest_centroids_sql(
+    centroids: list[tuple[int, list[float]]], vec_sql: str, n_probe: int
+) -> str:
+    """Text twin of :func:`nearest_centroids_expr`."""
+    return (
+        f"element_at(transform(array({vec_sql}),np_v->slice(array_sort("
+        "transform("
+        + _centroid_literal_sql(centroids)
+        + ",np_c->named_struct('d',"
+        + _dist2_sql("np_v", "np_c.v")
+        + f",'cid',np_c.cid))),1,{int(n_probe)})),1)"
+    )
 
 
 def _dist2(vec: Column, ctr: Column) -> Column:
@@ -89,7 +185,7 @@ def _bind_once(vec: Column, body) -> Column:
 
 
 def nearest_centroid_expr(
-    centroids: list[tuple[int, list[float]]], vec: Column
+    centroids: list[tuple[int, list[float]]], vec: Column | str
 ) -> Column:
     """``struct<d:double, cid:int>`` of the row's nearest centroid — the
     assignment as a pure COLUMN EXPRESSION, usable anywhere a projection
@@ -98,7 +194,13 @@ def nearest_centroid_expr(
     (dist2, cid)); the distance expression is evaluated once per
     centroid, and ``vec`` itself once per ROW (``_bind_once``), so a
     composite vector expression never multiplies by k. ``vec`` should
-    already be ``array<double>``."""
+    already be ``array<double>``.
+
+    Pass ``vec`` as a SQL fragment STRING to take the O(1)-py4j text
+    path (:func:`nearest_centroid_sql` — value-identical, parity-tested);
+    a Column input keeps the original builder for composability."""
+    if isinstance(vec, str):
+        return F.expr(nearest_centroid_sql(centroids, vec))
     return _bind_once(
         vec,
         lambda v: F.array_min(
@@ -113,7 +215,7 @@ def nearest_centroid_expr(
 
 
 def nearest_centroids_expr(
-    centroids: list[tuple[int, list[float]]], vec: Column, n_probe: int
+    centroids: list[tuple[int, list[float]]], vec: Column | str, n_probe: int
 ) -> Column:
     """The row's ``n_probe`` nearest centroids as an
     ``array<struct<d:double, cid:int>>``, (dist2, cid)-lexicographic —
@@ -121,7 +223,10 @@ def nearest_centroids_expr(
     which IVF-style index probing needs (a query inspects its few
     nearest cells, not just the winner). Same determinism contract:
     sequential-fold distances, lowest-cid tie-break, once-per-row
-    ``vec`` evaluation, all inside one codegen projection."""
+    ``vec`` evaluation, all inside one codegen projection. A SQL
+    fragment string takes the O(1)-py4j text path."""
+    if isinstance(vec, str):
+        return F.expr(nearest_centroids_sql(centroids, vec, n_probe))
     return _bind_once(
         vec,
         lambda v: F.slice(
@@ -150,8 +255,7 @@ def kmeans_assign(
     enters as a literal, so the plan is scan → codegen, zero exchanges.
     Ties break to the lowest cluster id (struct-lexicographic
     ``array_min`` over (dist2, cid))."""
-    vec = F.col(vec_col).cast("array<double>")
-    best = nearest_centroid_expr(centroids, vec)
+    best = nearest_centroid_expr(centroids, _cast_vec_sql(vec_col))
     return df.select(
         F.col(id_col),
         best["cid"].alias("cluster_id"),
@@ -180,13 +284,15 @@ def kmeans_fit(
     empty cluster keeps its previous centroid (standard Lloyd handling,
     and what the SQL replay does via the COALESCE join).
     """
-    vec = F.col(vec_col).cast("array<double>")
+    vec_sql = _cast_vec_sql(vec_col)
     # rounding happens in SQL (HALF_UP, matching DuckDB/ANSI ROUND) —
     # Python round() is banker's and would diverge on exact .5 boundaries
     seed_rows = (
         df.select(
             F.col(id_col).alias("__id"),
-            F.transform(vec, lambda x: F.round(x, round_dp)).alias("__v"),
+            F.expr(
+                f"transform({vec_sql},sr_x->round(sr_x,{int(round_dp)}))"
+            ).alias("__v"),
         )
         .orderBy("__id")
         .limit(k)
@@ -202,9 +308,12 @@ def kmeans_fit(
         # vector (no join-back — assignment is a pure expression), and
         # sort_array(collect_list(struct(pos, avg))) rebuilds coordinate
         # order without an ORDER BY shuffle.
-        best = nearest_centroid_expr(centroids, vec)
+        best = nearest_centroid_expr(centroids, vec_sql)
         means = (
-            df.select(best["cid"].alias("cluster_id"), vec.alias("__v"))
+            df.select(
+                best["cid"].alias("cluster_id"),
+                F.expr(vec_sql).alias("__v"),
+            )
             .select("cluster_id", F.posexplode("__v").alias("__pos", "__x"))
             .groupBy("cluster_id", "__pos")
             .agg(F.round(F.avg("__x"), round_dp).alias("__m"))
@@ -267,24 +376,28 @@ def kcenter_fit(
     picked point's distance to the previously chosen centers (0.0 for
     the seed) — the coverage-radius curve, monotonically nonincreasing.
     """
-    vec = F.col(vec_col).cast("array<double>")
+    vec_sql = _cast_vec_sql(vec_col)
     seed = (
-        df.select(F.col(id_col).alias("__id"), vec.alias("__v"))
+        df.select(F.col(id_col).alias("__id"), F.expr(vec_sql).alias("__v"))
         .orderBy("__id")
         .limit(1)
         .collect()[0]
     )
     centers = [(0, int(seed["__id"]), 0.0, [float(x) for x in seed["__v"]])]
-    ctr_lit = lambda v: F.array(*[F.lit(float(x)) for x in v])  # noqa: E731
-    md = F.round(_dist2(vec, ctr_lit(centers[0][3])), round_dp)
+    # the running min-distance grows as SQL TEXT (py4j-free; the text
+    # twin of round(least(md, dist2)) — identical expression tree)
+    md_sql = (
+        f"round({_dist2_sql(vec_sql, _vec_sql(centers[0][3]))},"
+        f"{int(round_dp)})"
+    )
     for t in range(1, k):
         pick = (
             df.select(
                 F.struct(
-                    md.alias("d"),
+                    F.expr(md_sql).alias("d"),
                     (-F.col(id_col)).alias("negid"),
                     F.col(id_col).alias("id"),
-                    vec.alias("v"),
+                    F.expr(vec_sql).alias("v"),
                 ).alias("__cand")
             )
             .agg(F.max("__cand").alias("__best"))
@@ -292,7 +405,10 @@ def kcenter_fit(
         )
         v = [float(x) for x in pick["v"]]
         centers.append((t, int(pick["id"]), float(pick["d"]), v))
-        md = F.round(F.least(md, _dist2(vec, ctr_lit(v))), round_dp)
+        md_sql = (
+            f"round(least({md_sql},{_dist2_sql(vec_sql, _vec_sql(v))}),"
+            f"{int(round_dp)})"
+        )
     return centers
 
 
@@ -305,9 +421,8 @@ def kcenter_radius(
     """Coverage radius of a chosen center set: the max over points of
     the (rounded) distance to the nearest center — one aggregate, the
     selection-quality number the k-center guarantee bounds."""
-    vec = F.col(vec_col).cast("array<double>")
     best = nearest_centroid_expr(
-        [(idx, v) for idx, _, _, v in centers], vec
+        [(idx, v) for idx, _, _, v in centers], _cast_vec_sql(vec_col)
     )
     return df.select(F.round(best["d"], round_dp).alias("__d")).agg(
         F.max("__d").alias("radius")

@@ -38,6 +38,17 @@ from typing import NamedTuple
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# SQL-text expression builders (the O(1)-py4j plan-construction path;
+# see the clustering module's fast-path note). Leaf helpers only — the
+# heavier clustering operators stay function-local imports.
+from fireball_data_processing_spark.operators.clustering import (
+    _dist2_sql,
+    _ident_sql,
+    _vec_sql,
+    nearest_centroid_sql,
+    nearest_centroids_sql,
+)
 from pyspark.sql.window import Window
 
 
@@ -725,23 +736,60 @@ def rp_sketch_components(
     THEN ship: at 100 TB the sketch is what crosses the wire to the ANN
     index, not the raw vectors."""
     comps = rp_sketch_expr(
-        F.col(vec_col), _infer_dim(df, vec_col), out_dim, round_dp
+        _ident_sql(vec_col), _infer_dim(df, vec_col), out_dim, round_dp
     )
     return df.select(
         F.col(id_col), F.posexplode(comps).alias("dim_idx", "component")
     )
 
 
+def rp_sketch_sql(
+    vec_sql: str, in_dim: int, out_dim: int, round_dp: int = 6
+) -> str:
+    """Text twin of :func:`rp_sketch_expr` over a SQL fragment — the
+    whole sketch (sign-matrix literal + ``out_dim`` sequential-fold dot
+    products) renders as ONE parseable string, so plan construction is
+    O(1) py4j calls instead of one round-trip per lambda node (the
+    ``_matrix_literal`` idiom extended to the full expression). The
+    input is bound once per row (``rs_v``), exactly like the Column
+    builder's single evaluation of ``vec``."""
+    import math
+
+    signs = rp_sign_matrix(in_dim, out_dim)
+    scale = repr(math.sqrt(float(out_dim))) + "D"
+    signs_sql = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(repr(float(x)) + "D" for x in row) + ")"
+            for row in signs
+        )
+        + ")"
+    )
+    comps = ",".join(
+        f"round(aggregate(zip_with(rs_v,element_at(rs_m,{j + 1}),"
+        f"(x,s)->x*s),0.0D,(acc,vv)->acc+vv)/{scale},{int(round_dp)})"
+        for j in range(out_dim)
+    )
+    return (
+        f"element_at(transform(array(cast(({vec_sql}) as array<double>)),"
+        f"rs_v->element_at(transform(array({signs_sql}),"
+        f"rs_m->array({comps})),1)),1)"
+    )
+
+
 def rp_sketch_expr(
-    vec: Column, in_dim: int, out_dim: int, round_dp: int = 6
+    vec: Column | str, in_dim: int, out_dim: int, round_dp: int = 6
 ) -> Column:
     """The sketch as a reusable ``array<double>`` COLUMN EXPRESSION —
     one parsed array<array<double>> literal (the rh_signature idiom:
     O(1) py4j calls, constant-folded before codegen); each component
     indexes its row out of the constant and is one sequential-fold dot
-    product."""
+    product. A SQL fragment string input builds the WHOLE expression as
+    text (:func:`rp_sketch_sql`) — value-identical, parity-tested."""
     import math
 
+    if isinstance(vec, str):
+        return F.expr(rp_sketch_sql(vec, in_dim, out_dim, round_dp))
     signs_lit = _matrix_literal(rp_sign_matrix(in_dim, out_dim))
     v = vec.cast("array<double>")
     return F.array(
@@ -838,14 +886,14 @@ def rp_ann_topk(
     # values either way, so the oracle is unchanged.
     q_sk = queries.select(
         F.col(id_col).alias("query_id"),
-        rp_sketch_expr(F.col(vec_col), dim, out_dim, round_dp).alias("__qs"),
+        rp_sketch_expr(_ident_sql(vec_col), dim, out_dim, round_dp).alias("__qs"),
         norm(
-            rp_sketch_expr(F.col(vec_col), dim, out_dim, round_dp)
+            rp_sketch_expr(_ident_sql(vec_col), dim, out_dim, round_dp)
         ).alias("__qn"),
     )
     c_sk = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        rp_sketch_expr(F.col(vec_col), dim, out_dim, round_dp).alias("__cs"),
+        rp_sketch_expr(_ident_sql(vec_col), dim, out_dim, round_dp).alias("__cs"),
     )
     sketch_sim = F.round(
         dot(F.col("__qs"), F.col("__cs"))
@@ -975,7 +1023,7 @@ def rp_ivf_topk(
     wsk = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
-        rp_sketch_expr(F.col(vec_col), dim, out_dim, round_dp).alias("__csk"),
+        rp_sketch_expr(_ident_sql(vec_col), dim, out_dim, round_dp).alias("__csk"),
     )
     if centroids is None:
         wsk = wsk.persist()
@@ -987,22 +1035,21 @@ def rp_ivf_topk(
     cells = wsk.select(
         "neighbor_id",
         "__cv",
-        nearest_centroid_expr(centroids, F.col("__csk"))["cid"].alias(
+        nearest_centroid_expr(centroids, "`__csk`")["cid"].alias(
             "__cell"
         ),
     )
     qq = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
-        rp_sketch_expr(F.col(vec_col), dim, out_dim, round_dp).alias("__qsk"),
+        rp_sketch_expr(_ident_sql(vec_col), dim, out_dim, round_dp).alias("__qsk"),
     ).select(
         "query_id",
         "__qv",
-        F.explode(
-            F.transform(
-                nearest_centroids_expr(centroids, F.col("__qsk"), n_probe),
-                lambda s: s["cid"],
-            )
+        F.expr(
+            "explode(transform("
+            + nearest_centroids_sql(centroids, "`__qsk`", n_probe)
+            + ",pe_s->pe_s.cid))"
         ).alias("__cell"),
     )
     exact = F.round(cosine(F.col("__qv"), F.col("__cv")), round_dp)
@@ -1090,6 +1137,7 @@ def pq_fit(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     round_dp: int = 6,
+    dim: int | None = None,
 ) -> list[list[tuple[int, list[float]]]]:
     """Train product-quantization codebooks: split every vector into
     ``m`` contiguous subvectors and k-means each subspace independently
@@ -1122,7 +1170,8 @@ def pq_fit(
         nearest_centroid_expr,
     )
 
-    dim = _infer_dim(corpus, vec_col)
+    if dim is None:
+        dim = _infer_dim(corpus, vec_col)
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
@@ -1140,8 +1189,8 @@ def pq_fit(
         sliced.select(
             "vec_id",
             *[
-                F.transform(
-                    F.col(f"__s{j}"), lambda x: F.round(x, round_dp)
+                F.expr(
+                    f"transform(`__s{j}`,ps_x->round(ps_x,{int(round_dp)}))"
                 ).alias(f"__r{j}")
                 for j in range(m)
             ],
@@ -1167,7 +1216,7 @@ def pq_fit(
                         F.struct(
                             F.lit(j).alias("__j"),
                             nearest_centroid_expr(
-                                books[j], F.col(f"__s{j}")
+                                books[j], f"`__s{j}`"
                             )["cid"].alias("__cid"),
                             F.col(f"__s{j}").alias("__v"),
                         )
@@ -1228,8 +1277,29 @@ def _check_pq_dims(
             )
 
 
+def pq_code_sql(
+    vec_sql: str, dim: int, codebooks: list[list[tuple[int, list[float]]]]
+) -> str:
+    """Text twin of :func:`pq_code_expr` over a SQL fragment: the input
+    binds once (``pq_v``), each subspace code is the
+    :func:`~.clustering.nearest_centroid_sql` argmin over its slice."""
+    m = len(codebooks)
+    _check_pq_dims(dim, codebooks)
+    sub = dim // m
+    codes = ",".join(
+        nearest_centroid_sql(
+            codebooks[j], f"slice(pq_v,{j * sub + 1},{sub})"
+        )
+        + ".cid"
+        for j in range(m)
+    )
+    return (
+        f"element_at(transform(array({vec_sql}),pq_v->array({codes})),1)"
+    )
+
+
 def pq_code_expr(
-    vec: Column, dim: int, codebooks: list[list[tuple[int, list[float]]]]
+    vec: Column | str, dim: int, codebooks: list[list[tuple[int, list[float]]]]
 ) -> Column:
     """Encode a vector as its ``array<int>`` of per-subspace nearest-
     centroid codes — a PURE column expression (codebooks enter as
@@ -1240,12 +1310,16 @@ def pq_code_expr(
     ``dim`` is not divisible by the codebook count or the codebook
     subvector width disagrees with ``dim // m`` — encoding a corpus
     whose dimension differs from the training corpus would otherwise
-    silently mis-slice into null/garbage distances (ADVICE r6)."""
+    silently mis-slice into null/garbage distances (ADVICE r6). A SQL
+    fragment string input takes the O(1)-py4j text path
+    (:func:`pq_code_sql` — value-identical, parity-tested)."""
     from fireball_data_processing_spark.operators.clustering import (
         _bind_once,
         nearest_centroid_expr,
     )
 
+    if isinstance(vec, str):
+        return F.expr(pq_code_sql(vec, dim, codebooks))
     m = len(codebooks)
     _check_pq_dims(dim, codebooks)
     sub = dim // m
@@ -1298,24 +1372,23 @@ def pq_topk(
     m = len(codebooks)
     _check_pq_dims(dim, codebooks)
     sub = dim // m
+    vs = f"cast({_ident_sql(vec_col)} as array<double>)"
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        pq_code_expr(
-            F.col(vec_col).cast("array<double>"), dim, codebooks
-        ).alias("__codes"),
+        pq_code_expr(vs, dim, codebooks).alias("__codes"),
     )
-    qv = F.col(vec_col).cast("array<double>")
     q = queries.select(
         F.col(id_col).alias("query_id"),
         *[
-            F.array(
-                *[
-                    _sq_l2(
-                        F.slice(qv, j * sub + 1, sub),
-                        F.array(*[F.lit(float(x)) for x in cent]),
+            F.expr(
+                "array("
+                + ",".join(
+                    _dist2_sql(
+                        f"slice({vs},{j * sub + 1},{sub})", _vec_sql(cent)
                     )
                     for _, cent in codebooks[j]
-                ]
+                )
+                + ")"
             ).alias(f"__t{j}")
             for j in range(m)
         ],
@@ -1342,17 +1415,6 @@ def pq_topk(
     )
 
 
-def _sq_l2(a: Column, b: Column) -> Column:
-    """Squared L2 with the sequential-fold determinism contract (the
-    clustering module's _dist2, re-declared here to keep the import
-    surface one-way)."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-
-
 # ---------------------------------------------------------------------
 # IVF-PQ: coarse cells bound CANDIDATES, product-quantized RESIDUALS
 # bound BYTES — the composed billion-scale index (Faiss IVFPQ)
@@ -1365,11 +1427,29 @@ def _cell_centroid_literal(
     """``array<array<double>>`` of centroid vectors ordered by cid
     (``kmeans_fit`` enumerates cids 0..k-1), so ``element_at(lit,
     cid + 1)`` is the cell→centroid lookup as a pure expression."""
+    return F.expr(_cell_centroid_sql(centroids))
+
+
+def _cell_centroid_sql(centroids: list[tuple[int, list[float]]]) -> str:
+    """Text twin of :func:`_cell_centroid_literal` (same validation)."""
     ordered = sorted(centroids)
     if [cid for cid, _ in ordered] != list(range(len(ordered))):
         raise ValueError("centroid cids must be exactly 0..k-1")
-    return F.array(
-        *[F.array(*[F.lit(float(x)) for x in v]) for _, v in ordered]
+    return "array(" + ",".join(_vec_sql(v) for _, v in ordered) + ")"
+
+
+def _ivfpq_residual_sql(
+    centroids: list[tuple[int, list[float]]], vec_sql: str
+) -> str:
+    """The IVFPQ residual ``v - c(v)`` as text: the input binds once
+    (``rb_v``), its cell comes from the nearest-centroid argmin, and
+    the centroid lookup is ``element_at`` into the cid-ordered table —
+    the same expressions the Column builders produced."""
+    cv = _cell_centroid_sql(centroids)
+    cell = nearest_centroid_sql(centroids, "rb_v") + ".cid"
+    return (
+        f"element_at(transform(array({vec_sql}),rb_v->zip_with(rb_v,"
+        f"element_at({cv},{cell}+1),(ri_a,ri_b)->ri_a-ri_b)),1)"
     )
 
 
@@ -1383,6 +1463,7 @@ def ivfpq_fit(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     round_dp: int = 6,
+    dim: int | None = None,
 ) -> tuple[list[tuple[int, list[float]]], list[list[tuple[int, list[float]]]]]:
     """Train the two quantizers of a Faiss-style IVFPQ index (Jégou,
     Douze & Schmid 2011 §IV — "IVFADC"): a coarse k-means over the FULL
@@ -1408,28 +1489,25 @@ def ivfpq_fit(
     100 TB, fit both quantizers on a sample and broadcast the literals."""
     from fireball_data_processing_spark.operators.clustering import (
         kmeans_fit,
-        nearest_centroid_expr,
     )
 
-    v = F.col(vec_col).cast("array<double>")
-    base = corpus.select(F.col(id_col).alias("vec_id"), v.alias("__v"))
+    base = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.expr(f"cast({_ident_sql(vec_col)} as array<double>)").alias("__v"),
+    )
     _, centroids = kmeans_fit(
         base, k=n_cells, n_iter=coarse_n_iter, vec_col="__v",
         id_col="vec_id", round_dp=round_dp,
     )
-    cv_lit = _cell_centroid_literal(centroids)
-    cell = nearest_centroid_expr(centroids, F.col("__v"))["cid"]
     residuals = base.select(
         "vec_id",
-        F.zip_with(
-            F.col("__v"),
-            F.element_at(cv_lit, cell + F.lit(1)),
-            lambda x, y: x - y,
-        ).alias("__r"),
+        F.expr(_ivfpq_residual_sql(centroids, "`__v`")).alias("__r"),
     )
+    if dim is None:
+        dim = _infer_dim(corpus, vec_col)
     codebooks = pq_fit(
         residuals, m=m, ks=ks, n_iter=pq_n_iter, vec_col="__r",
-        id_col="vec_id", round_dp=round_dp,
+        id_col="vec_id", round_dp=round_dp, dim=dim,
     )
     return centroids, codebooks
 
@@ -1491,7 +1569,7 @@ def ivfpq_topk(
         centroids, codebooks = ivfpq_fit(
             corpus, n_cells=n_cells, m=m, ks=ks,
             coarse_n_iter=coarse_n_iter, pq_n_iter=pq_n_iter,
-            vec_col=vec_col, id_col=id_col, round_dp=round_dp,
+            vec_col=vec_col, id_col=id_col, round_dp=round_dp, dim=dim,
         )
     _check_pq_dims(dim, codebooks)
     idx = _ivfpq_code_frame(corpus, centroids, codebooks, dim, id_col, vec_col)
@@ -1514,29 +1592,16 @@ def _ivfpq_code_frame(
     """The IVFPQ index projection: ``(neighbor_id, cell, __codes)`` —
     cell assignment and residual PQ encoding as centroid-literal pure
     expressions over the corpus scan (zero joins/shuffles; full vectors
-    never leave the scan)."""
-    from fireball_data_processing_spark.operators.clustering import (
-        _bind_once,
-        nearest_centroid_expr,
-    )
-
-    cv_lit = _cell_centroid_literal(centroids)
-    v = F.col(vec_col).cast("array<double>")
-    cell = nearest_centroid_expr(centroids, v)["cid"]
-    residual = _bind_once(
-        v,
-        lambda x: F.zip_with(
-            x,
-            F.element_at(
-                cv_lit, nearest_centroid_expr(centroids, x)["cid"] + F.lit(1)
-            ),
-            lambda a, b: a - b,
-        ),
-    )
+    never leave the scan). Built entirely as SQL text (the O(1)-py4j
+    plan-construction path — see the clustering module note)."""
+    vs = f"cast({_ident_sql(vec_col)} as array<double>)"
+    cell = nearest_centroid_sql(centroids, vs) + ".cid"
     return corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        cell.alias("cell"),
-        pq_code_expr(residual, dim, codebooks).alias("__codes"),
+        F.expr(cell).alias("cell"),
+        F.expr(
+            pq_code_sql(_ivfpq_residual_sql(centroids, vs), dim, codebooks)
+        ).alias("__codes"),
     )
 
 
@@ -1552,48 +1617,39 @@ def _ivfpq_probe_frame(
     """The IVFPQ probe batch: ``(query_id, cell, __t)`` — each query
     exploded to its ``n_probe`` nearest cells, carrying the m x ks ADC
     table of exact distances from its CELL residual (q - c(cell), the
-    IVFADC subtlety) to every codebook centroid, bound once per row."""
-    from fireball_data_processing_spark.operators.clustering import (
-        _bind_once,
-        nearest_centroids_expr,
-    )
-
+    IVFADC subtlety) to every codebook centroid, bound once per row.
+    Built entirely as SQL text (the O(1)-py4j path)."""
     sub = dim // len(codebooks)
-    cv_lit = _cell_centroid_literal(centroids)
-    v = F.col(vec_col).cast("array<double>")
+    vs = f"cast({_ident_sql(vec_col)} as array<double>)"
     probed = queries.select(
         F.col(id_col).alias("query_id"),
-        v.alias("__qv"),
-        F.explode(
-            F.transform(
-                nearest_centroids_expr(centroids, v, n_probe),
-                lambda s: s["cid"],
-            )
+        F.expr(vs).alias("__qv"),
+        F.expr(
+            "explode(transform("
+            + nearest_centroids_sql(centroids, vs, n_probe)
+            + ",pe_s->pe_s.cid))"
         ).alias("cell"),
     )
-    qres = F.zip_with(
-        F.col("__qv"),
-        F.element_at(cv_lit, F.col("cell") + F.lit(1)),
-        lambda a, b: a - b,
+    qres = (
+        f"zip_with(`__qv`,element_at({_cell_centroid_sql(centroids)},"
+        "`cell`+1),(qr_a,qr_b)->qr_a-qr_b)"
     )
-    tables = _bind_once(
-        qres,
-        lambda r: F.array(
-            *[
-                F.array(
-                    *[
-                        _sq_l2(
-                            F.slice(r, j * sub + 1, sub),
-                            F.array(*[F.lit(float(x)) for x in cent]),
-                        )
-                        for _, cent in codebooks[j]
-                    ]
-                )
-                for j in range(len(codebooks))
-            ]
-        ),
+    tables = ",".join(
+        "array("
+        + ",".join(
+            _dist2_sql(f"slice(tb_r,{j * sub + 1},{sub})", _vec_sql(cent))
+            for _, cent in codebooks[j]
+        )
+        + ")"
+        for j in range(len(codebooks))
     )
-    return probed.select("query_id", "cell", tables.alias("__t"))
+    return probed.select(
+        "query_id",
+        "cell",
+        F.expr(
+            f"element_at(transform(array({qres}),tb_r->array({tables})),1)"
+        ).alias("__t"),
+    )
 
 
 def _ivfpq_adc_rank(
@@ -1663,7 +1719,7 @@ def build_ivfpq_index(
     centroids, codebooks = ivfpq_fit(
         corpus, n_cells=n_cells, m=m, ks=ks,
         coarse_n_iter=coarse_n_iter, pq_n_iter=pq_n_iter,
-        vec_col=vec_col, id_col=id_col, round_dp=round_dp,
+        vec_col=vec_col, id_col=id_col, round_dp=round_dp, dim=dim,
     )
     assigned = _ivfpq_code_frame(
         corpus, centroids, codebooks, dim, id_col, vec_col

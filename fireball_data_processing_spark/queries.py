@@ -6270,7 +6270,7 @@ def q_semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     _, ctrs = kmeans_fit(e, k=4, n_iter=2)
     bucket = nearest_centroid_expr(
-        ctrs, F.col("embedding").cast("array<double>")
+        ctrs, "cast(`embedding` as array<double>)"
     )["cid"]
     return semantic_dedup(e, tau=0.3, bucket_expr=bucket)
 
@@ -6340,7 +6340,7 @@ def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, ctrs = kmeans_fit(e, k=4, n_iter=2)
     clustered = e.withColumn(
         "cluster_id",
-        nearest_centroid_expr(ctrs, F.col("embedding").cast("array<double>"))[
+        nearest_centroid_expr(ctrs, "cast(`embedding` as array<double>)")[
             "cid"
         ],
     )
@@ -6921,7 +6921,7 @@ def q_semantic_curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     _, ctrs = kmeans_fit(e, k=4, n_iter=2)
     bucket = nearest_centroid_expr(
-        ctrs, F.col("embedding").cast("array<double>")
+        ctrs, "cast(`embedding` as array<double>)"
     )["cid"]
     sizes = (
         e.select(bucket.alias("cluster_id"))

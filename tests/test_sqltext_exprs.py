@@ -1,0 +1,176 @@
+"""Parity pins for the SQL-text expression builders (the O(1)-py4j
+plan-construction fast path, operators/clustering.py).
+
+Classic PySpark pays one py4j round-trip per Column node and dozens per
+higher-order-function lambda; profiling the IVFPQ query showed ~2.5 s
+of a 3 s plan build in 12k+ socket round-trips. The text builders
+render the SAME expression as one JVM-parsed string — these tests pin
+that "same": every builder must produce values IDENTICAL to its
+original Column-API twin (which the public functions keep for Column
+inputs), including tie-breaks and rounding, and ``repr(float) + 'D'``
+must round-trip every finite double bit-exactly through Spark's
+parser (Java ``Double.parseDouble`` is correctly rounded).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from fireball_data_processing_spark.operators.clustering import (
+    _double_sql,
+    kmeans_assign,
+    nearest_centroid_expr,
+    nearest_centroids_expr,
+)
+from fireball_data_processing_spark.operators.similarity import (
+    pq_code_expr,
+    rp_sketch_expr,
+)
+
+
+def _vec_frame(spark, n=200, dim=16, seed=3):
+    rng = random.Random(seed)
+    rows = [
+        (i, [rng.uniform(-2.0, 2.0) for _ in range(dim)]) for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+
+
+def _centroids(k=5, dim=16, seed=9, dup_first=True):
+    rng = random.Random(seed)
+    cents = [
+        (c, [round(rng.uniform(-2.0, 2.0), 6) for _ in range(dim)])
+        for c in range(k)
+    ]
+    if dup_first:
+        # an exact-duplicate centroid forces the (dist2, cid) tie-break
+        cents.append((k, list(cents[0][1])))
+    return cents
+
+
+def test_double_sql_round_trips_exactly(spark):
+    rng = random.Random(41)
+    vals = [rng.uniform(-1.0, 1.0) for _ in range(300)]
+    vals += [
+        rng.uniform(-1.0, 1.0) * 10.0 ** rng.randint(-300, 300)
+        for _ in range(300)
+    ]
+    vals += [
+        0.0,
+        -0.0,
+        5e-324,  # smallest subnormal
+        2.2250738585072014e-308,  # smallest normal
+        1.7976931348623157e308,  # largest finite
+        1.0 / 3.0,
+        math.pi,
+    ]
+    row = spark.range(1).select(
+        *[F.expr(_double_sql(v)).alias(f"c{i}") for i, v in enumerate(vals)]
+    ).collect()[0]
+    for i, v in enumerate(vals):
+        got = row[f"c{i}"]
+        assert got == v and math.copysign(1.0, got) == math.copysign(1.0, v)
+
+
+def test_double_sql_rejects_non_finite():
+    for bad in (float("inf"), float("-inf"), float("nan")):
+        with pytest.raises(ValueError):
+            _double_sql(bad)
+
+
+def test_nearest_centroid_text_equals_column_path(spark):
+    df = _vec_frame(spark)
+    cents = _centroids()
+    col_in = F.col("embedding").cast("array<double>")
+    txt_in = "cast(`embedding` as array<double>)"
+    a = df.select(
+        "vec_id", nearest_centroid_expr(cents, col_in).alias("s")
+    ).orderBy("vec_id").collect()
+    b = df.select(
+        "vec_id", nearest_centroid_expr(cents, txt_in).alias("s")
+    ).orderBy("vec_id").collect()
+    assert a == b
+
+
+def test_nearest_centroids_text_equals_column_path(spark):
+    df = _vec_frame(spark)
+    cents = _centroids()
+    col_in = F.col("embedding").cast("array<double>")
+    txt_in = "cast(`embedding` as array<double>)"
+    a = df.select(
+        "vec_id", nearest_centroids_expr(cents, col_in, 3).alias("s")
+    ).orderBy("vec_id").collect()
+    b = df.select(
+        "vec_id", nearest_centroids_expr(cents, txt_in, 3).alias("s")
+    ).orderBy("vec_id").collect()
+    assert a == b
+
+
+def test_kmeans_assign_matches_literal_python(spark):
+    df = _vec_frame(spark, n=120)
+    cents = _centroids()
+    got = {
+        r["vec_id"]: (r["cluster_id"], r["dist2"])
+        for r in kmeans_assign(df, cents).collect()
+    }
+    for i, v in df.toPandas().set_index("vec_id")["embedding"].items():
+        best = min(
+            (sum((x - y) * (x - y) for x, y in zip(v, c)), cid)
+            for cid, c in cents
+        )
+        assert got[i][0] == best[1]
+        assert got[i][1] == pytest.approx(best[0], abs=1e-9)
+
+
+def test_pq_code_text_equals_column_path(spark):
+    df = _vec_frame(spark, dim=16)
+    rng = random.Random(5)
+    books = [
+        [(c, [round(rng.uniform(-2, 2), 6) for _ in range(4)]) for c in range(4)]
+        for _ in range(4)
+    ]
+    a = df.select(
+        "vec_id",
+        pq_code_expr(
+            F.col("embedding").cast("array<double>"), 16, books
+        ).alias("c"),
+    ).orderBy("vec_id").collect()
+    b = df.select(
+        "vec_id",
+        pq_code_expr("cast(`embedding` as array<double>)", 16, books).alias(
+            "c"
+        ),
+    ).orderBy("vec_id").collect()
+    assert a == b
+
+
+def test_rp_sketch_text_equals_column_path(spark):
+    df = _vec_frame(spark, dim=16)
+    a = df.select(
+        "vec_id", rp_sketch_expr(F.col("embedding"), 16, 8).alias("s")
+    ).orderBy("vec_id").collect()
+    b = df.select(
+        "vec_id", rp_sketch_expr("`embedding`", 16, 8).alias("s")
+    ).orderBy("vec_id").collect()
+    assert a == b
+
+
+def test_text_path_plan_is_still_pure_projection(spark):
+    """The text-built assignment must stay a scan -> projection plan:
+    no joins, no exchanges (the kmeans_assign scale contract)."""
+    import contextlib
+    import io
+
+    df = _vec_frame(spark, n=50)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        kmeans_assign(df, _centroids()).explain("extended")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
