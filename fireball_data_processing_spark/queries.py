@@ -12143,8 +12143,25 @@ _PRIORITY = [
     "embedding_pca_top_component",
     "embedding_pca_label_separation",
     "markov_removal_attribution",
-    # --- newest driver row r5 (alphabetical; the ~50-slot driver cut
-    # lands after heuristics_long_sorted, position 50) ---
+    # --- engine re-planned in the SECOND r9 session (fresh attestation
+    # needed, same precedent): the SQL-text plan-build fast path
+    # rewired the centroid/PQ/RP-sketch expression construction under
+    # these queries (values parity-pinned and re-driven MATCH locally
+    # at BOTH SFs, but their newest driver rows predate the change),
+    # plus the late-r9 two-phase-rank re-plan of heuristics_long_sorted
+    # which sat one slot past the cut ---
+    "heuristics_long_sorted",
+    "ivfpq_topk_neighbors",
+    "rp_ivf_topk_neighbors",
+    "pq_adc_topk_neighbors",
+    "rp_ann_rerank_topk",
+    "kmeans_cluster_profile",
+    "semantic_dedup_kmeans",
+    "kcenter_coreset",
+    "semantic_curation_summary",
+    "hard_negative_mining",
+    # --- newest driver row r5 (alphabetically-first 19; the ~50-slot
+    # driver cut lands after fb_content_ops, position 50) ---
     "asof_state_forward",
     "cdc_chunk_dedup",
     "cluster_balanced_sample",
@@ -12164,6 +12181,9 @@ _PRIORITY = [
     "fb_automation_narration",
     "fb_caster_id",
     "fb_content_ops",
+    # --- r5-stale queue (past the ~50-slot cut; first in the r10
+    # head, together with the rest below — the 10 displaced by the
+    # second-session re-plan rotation lead the queue) ---
     "fb_embed_finding",
     "fb_heuristics_small",
     "fb_hp_banding",
@@ -12174,21 +12194,15 @@ _PRIORITY = [
     "find_error_after_purchase",
     "gopher_quality_gate",
     "groups_with_view_head",
-    # --- r5-stale queue (past the ~50-slot cut; first in the r10
-    # head, together with the rest below) ---
-    "heuristics_long_sorted",
     "history_window_sums",
     "ic_ooc_classification",
     "ingest_gate_new_docs",
     "instance_event_stream",
-    "kmeans_cluster_profile",
     "last_k_events",
     "leakage_safe_split",
     "lm_perplexity_gate",
     "multimodal_features",
     "per_key_group_stats",
-    "rp_ann_rerank_topk",
-    "semantic_dedup_kmeans",
     "session_windows",
     "token_budget_fill",
     "train_test_split_counts",
