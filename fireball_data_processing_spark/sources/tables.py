@@ -32,6 +32,15 @@ TABLES = (
     "embeddings",
 )
 
+# Embedding dimensionality per resolved table path — the similarity /
+# clustering operators read column metadata ``{"dim": N}`` before falling
+# back to an eager one-row peek (operators/similarity.py ``_infer_dim``),
+# so attaching it at load time turns a per-OPERATOR driver job into one
+# per-TABLE peek memoized for the process lifetime (the checksum-
+# memoization idiom, sources/checksum.py). A producer writing real tables
+# would persist this in the table metadata; the memo is the local stand-in.
+_DIM_MEMO: dict[str, int] = {}
+
 
 def normalize_event_time(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     """Normalize a timestamp-typed event-time column to int64 epoch nanos.
@@ -80,9 +89,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
     if name == "events":
         df = normalize_event_time(df, "ts")
+    if name == "embeddings" and "embedding" in df.columns:
+        dim = _DIM_MEMO.get(path)
+        if dim is None:
+            row = df.select(F.size("embedding").alias("__d")).first()
+            if row is not None and row["__d"] is not None and row["__d"] > 0:
+                dim = _DIM_MEMO[path] = int(row["__d"])
+        if dim is not None:
+            df = df.withMetadata("embedding", {"dim": dim})
     return df
 
 

@@ -167,3 +167,24 @@ def test_stream_heuristics_csv(spark, corpus, tmp_path):
     assert header[0] == "instance_id"
     assert {r[0] for r in data} == {"inst_a", "inst_b"}
     assert len(data) == 2
+
+
+def test_embeddings_load_attaches_dim_metadata(spark, sf_dir):
+    """load_table attaches {"dim": N} column metadata to the embeddings
+    table (memoized one-row peek per path), so _infer_dim — and every
+    ANN operator behind it — never pays a per-query driver job."""
+    from fireball_data_processing_spark.operators.similarity import (
+        _infer_dim,
+    )
+    from fireball_data_processing_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    meta = e.schema["embedding"].metadata
+    assert meta.get("dim") == 64
+    # the metadata value must agree with the data
+    true_dim = e.selectExpr("size(embedding) as d").first()["d"]
+    assert meta["dim"] == true_dim
+    assert _infer_dim(e, "embedding") == true_dim
+    # second load serves from the memo and carries the same metadata
+    e2 = load_table(spark, sf_dir, "embeddings")
+    assert e2.schema["embedding"].metadata.get("dim") == true_dim
