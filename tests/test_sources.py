@@ -188,3 +188,19 @@ def test_embeddings_load_attaches_dim_metadata(spark, sf_dir):
     # second load serves from the memo and carries the same metadata
     e2 = load_table(spark, sf_dir, "embeddings")
     assert e2.schema["embedding"].metadata.get("dim") == true_dim
+
+
+def test_load_table_memoized_per_application(spark, sf_dir):
+    """Repeat loads of the same (app, path) return the SAME DataFrame —
+    file listing + footer reads paid once per application, the
+    metastore-CatalogFileIndex shape. refresh=True rebuilds."""
+    from fireball_data_processing_spark.sources.tables import load_table
+
+    a = load_table(spark, sf_dir, "lineitem")
+    b = load_table(spark, sf_dir, "lineitem")
+    assert a is b
+    c = load_table(spark, sf_dir, "lineitem", refresh=True)
+    assert c is not b
+    assert c.schema == b.schema
+    # the refreshed frame replaces the memo entry
+    assert load_table(spark, sf_dir, "lineitem") is c
