@@ -174,3 +174,45 @@ def test_text_path_plan_is_still_pure_projection(spark):
     plan = buf.getvalue()
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+
+if _HYP:
+
+    @given(
+        vals=st.lists(
+            st.floats(allow_nan=False, allow_infinity=False, width=64),
+            min_size=1,
+            max_size=120,
+        )
+    )
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[
+            HealthCheck.too_slow,
+            HealthCheck.function_scoped_fixture,
+        ],
+    )
+    def test_double_sql_round_trip_property(spark, vals):
+        """Hypothesis sweep: every finite double must survive
+        _double_sql -> Spark parser bit-exactly (one batched select per
+        example to amortize the job)."""
+        row = spark.range(1).select(
+            *[
+                F.expr(_double_sql(v)).alias(f"c{i}")
+                for i, v in enumerate(vals)
+            ]
+        ).collect()[0]
+        for i, v in enumerate(vals):
+            got = row[f"c{i}"]
+            assert got == v
+            assert math.copysign(1.0, got) == math.copysign(1.0, v)
