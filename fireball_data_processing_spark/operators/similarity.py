@@ -1165,7 +1165,13 @@ def pq_fit(
     themselves are map-side-combined scans). One persisted sliced
     projection feeds the loop and unpersists before returning
     (bounded-collect contract; at scale, fit on a sample and broadcast
-    the codebooks, exactly like IVF centroids)."""
+    the codebooks, exactly like IVF centroids).
+
+    ``dim``: pass the known vector dimensionality to skip the one-row
+    peek (:func:`_infer_dim`); it MUST equal the actual array length —
+    a wrong-but-divisible value would silently mis-slice subvectors,
+    which is why only trusted internal callers (``ivfpq_fit``) thread
+    it and the default stays the inferred value."""
     from fireball_data_processing_spark.operators.clustering import (
         nearest_centroid_expr,
     )
