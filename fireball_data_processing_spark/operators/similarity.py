@@ -34,6 +34,7 @@ pruning does the rest; sketches are what cross the wire.
 from __future__ import annotations
 
 import hashlib
+import math
 from typing import NamedTuple
 
 from pyspark.sql import Column, DataFrame
@@ -44,6 +45,7 @@ from pyspark.sql import functions as F
 # heavier clustering operators stay function-local imports.
 from fireball_data_processing_spark.operators.clustering import (
     _dist2_sql,
+    _double_sql,
     _ident_sql,
     _vec_sql,
     nearest_centroid_sql,
@@ -198,6 +200,34 @@ def _infer_dim(df: DataFrame, vec_col: str) -> int:
     if first is None or first["n"] is None:
         raise ValueError("cannot infer embedding dim from an empty input; pass dim=")
     return first["n"]
+
+
+def _validate_dim(df: DataFrame, vec_col: str, dim: int) -> int:
+    """Cross-check a caller-supplied ``dim`` against the data before a fit
+    uses it to slice subvectors. A wrong-but-divisible dim would silently
+    train PQ codebooks on mis-sliced subvectors (null/garbage distances
+    downstream, no error) — the hazard ``_check_pq_dims`` guards the
+    ENCODE path against, which a threaded fit dim would otherwise bypass.
+
+    Zero-cost when the column carries ``{"dim": N}`` metadata; otherwise
+    one tiny peek job (``select size(vec) limit 1`` — negligible next to
+    the fit's own Lloyd collects). Streaming frames can't be peeked, so a
+    metadata-less streaming dim is trusted as documented on the fit APIs."""
+    meta = df.schema[vec_col].metadata or {}
+    actual = None
+    if "dim" in meta:
+        actual = int(meta["dim"])
+    elif not df.isStreaming:
+        first = df.select(F.size(F.col(vec_col)).alias("n")).first()
+        if first is not None and first["n"] is not None:
+            actual = int(first["n"])
+    if actual is not None and actual != dim:
+        raise ValueError(
+            f"dim={dim} does not match the actual {vec_col!r} array "
+            f"length {actual}; a wrong-but-divisible dim would silently "
+            f"mis-slice PQ subvectors"
+        )
+    return dim
 
 
 def rh_signature(
@@ -603,6 +633,19 @@ def mmr_rerank(
     batch per query group, numpy inside, never a corpus-sized collect).
     Ties break on ascending id (deterministic, engine-independent).
 
+    With ``round_dp`` set (the default), the greedy trajectory is
+    ENGINE-REPLAYABLE, the k-means-replay recipe applied to greedy
+    selection: the pairwise candidate similarities and each step's
+    marginal score are rounded HALF_UP (``functions.rounding.spark_round``
+    — Spark's own double-round semantics) BEFORE the argmax, so every
+    pick is a pure function of rounded decimals and a SQL engine that
+    unrolls the k steps (round → argmax with id tie-break → accumulate
+    max-sim penalty) reproduces the selection bit-for-bit — rounding at
+    every step is what absorbs the engines' float-summation-order noise
+    before it can cascade through later picks. ``round_dp=None`` keeps
+    the raw-float greedy (argmax at 9 dp) for callers who want the
+    classical scores.
+
     Output: ``(query_col, id_col, mmr_rank, relevance, mmr_score)``;
     ``mmr_score`` of the first pick is ``lam * relevance`` (nothing
     selected yet to repel from).
@@ -626,15 +669,57 @@ def mmr_rerank(
         ]
     )
 
+    from fireball_data_processing_spark.functions.rounding import spark_round
+
     def _rerank(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
+        def _vround(a: "np.ndarray", dp: int) -> "np.ndarray":
+            # HALF_UP per element (candidate-list-sized, <= shortlist^2);
+            # +-inf pass through: already-selected slots carry -inf mmr
+            # (and +inf penalty) as exclusion sentinels, not values
+            out = np.array(
+                [
+                    spark_round(float(x), dp) if math.isfinite(x) else float(x)
+                    for x in a.ravel()
+                ],
+                dtype=float,
+            )
+            return out.reshape(a.shape)
+
         pdf = pdf.sort_values("__id", ignore_index=True)
         vecs = np.stack(pdf["__vec"].to_numpy())
-        norms = np.linalg.norm(vecs, axis=1)
-        norms[norms == 0] = 1.0
-        unit = vecs / norms[:, None]
-        sims = unit @ unit.T
+        if round_dp is not None:
+            # Replayable pair sims: the exact op sequence of the SQL
+            # cosine — sequential left-to-right folds (list_sum ~ the
+            # engines' fold), then dot / (norm_a * norm_b), then HALF_UP
+            # round. BLAS (unit @ unit.T) sums pairwise, which differs in
+            # the last ulp and flips 6-dp boundaries often enough to
+            # break a greedy replay (observed at sf0.1); candidate lists
+            # are shortlist-sized, so the pure-Python folds are cheap.
+            lists = [[float(x) for x in v] for v in vecs.tolist()]
+
+            def _fold(a: list, b: list) -> float:
+                s = 0.0
+                for x, y in zip(a, b):
+                    s += x * y
+                return s
+
+            nrm = [math.sqrt(_fold(v, v)) or 1.0 for v in lists]
+            m_ = len(lists)
+            sims = np.empty((m_, m_))
+            for i_ in range(m_):
+                for j_ in range(i_, m_):
+                    s_ = spark_round(
+                        _fold(lists[i_], lists[j_]) / (nrm[i_] * nrm[j_]),
+                        round_dp,
+                    )
+                    sims[i_, j_] = sims[j_, i_] = s_
+        else:
+            norms = np.linalg.norm(vecs, axis=1)
+            norms[norms == 0] = 1.0
+            unit = vecs / norms[:, None]
+            sims = unit @ unit.T
         rel = pdf["__score"].to_numpy().astype(float)
         n = len(pdf)
         selected: list[int] = []
@@ -646,17 +731,25 @@ def mmr_rerank(
             else:
                 penalty = np.zeros(n)
             mmr = lam * rel - (1 - lam) * penalty
-            mmr[selected] = -np.inf
+            if round_dp is not None:
+                # round BEFORE the argmax so the pick itself — not just
+                # the reported score — is a function of rounded decimals
+                key = _vround(mmr, round_dp)
+            else:
+                key = np.round(mmr, 9)
+            key[selected] = -np.inf
             # argmax with ascending-id tiebreak: ids are sorted, so the
             # first max index is the smallest id among ties
-            pick = int(np.argmax(np.round(mmr, 9)))
+            pick = int(np.argmax(key))
+            mmr[selected] = -np.inf
+            score = key[pick] if round_dp is not None else mmr[pick]
             rows.append(
                 (
                     int(pdf["__q"].iloc[0]),
                     int(pdf["__id"].iloc[pick]),
                     rank,
                     float(rel[pick]),
-                    float(mmr[pick]),
+                    float(score),
                 )
             )
             selected.append(pick)
@@ -756,15 +849,13 @@ def rp_sketch_sql(
     import math
 
     signs = rp_sign_matrix(in_dim, out_dim)
-    scale = repr(math.sqrt(float(out_dim))) + "D"
-    signs_sql = (
-        "array("
-        + ",".join(
-            "array(" + ",".join(repr(float(x)) + "D" for x in row) + ")"
-            for row in signs
-        )
-        + ")"
-    )
+    # _double_sql / _vec_sql, not raw repr: all text-path doubles share
+    # the one validated renderer, so a non-finite value leaking into the
+    # matrix raises the builders' documented ValueError instead of
+    # splicing unparseable SQL (harmless while signs are strictly ±1,
+    # load-bearing the day a non-sign projection matrix lands here).
+    scale = _double_sql(math.sqrt(float(out_dim)))
+    signs_sql = "array(" + ",".join(_vec_sql(row) for row in signs) + ")"
     comps = ",".join(
         f"round(aggregate(zip_with(rs_v,element_at(rs_m,{j + 1}),"
         f"(x,s)->x*s),0.0D,(acc,vv)->acc+vv)/{scale},{int(round_dp)})"
@@ -1169,15 +1260,18 @@ def pq_fit(
 
     ``dim``: pass the known vector dimensionality to skip the one-row
     peek (:func:`_infer_dim`); it MUST equal the actual array length —
-    a wrong-but-divisible value would silently mis-slice subvectors,
-    which is why only trusted internal callers (``ivfpq_fit``) thread
-    it and the default stays the inferred value."""
+    a wrong-but-divisible value would silently mis-slice subvectors, so
+    a passed dim is cross-checked against the data (:func:`_validate_dim`
+    — free via column metadata, else one peek job; only a metadata-less
+    STREAMING frame trusts the caller, since it cannot be peeked)."""
     from fireball_data_processing_spark.operators.clustering import (
         nearest_centroid_expr,
     )
 
     if dim is None:
         dim = _infer_dim(corpus, vec_col)
+    else:
+        _validate_dim(corpus, vec_col, dim)
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
@@ -1505,12 +1599,21 @@ def ivfpq_fit(
         base, k=n_cells, n_iter=coarse_n_iter, vec_col="__v",
         id_col="vec_id", round_dp=round_dp,
     )
+    if dim is None:
+        dim = _infer_dim(corpus, vec_col)
+    else:
+        # A caller-supplied dim drives BOTH quantizers' subvector math,
+        # so a wrong-but-divisible value would train garbage codebooks
+        # that _check_pq_dims can no longer catch — validate it against
+        # the source column first (free when load_table attached {"dim"}
+        # metadata, else one peek job).
+        _validate_dim(corpus, vec_col, dim)
     residuals = base.select(
         "vec_id",
         F.expr(_ivfpq_residual_sql(centroids, "`__v`")).alias("__r"),
-    )
-    if dim is None:
-        dim = _infer_dim(corpus, vec_col)
+    ).withMetadata("__r", {"dim": dim})
+    # the residual is a zip_with over __v, so its length IS the validated
+    # dim — stamping it as metadata makes pq_fit's own re-validation free
     codebooks = pq_fit(
         residuals, m=m, ks=ks, n_iter=pq_n_iter, vec_col="__r",
         id_col="vec_id", round_dp=round_dp, dim=dim,

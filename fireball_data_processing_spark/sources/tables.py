@@ -107,6 +107,12 @@ def load_table(
         hit = _TABLE_MEMO.get(key)
         if hit is not None:
             return hit
+    else:
+        # refresh must invalidate BOTH memos: a rewritten embeddings file
+        # with a different vector width would otherwise get the stale
+        # cached dim stamped as metadata and silently mis-dimension every
+        # downstream ANN fit.
+        _DIM_MEMO.pop(path, None)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)

@@ -47,19 +47,27 @@ def main() -> None:
         except Exception:
             pass
     out: dict[str, float] = {}
+    failed: dict[str, str] = {}
     for n in names:
         t0 = time.perf_counter()
         try:
             _ = catalog.REGISTRY[n].fn(spark, SF_DIR).schema
-        except Exception:
-            pass
+        except Exception as e:
+            # a query that throws during construction must NOT rank as
+            # "cheap" — record it as failed and keep it out of the timing
+            failed[n] = f"{type(e).__name__}: {e}"[:200]
+            continue
         out[n] = round(time.perf_counter() - t0, 3)
     for name, sec in sorted(out.items(), key=lambda kv: -kv[1])[:30]:
         print(f"{sec:7.2f}  {name}")
+    if failed:
+        print(f"\nFAILED during construction ({len(failed)}):")
+        for name, err in sorted(failed.items()):
+            print(f"  {name}: {err}")
     if "--json" in sys.argv:
         path = sys.argv[sys.argv.index("--json") + 1]
         with open(path, "w") as f:
-            json.dump(out, f, indent=1)
+            json.dump({"construct_sec": out, "failed": failed}, f, indent=1)
         print(f"wrote {path}")
     spark.stop()
 

@@ -982,6 +982,60 @@ def test_pq_dimension_mismatch_raises(spark):
         pq_topk(shorter.limit(2), shorter, books, k=3)
 
 
+def test_fit_rejects_wrong_but_divisible_dim(spark):
+    """A caller-supplied fit ``dim`` that is wrong but divisible would
+    silently train codebooks on mis-sliced subvectors — _check_pq_dims
+    can't catch it because the codebooks are built FROM that dim
+    (ADVICE r9). Both fit entry points must cross-check the passed dim
+    against the data: zero-cost via the {"dim"} column metadata
+    load_table stamps, and via the one-row peek when metadata is absent."""
+    import pytest
+
+    from fireball_data_processing_spark.operators.similarity import (
+        ivfpq_fit,
+        pq_fit,
+    )
+    from fireball_data_processing_spark.sources.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings").filter(
+        F.col("vec_id") < 20
+    )
+    # metadata path (embeddings carries {"dim": 64}): free validation
+    with pytest.raises(ValueError, match="does not match"):
+        pq_fit(e, m=4, ks=2, n_iter=1, dim=32)  # divisible, wrong
+    with pytest.raises(ValueError, match="does not match"):
+        ivfpq_fit(e, n_cells=2, m=4, ks=2, dim=32)
+    # peek path: rebuild the column so no metadata rides it
+    bare = e.select("vec_id", F.transform("embedding", lambda x: x).alias("embedding"))
+    assert not (bare.schema["embedding"].metadata or {}).get("dim")
+    with pytest.raises(ValueError, match="does not match"):
+        pq_fit(bare, m=4, ks=2, n_iter=1, dim=32)
+    # the correct dim still threads through (no peek needed on e)
+    books = pq_fit(e, m=4, ks=2, n_iter=1, dim=64)
+    assert len(books) == 4 and all(len(c) == 16 for _, c in books[0])
+
+
+def test_load_table_refresh_drops_dim_memo(spark, tmp_path):
+    """load_table(refresh=True) must invalidate the dim memo too: a
+    rewritten embeddings file with a different vector width would
+    otherwise get the stale dim stamped as metadata (ADVICE r9)."""
+    from fireball_data_processing_spark.sources.tables import load_table
+
+    src = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    d = str(tmp_path)
+    src.filter(F.col("vec_id") < 10).write.parquet(f"{d}/embeddings.parquet")
+    first = load_table(spark, d, "embeddings")
+    assert int(first.schema["embedding"].metadata["dim"]) == 64
+    # rewrite the same path at width 32
+    src.filter(F.col("vec_id") < 10).select(
+        "vec_id", F.slice("embedding", 1, 32).alias("embedding")
+    ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    stale = load_table(spark, d, "embeddings")  # memoized: stale by design
+    assert int(stale.schema["embedding"].metadata["dim"]) == 64
+    fresh = load_table(spark, d, "embeddings", refresh=True)
+    assert int(fresh.schema["embedding"].metadata["dim"]) == 32
+
+
 def test_ann_fit_paths_leave_no_cached_frames(spark):
     """pq_fit and rp_ivf_topk's internal persists are fit-scoped: the
     fits are eager (only driver-side literals survive), so no cached

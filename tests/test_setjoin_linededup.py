@@ -463,24 +463,46 @@ def test_bleu_identical_pair_is_bp_free(spark):
 
 def _py_mmr(cands, k, lam):
     """cands: list of (id, relevance, vector). Greedy MMR, ascending-id
-    tiebreak (mirrors the operator's contract)."""
+    tiebreak, HALF_UP rounding of pair sims and each step's score BEFORE
+    the argmax (mirrors the operator's replayable round_dp=6 contract)."""
     import numpy as np
+
+    from fireball_data_processing_spark.functions.rounding import spark_round
+
+    def _r6(a):
+        return np.array(
+            [spark_round(float(x), 6) if np.isfinite(x) else float(x) for x in a],
+            dtype=float,
+        )
 
     cands = sorted(cands)
     ids = [c[0] for c in cands]
     rel = np.array([c[1] for c in cands], dtype=float)
-    vecs = np.stack([np.array(c[2], dtype=float) for c in cands])
-    norms = np.linalg.norm(vecs, axis=1)
-    norms[norms == 0] = 1.0
-    unit = vecs / norms[:, None]
-    sims = unit @ unit.T
+    vecs = [[float(x) for x in c[2]] for c in cands]
+
+    def _fold(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    import math
+
+    nrm = [math.sqrt(_fold(v, v)) or 1.0 for v in vecs]
+    sims = np.stack(
+        [
+            _r6([_fold(a, b) / (na * nb) for b, nb in zip(vecs, nrm)])
+            for a, na in zip(vecs, nrm)
+        ]
+    )
     selected, out = [], []
     max_sim = np.zeros(len(ids))
     for rank in range(1, min(k, len(ids)) + 1):
         mmr = lam * rel - (1 - lam) * (max_sim if selected else np.zeros(len(ids)))
-        mmr[selected] = -np.inf
-        pick = int(np.argmax(np.round(mmr, 9)))
-        out.append((ids[pick], rank, round(rel[pick], 6), round(mmr[pick], 6)))
+        key = _r6(mmr)
+        key[selected] = -np.inf
+        pick = int(np.argmax(key))
+        out.append((ids[pick], rank, round(rel[pick], 6), float(key[pick])))
         selected.append(pick)
         max_sim = np.maximum(max_sim, sims[pick])
     return out
