@@ -173,6 +173,10 @@ EXTRA = (
     "mcnemar_gate_disagreement",
     "cochran_gate_family",
     "acf_daily_events",
+    # round-10 addition: the end-to-end streaming capstone (stages slice
+    # files, runs the real Structured Streaming job, merges the final
+    # table — so its time includes the stream machinery, by design)
+    "streaming_ingest_pipeline",
 )
 
 

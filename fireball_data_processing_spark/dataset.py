@@ -189,5 +189,15 @@ class FireballDataset:
             yield render(buf)
 
     def export_heuristics_csv(self, path: str) -> None:
-        """`/heuristics/csv` (S11)."""
+        """`/heuristics/csv` (S11).
+
+        The export is written UNSORTED (no global orderBy): the frame is
+        the instance-grain pivoted heuristics matrix — one row per
+        instance, bounded by the corpus's instance count — and the
+        reference's CSV consumer re-indexes by instance id anyway. A
+        consumer that needs a totally-ordered export of an UNBOUNDED
+        frame should rank through
+        ``operators.windows.two_phase_global_rank`` (quantile-bucketed
+        exact global rank, no single-partition window) rather than
+        ``orderBy`` — the r9 `heuristics_long_sorted` re-plan precedent."""
         sinks.write_results_csv(self.heuristics(), path, checksum=self.checksum())

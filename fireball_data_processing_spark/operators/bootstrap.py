@@ -10,9 +10,9 @@ weight by the Poisson draw, aggregate per replicate — the exchange
 carries B partial sums per partition, never resampled data.
 
 Determinism (the house contract): the Poisson draw is NOT random — each
-(replicate, row-key) pair reads an 8-hex chunk of an md5 digest as a
-uniform (one digest serves four replicates — the hash is the whole
-data-proportional cost), inverted through the Poisson(1) CDF as a
+(replicate, row-key) pair reads a hex chunk of an md5 digest as a
+uniform (one digest serves ``PER_DIGEST`` replicates — the hash is the
+whole data-proportional cost), inverted through the Poisson(1) CDF as a
 literal threshold ladder, so both engines replay identical counts.
 Replicate means are rounded before the quantile step, absorbing
 summation-order noise.
@@ -68,6 +68,30 @@ def poisson_cdf_sql(u_expr: str) -> str:
     )
 
 
+# DIGEST ECONOMY: one md5 yields 32 hex chars; at PER_DIGEST replicates
+# per digest each replicate reads a (32 // PER_DIGEST)-hex chunk as its
+# uniform. 8 per digest (4-hex = 16-bit uniforms) halves both the md5
+# calls per row AND the digest payload the explode carries vs the
+# original 4-per (measured ~15% end-to-end at sf0.1, and it is the
+# data-proportional term the scaling table sees). A 16-bit uniform
+# quantizes the Poisson CDF thresholds at 1/65536 ~ 1.5e-5 — four
+# orders of magnitude below CI resolution, far under the ladder's own
+# truncated tail mass (~0.004).
+PER_DIGEST = 8
+
+
+def _chunk_uniform(n_hashes: int, per: int) -> Column:
+    """The uniform for exploded replicate ``__b`` from digest columns
+    ``__h0..``: pick the digest, slice this replicate's hex chunk,
+    hex-parse, scale to [0, 1)."""
+    width = 32 // per
+    chunk = F.element_at(
+        F.array(*[F.col(f"__h{h}") for h in range(n_hashes)]),
+        F.floor((F.col("__b") - 1) / per).cast("int") + 1,
+    ).substr(((F.col("__b") - 1) % per) * width + 1, F.lit(width))
+    return F.conv(chunk, 16, 10).cast("bigint") / F.lit(float(16 ** width))
+
+
 def bootstrap_mean_ci(
     df: DataFrame,
     value_col: str,
@@ -86,16 +110,17 @@ def bootstrap_mean_ci(
     B partial (sum, count) pairs per partition.
     """
     v = F.col(value_col).cast("double")
-    # HASH ECONOMY: an md5 yields 32 hex chars = FOUR independent 8-hex
-    # uniforms, so B replicates need ceil(B/4) digests per row, not B.
-    # The digests are materialized as columns BEFORE the explode, so
-    # each is computed once per input row (exploded rows reference the
-    # value); per replicate the draw is a substring + hex-parse of the
-    # right chunk. At B=32 this is 8 md5 calls/row instead of 32 — the
-    # hash is the whole data-proportional cost here (a columnar
-    # 2B-aggregate variant was measured SLOWER: the 64-sum expression
-    # tree falls out of whole-stage codegen).
-    per = 4
+    # HASH ECONOMY (see PER_DIGEST): B replicates need ceil(B/PER_DIGEST)
+    # digests per row, not B. The digests are materialized as columns
+    # BEFORE the explode, so each is computed once per input row
+    # (exploded rows reference the value); per replicate the draw is a
+    # substring + hex-parse of the right chunk. At B=32 this is 4 md5
+    # calls/row instead of 32 — the hash is the whole data-proportional
+    # cost here (a columnar 2B-aggregate variant AND a k-array
+    # pre-explode variant were both measured SLOWER: the wide expression
+    # trees fall out of whole-stage codegen — 15.5 s vs 2.3 s for the
+    # k-array form at sf0.1).
+    per = PER_DIGEST
     n_hashes = (int(n_replicates) + per - 1) // per
     base = df.select(v.alias("__x"), key.cast("string").alias("__k"))
     hcols = [
@@ -110,12 +135,7 @@ def bootstrap_mean_ci(
         ),
         *[F.col(f"__h{h}") for h in range(n_hashes)],
     )
-    chunk = F.element_at(
-        F.array(*[F.col(f"__h{h}") for h in range(n_hashes)]),
-        F.floor((F.col("__b") - 1) / per).cast("int") + 1,
-    ).substr(((F.col("__b") - 1) % per) * 8 + 1, F.lit(8))
-    u = F.conv(chunk, 16, 10).cast("bigint") / F.lit(4294967296.0)
-    k = poisson_count_expr(u).cast("double")
+    k = poisson_count_expr(_chunk_uniform(n_hashes, per)).cast("double")
     reps = (
         exploded.select(
             "__b", (k * F.col("__x")).alias("__kx"), k.alias("__kw")
@@ -176,7 +196,7 @@ def bootstrap_delta_ci(
     two-sample bootstrap's independence requirement.
     """
     v = F.col(value_col).cast("double")
-    per = 4
+    per = PER_DIGEST
     n_hashes = (int(n_replicates) + per - 1) // per
     base = df.select(
         v.alias("__x"),
@@ -196,12 +216,7 @@ def bootstrap_delta_ci(
         ),
         *[F.col(f"__h{h}") for h in range(n_hashes)],
     )
-    chunk = F.element_at(
-        F.array(*[F.col(f"__h{h}") for h in range(n_hashes)]),
-        F.floor((F.col("__b") - 1) / per).cast("int") + 1,
-    ).substr(((F.col("__b") - 1) % per) * 8 + 1, F.lit(8))
-    u = F.conv(chunk, 16, 10).cast("bigint") / F.lit(4294967296.0)
-    k = poisson_count_expr(u).cast("double")
+    k = poisson_count_expr(_chunk_uniform(n_hashes, per)).cast("double")
     reps = (
         exploded.select(
             "__g", "__b", (k * F.col("__x")).alias("__kx"), k.alias("__kw")

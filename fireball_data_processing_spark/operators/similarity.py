@@ -291,29 +291,72 @@ def build_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     path: str | None = None,
+    fit: str = "mllib",
+    n_iter: int = 2,
 ) -> IvfIndex:
     """IVF build phase — run ONCE per corpus, amortized over all queries.
 
-    One MLlib KMeans job clusters the corpus; each vector is assigned to its
-    nearest centroid's cell. With ``path`` set, assignments are written as
-    parquet partitioned by ``cell`` and re-read, so ``ivf_query``'s probe
-    filter prunes whole partitions (PartitionFilters in the scan) instead of
-    scanning the corpus. Centroids (n_centroids x dim doubles) stay on the
-    driver — tiny at any realistic setting.
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    ``fit="mllib"`` (default): one MLlib KMeans job clusters the corpus
+    (kmeans|| init, ``seed``-controlled) and ``model.transform`` assigns
+    each vector to its nearest centroid's cell — the production path
+    when the coarse quantizer should come from the battle-tested
+    scalable fit.
 
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cv"),
-        array_to_vector(F.col(vec_col)).alias("features"),
-    )
-    km = KMeans(k=n_centroids, seed=seed, featuresCol="features",
-                predictionCol="cell")
-    model = km.fit(c)
-    centroids = [list(map(float, ctr)) for ctr in model.clusterCenters()]
-    assigned = model.transform(c).select("neighbor_id", "__cv", "cell")
+    ``fit="replay"``: the house deterministic Lloyd fit
+    (``operators/clustering.kmeans_fit`` — k-lowest-id seeding, 6-dp
+    centroid rounding per round, ``n_iter`` rounds) trains the coarse
+    quantizer and a centroid-literal pure expression assigns cells —
+    plan-identical query phase, but every build artifact is an
+    engine-replayable function of the data, so a SQL oracle can replay
+    build + probe + rerank end to end (the ``rp_ivf_topk`` recipe at
+    full dimension). Same 100 TB shape either way: assignment is a
+    projection over the corpus scan; only the fit differs.
+
+    With ``path`` set, assignments are written as parquet partitioned by
+    ``cell`` and re-read, so ``ivf_query``'s probe filter prunes whole
+    partitions (PartitionFilters in the scan) instead of scanning the
+    corpus. Centroids (n_centroids x dim doubles) stay on the driver —
+    tiny at any realistic setting.
+    """
+    if fit == "replay":
+        from fireball_data_processing_spark.operators.clustering import (
+            kmeans_fit,
+            nearest_centroid_expr,
+        )
+
+        base = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cv"),
+            F.col(vec_col).cast("array<double>").alias("__fv"),
+        )
+        _, cents = kmeans_fit(
+            base, k=n_centroids, n_iter=n_iter, vec_col="__fv",
+            id_col="neighbor_id",
+        )
+        assigned = base.select(
+            "neighbor_id",
+            "__cv",
+            nearest_centroid_expr(cents, "`__fv`")["cid"].alias("cell"),
+        )
+        centroids = [
+            [float(x) for x in v] for _, v in sorted(cents)
+        ]  # position == cid: ivf_query's probe indexes the literal by cell
+    elif fit == "mllib":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cv"),
+            array_to_vector(F.col(vec_col)).alias("features"),
+        )
+        km = KMeans(k=n_centroids, seed=seed, featuresCol="features",
+                    predictionCol="cell")
+        model = km.fit(c)
+        centroids = [list(map(float, ctr)) for ctr in model.clusterCenters()]
+        assigned = model.transform(c).select("neighbor_id", "__cv", "cell")
+    else:
+        raise ValueError(f"fit must be 'mllib' or 'replay', got {fit!r}")
     if path is not None:
         assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
         assigned = corpus.sparkSession.read.parquet(path)

@@ -1,0 +1,144 @@
+"""End-to-end streaming ingest capstone: one pipeline composing the
+pieces the streaming package ships separately — file micro-batch source
+→ exact-dup ingest gate (static corpus hash index) → Gopher quality
+gate → per-(source, lang) incremental aggregation → exactly-once
+epoch-partitioned parquet sink → additive final merge.
+
+This is the shape of a production pretraining-corpus intake job: new
+document files land in a directory, each micro-batch is admitted only
+if (a) its normalized content hash is NOT already in the frozen corpus
+index and (b) it passes the Gopher rules, and the per-batch partial
+aggregates are written idempotently (a replayed epoch overwrites its
+own ``batch_id`` partition — ``sinks_stream.write_epoch_partition``),
+so a crash/restart mid-run cannot double-count. The FINAL table — sum
+of the epoch partials — is therefore a pure function of the input set,
+independent of micro-batch boundaries and of how many times any epoch
+replayed: exactly the property the batch oracle checks (the catalog
+query `streaming_ingest_pipeline` replays the whole pipeline as one
+DuckDB statement and hash-compares the final table).
+
+100 TB shape: the gate is a broadcast anti-join against the hash index
+(corpus-distinct-hash-sized — at true corpus scale swap in the
+band-partitioned near-dup index, ``dedup_stream.corpus_band_index``);
+the quality rules are per-row codegen expressions; the shuffle per
+micro-batch carries only (source, lang) partial sums; the sink writes
+one small partition per epoch. Restart semantics are pinned by
+tests/test_capstone_stream.py (kill after the first epochs, resume
+from the checkpoint, final table unchanged).
+
+Reference parity: the reference's distill pipeline is a sequence of
+batch filter scripts re-reading the corpus per stage
+(/root/reference/distill2_authors.py:96-98); this capstone is the
+streaming re-expression — one pass per arriving slice, gates composed,
+exactly-once output.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fireball_data_processing_spark.functions.textstats import gopher_rules
+from fireball_data_processing_spark.streaming.dedup_stream import (
+    content_hash,
+    corpus_hash_index,
+)
+from fireball_data_processing_spark.streaming.sinks_stream import (
+    write_epoch_partition,
+)
+
+__all__ = [
+    "stage_incoming_slices",
+    "ingest_pipeline_batch",
+    "run_ingest_pipeline",
+    "read_pipeline_totals",
+]
+
+
+def stage_incoming_slices(
+    incoming: DataFrame, staging_dir: str, n_slices: int = 4
+) -> list[str]:
+    """Write the incoming frame as ``n_slices`` single-file parquet
+    slice directories (sliced by ``doc_id % n_slices`` — deterministic
+    membership), simulating files landing in an ingest directory. Each
+    slice becomes one micro-batch under ``maxFilesPerTrigger=1``.
+    Returns the slice directory paths in arrival order."""
+    paths = []
+    for s in range(n_slices):
+        p = os.path.join(staging_dir, f"slice={s}")
+        incoming.filter(
+            F.pmod(F.col("doc_id"), F.lit(n_slices)) == s
+        ).coalesce(1).write.mode("overwrite").parquet(p)
+        paths.append(p)
+    return paths
+
+
+def ingest_pipeline_batch(
+    batch_df: DataFrame, index: DataFrame, min_words: int = 50
+) -> DataFrame:
+    """The per-micro-batch plan, exposed for batch-twin testing: gate
+    the slice against the corpus hash index (broadcast anti-join), keep
+    Gopher-passing docs, and aggregate partial (n_docs, n_tokens) per
+    (source, lang). Pure function of (slice rows, static index) — no
+    cross-batch state, which is what makes epoch replay harmless."""
+    rules = gopher_rules(F.col("text"), min_words=min_words)
+    fresh = batch_df.withColumn("content_hash", content_hash()).join(
+        F.broadcast(index), "content_hash", "left_anti"
+    )
+    gated = fresh.withColumn("n_words", rules["n_words"]).filter(
+        rules["passes_gopher"]
+    )
+    return gated.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("n_tokens"),
+    )
+
+
+def run_ingest_pipeline(
+    spark: SparkSession,
+    staging_dir: str,
+    file_schema,
+    index: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    min_words: int = 50,
+) -> None:
+    """Run the capstone stream to completion over everything currently
+    staged (``availableNow`` + ``maxFilesPerTrigger=1`` — one epoch per
+    staged slice file). Restart-safe: offsets commit only after the
+    epoch's partial is written, and the write overwrites its own
+    ``batch_id`` partition, so resuming from ``checkpoint_dir`` after a
+    kill replays at most the in-flight epoch and replaces — never
+    duplicates — its output."""
+    stream = (
+        spark.readStream.schema(file_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(staging_dir)
+    )
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        partial = ingest_pipeline_batch(batch_df, index, min_words)
+        write_epoch_partition(partial, epoch_id, out_path)
+
+    q = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_pipeline_totals(spark: SparkSession, out_path: str) -> DataFrame:
+    """Merge the epoch partials into the final table. Partial sums are
+    additive, so the result is independent of micro-batch boundaries —
+    the invariant the batch oracle and the restart test both pin."""
+    parts = spark.read.parquet(out_path)
+    return parts.groupBy("source", "lang").agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+    )
