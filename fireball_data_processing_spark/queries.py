@@ -9281,7 +9281,7 @@ def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson-bootstrap 95% CI for the mean event value
     (operators/bootstrap.py, Chamandy et al. 2012): each row draws an
     independent deterministic Poisson(1) replication count per replicate
-    (an 8-hex md5 chunk as the uniform — one digest serves four
+    (a 4-hex md5 chunk as the uniform — one digest serves eight
     replicates — through a literal CDF ladder), so ONE
     explode(B) pass computes every replicate's weighted mean — the
     exchange carries B partial sums per partition, never resampled data;

@@ -285,6 +285,38 @@ def test_ivf_topk_recall_against_brute_force(spark, sf_dir):
     assert all(r["rank"] <= 5 for r in approx)
 
 
+def test_ivf_replay_fit_exhaustive_probe_is_exact(spark, sf_dir):
+    """build_ivf_index(fit="replay") + ivf_query with n_probe ==
+    n_centroids degenerates to brute force EXACTLY (every cell probed),
+    the recall=1 calibration point — and the replayable fit must honor
+    it just like the MLlib fit (same query phase, different trainer)."""
+    from fireball_data_processing_spark.operators.similarity import (
+        brute_force_topk,
+        build_ivf_index,
+        ivf_query,
+    )
+    from fireball_data_processing_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    index = build_ivf_index(e, n_centroids=4, fit="replay", n_iter=1)
+    got = sorted(
+        map(tuple, ivf_query(index, q, k=5, n_probe=4).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            brute_force_topk(q, e, k=5)
+            .select("query_id", "neighbor_id", "cosine_sim", "rank")
+            .collect(),
+        )
+    )
+    assert got == want
+    # partial probe: still a valid top-k shape, and ranks stay dense
+    part = ivf_query(index, q, k=5, n_probe=2).collect()
+    assert all(1 <= r["rank"] <= 5 for r in part)
+
+
 def test_register_pandas_heuristic_roundtrip(spark):
     import pandas as pd
 
