@@ -173,10 +173,13 @@ EXTRA = (
     "mcnemar_gate_disagreement",
     "cochran_gate_family",
     "acf_daily_events",
-    # round-10 addition: the end-to-end streaming capstone (stages slice
+    # round-10 additions: the end-to-end streaming capstone (stages slice
     # files, runs the real Structured Streaming job, merges the final
-    # table — so its time includes the stream machinery, by design)
+    # table — so its time includes the stream machinery, by design) and
+    # the Bradley-Terry preference ranking (one comparison-matrix
+    # aggregate + the driver-side MM fit)
     "streaming_ingest_pipeline",
+    "bt_event_type_ranking",
 )
 
 
