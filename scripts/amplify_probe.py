@@ -58,6 +58,27 @@ def amplified(spark, factor: int):
     return out.repartition(32)
 
 
+def amplified_events(spark, factor: int):
+    from pyspark.sql import functions as F
+
+    from fireball_data_processing_spark.sources.tables import load_table
+
+    ev = load_table(spark, BASE, "events")
+    parts = [
+        ev.select(
+            (F.col("event_id") + i * SHIFT).alias("event_id"),
+            (F.col("user_id") + i * SHIFT).alias("user_id"),
+            "event_type",
+            (F.col("value") + F.lit(i % 97) * 0.001).alias("value"),
+        )
+        for i in range(factor)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.repartition(32)
+
+
 def amplified_embeddings(spark, factor: int):
     from pyspark.sql import functions as F
 
@@ -173,12 +194,31 @@ def main() -> None:
             scored, "q", "toks", "doc_id", budget=2_000_000_000
         )
 
+    from fireball_data_processing_spark.sources.tables import load_table
+    from fireball_data_processing_spark.streaming.capstone import (
+        ingest_pipeline_batch,
+    )
+    from fireball_data_processing_spark.streaming.dedup_stream import (
+        corpus_hash_index,
+    )
+
+    # the capstone's per-micro-batch plan over an amplified slice,
+    # gated against a FIXED corpus index (the static side stays
+    # corpus-sized while the incoming slice grows — the stream shape)
+    cap_index = corpus_hash_index(
+        load_table(spark, BASE, "documents").filter(F.col("doc_id") % 4 == 0)
+    ).localCheckpoint()
+
+    def op_capstone(d):
+        return ingest_pipeline_batch(d, cap_index, min_words=50)
+
     # (name, fn, max factor — the quadratic-contact ops cap lower so the
     # probe stays minutes, not hours)
     OPS = [
         ("gopher_quality_gate (scan)", op_gopher, 256),
         ("exact_dedup_groups", op_exact, 256),
         ("budget_fill", op_budget, 256),
+        ("ingest_pipeline_batch (r10 capstone per-batch plan)", op_capstone, 256),
         ("cross_doc_line_dedup", op_line, 64),
         ("doc_bigram_logprob", op_bigram, 64),
     ]
@@ -203,6 +243,48 @@ def main() -> None:
             rows = 5000 * f
             cells.append(f"{best:.2f}s ({rows / best / 1000:.0f}k rows/s)")
         print(f"| {name} | " + " | ".join(cells) + " |")
+
+    # Bradley-Terry over amplified EVENTS (its input table): the
+    # data-proportional pass is the per-(user, type) aggregate +
+    # co-partitioned self-join down to the comparison matrix; the MM
+    # fit on the collected matrix is data-invariant by construction.
+    from fireball_data_processing_spark.operators.preference import bt_ranking
+
+    def op_bt(ev):
+        per = ev.groupBy("user_id", "event_type").agg(
+            F.round(F.sum("value"), 6).alias("v")
+        )
+        a = per.select("user_id", F.col("event_type").alias("ta"),
+                       F.col("v").alias("va"))
+        b = per.select("user_id", F.col("event_type").alias("tb"),
+                       F.col("v").alias("vb"))
+        outcomes = (
+            a.join(b, "user_id")
+            .filter(F.col("ta") < F.col("tb"))
+            .select(
+                F.when(F.col("va") > F.col("vb"), F.col("ta"))
+                .when(F.col("vb") > F.col("va"), F.col("tb")).alias("winner"),
+                F.when(F.col("va") > F.col("vb"), F.col("tb"))
+                .when(F.col("vb") > F.col("va"), F.col("ta")).alias("loser"),
+            )
+            .filter(F.col("winner").isNotNull())
+        )
+        return bt_ranking(outcomes, n_iter=16)
+
+    cells = []
+    for f in factors:
+        ev = amplified_events(spark, f)
+        op_bt(ev).write.format("noop").mode("overwrite").save()
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            op_bt(ev).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        rows = 100_000 * f
+        cells.append(f"{best:.2f}s ({rows / best / 1000:.0f}k rows/s)")
+    print("| bt_event_type_ranking (r10, amplified events) | "
+          + " | ".join(cells) + " |")
 
 
 if __name__ == "__main__":
