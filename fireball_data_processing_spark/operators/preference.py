@@ -129,9 +129,10 @@ def bt_ranking(
     out_dp: int = 6,
 ) -> DataFrame:
     """Convenience: outcome stream → comparison matrix → fitted
-    ranking. The matrix is localCheckpointed so the one distributed
-    aggregation runs once (the collect AND any downstream consumer)."""
-    mat = comparison_matrix(outcomes, winner_col, loser_col).localCheckpoint()
+    ranking. The matrix has exactly ONE consumer (the bounded collect
+    inside :func:`bradley_terry_scores`), so no pin/checkpoint — the
+    aggregation runs once by construction."""
     return bradley_terry_scores(
-        mat, n_iter=n_iter, round_dp=round_dp, out_dp=out_dp
+        comparison_matrix(outcomes, winner_col, loser_col),
+        n_iter=n_iter, round_dp=round_dp, out_dp=out_dp,
     )

@@ -783,8 +783,7 @@ def mmr_rerank(
             key[selected] = -np.inf
             # argmax with ascending-id tiebreak: ids are sorted, so the
             # first max index is the smallest id among ties
-            pick = int(np.argmax(key))
-            mmr[selected] = -np.inf
+            pick = int(np.argmax(key))  # never a selected slot: key[selected] = -inf
             score = key[pick] if round_dp is not None else mmr[pick]
             rows.append(
                 (
@@ -1634,6 +1633,16 @@ def ivfpq_fit(
         kmeans_fit,
     )
 
+    if dim is None:
+        dim = _infer_dim(corpus, vec_col)
+    else:
+        # A caller-supplied dim drives BOTH quantizers' subvector math,
+        # so a wrong-but-divisible value would train garbage codebooks
+        # that _check_pq_dims can no longer catch — validate it against
+        # the source column BEFORE any fit work (free when load_table
+        # attached {"dim"} metadata, else one peek job; a wrong dim
+        # must not pay the whole coarse Lloyd fit before raising).
+        _validate_dim(corpus, vec_col, dim)
     base = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.expr(f"cast({_ident_sql(vec_col)} as array<double>)").alias("__v"),
@@ -1642,15 +1651,6 @@ def ivfpq_fit(
         base, k=n_cells, n_iter=coarse_n_iter, vec_col="__v",
         id_col="vec_id", round_dp=round_dp,
     )
-    if dim is None:
-        dim = _infer_dim(corpus, vec_col)
-    else:
-        # A caller-supplied dim drives BOTH quantizers' subvector math,
-        # so a wrong-but-divisible value would train garbage codebooks
-        # that _check_pq_dims can no longer catch — validate it against
-        # the source column first (free when load_table attached {"dim"}
-        # metadata, else one peek job).
-        _validate_dim(corpus, vec_col, dim)
     residuals = base.select(
         "vec_id",
         F.expr(_ivfpq_residual_sql(centroids, "`__v`")).alias("__r"),

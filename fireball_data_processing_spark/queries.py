@@ -1007,6 +1007,8 @@ def q_streaming_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     input set, independent of micro-batch boundaries (restart/replay
     pinned in tests/test_capstone_stream.py) — which is exactly what
     lets ONE batch SQL statement oracle the whole pipeline."""
+    import hashlib
+    import shutil
     import tempfile
 
     from fireball_data_processing_spark.streaming.capstone import (
@@ -1021,11 +1023,28 @@ def q_streaming_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     corpus = d.filter(F.pmod(F.col("doc_id"), F.lit(4)) == 0)
     incoming = d.filter(F.pmod(F.col("doc_id"), F.lit(4)) != 0)
-    base = tempfile.mkdtemp(prefix="fb_ingest_capstone_")
+    # ONE workspace per (process, sf_dir), wiped at call start: repeated
+    # bench/verify runs reuse the same tree instead of accumulating a
+    # fresh mkdtemp (staging holds a parquet copy of 75% of documents).
+    # The returned frame lazily reads {base}/out, so the PREVIOUS run's
+    # tree can only be reclaimed here, not at return time.
+    import os
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(
+        tempfile.gettempdir(), f"fb_ingest_capstone_{os.getpid()}_{tag}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
     staging = f"{base}/staging"
     stage_incoming_slices(incoming, staging, n_slices=4)
+    # materialize the corpus hash index ONCE — foreachBatch re-evaluates
+    # the static side per epoch, and without the pin each of the 4
+    # epochs would re-run the corpus scan + distinct
+    # (corpus_hash_index's own docstring contract; the index is
+    # distinct-hash-sized, so the checkpoint is tiny)
+    index = corpus_hash_index(corpus).localCheckpoint()
     run_ingest_pipeline(
-        spark, staging, incoming.schema, corpus_hash_index(corpus),
+        spark, staging, incoming.schema, index,
         f"{base}/out", f"{base}/ckpt",
     )
     return read_pipeline_totals(spark, f"{base}/out")
@@ -5990,6 +6009,23 @@ def q_corpus_diversity_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bleu_pairs(pairs, max_n=2)
 
 
+def _spark_round_sql(expr: str, dp: int = 6) -> str:
+    """Spark-semantics double round as DuckDB text: shortest-decimal
+    repr (DuckDB's double->VARCHAR, like Java Double.toString) then
+    HALF_UP on the decimal. Plain ROUND(double) rounds the EXACT binary
+    value instead, which systematically disagrees whenever the input is
+    itself a rounded decimal landing on a half boundary one digit out —
+    lam * (6-dp score) products (0.7 * 0.371485 = 0.2600395), or a
+    final 6-dp display round of an 8-dp fixed-point iterate whose last
+    two digits are '50'. Use this wherever an oracle re-rounds values
+    that are decimals by construction; raw aggregates/cosines never tie
+    and keep plain ROUND (the markov/kmeans precedent)."""
+    return (
+        f"CAST(ROUND(CAST(CAST({expr} AS VARCHAR) AS DECIMAL(38,18)),"
+        f" {dp}) AS DOUBLE)"
+    )
+
+
 def _mmr_oracle(k: int, lam: float, shortlist: int) -> str:
     """Unrolled greedy-MMR DuckDB replay (judge r9 ask #2, resolving the
     r4-era rejection): the float-noise cascade that made a recursive-CTE
@@ -6001,20 +6037,8 @@ def _mmr_oracle(k: int, lam: float, shortlist: int) -> str:
     lam_s = f"{lam!r}::DOUBLE"
     oml_s = f"{(1 - lam)!r}::DOUBLE"
 
-    def _sround(expr: str) -> str:
-        # Spark-semantics double round: shortest-decimal repr (DuckDB's
-        # double->VARCHAR, like Java Double.toString) then HALF_UP.
-        # Plain ROUND(double) rounds the EXACT binary value instead,
-        # which systematically disagrees here: lam * (6-dp score) lands
-        # exactly on 7-dp half-boundaries (0.7 * 0.371485 = 0.2600395),
-        # where the binary double sits a hair below the decimal tie.
-        return (
-            f"CAST(ROUND(CAST(CAST({expr} AS VARCHAR) AS DECIMAL(38,18)),"
-            f" 6) AS DOUBLE)"
-        )
-
-    s1 = _sround(f"{lam_s} * relevance")
-    st = _sround(f"{lam_s} * relevance - {oml_s} * penalty")
+    s1 = _spark_round_sql(f"{lam_s} * relevance")
+    st = _spark_round_sql(f"{lam_s} * relevance - {oml_s} * penalty")
     parts = [
         f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
@@ -9637,9 +9661,13 @@ def _bt_oracle(n_iter: int = 16) -> str:
     pairwise outcome, the comparison matrix reduces once, and every MM
     update (per-item denominator over sp>0 opponent terms, sum
     normalization) is rounded to 8 dp — the markov/kmeans unrolled-
-    fixed-point contract. Rank orders on the FULL-precision 8-dp final
-    iterate (what the driver loop ranks on), not the 6-dp display
-    score."""
+    fixed-point contract (plain ROUND: the iterate inputs are raw
+    quotients, which never land on decimal ties). Rank orders on the
+    FULL-precision 8-dp final iterate (what the driver loop ranks on);
+    the 6-dp display score re-rounds an 8-dp DECIMAL-by-construction
+    value, exactly the systematic half-tie class, so it goes through
+    :func:`_spark_round_sql` (an '..50'-ending iterate would otherwise
+    round down in DuckDB and up in spark_round)."""
     parts = [
         """
 WITH per AS (
@@ -9700,7 +9728,7 @@ s{t} AS MATERIALIZED (
         )
     parts.append(
         f"""
-SELECT i.item, ROUND(sf.s, 6) AS bt_score,
+SELECT i.item, {_spark_round_sql("sf.s")} AS bt_score,
   CAST(w.wins AS BIGINT) AS n_wins,
   (SELECT SUM(nij) FROM nn WHERE item_i = i.item)::BIGINT AS n_comparisons,
   CAST(ROW_NUMBER() OVER (ORDER BY sf.s DESC, i.item ASC) AS BIGINT) AS rank

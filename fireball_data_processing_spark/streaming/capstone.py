@@ -61,15 +61,19 @@ def stage_incoming_slices(
     incoming: DataFrame, staging_dir: str, n_slices: int = 4
 ) -> list[str]:
     """Write the incoming frame as ``n_slices`` single-file parquet
-    slice directories (sliced by ``doc_id % n_slices`` — deterministic
-    membership), simulating files landing in an ingest directory. Each
-    slice becomes one micro-batch under ``maxFilesPerTrigger=1``.
-    Returns the slice directory paths in arrival order."""
+    slice directories (sliced by ``xxhash64(doc_id) % n_slices`` —
+    deterministic membership, and uniform under ANY upstream id filter:
+    a residue-based slicer would leave slices empty whenever the
+    incoming set was itself carved by a correlated modulus, e.g.
+    ``doc_id % 4 != 0`` staged at ``n_slices=4``), simulating files
+    landing in an ingest directory. Each slice becomes one micro-batch
+    under ``maxFilesPerTrigger=1``. Returns the slice directory paths
+    in arrival order."""
     paths = []
     for s in range(n_slices):
         p = os.path.join(staging_dir, f"slice={s}")
         incoming.filter(
-            F.pmod(F.col("doc_id"), F.lit(n_slices)) == s
+            F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_slices)) == s
         ).coalesce(1).write.mode("overwrite").parquet(p)
         paths.append(p)
     return paths

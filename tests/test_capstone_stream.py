@@ -17,7 +17,9 @@ from fireball_data_processing_spark.streaming.dedup_stream import (
 )
 
 SMOKE = "/root/testdata/sf0.001"
-MIN_WORDS = 10  # sf0.001 docs are short; the catalog query uses the same
+MIN_WORDS = 10  # sf0.001 docs are short; the CATALOG query gates at the
+# Gopher default (50) and its oracle hard-codes n_words >= 50 — these
+# tests pin stream/batch/restart INVARIANTS, not the production cut
 
 
 def _fixture(spark):
