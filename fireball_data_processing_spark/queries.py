@@ -6034,8 +6034,14 @@ def _mmr_oracle(k: int, lam: float, shortlist: int) -> str:
     unrolled-Lloyd recipe (_kmeans_cte) applied to greedy selection.
     Each step CTE: anti-join out prior picks, penalty = MAX rounded sim
     to the selected set, argmax on (rounded score DESC, id ASC)."""
-    lam_s = f"{lam!r}::DOUBLE"
-    oml_s = f"{(1 - lam)!r}::DOUBLE"
+    # STRING-cast literals, not numeric ('0.7'::DOUBLE goes through the
+    # correctly-rounded strtod; a NUMERIC literal parses as DECIMAL
+    # first, and DuckDB's decimal->double conversion can land on the
+    # NEIGHBORING double — observed for 0.19013349999999998, pinned in
+    # tests/test_sqltext_exprs.py). Value-identical for lam=0.7 (both
+    # paths agree there), load-bearing for arbitrary lam.
+    lam_s = f"CAST('{lam!r}' AS DOUBLE)"
+    oml_s = f"CAST('{(1 - lam)!r}' AS DOUBLE)"
 
     s1 = _spark_round_sql(f"{lam_s} * relevance")
     st = _spark_round_sql(f"{lam_s} * relevance - {oml_s} * penalty")

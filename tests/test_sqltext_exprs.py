@@ -216,3 +216,50 @@ if _HYP:
             got = row[f"c{i}"]
             assert got == v
             assert math.copysign(1.0, got) == math.copysign(1.0, v)
+
+
+# ---------------------------------------------------------------------------
+# _spark_round_sql: the shared Spark-semantics round for DuckDB oracles
+# ---------------------------------------------------------------------------
+
+
+def test_spark_round_sql_matches_spark_round_on_half_ties(duck):
+    """The oracle-side display round must replicate spark_round (shortest
+    decimal repr -> HALF_UP) exactly where plain DuckDB ROUND does NOT:
+    decimals-by-construction landing on a half boundary one digit past
+    the target scale (the MMR lam*score products; the BT 8-dp final
+    iterate). Sweep 7-dp '..5'-ending values plus the known divergent
+    cases; also confirm plain ROUND actually disagrees on some of them,
+    or this test guards nothing. Values enter DuckDB as STRING-cast
+    literals — the correctly-rounded strtod path; a NUMERIC literal
+    parses as DECIMAL first, and DuckDB's decimal->double conversion
+    can land on the NEIGHBORING double (0.19013349999999998::DOUBLE
+    reads back as 0.1901335), which is why the MMR oracle splices its
+    lam literals as strings too."""
+    from fireball_data_processing_spark.functions.rounding import spark_round
+    from fireball_data_processing_spark.queries import _spark_round_sql
+
+    vals = [i / 10**7 + 5 / 10**7 for i in range(0, 2_000_000, 10_007)]
+    vals += [0.2600395, 0.5195015, 0.0000005, 0.1234565]
+    plain_diverges = 0
+    for v in vals:
+        lit = f"CAST('{v!r}' AS DOUBLE)"
+        r, plain = duck.execute(
+            f"SELECT {_spark_round_sql(lit)}, ROUND({lit}, 6)"
+        ).fetchone()
+        assert r == spark_round(v, 6), (v, r, spark_round(v, 6))
+        if plain != spark_round(v, 6):
+            plain_diverges += 1
+    assert plain_diverges > 0, "sweep hit no divergent case; weaken nothing"
+
+
+def test_bt_oracle_iteration_ctes_stay_materialized():
+    """DuckDB INLINES plain CTEs; the BT MM update references the
+    previous iterate three times, so a non-MATERIALIZED 16-deep chain
+    explodes combinatorially (observed: 'Too many open files' before
+    any result). Pin the keyword so a well-meaning simplification can't
+    reintroduce it."""
+    from fireball_data_processing_spark.queries import _bt_oracle
+
+    sql = _bt_oracle(n_iter=16)
+    assert sql.count("AS MATERIALIZED") >= 16 * 2  # r{t} and s{t} per step
