@@ -44,6 +44,7 @@ from fireball_data_processing_spark.functions.textstats import gopher_rules
 from fireball_data_processing_spark.streaming.dedup_stream import (
     content_hash,
     corpus_hash_index,
+    near_new_documents,
 )
 from fireball_data_processing_spark.streaming.sinks_stream import (
     write_epoch_partition,
@@ -80,17 +81,37 @@ def stage_incoming_slices(
 
 
 def ingest_pipeline_batch(
-    batch_df: DataFrame, index: DataFrame, min_words: int = 50
+    batch_df: DataFrame,
+    index: DataFrame,
+    min_words: int = 50,
+    gate: str = "exact",
 ) -> DataFrame:
     """The per-micro-batch plan, exposed for batch-twin testing: gate
-    the slice against the corpus hash index (broadcast anti-join), keep
-    Gopher-passing docs, and aggregate partial (n_docs, n_tokens) per
-    (source, lang). Pure function of (slice rows, static index) — no
-    cross-batch state, which is what makes epoch replay harmless."""
+    the slice against the corpus index, keep Gopher-passing docs, and
+    aggregate partial (n_docs, n_tokens) per (source, lang). Pure
+    function of (slice rows, static index) — no cross-batch state,
+    which is what makes epoch replay harmless.
+
+    ``gate`` picks the dedup semantics (the module docstring's
+    true-corpus-scale upgrade path):
+
+    - ``"exact"`` — ``index`` is :func:`~...dedup_stream.corpus_hash_index`
+      output; broadcast anti-join on the normalized-content md5.
+    - ``"near"`` — ``index`` is :func:`~...dedup_stream.corpus_band_index`
+      output; per-row MinHash signature → LSH band keys → one stateless
+      lookup per band (:func:`~...dedup_stream.near_new_documents`), so
+      a doc near-duplicating ANY corpus doc under the banding scheme is
+      rejected, not just byte-identical repeats.
+    """
     rules = gopher_rules(F.col("text"), min_words=min_words)
-    fresh = batch_df.withColumn("content_hash", content_hash()).join(
-        F.broadcast(index), "content_hash", "left_anti"
-    )
+    if gate == "exact":
+        fresh = batch_df.withColumn("content_hash", content_hash()).join(
+            F.broadcast(index), "content_hash", "left_anti"
+        )
+    elif gate == "near":
+        fresh = near_new_documents(batch_df, index)
+    else:
+        raise ValueError(f"unknown gate {gate!r}; expected 'exact' or 'near'")
     gated = fresh.withColumn("n_words", rules["n_words"]).filter(
         rules["passes_gopher"]
     )
@@ -108,6 +129,7 @@ def run_ingest_pipeline(
     out_path: str,
     checkpoint_dir: str,
     min_words: int = 50,
+    gate: str = "exact",
 ) -> None:
     """Run the capstone stream to completion over everything currently
     staged (``availableNow`` + ``maxFilesPerTrigger=1`` — one epoch per
@@ -115,7 +137,8 @@ def run_ingest_pipeline(
     epoch's partial is written, and the write overwrites its own
     ``batch_id`` partition, so resuming from ``checkpoint_dir`` after a
     kill replays at most the in-flight epoch and replaces — never
-    duplicates — its output."""
+    duplicates — its output. ``gate``/``index`` pair as in
+    :func:`ingest_pipeline_batch` (exact hash index or LSH band index)."""
     stream = (
         spark.readStream.schema(file_schema)
         .option("maxFilesPerTrigger", 1)
@@ -124,7 +147,7 @@ def run_ingest_pipeline(
     )
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
-        partial = ingest_pipeline_batch(batch_df, index, min_words)
+        partial = ingest_pipeline_batch(batch_df, index, min_words, gate=gate)
         write_epoch_partition(partial, epoch_id, out_path)
 
     q = (

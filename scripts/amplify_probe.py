@@ -148,10 +148,92 @@ def ann_main(factors: list[int]) -> None:
         corpus.unpersist()
 
 
+def amplified_disjoint(spark, factor: int):
+    """Token-disjoint amplification: every word in copy ``i`` gets a
+    ``c{i}`` suffix, so NO shingle is shared across copies. Per-copy
+    document frequencies (and thus prefix selection and candidate
+    structure) replicate the base corpus exactly — candidate and result
+    counts are linear in ``factor`` BY CONSTRUCTION, which isolates the
+    engine-scaling question ("is wall time ~linear when the work is?")
+    from the fixture question ("how many near-dup pairs did amplification
+    itself inject?"). The plain :func:`amplified` fixture answers the
+    latter — its trailing-token copies ARE near-dups of each other, so
+    true pairs (and the candidate superset) grow ~quadratically in
+    ``factor``: output-bound, not algorithm-bound."""
+    from pyspark.sql import functions as F
+
+    from fireball_data_processing_spark.sources.tables import load_table
+
+    d = load_table(spark, BASE, "documents")
+    parts = [
+        d.select(
+            (F.col("doc_id") + i * SHIFT).alias("doc_id"),
+            F.regexp_replace("text", r"(\S+)", f"$1c{i}").alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        for i in range(factor)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.repartition(32)
+
+
+def setjoin_main(factors: list[int]) -> None:
+    """set_similarity_pairs scaling probe (VERDICT r10 ask #3): the
+    PPJoin-family exact Jaccard>=0.5 self-join over 3-shingles, timed at
+    amplified document counts with the candidate and result-pair counts
+    alongside — the claim under test is the prefix-filter bound: wall
+    time tracks candidates + output, never all-pairs."""
+    import time as _t
+
+    from fireball_data_processing_spark.operators.setjoin import (
+        prefix_candidates,
+        set_similarity_join,
+        shingle_sets,
+    )
+    from fireball_data_processing_spark.session import get_spark
+
+    spark = get_spark(app_name="fireball-spark-setjoin-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    print("| variant | factor | docs | candidates | pairs | join wall |")
+    print("|---|---|---|---|---|---|")
+    for variant, amp in (("disjoint", amplified_disjoint), ("neardup", amplified)):
+        for factor in factors:
+            d = amp(spark, factor).persist()
+            n = d.count()
+            n_cand = prefix_candidates(shingle_sets(d, k=3), 0.5).count()
+
+            def run():
+                set_similarity_join(d, threshold=0.5, k=3).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+
+            run()  # warm plans/codegen
+            best, n_pairs = None, None
+            for _ in range(2):
+                t0 = _t.perf_counter()
+                run()
+                dt = _t.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            n_pairs = set_similarity_join(d, threshold=0.5, k=3).count()
+            print(
+                f"| {variant} | x{factor} | {n} | {n_cand} | {n_pairs} "
+                f"| {best:.1f}s |",
+                flush=True,
+            )
+            d.unpersist()
+
+
 def main() -> None:
     args = sys.argv[1:]
     if args and args[0] == "--ann":
         ann_main([int(a) for a in args[1:]] or [16, 64])
+        return
+    if args and args[0] == "--setjoin":
+        setjoin_main([int(a) for a in args[1:]] or [1, 4, 16])
         return
     factors = [int(a) for a in args] or [1, 16, 64, 256]
 

@@ -12,9 +12,13 @@ from fireball_data_processing_spark.streaming.capstone import (
     run_ingest_pipeline,
     stage_incoming_slices,
 )
+from fireball_data_processing_spark.operators.dedup import minhash_signature
 from fireball_data_processing_spark.streaming.dedup_stream import (
+    corpus_band_index,
     corpus_hash_index,
 )
+
+import pytest
 
 SMOKE = "/root/testdata/sf0.001"
 MIN_WORDS = 10  # sf0.001 docs are short; the CATALOG query gates at the
@@ -29,11 +33,20 @@ def _fixture(spark):
     return corpus, incoming
 
 
-def _batch_truth(corpus, incoming):
+def _index(corpus, gate):
+    """The frozen static side for each gate flavor."""
+    if gate == "exact":
+        return corpus_hash_index(corpus)
+    return corpus_band_index(
+        minhash_signature(corpus), num_hashes=8, band_size=2
+    )
+
+
+def _batch_truth(corpus, incoming, gate="exact"):
     """The whole pipeline as ONE batch plan — the invariant the stream
     must reproduce regardless of micro-batch boundaries or replays."""
     return ingest_pipeline_batch(
-        incoming, corpus_hash_index(corpus), min_words=MIN_WORDS
+        incoming, _index(corpus, gate), min_words=MIN_WORDS, gate=gate
     )
 
 
@@ -44,17 +57,18 @@ def _rows(df):
     )
 
 
-def test_stream_matches_batch_plan(spark, tmp_path):
+@pytest.mark.parametrize("gate", ["exact", "near"])
+def test_stream_matches_batch_plan(spark, tmp_path, gate):
     corpus, incoming = _fixture(spark)
     staging = str(tmp_path / "staging")
     stage_incoming_slices(incoming, staging, n_slices=4)
     out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
     run_ingest_pipeline(
-        spark, staging, incoming.schema, corpus_hash_index(corpus),
-        out, ckpt, min_words=MIN_WORDS,
+        spark, staging, incoming.schema, _index(corpus, gate),
+        out, ckpt, min_words=MIN_WORDS, gate=gate,
     )
     got = read_pipeline_totals(spark, out)
-    want = _batch_truth(corpus, incoming)
+    want = _batch_truth(corpus, incoming, gate)
     assert _rows(got) == _rows(want)
     assert got.count() > 0
     # one epoch partial per staged slice file
@@ -62,11 +76,13 @@ def test_stream_matches_batch_plan(spark, tmp_path):
     assert parts.select("batch_id").distinct().count() >= 2
 
 
-def test_final_table_independent_of_slicing(spark, tmp_path):
+@pytest.mark.parametrize("gate", ["exact", "near"])
+def test_final_table_independent_of_slicing(spark, tmp_path, gate):
     """2 slices vs 5 slices: different micro-batch boundaries, same
-    final table (the additive-partials invariant)."""
+    final table (the additive-partials invariant) — for BOTH gate
+    flavors (every near-gate stage is stateless per batch too)."""
     corpus, incoming = _fixture(spark)
-    idx = corpus_hash_index(corpus)
+    idx = _index(corpus, gate)
     results = []
     for n_slices in (2, 5):
         base = tmp_path / f"s{n_slices}"
@@ -75,20 +91,21 @@ def test_final_table_independent_of_slicing(spark, tmp_path):
         out, ckpt = str(base / "out"), str(base / "ckpt")
         run_ingest_pipeline(
             spark, staging, incoming.schema, idx, out, ckpt,
-            min_words=MIN_WORDS,
+            min_words=MIN_WORDS, gate=gate,
         )
         results.append(_rows(read_pipeline_totals(spark, out)))
     assert results[0] == results[1]
 
 
-def test_restart_resumes_without_double_counting(spark, tmp_path):
+@pytest.mark.parametrize("gate", ["exact", "near"])
+def test_restart_resumes_without_double_counting(spark, tmp_path, gate):
     """Run the stream over the first slices, then stage more and resume
     from the SAME checkpoint: already-processed epochs are not re-run
     (their partials survive untouched) and the final table equals the
     all-at-once batch truth. Then a full no-new-data restart changes
-    nothing — the exactly-once contract."""
+    nothing — the exactly-once contract. Parameterized over both gates."""
     corpus, incoming = _fixture(spark)
-    idx = corpus_hash_index(corpus)
+    idx = _index(corpus, gate)
     staging = str(tmp_path / "staging")
     out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
 
@@ -96,10 +113,11 @@ def test_restart_resumes_without_double_counting(spark, tmp_path):
     later = incoming.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
     stage_incoming_slices(first, str(tmp_path / "staging"), n_slices=2)
     run_ingest_pipeline(
-        spark, staging, incoming.schema, idx, out, ckpt, min_words=MIN_WORDS
+        spark, staging, incoming.schema, idx, out, ckpt,
+        min_words=MIN_WORDS, gate=gate,
     )
     mid = _rows(read_pipeline_totals(spark, out))
-    assert mid == _rows(_batch_truth(corpus, first))
+    assert mid == _rows(_batch_truth(corpus, first, gate))
 
     # more files land (fresh slice subdirs), resume from the checkpoint
     for s, p in enumerate(
@@ -109,18 +127,20 @@ def test_restart_resumes_without_double_counting(spark, tmp_path):
 
         shutil.copytree(p, f"{staging}/late{s}")
     run_ingest_pipeline(
-        spark, staging, incoming.schema, idx, out, ckpt, min_words=MIN_WORDS
+        spark, staging, incoming.schema, idx, out, ckpt,
+        min_words=MIN_WORDS, gate=gate,
     )
     assert _rows(read_pipeline_totals(spark, out)) == _rows(
-        _batch_truth(corpus, incoming)
+        _batch_truth(corpus, incoming, gate)
     )
 
     # restart with nothing new: no duplicates, table unchanged
     run_ingest_pipeline(
-        spark, staging, incoming.schema, idx, out, ckpt, min_words=MIN_WORDS
+        spark, staging, incoming.schema, idx, out, ckpt,
+        min_words=MIN_WORDS, gate=gate,
     )
     assert _rows(read_pipeline_totals(spark, out)) == _rows(
-        _batch_truth(corpus, incoming)
+        _batch_truth(corpus, incoming, gate)
     )
 
 
@@ -150,3 +170,58 @@ def test_gate_rejects_corpus_duplicates_and_low_quality(spark):
         )
     )
     assert got == [("b", "en", 1, len(good.split()))]
+
+
+def test_near_gate_rejects_what_exact_gate_admits(spark):
+    """The v2 distinction in one fixture: a NEAR-duplicate of a corpus
+    doc (one word changed → identical MinHash under 3-shingles except
+    around the edit, sharing LSH bands) passes the exact-hash gate but
+    is rejected by the band gate; a genuinely novel doc passes both."""
+    base = "the old ship sailed for a distant port and it was full of tea "
+    corpus = spark.createDataFrame(
+        [(1, base * 3, "a", "en")],
+        "doc_id bigint, text string, source string, lang string",
+    )
+    near_dup = (base * 3).replace("distant port", "distant harbor", 1)
+    novel = (
+        "a completely different tale about mountains is told here when "
+        "rain follows the long summer and the valley turns to gold " * 3
+    )
+    incoming = spark.createDataFrame(
+        [(2, near_dup, "b", "en"), (3, novel, "c", "en")],
+        "doc_id bigint, text string, source string, lang string",
+    )
+    exact = _rows(
+        ingest_pipeline_batch(
+            incoming, _index(corpus, "exact"), min_words=10, gate="exact"
+        )
+    )
+    near = _rows(
+        ingest_pipeline_batch(
+            incoming, _index(corpus, "near"), min_words=10, gate="near"
+        )
+    )
+    # exact gate admits both (neither is byte-identical to the corpus)
+    assert [r[:2] for r in exact] == [("b", "en"), ("c", "en")]
+    # near gate rejects the near-dup, keeps the novel doc
+    assert [r[:2] for r in near] == [("c", "en")]
+
+
+def test_capstone_query_earlier_frame_survives_reconstruction(spark):
+    """ADVICE r10 regression: constructing the catalog query twice
+    before collecting the first result must not invalidate the first
+    frame (the workspace wipe used to yank the parquet out from under
+    the earlier lazy read; totals are localCheckpoint-materialized now)."""
+    from fireball_data_processing_spark.queries import (
+        q_streaming_ingest_pipeline,
+    )
+
+    first = q_streaming_ingest_pipeline(spark, SMOKE)
+    second = q_streaming_ingest_pipeline(spark, SMOKE)  # wipes + reruns
+    assert _rows(first) == _rows(second)  # first frame still readable
+
+
+def test_ingest_pipeline_batch_rejects_unknown_gate(spark):
+    corpus, incoming = _fixture(spark)
+    with pytest.raises(ValueError, match="unknown gate"):
+        ingest_pipeline_batch(incoming, _index(corpus, "exact"), gate="fuzzy")

@@ -573,3 +573,34 @@ def test_two_phase_rank_matches_naive_global_window(spark):
             ).collect()
         }
         assert got == want, (len(rows), got, want)
+
+
+def test_two_phase_rank_unique_key_guard(spark):
+    """assert_unique_key: accepts unique composite keys (null scores
+    included — GROUP BY null==null, not countDistinct's null-dropping),
+    raises on duplicate full keys naming the largest group."""
+    import pytest as _pytest
+
+    from fireball_data_processing_spark.operators.windows import (
+        two_phase_global_rank,
+    )
+
+    ok = spark.createDataFrame(
+        [(1, "a", None), (2, "a", None), (3, "a", 1.0), (4, "b", 1.0)],
+        "id bigint, h string, score double",
+    )
+    ranks = two_phase_global_rank(
+        ok, "score", ["h", "id"], n_buckets=2, assert_unique_key=True
+    )
+    assert sorted(r["rank"] for r in ranks.collect()) == [1, 2, 3, 4]
+
+    dup = spark.createDataFrame(
+        [(1, "a", 1.0), (1, "a", 1.0), (2, "b", None), (2, "b", None)],
+        "id bigint, h string, score double",
+    )
+    with _pytest.raises(ValueError, match="not unique"):
+        two_phase_global_rank(
+            dup, "score", ["h", "id"], n_buckets=2, assert_unique_key=True
+        )
+    # default stays permissive (production path pays no extra pass)
+    assert two_phase_global_rank(dup, "score", ["h", "id"]).count() == 4

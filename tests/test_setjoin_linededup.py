@@ -496,7 +496,10 @@ def _py_mmr(cands, k, lam):
         ]
     )
     selected, out = [], []
-    max_sim = np.zeros(len(ids))
+    # -inf like the operator (and MAX(ps.s) in the DuckDB oracle): with
+    # negative cosines the penalty must be the true (negative) max, not
+    # clamped at 0 — a zeros init silently floors it
+    max_sim = np.full(len(ids), -np.inf)
     for rank in range(1, min(k, len(ids)) + 1):
         mmr = lam * rel - (1 - lam) * (max_sim if selected else np.zeros(len(ids)))
         key = _r6(mmr)
@@ -536,6 +539,38 @@ def test_mmr_rerank_matches_literal_python(spark):
     # the diversity property itself: 103 outranks the twin 102
     picks_q1 = [got[(1, r)][0] for r in (1, 2, 3)]
     assert picks_q1[0] == 101 and picks_q1[1] == 103
+
+
+def test_mmr_rerank_negative_sims_matches_literal_python(spark):
+    # anti-correlated vectors: pairwise cosines go NEGATIVE, so the
+    # max-sim penalty is itself negative (a diversity BONUS) — the exact
+    # regime where a zeros-initialized twin would clamp the penalty at 0
+    # and diverge from operator + oracle (both carry the true max)
+    from fireball_data_processing_spark.operators.similarity import mmr_rerank
+
+    cands = [
+        (1, 301, 0.90, [1.0, 0.0, 0.0]),
+        (1, 302, 0.89, [-1.0, 0.0, 0.0]),   # cosine(301, 302) = -1
+        (1, 303, 0.88, [-0.9, -0.1, 0.0]),  # negative vs 301, positive vs 302
+        (1, 304, 0.10, [0.0, -1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(
+        cands,
+        "query_id bigint, neighbor_id bigint, cosine_sim double, embedding array<double>",
+    )
+    got = {
+        (r["query_id"], r["mmr_rank"]): (r["neighbor_id"], r["relevance"], r["mmr_score"])
+        for r in mmr_rerank(df, k=4, lam=0.5).collect()
+    }
+    want = _py_mmr([(i, s, v) for _, i, s, v in cands], 4, 0.5)
+    assert len(want) == 4
+    for doc, rank, rel, score in want:
+        assert got[(1, rank)] == (doc, rel, score), rank
+    # sanity: at least one later step's score EXCEEDS lam*rel (negative
+    # penalty boosted it) — proves the fixture actually exercises the regime
+    assert any(
+        got[(1, r)][2] > 0.5 * got[(1, r)][1] + 1e-12 for r in (2, 3, 4)
+    )
 
 
 def test_mmr_lambda_one_is_pure_relevance(spark):

@@ -253,6 +253,22 @@ def test_spark_round_sql_matches_spark_round_on_half_ties(duck):
     assert plain_diverges > 0, "sweep hit no divergent case; weaken nothing"
 
 
+def test_spark_round_sql_rejects_decimal38_unsafe_dp():
+    """The helper routes through DECIMAL(38,18), so a dp anywhere near
+    the 18-digit scale would let the final round touch the pre-rounded
+    tail (the ADVICE r10 latent trap). The guard keeps dp well inside
+    the safe band; this pins both sides of it."""
+    import pytest
+
+    from fireball_data_processing_spark.queries import _spark_round_sql
+
+    for dp in (0, 6, 8, 12):
+        assert "ROUND" in _spark_round_sql("x", dp)
+    for dp in (-1, 13, 18, 30):
+        with pytest.raises(ValueError, match="DECIMAL"):
+            _spark_round_sql("x", dp)
+
+
 def test_bt_oracle_iteration_ctes_stay_materialized():
     """DuckDB INLINES plain CTEs; the BT MM update references the
     previous iterate three times, so a non-MATERIALIZED 16-deep chain
