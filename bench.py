@@ -180,6 +180,10 @@ EXTRA = (
     # aggregate + the driver-side MM fit)
     "streaming_ingest_pipeline",
     "bt_event_type_ranking",
+    # round-11 addition: capstone v2 — the same live-stream pipeline with
+    # the LSH band-index NEAR-dup gate (per-row MinHash signature + one
+    # stateless lookup per band); stream machinery included, as for v1
+    "streaming_ingest_near_pipeline",
 )
 
 

@@ -196,6 +196,17 @@ def set_similarity_join(
     (candidates confined to shared prefix tokens, never all-pairs), so
     the local seconds are the algorithm's real cost, not overhead to
     engineer away — the markov-fusion documentation precedent.
+
+    Amplified-scale probe (r11, ``scripts/amplify_probe.py --setjoin``,
+    README "data-dominated probe" section): with token-disjoint
+    amplification (per-copy df structure identical to base) candidates
+    grow EXACTLY linearly — 310k/4.96M/19.8M at ×1/×16/×64 — and wall
+    time 10× for 64× work (7.3→72.9 s, throughput rising), i.e. time
+    tracks candidates, the prefix-filter bound holding in the
+    data-dominated regime. With near-dup amplification the TRUE pair
+    count itself is quadratic in the copy factor (665k real pairs at
+    ×16) and the join is output-bound — the regime for the LSH path,
+    not the exact verifier.
     """
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")

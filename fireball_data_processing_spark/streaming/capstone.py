@@ -109,6 +109,16 @@ def ingest_pipeline_batch(
             F.broadcast(index), "content_hash", "left_anti"
         )
     elif gate == "near":
+        # parallelism floor: a small slice file arrives as ONE input
+        # partition (only >maxPartitionBytes files get split), and the
+        # near gate's per-row MinHash aggregate is the cost center —
+        # measured 3x on a single-partition sf0.1 slice. Repartition only
+        # when the batch is under-parallel; at corpus scale the reader's
+        # byte-based splits already provide the parallelism and this is
+        # a no-op branch.
+        target = batch_df.sparkSession.sparkContext.defaultParallelism
+        if batch_df.rdd.getNumPartitions() < target:
+            batch_df = batch_df.repartition(target)
         fresh = near_new_documents(batch_df, index)
     else:
         raise ValueError(f"unknown gate {gate!r}; expected 'exact' or 'near'")
