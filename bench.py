@@ -180,10 +180,14 @@ EXTRA = (
     # aggregate + the driver-side MM fit)
     "streaming_ingest_pipeline",
     "bt_event_type_ranking",
-    # round-11 addition: capstone v2 — the same live-stream pipeline with
+    # round-11 additions: capstone v2 — the same live-stream pipeline with
     # the LSH band-index NEAR-dup gate (per-row MinHash signature + one
-    # stateless lookup per band); stream machinery included, as for v1
+    # stateless lookup per band); stream machinery included, as for v1 —
+    # and the oracle-replayed BPE merge table (distributed word count +
+    # driver-side greedy trainer; shares the per-corpus merge cache with
+    # bpe_token_stats, so its standalone time IS the training cost)
     "streaming_ingest_near_pipeline",
+    "bpe_merge_table",
 )
 
 

@@ -269,6 +269,46 @@ def test_spark_round_sql_rejects_decimal38_unsafe_dp():
             _spark_round_sql("x", dp)
 
 
+def test_bpe_oracle_iteration_ctes_stay_materialized():
+    """Same DuckDB-inlining hazard as the BT oracle: each v{t} vocab
+    CTE is referenced by BOTH the next step's pair count and its
+    explode, so a non-MATERIALIZED 16-deep chain doubles per step."""
+    from fireball_data_processing_spark.queries import _bpe_merge_oracle
+
+    sql = _bpe_merge_oracle(16)
+    assert sql.count("AS MATERIALIZED") >= 16 + 1  # v0..v16 at least
+
+
+def test_bpe_merge_oracle_replays_trainer_on_toy_corpus(duck):
+    """End-to-end parity on a hand-built corpus exercising the oracle's
+    two hard spots: a self-pair merge with an odd-length run (leftmost-
+    greedy parity — 'aaaa a' shapes) and the (count, pair) tie-break."""
+    import pandas as pd
+
+    from fireball_data_processing_spark.functions.bpe import train_bpe
+    from fireball_data_processing_spark.queries import _bpe_merge_oracle
+
+    rows = (
+        ["aaaaa bbbb"] * 3      # self-pair runs of even and odd length
+        + ["cd cd xy"] * 2      # tie candidates with equal counts
+        + ["the the the"] * 2
+    )
+    docs = pd.DataFrame({"text": rows})
+    duck.register("documents", docs)
+    got = sorted(
+        tuple(r) for r in duck.execute(_bpe_merge_oracle(8, min_count=1)).fetchall()
+    )
+    wf = duck.execute(
+        """SELECT word, COUNT(*)::BIGINT FROM (
+             SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+             FROM documents) GROUP BY word"""
+    ).fetchall()
+    merges = train_bpe(sorted([(w, int(n)) for w, n in wf]), 8)
+    want = sorted((i + 1, a, b) for i, (a, b) in enumerate(merges))
+    assert got == want
+    duck.unregister("documents")
+
+
 def test_bt_oracle_iteration_ctes_stay_materialized():
     """DuckDB INLINES plain CTEs; the BT MM update references the
     previous iterate three times, so a non-MATERIALIZED 16-deep chain
