@@ -141,11 +141,13 @@ def two_phase_global_rank(
     once per consumer).
 
     ``assert_unique_key=True`` enforces the uniqueness precondition
-    with one cheap aggregate (COUNT vs COUNT DISTINCT over the
-    composite key) and raises ``ValueError`` on violation — turn it on
-    at new call sites until their key set is proven unique, then drop
-    to the default for production runs (the check is one extra pass
-    over the checkpointed frame)."""
+    with one cheap aggregate (a GROUP BY over the composite key — NOT
+    countDistinct, which drops null key parts while null scores are
+    legitimate bucket -1 input) and raises ``ValueError`` on violation,
+    naming the largest duplicate group — turn it on at new call sites
+    until their key set is proven unique, then drop to the default for
+    production runs (the check is one extra pass over the checkpointed
+    frame)."""
     chk = df.localCheckpoint()
     if assert_unique_key:
         key = [score_col, *tiebreak_cols]
