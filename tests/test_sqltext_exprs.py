@@ -309,6 +309,61 @@ def test_bpe_merge_oracle_replays_trainer_on_toy_corpus(duck):
     duck.unregister("documents")
 
 
+def test_bpe_parity_rewrite_equals_leftmost_greedy_merge():
+    """The algebraic core of the BPE oracle's vocab-rewrite step: the
+    gaps-and-islands parity rule (within each maximal run of
+    consecutive flagged positions, odd offsets merge and the following
+    position is consumed) must equal `_merge_word`'s leftmost-greedy
+    scan for EVERY symbol sequence. Property-tested over random
+    sequences from a tiny alphabet (maximizes runs and overlaps) and
+    every pair present."""
+    from hypothesis import given, strategies as st
+
+    from fireball_data_processing_spark.functions.bpe import _merge_word
+
+    def parity_merge(syms, pair):
+        n = len(syms)
+        flg = [
+            i + 1 < n and (syms[i], syms[i + 1]) == pair for i in range(n)
+        ]
+        # run id per flagged position (gaps and islands), parity within
+        do = [False] * n
+        i = 0
+        while i < n:
+            if flg[i]:
+                j = i
+                while j < n and flg[j]:
+                    j += 1
+                for k, p in enumerate(range(i, j)):
+                    do[p] = k % 2 == 0
+                i = j
+            else:
+                i += 1
+        out, i = [], 0
+        consumed = [False] * n
+        for p in range(n):
+            if p > 0 and do[p - 1]:
+                consumed[p] = True
+        for p in range(n):
+            if consumed[p]:
+                continue
+            out.append(syms[p] + syms[p + 1] if do[p] else syms[p])
+        return tuple(out)
+
+    @given(st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=12))
+    def check(seq):
+        syms = tuple(seq)
+        pairs = {(syms[i], syms[i + 1]) for i in range(len(syms) - 1)}
+        pairs |= {("a", "a"), ("a", "b")}
+        for pair in pairs:
+            assert parity_merge(syms, pair) == _merge_word(syms, pair), (
+                syms,
+                pair,
+            )
+
+    check()
+
+
 def test_bt_oracle_iteration_ctes_stay_materialized():
     """DuckDB INLINES plain CTEs; the BT MM update references the
     previous iterate three times, so a non-MATERIALIZED 16-deep chain
