@@ -57,12 +57,26 @@ HEADLINE = (
     # iteration). Like-for-like vs r7/r8: subtract this query's time
     # from the r9+ total (r7-r8 headlines covered the first 18 names).
     "markov_stationary_profile",
+    # Round-12 growth (judge r11 ask #4): both end-to-end streaming
+    # capstones — exact-gate v1 and LSH-band near-dup-gate v2. Each
+    # stages slice files, runs a REAL Structured Streaming job (4
+    # micro-batch epochs + checkpoint + exactly-once sink) and merges
+    # the final table, so their time includes the stream machinery by
+    # design. Like-for-like vs r5-r11: the payload also reports
+    # "value_19q", the sub-total over the first 19 names.
+    "streaming_ingest_pipeline",
+    "streaming_ingest_near_pipeline",
 )
+
+# The pre-r12 comparable headline prefix (see round-over-round ledger).
+N_LEGACY_HEADLINE = 19
 
 # Timed the same way but reported under "extra_queries" and NOT counted
 # in the headline total, so round-over-round totals stay comparable
 # while the newer subsystems still get per-round numbers on record.
 EXTRA = (
+    # streaming_ingest_pipeline / streaming_ingest_near_pipeline were
+    # tracked here r10-r11; promoted to HEADLINE in r12 (judge ask #4).
     # two-phase global rank re-plan (late r9) — tracked from r9 on
     "heuristics_long_sorted",
     "semantic_dedup_survivors",
@@ -173,22 +187,22 @@ EXTRA = (
     "mcnemar_gate_disagreement",
     "cochran_gate_family",
     "acf_daily_events",
-    # round-10 additions: the end-to-end streaming capstone (stages slice
-    # files, runs the real Structured Streaming job, merges the final
-    # table — so its time includes the stream machinery, by design) and
-    # the Bradley-Terry preference ranking (one comparison-matrix
-    # aggregate + the driver-side MM fit)
-    "streaming_ingest_pipeline",
+    # round-10 addition: the Bradley-Terry preference ranking (one
+    # comparison-matrix aggregate + the driver-side MM fit)
     "bt_event_type_ranking",
-    # round-11 additions: capstone v2 — the same live-stream pipeline with
-    # the LSH band-index NEAR-dup gate (per-row MinHash signature + one
-    # stateless lookup per band); stream machinery included, as for v1 —
-    # and the oracle-replayed BPE merge table (distributed word count +
-    # driver-side greedy trainer; shares the per-corpus merge cache with
-    # bpe_token_stats, so its standalone time IS the training cost)
-    "streaming_ingest_near_pipeline",
+    # round-11 additions: the oracle-replayed BPE merge table (distributed
+    # word count + driver-side greedy trainer; the per-corpus merge cache
+    # is cleared before every timed run — see PRE_RUN — so each sample
+    # pays the full word_frequencies + train_bpe cost, not a cache hit)
     "bpe_merge_table",
 )
+
+# Per-query pre-run hooks: reset process-wide memoization so min-of-N
+# timing measures the real work every run, not a first-run artifact.
+PRE_RUN = {
+    "bpe_merge_table": lambda catalog: catalog._BPE_MERGES_CACHE.clear(),
+    "bpe_token_stats": lambda catalog: catalog._BPE_MERGES_CACHE.clear(),
+}
 
 
 def main() -> None:
@@ -234,11 +248,14 @@ def main() -> None:
 
     def timed(name: str, min_runs: int = 3) -> float:
         fn = catalog.REGISTRY[name].fn
+        pre = PRE_RUN.get(name)
         samples: list[float] = []
         max_runs = 5 if min_runs >= 3 else min_runs
         while len(samples) < min_runs or (
             min(samples) < 1.0 and len(samples) < max_runs
         ):
+            if pre is not None:
+                pre(catalog)
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(round(time.perf_counter() - t0, 3))
@@ -255,6 +272,13 @@ def main() -> None:
         extra_times[name] = timed(name, min_runs=1 if over else 3)
 
     total = round(sum(times.values()), 3)
+    # Round-over-round comparability: the first 19 HEADLINE names are the
+    # r5-r11 suite; their sub-total is what the ledger's history column
+    # compares (the r12 promotion added the two stream capstones, whose
+    # per-run cost is dominated by stream machinery, not data).
+    total_19q = round(
+        sum(times[n] for n in HEADLINE[:N_LEGACY_HEADLINE]), 3
+    )
     # Environment annotation: a shared box under load (e.g. the test
     # suite running concurrently) inflates wall-clock ~2x; recording the
     # 1-min load average at start/end makes any such run self-describing
@@ -263,6 +287,7 @@ def main() -> None:
     payload = {
         "metric": "headline_suite_seconds",
         "value": total,
+        "value_19q": total_19q,
         "unit": "sec",
         "queries": times,
         "extra_queries": extra_times,
@@ -293,6 +318,7 @@ def main() -> None:
     compact = {
         "metric": "headline_suite_seconds",
         "value": total,
+        "value_19q": total_19q,
         "unit": "sec",
         "queries": times,
         "sf": sf,

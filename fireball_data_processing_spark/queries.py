@@ -1173,9 +1173,16 @@ def q_streaming_ingest_near_pipeline(spark: SparkSession, sf_dir: str) -> DataFr
     index = corpus_band_index(
         minhash_signature(corpus), num_hashes=8, band_size=2
     ).localCheckpoint()
+    # parallelism floor: each staged slice is ONE small file (coalesce(1)
+    # in stage_incoming_slices) and thus one input partition; the near
+    # gate's per-row MinHash expression is the cost center — measured 3x
+    # when fanned to the core count. Passed as a constructor flag (the
+    # caller KNOWS its slices are small) instead of a per-epoch
+    # rdd.getNumPartitions() probe.
     run_ingest_pipeline(
         spark, staging, incoming.schema, index,
         f"{base}/out", f"{base}/ckpt", gate="near",
+        min_parallelism=spark.sparkContext.defaultParallelism,
     )
     return read_pipeline_totals(spark, f"{base}/out").localCheckpoint()
 

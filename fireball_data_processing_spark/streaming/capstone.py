@@ -17,14 +17,22 @@ replayed: exactly the property the batch oracle checks (the catalog
 query `streaming_ingest_pipeline` replays the whole pipeline as one
 DuckDB statement and hash-compares the final table).
 
-100 TB shape: the gate is a broadcast anti-join against the hash index
-(corpus-distinct-hash-sized — at true corpus scale swap in the
-band-partitioned near-dup index, ``dedup_stream.corpus_band_index``);
-the quality rules are per-row codegen expressions; the shuffle per
-micro-batch carries only (source, lang) partial sums; the sink writes
-one small partition per epoch. Restart semantics are pinned by
-tests/test_capstone_stream.py (kill after the first epochs, resume
-from the checkpoint, final table unchanged).
+100 TB shape: the gate is a SIZE-AWARE anti-join against the hash
+index — broadcast-hinted only while the index's Catalyst size estimate
+fits the session broadcast threshold (:func:`should_broadcast_index`),
+shuffled left-anti above it, because a true-corpus-scale index is
+billions of hashes and an unconditional broadcast hint would OOM every
+executor (at that scale prefer the band-partitioned near-dup index,
+``dedup_stream.corpus_band_index``); the quality rules are per-row
+codegen expressions; the shuffle per micro-batch carries only
+(source, lang) partial sums; the sink writes one small partition per
+epoch. Known-small slice files (one input partition each) get their
+parallelism floor via the ``min_parallelism`` constructor flag — the
+caller's split-metadata signal hoisted to stream construction, NOT a
+per-epoch ``rdd.getNumPartitions()`` probe (which would force a
+driver-side plan→RDD conversion every micro-batch). Restart semantics
+are pinned by tests/test_capstone_stream.py (kill after the first
+epochs, resume from the checkpoint, final table unchanged).
 
 Reference parity: the reference's distill pipeline is a sequence of
 batch filter scripts re-reading the corpus per stage
@@ -52,10 +60,39 @@ from fireball_data_processing_spark.streaming.sinks_stream import (
 
 __all__ = [
     "stage_incoming_slices",
+    "should_broadcast_index",
     "ingest_pipeline_batch",
     "run_ingest_pipeline",
     "read_pipeline_totals",
 ]
+
+
+def should_broadcast_index(index: DataFrame) -> bool:
+    """Size-aware broadcast decision for the static gate index: compare
+    Catalyst's optimized-plan size estimate against the session's
+    ``spark.sql.autoBroadcastJoinThreshold``. Driver-side metadata only
+    — no job runs (``localCheckpoint`` preserves the origin plan's
+    stats, so a pinned index still reports its true estimate).
+
+    Why not hint unconditionally: at true corpus scale the exact-dup
+    hash index is billions of 32-byte hashes — an unconditional
+    ``F.broadcast`` would OOM every executor. Below the threshold the
+    hint is kept (the index is known-compact, don't make AQE guess);
+    above it — or when broadcasting is disabled with ``-1`` — the gate
+    degrades to a plain left-anti join and Catalyst/AQE pick a shuffled
+    strategy sized to reality."""
+    spark = index.sparkSession
+    raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    if raw.strip().startswith("-"):  # -1 = broadcasting disabled
+        return False
+    jvm = spark.sparkContext._jvm
+    threshold = int(
+        jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
+    )
+    est = int(
+        index._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    return est <= threshold
 
 
 def stage_incoming_slices(
@@ -85,6 +122,8 @@ def ingest_pipeline_batch(
     index: DataFrame,
     min_words: int = 50,
     gate: str = "exact",
+    broadcast_index: bool | None = None,
+    min_parallelism: int | None = None,
 ) -> DataFrame:
     """The per-micro-batch plan, exposed for batch-twin testing: gate
     the slice against the corpus index, keep Gopher-passing docs, and
@@ -96,29 +135,42 @@ def ingest_pipeline_batch(
     true-corpus-scale upgrade path):
 
     - ``"exact"`` — ``index`` is :func:`~...dedup_stream.corpus_hash_index`
-      output; broadcast anti-join on the normalized-content md5.
+      output; size-aware anti-join on the normalized-content md5:
+      broadcast-hinted only while the index's plan-stats estimate fits
+      the session broadcast threshold (:func:`should_broadcast_index`),
+      plain left-anti (shuffled, AQE-planned) above it — a
+      billion-hash corpus index must never be forced onto executors.
+      ``broadcast_index`` overrides the auto decision (callers running
+      many micro-batches against one pinned index decide ONCE instead
+      of per epoch).
     - ``"near"`` — ``index`` is :func:`~...dedup_stream.corpus_band_index`
       output; per-row MinHash signature → LSH band keys → one stateless
       lookup per band (:func:`~...dedup_stream.near_new_documents`), so
       a doc near-duplicating ANY corpus doc under the banding scheme is
       rejected, not just byte-identical repeats.
+
+    ``min_parallelism``: parallelism floor for the near gate. A small
+    slice file arrives as ONE input partition (only >maxPartitionBytes
+    files get split) and the gate's per-row MinHash expression is the
+    cost center — measured 3x on a single-partition sf0.1 slice when
+    repartitioned to the core count. The floor is the caller's
+    split-metadata signal hoisted to stream construction (the caller
+    knows its slice sizes; ``run_ingest_pipeline`` forwards it), so no
+    per-epoch ``batch_df.rdd.getNumPartitions()`` probe — a driver-side
+    plan→RDD conversion every micro-batch — is needed. Leave ``None``
+    at corpus scale: the reader's byte-based splits already provide the
+    parallelism.
     """
     rules = gopher_rules(F.col("text"), min_words=min_words)
     if gate == "exact":
-        fresh = batch_df.withColumn("content_hash", content_hash()).join(
-            F.broadcast(index), "content_hash", "left_anti"
-        )
+        keyed = batch_df.withColumn("content_hash", content_hash())
+        if broadcast_index is None:
+            broadcast_index = should_broadcast_index(index)
+        right = F.broadcast(index) if broadcast_index else index
+        fresh = keyed.join(right, "content_hash", "left_anti")
     elif gate == "near":
-        # parallelism floor: a small slice file arrives as ONE input
-        # partition (only >maxPartitionBytes files get split), and the
-        # near gate's per-row MinHash aggregate is the cost center —
-        # measured 3x on a single-partition sf0.1 slice. Repartition only
-        # when the batch is under-parallel; at corpus scale the reader's
-        # byte-based splits already provide the parallelism and this is
-        # a no-op branch.
-        target = batch_df.sparkSession.sparkContext.defaultParallelism
-        if batch_df.rdd.getNumPartitions() < target:
-            batch_df = batch_df.repartition(target)
+        if min_parallelism is not None and min_parallelism > 1:
+            batch_df = batch_df.repartition(min_parallelism)
         fresh = near_new_documents(batch_df, index)
     else:
         raise ValueError(f"unknown gate {gate!r}; expected 'exact' or 'near'")
@@ -140,6 +192,7 @@ def run_ingest_pipeline(
     checkpoint_dir: str,
     min_words: int = 50,
     gate: str = "exact",
+    min_parallelism: int | None = None,
 ) -> None:
     """Run the capstone stream to completion over everything currently
     staged (``availableNow`` + ``maxFilesPerTrigger=1`` — one epoch per
@@ -147,17 +200,25 @@ def run_ingest_pipeline(
     epoch's partial is written, and the write overwrites its own
     ``batch_id`` partition, so resuming from ``checkpoint_dir`` after a
     kill replays at most the in-flight epoch and replaces — never
-    duplicates — its output. ``gate``/``index`` pair as in
-    :func:`ingest_pipeline_batch` (exact hash index or LSH band index)."""
+    duplicates — its output. ``gate``/``index``/``min_parallelism`` as
+    in :func:`ingest_pipeline_batch` (exact hash index or LSH band
+    index; parallelism floor for known-small slices). The exact gate's
+    broadcast decision is taken ONCE here, outside the epoch loop — the
+    index is static for the stream's lifetime, so per-epoch re-checks
+    would be pure driver overhead."""
     stream = (
         spark.readStream.schema(file_schema)
         .option("maxFilesPerTrigger", 1)
         .option("recursiveFileLookup", "true")
         .parquet(staging_dir)
     )
+    bcast = should_broadcast_index(index) if gate == "exact" else None
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
-        partial = ingest_pipeline_batch(batch_df, index, min_words, gate=gate)
+        partial = ingest_pipeline_batch(
+            batch_df, index, min_words, gate=gate,
+            broadcast_index=bcast, min_parallelism=min_parallelism,
+        )
         write_epoch_partition(partial, epoch_id, out_path)
 
     q = (

@@ -295,18 +295,23 @@ def test_bpe_merge_oracle_replays_trainer_on_toy_corpus(duck):
     )
     docs = pd.DataFrame({"text": rows})
     duck.register("documents", docs)
-    got = sorted(
-        tuple(r) for r in duck.execute(_bpe_merge_oracle(8, min_count=1)).fetchall()
-    )
-    wf = duck.execute(
-        """SELECT word, COUNT(*)::BIGINT FROM (
-             SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
-             FROM documents) GROUP BY word"""
-    ).fetchall()
-    merges = train_bpe(sorted([(w, int(n)) for w, n in wf]), 8)
-    want = sorted((i + 1, a, b) for i, (a, b) in enumerate(merges))
-    assert got == want
-    duck.unregister("documents")
+    try:
+        got = sorted(
+            tuple(r)
+            for r in duck.execute(_bpe_merge_oracle(8, min_count=1)).fetchall()
+        )
+        wf = duck.execute(
+            """SELECT word, COUNT(*)::BIGINT FROM (
+                 SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+                 FROM documents) GROUP BY word"""
+        ).fetchall()
+        merges = train_bpe(sorted([(w, int(n)) for w, n in wf]), 8)
+        want = sorted((i + 1, a, b) for i, (a, b) in enumerate(merges))
+        assert got == want
+    finally:
+        # the duck fixture is session-scoped: an assertion failure must not
+        # leak the 'documents' registration into every later test
+        duck.unregister("documents")
 
 
 def test_bpe_parity_rewrite_equals_leftmost_greedy_merge():
