@@ -63,6 +63,7 @@ __all__ = [
     "should_broadcast_index",
     "ingest_pipeline_batch",
     "run_ingest_pipeline",
+    "run_ingest_pipeline_from_stream",
     "read_pipeline_totals",
 ]
 
@@ -202,16 +203,42 @@ def run_ingest_pipeline(
     kill replays at most the in-flight epoch and replaces — never
     duplicates — its output. ``gate``/``index``/``min_parallelism`` as
     in :func:`ingest_pipeline_batch` (exact hash index or LSH band
-    index; parallelism floor for known-small slices). The exact gate's
-    broadcast decision is taken ONCE here, outside the epoch loop — the
-    index is static for the stream's lifetime, so per-epoch re-checks
-    would be pure driver overhead."""
+    index; parallelism floor for known-small slices)."""
     stream = (
         spark.readStream.schema(file_schema)
         .option("maxFilesPerTrigger", 1)
         .option("recursiveFileLookup", "true")
         .parquet(staging_dir)
     )
+    run_ingest_pipeline_from_stream(
+        stream, index, out_path, checkpoint_dir,
+        min_words=min_words, gate=gate, min_parallelism=min_parallelism,
+    )
+
+
+def run_ingest_pipeline_from_stream(
+    stream: DataFrame,
+    index: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    min_words: int = 50,
+    gate: str = "exact",
+    min_parallelism: int | None = None,
+) -> None:
+    """Run the capstone over ANY already-opened streaming DataFrame —
+    the connector seam (``sources_stream.open_event_stream``): the file
+    micro-batch source :func:`run_ingest_pipeline` builds is just one
+    producer; a Kafka topic or a vendor Kinesis connector plugs in by
+    swapping the ``open_event_stream`` line that built ``stream``
+    (``fmt="kafka", payload="value"`` / ``fmt="aws-kinesis",
+    payload="data"`` with the stream name/region riding ``options``) —
+    nothing in the pipeline below changes, pinned by
+    tests/test_stream_sources.py (identical final-table rows through
+    the seam vs the direct file stream). The exact gate's broadcast
+    decision is taken ONCE here, outside the epoch loop — the index is
+    static for the stream's lifetime, so per-epoch re-checks would be
+    pure driver overhead. Exactly-once/restart semantics as in
+    :func:`run_ingest_pipeline`."""
     bcast = should_broadcast_index(index) if gate == "exact" else None
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:

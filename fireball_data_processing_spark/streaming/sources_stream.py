@@ -49,7 +49,7 @@ def open_event_stream(
     path: str | None = None,
     options: dict[str, str] | None = None,
     payload: str | None = None,
-    ts_col: str = "ts",
+    ts_col: str | None = "ts",
 ) -> DataFrame:
     """Open a streaming event source and normalize it to the engine's
     event contract: declared columns, event time as int64 epoch nanos.
@@ -66,7 +66,10 @@ def open_event_stream(
       envelope is dropped — malformed records yield all-null rows
       (from_json's PERMISSIVE default) rather than killing the query.
     - ``ts_col``: event-time column, normalized exactly like the batch
-      path so stream/batch plans agree to the nanosecond.
+      path so stream/batch plans agree to the nanosecond. Pass ``None``
+      for event-time-less record streams (e.g. a document firehose
+      feeding the ingest capstone) — the seam then only decodes and
+      projects.
     """
     reader = spark.readStream.format(fmt)
     if payload is None:
@@ -78,4 +81,6 @@ def open_event_stream(
         df = df.select(
             F.from_json(F.col(payload).cast("string"), schema).alias("__event")
         ).select("__event.*")
+    if ts_col is None:
+        return df
     return normalize_event_time(df, ts_col)

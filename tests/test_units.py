@@ -1756,3 +1756,14 @@ def test_zipf_fit_matches_numpy_polyfit(spark):
     assert row["zipf_exponent"] == pytest.approx(-slope, abs=1e-6)
     assert row["intercept"] == pytest.approx(intercept, abs=1e-6)
     assert row["r2"] == pytest.approx(r2, abs=1e-6)
+
+
+def test_automation_oracle_replays_python_walk(duck):
+    """The DuckDB bounded-depth unroll (`_automation_narration_oracle`)
+    must equal the recursive Python walk on every fixture tree — the
+    parity that makes fb_automation_narration oracle-checkable."""
+    got = dict(
+        duck.execute(catalog._automation_narration_oracle()).fetchall()
+    )
+    want = {name: narrate_tree(js) for name, js in FX.AUTOMATION_ROWS}
+    assert got == want
