@@ -3737,16 +3737,71 @@ def q_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("anonymized_props", None)  # recursive JSON walk: rows-only check
+# F8's exact rendering (anonymize.py:24-29): md5 digest read as an
+# UNSIGNED LITTLE-ENDIAN 128-bit integer, decimal-rendered, first 18
+# digits, left-zero-padded. DuckDB replays it bit-for-bit: reverse the
+# 16 digest bytes of md5() hex, parse the two 64-bit halves via 0x-cast,
+# recombine in UHUGEINT (unsigned 128 — HUGEINT would overflow above
+# 2^127), then the same truncate-and-pad. {U} is the raw-id SQL expr.
+_F8_H18_SQL = """
+rev AS (
+  SELECT e.*, string_agg(substr(e.hx, 33 - 2 * u.i, 2), '' ORDER BY u.i)
+    AS le_hex
+  FROM h e, UNNEST(generate_series(1, 16)) AS u(i)
+  GROUP BY ALL
+),
+n AS (
+  SELECT *, lpad(substr(CAST(
+      CAST(CONCAT('0x', substr(le_hex, 1, 16)) AS UBIGINT)::UHUGEINT
+        * 18446744073709551616::UHUGEINT
+      + CAST(CONCAT('0x', substr(le_hex, 17, 16)) AS UBIGINT)::UHUGEINT
+    AS VARCHAR), 1, 18), 18, '0') AS h18
+  FROM rev
+)"""
+
+_ANON_PROPS_ORACLE = f"""
+WITH ev AS (
+  SELECT event_id,
+    CAST(user_id + 100000000000000000 AS VARCHAR) AS uid, props
+  FROM events WHERE event_id % 50 = 0
+),
+h AS (SELECT event_id, uid, props, md5(uid) AS hx FROM ev),
+{_F8_H18_SQL}
+SELECT event_id,
+  '{{"uid": "' || h18 || '", "note": "user ' || h18
+    || ' wrote", "props": ' || props || '}}' AS props_anon
+FROM n
+"""
+
+
+@query("anonymized_props", _ANON_PROPS_ORACLE)
 def q_anonymized_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F10 recursive anonymization over a JSON column (reference
-    scripts/anonymize.py:38-67) — pandas UDF walk; golden unit tests pin
-    the id-hash format (F8)."""
+    scripts/anonymize.py:38-67) — pandas UDF walk, ORACLE-CHECKED since
+    r12: the events rows get a synthetic envelope injecting a
+    snowflake-scale id BOTH as a standalone JSON string value and
+    embedded mid-sentence (the two regex-boundary shapes the reference
+    walk handles), so the oracle exercises the full F10 path — the
+    recursive walk, the \\b\\d{{17,20}}\\b substitution, and F8's exact
+    md5-little-endian-18-digit rendering, replayed in DuckDB via
+    UHUGEINT arithmetic (`_F8_H18_SQL`; parity pinned in
+    tests/test_ml_and_anonymize.py). The inner `props` object passes
+    through untouched (its values are below snowflake scale), which the
+    oracle asserts by splicing the raw text — `json.dumps` round-trips
+    the corpus' props byte-identically at every SF."""
     from fireball_data_processing_spark.functions.ids import anonymize_json
 
-    ev = load_table(spark, sf_dir, "events").limit(200)
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.pmod(F.col("event_id"), F.lit(50)) == 0
+    )
+    uid = (F.col("user_id").cast("bigint") + F.lit(10**17)).cast("string")
+    payload = F.concat(
+        F.lit('{"uid": "'), uid,
+        F.lit('", "note": "user '), uid,
+        F.lit(' wrote", "props": '), F.col("props"), F.lit("}"),
+    )
     return ev.select(
-        "event_id", anonymize_json(F.col("props")).alias("props_anon")
+        "event_id", anonymize_json(payload).alias("props_anon")
     )
 
 
@@ -13202,9 +13257,14 @@ _PRIORITY = [
     # then the r8 tier head (alphabetical) to fill 50. The 2 queries NEW
     # this round lead everything (first-ever rows): bpe_token_histogram
     # (vocabulary-coverage histogram over the application unroll) and
-    # lsh_band_hit_rates (per-band collision diagnostic of the near gate).
+    # lsh_band_hit_rates (per-band collision diagnostic of the near gate);
+    # then the third rows-only -> oracle conversion (anonymized_props:
+    # the F10 walk over a snowflake-injecting envelope, F8 rendering
+    # replayed via UHUGEINT — leaves multimodal_features as the single
+    # rows-only-by-nature entry).
     "bpe_token_histogram",
     "lsh_band_hit_rates",
+    "anonymized_props",
     "bpe_token_stats",
     "fb_automation_narration",
     "bpe_merge_table",
@@ -13254,7 +13314,6 @@ _PRIORITY = [
     "dup_graph_triangle_census",
     "event_audience_overlap",
     "ewma_daily_conversion",
-    "extreme_value_return_levels",
 ]
 
 

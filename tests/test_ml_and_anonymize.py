@@ -419,3 +419,30 @@ def test_dawid_skene_symmetric_tie_breaks_lexicographic(spark):
     rows = [(0, "r1", "a"), (0, "r2", "b")]
     got = _ds(spark, rows)
     assert got[0][0] == "a"
+
+
+def test_f8_hash_duckdb_replay_parity(duck):
+    """The oracle-side F8 rendering (`_F8_H18_SQL`: reversed md5 bytes
+    -> UHUGEINT -> first 18 decimal digits, zero-padded) must equal the
+    reference-exact Python `hashed_id` on ids of every width the
+    \\b\\d{17,20}\\b walk accepts, plus non-numeric strings."""
+    from fireball_data_processing_spark.queries import _F8_H18_SQL
+
+    cases = [
+        "261302296103747584",  # the reference golden snowflake
+        "12345678901234567",   # 17 digits (regex lower bound)
+        "99999999999999999999",  # 20 digits (upper bound)
+        "1",
+        "abc",
+    ]
+    vals = ", ".join(f"('{c}')" for c in cases)
+    sql = (
+        f"WITH ev(uid) AS (VALUES {vals}),\n"
+        "h AS (SELECT uid, md5(uid) AS hx FROM ev),"
+        + _F8_H18_SQL
+        + "\nSELECT uid, h18 FROM n"
+    )
+    got = dict(duck.execute(sql).fetchall())
+    from fireball_data_processing_spark.functions.ids import hashed_id
+
+    assert got == {c: hashed_id(c) for c in cases}
