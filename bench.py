@@ -195,6 +195,13 @@ EXTRA = (
     # is cleared before every timed run — see PRE_RUN — so each sample
     # pays the full word_frequencies + train_bpe cost, not a cache hit)
     "bpe_merge_table",
+    # round-12 additions: the tokenizer vocabulary-coverage histogram
+    # (merge application over the DISTINCT-word table — vocabulary-sized,
+    # shares the cleared-per-run merge cache) and the per-band collision
+    # diagnostic of the streaming near-dup gate (single-pass LEFT-join
+    # plan over the band table)
+    "bpe_token_histogram",
+    "lsh_band_hit_rates",
 )
 
 # Per-query pre-run hooks: reset process-wide memoization so min-of-N
@@ -202,6 +209,7 @@ EXTRA = (
 PRE_RUN = {
     "bpe_merge_table": lambda catalog: catalog._BPE_MERGES_CACHE.clear(),
     "bpe_token_stats": lambda catalog: catalog._BPE_MERGES_CACHE.clear(),
+    "bpe_token_histogram": lambda catalog: catalog._BPE_MERGES_CACHE.clear(),
 }
 
 
