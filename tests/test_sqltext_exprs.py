@@ -379,3 +379,68 @@ def test_bt_oracle_iteration_ctes_stay_materialized():
 
     sql = _bt_oracle(n_iter=16)
     assert sql.count("AS MATERIALIZED") >= 16 * 2  # r{t} and s{t} per step
+
+
+def test_bpe_apply_oracle_property_random_corpora(duck):
+    """Property twin of the application oracle (the r11 trainer got the
+    same treatment): for RANDOM tiny-alphabet corpora — maximizing
+    self-pairs, overlapping merges, and early merge exhaustion — the
+    DuckDB train+apply unroll must equal train_bpe + apply_merges per
+    doc. Tiny alphabet 'ab' makes (x, x) self-pair runs and rank
+    collisions common; max word length 6 stays inside the n_apply=6
+    unroll; min_count=1 so every word trains (exhaustion before
+    n_merges exercises the empty-bp{t} pass-through)."""
+    import re
+
+    import pandas as pd
+    from hypothesis import given, settings, strategies as st
+
+    from fireball_data_processing_spark.functions.bpe import (
+        apply_merges,
+        train_bpe,
+    )
+    from fireball_data_processing_spark.queries import _bpe_apply_oracle
+
+    sql = _bpe_apply_oracle(4, n_apply=6, min_count=1)
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.lists(
+            st.lists(
+                st.text(alphabet="ab", min_size=1, max_size=6),
+                min_size=1,
+                max_size=6,
+            ),
+            min_size=1,
+            max_size=4,
+        )
+    )
+    def check(docs_words):
+        texts = [" ".join(ws) for ws in docs_words]
+        docs = pd.DataFrame(
+            {"doc_id": range(len(texts)), "text": texts}
+        )
+        duck.register("documents", docs)
+        try:
+            got = {
+                r[0]: (r[1], r[2]) for r in duck.execute(sql).fetchall()
+            }
+        finally:
+            duck.unregister("documents")
+        counts: dict[str, int] = {}
+        for t in texts:
+            for w in re.findall(r"[a-z0-9]+", t.lower()):
+                counts[w] = counts.get(w, 0) + 1
+        merges = train_bpe(sorted(counts.items()), 4)
+        for doc_id, t in enumerate(texts):
+            n_bpe = sum(
+                len(apply_merges(w, merges))
+                for w in re.findall(r"[a-z0-9]+", t.lower())
+            )
+            assert got[doc_id] == (n_bpe, len(t.strip().split())), (
+                t,
+                merges,
+                got[doc_id],
+            )
+
+    check()
