@@ -117,7 +117,11 @@ def test_open_event_stream_payload_envelope(spark):
         shutil.rmtree(src, ignore_errors=True)
 
 
-def test_capstone_through_kinesis_shaped_seam(spark, tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("gate", ["exact", "near"])
+def test_capstone_through_kinesis_shaped_seam(spark, tmp_path, gate):
     """Judge r11 ask #8: drive the ingest CAPSTONE end-to-end through
     the connector seam with a rate-limited Kinesis-SHAPED fake source —
     documents arrive as JSON records inside an opaque payload column
@@ -128,9 +132,14 @@ def test_capstone_through_kinesis_shaped_seam(spark, tmp_path):
     the open_event_stream call itself —
     ``open_event_stream(spark, fmt="aws-kinesis", schema=DOC_SCHEMA,
     payload="data", options={"streamName": ..., "region": ...},
-    ts_col=None)`` — nothing in the pipeline below it changes."""
+    ts_col=None)`` — nothing in the pipeline below it changes.
+    Parameterized over BOTH dedup gates: the seam is orthogonal to the
+    gate, and this pins it."""
     from pyspark.sql import functions as F
 
+    from fireball_data_processing_spark.operators.dedup import (
+        minhash_signature,
+    )
     from fireball_data_processing_spark.streaming.capstone import (
         read_pipeline_totals,
         run_ingest_pipeline,
@@ -138,13 +147,19 @@ def test_capstone_through_kinesis_shaped_seam(spark, tmp_path):
         stage_incoming_slices,
     )
     from fireball_data_processing_spark.streaming.dedup_stream import (
+        corpus_band_index,
         corpus_hash_index,
     )
 
     d = load_table(spark, SMOKE, "documents")
     corpus = d.filter(F.pmod(F.col("doc_id"), F.lit(4)) == 0)
     incoming = d.filter(F.pmod(F.col("doc_id"), F.lit(4)) != 0)
-    index = corpus_hash_index(corpus).localCheckpoint()
+    if gate == "exact":
+        index = corpus_hash_index(corpus).localCheckpoint()
+    else:
+        index = corpus_band_index(
+            minhash_signature(corpus), num_hashes=8, band_size=2
+        ).localCheckpoint()
     doc_schema = "doc_id bigint, text string, source string, lang string"
 
     # Kinesis-shaped staging: each slice as a JSON-lines file; the text
@@ -168,7 +183,7 @@ def test_capstone_through_kinesis_shaped_seam(spark, tmp_path):
     )
     run_ingest_pipeline_from_stream(
         stream, index, str(tmp_path / "seam_out"), str(tmp_path / "seam_ckpt"),
-        min_words=10,
+        min_words=10, gate=gate,
     )
     via_seam = sorted(
         (r["source"], r["lang"], r["n_docs"], r["n_tokens"])
@@ -183,7 +198,7 @@ def test_capstone_through_kinesis_shaped_seam(spark, tmp_path):
     run_ingest_pipeline(
         spark, direct_staging, incoming.schema, index,
         str(tmp_path / "direct_out"), str(tmp_path / "direct_ckpt"),
-        min_words=10,
+        min_words=10, gate=gate,
     )
     direct = sorted(
         (r["source"], r["lang"], r["n_docs"], r["n_tokens"])
