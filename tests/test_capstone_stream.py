@@ -290,6 +290,32 @@ def test_exact_gate_is_size_aware_not_broadcast_pinned(spark):
     assert _rows(shuffled) == _rows(broadcasted)
 
 
+def test_live_stream_exact_gate_correct_above_broadcast_threshold(spark, tmp_path):
+    """The size-aware decision through the REAL stream: with the
+    broadcast threshold floored (the 100 TB shape — index 'too big' to
+    hint), run_ingest_pipeline takes its once-per-stream non-broadcast
+    decision and every epoch gates via the shuffled left-anti path; the
+    final table must still equal the batch truth."""
+    corpus, incoming = _fixture(spark)
+    idx = _index(corpus, "exact").localCheckpoint()
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    saved = spark.conf.get(key)
+    staging = str(tmp_path / "staging")
+    stage_incoming_slices(incoming, staging, n_slices=3)
+    try:
+        spark.conf.set(key, "1b")
+        run_ingest_pipeline(
+            spark, staging, incoming.schema, idx,
+            str(tmp_path / "out"), str(tmp_path / "ckpt"),
+            min_words=MIN_WORDS,
+        )
+    finally:
+        spark.conf.set(key, saved)
+    got = _rows(read_pipeline_totals(spark, str(tmp_path / "out")))
+    assert got == _rows(_batch_truth(corpus, incoming, "exact"))
+    assert len(got) > 0
+
+
 def test_near_gate_parallelism_floor_preserves_results(spark):
     """Judge r11 ask #7: the small-slice parallelism floor is a
     constructor flag (split-metadata signal hoisted to stream
