@@ -5364,16 +5364,16 @@ def q_bpe_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributable — then one small aggregate. Oracle: the 16-step
     training replay + 8-step application unroll, grouped per word
     (`_bpe_token_hist_oracle`)."""
-    from fireball_data_processing_spark.functions.bpe import bpe_tokens_udf
-    from fireball_data_processing_spark.operators.retrieval import tokens
+    from fireball_data_processing_spark.functions.bpe import (
+        bpe_tokens_udf,
+        word_frequencies,
+    )
 
     d = load_table(spark, sf_dir, "documents")
     merges = _bpe_merges_for(spark, sf_dir)[:16]
-    words = (
-        d.select(F.explode(tokens(F.col("text"))).alias("word"))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    # min_count=1: the histogram describes the WHOLE corpus vocabulary,
+    # including hapax words the training floor excluded
+    words = word_frequencies(d, min_count=1)
     # the UDF tokenizes arbitrary text; a bare [a-z0-9]+ word is its own
     # single regex token, so applying it to the word column yields the
     # word's merge sequence directly
