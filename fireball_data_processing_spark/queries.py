@@ -13245,23 +13245,26 @@ def get(name: str) -> QuerySpec:
 _PRIORITY = [
     # Round-12 head (the driver samples roughly the first 50 entries),
     # laid out by scripts/attestation.py --head 50 (stalest-first), with
-    # this round's changed rows leading. Layout: the 2 rows-only ->
-    # oracle conversions (bpe_token_stats gained the unrolled merge-
-    # APPLICATION replay; fb_automation_narration gained the bounded-
-    # depth tree-walk unroll — both need their first-ever hash rows),
-    # then the 3 queries whose engine changed this round (bpe_merge_table:
-    # corpus-checksum-keyed cache; both streaming capstones: size-aware
-    # exact gate + constructor-flag parallelism floor), then the entire
-    # 31-query r7-stale tier (independently re-driven green by the judge
-    # in r11 — this consumes the rotation debt, staleness floor -> r8),
-    # then the r8 tier head (alphabetical) to fill 50. The 2 queries NEW
-    # this round lead everything (first-ever rows): bpe_token_histogram
-    # (vocabulary-coverage histogram over the application unroll) and
-    # lsh_band_hit_rates (per-band collision diagnostic of the near gate);
-    # then the third rows-only -> oracle conversion (anonymized_props:
-    # the F10 walk over a snowflake-injecting envelope, F8 rendering
-    # replayed via UHUGEINT — leaves multimodal_features as the single
-    # rows-only-by-nature entry).
+    # this round's new/changed rows leading:
+    #   1. the 2 queries NEW this round (first-ever rows):
+    #      bpe_token_histogram (vocabulary-coverage histogram over the
+    #      application unroll) and lsh_band_hit_rates (per-band
+    #      collision diagnostic of the near gate);
+    #   2. the 3 rows-only -> oracle conversions (first-ever HASH rows):
+    #      anonymized_props (F10 walk over a snowflake-injecting
+    #      envelope; F8 rendering replayed via UHUGEINT),
+    #      bpe_token_stats (unrolled merge-APPLICATION replay), and
+    #      fb_automation_narration (bounded-depth tree-walk unroll) —
+    #      leaves multimodal_features as the single rows-only-by-nature
+    #      entry;
+    #   3. the 3 queries whose engine changed this round
+    #      (bpe_merge_table: corpus-checksum-keyed cache; both
+    #      streaming capstones: size-aware exact gate +
+    #      constructor-flag parallelism floor);
+    #   4. the ENTIRE 31-query r7-stale tier (independently re-driven
+    #      green by the judge in r11 — this consumes the rotation debt,
+    #      staleness floor -> r8);
+    #   5. the r8 tier head (alphabetical) to fill 50.
     "bpe_token_histogram",
     "lsh_band_hit_rates",
     "anonymized_props",
