@@ -13228,6 +13228,143 @@ def q_shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# =====================================================================
+# Privacy-release auditing (r12): k-anonymity / l-diversity audit and a
+# deterministic seeded-Laplace DP count release — the review gates that
+# sit AFTER the scrubbing/anonymization surface (fb_pii_redact,
+# fb_author_anonymize, span_scrubbed_docs) and BEFORE data leaves the
+# pipeline. Reference lineage: the reference anonymizes direct
+# identifiers (distill2_authors.py:34-61) but ships no linkability or
+# aggregate-release audit; these are the standard published forms
+# (Sweeney 2002 k-anonymity; Dwork et al. 2006 Laplace mechanism).
+# =====================================================================
+
+_KANON_ORACLE = """
+WITH cls AS (
+  SELECT COUNT(*)::BIGINT AS k, COUNT(DISTINCT c_mktsegment)::BIGINT AS l
+  FROM customer
+  GROUP BY c_nationkey, CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT)
+),
+b AS (
+  SELECT
+    CASE WHEN k = 1 THEN '1' WHEN k <= 4 THEN '2-4'
+         WHEN k <= 9 THEN '5-9' ELSE '10+' END AS k_bucket,
+    CASE WHEN k = 1 THEN 1 WHEN k <= 4 THEN 2
+         WHEN k <= 9 THEN 3 ELSE 4 END::BIGINT AS bucket_order,
+    k, l
+  FROM cls
+)
+SELECT k_bucket, bucket_order,
+  COUNT(*)::BIGINT AS n_classes,
+  SUM(k)::BIGINT AS n_rows,
+  MIN(l)::BIGINT AS min_l,
+  ROUND(AVG(l::DOUBLE), 6) AS avg_l,
+  ROUND(SUM(k)::DOUBLE / SUM(SUM(k)) OVER (), 6) AS pct_rows
+FROM b GROUP BY k_bucket, bucket_order
+ORDER BY bucket_order
+"""
+
+
+@query("k_anonymity_audit", _KANON_ORACLE)
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit of the customer release under
+    quasi-identifiers (nation, account-balance band of width 1000) with
+    market segment as the sensitive attribute: per class-size band
+    (1 / 2-4 / 5-9 / 10+), the number of equivalence classes and
+    released rows, the worst and mean l-diversity, and the band's share
+    of the release — singleton classes are customers an adversary
+    re-identifies from the quasi-identifiers alone. Plan: ONE hash
+    aggregate at QI grain (map-side partial, one shuffle on the QI
+    key — the only data-proportional work; holds at any corpus size
+    because the class table is |distinct QI| rows), then a constant-
+    size bucket aggregate; the release-share window runs over 4 rows.
+    Scrubbing (fb_pii_redact) removes direct identifiers; this measures
+    what remains linkable — the audit the reference's anonymization
+    pass (distill2_authors.py:34-61) never runs."""
+    from fireball_data_processing_spark.operators.privacy import (
+        k_anonymity_audit,
+        k_anonymity_classes,
+    )
+
+    c = load_table(spark, sf_dir, "customer")
+    cls = k_anonymity_classes(
+        c,
+        [
+            F.col("c_nationkey"),
+            F.floor(F.col("c_acctbal") / F.lit(1000.0))
+            .cast("bigint")
+            .alias("bal_band"),
+        ],
+        "c_mktsegment",
+    )
+    return k_anonymity_audit(cls)
+
+
+_DP_RELEASE_ORACLE = """
+WITH c AS (
+  SELECT event_type,
+    CAST(FLOOR(epoch_ns(ts) / 86400000000000.0) AS BIGINT) AS day,
+    COUNT(*)::BIGINT AS n_events
+  FROM events GROUP BY 1, 2
+),
+u AS (
+  SELECT *,
+    CAST(CONCAT('0x', substr(md5(
+      'dp#eps1#' || event_type || '#' || CAST(day AS VARCHAR)
+    ), 1, 12)) AS UBIGINT)::DOUBLE / 281474976710656.0 AS uni
+  FROM c
+)
+SELECT event_type, day, n_events,
+  ROUND(n_events + (
+    -1.0 * SIGN(uni - 0.5)
+    * LN(GREATEST(1.0 - 2.0 * ABS(uni - 0.5), 3.552713678800501e-15))
+  ), 6) AS noisy_count
+FROM u
+ORDER BY event_type, day
+"""
+
+
+@query("dp_event_count_release", _DP_RELEASE_ORACLE)
+def q_dp_event_count_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release (Laplace mechanism,
+    epsilon = 1, event-level sensitivity 1) of the per-(event_type,
+    day) activity histogram: each cell's true count plus
+    Laplace(1)-distributed noise seeded deterministically from the cell
+    key, so the release replays bit-for-bit across engines and runs
+    (a production release swaps the salt for a secret per-release
+    nonce; mechanism and plan unchanged). The true count column is
+    retained for audit parity — a shipped release projects it away.
+    Plan: one grouped count at cell grain (the only data-proportional
+    work), then the noise is a pure built-in expression chain
+    (md5 -> 48-bit uniform -> inverse CDF via sign/ln) inside
+    whole-stage codegen — no Python, no second pass, no state. The
+    48-bit uniform is exact in a DOUBLE in both engines, which is what
+    makes the DuckDB replay exact."""
+    from fireball_data_processing_spark.operators.privacy import laplace_noise
+
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type",
+        F.floor(F.col("ts") / F.lit(86400.0 * 1e9)).cast("bigint").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    noise = laplace_noise(
+        F.concat_ws(
+            "#",
+            F.lit("eps1"),
+            F.col("event_type"),
+            F.col("day").cast("string"),
+        ),
+        epsilon=1.0,
+        sensitivity=1.0,
+    )
+    return cells.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.round(F.col("n_events") + noise, 6).alias("noisy_count"),
+    ).orderBy("event_type", "day")
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
@@ -13265,6 +13402,12 @@ _PRIORITY = [
     #      green by the judge in r11 — this consumes the rotation debt,
     #      staleness floor -> r8);
     #   5. the r8 tier head (alphabetical) to fill 50.
+    # Late-round additions (first-ever rows, so they lead): the privacy
+    # pillar's two release gates — the k-anonymity/l-diversity audit and
+    # the seeded-Laplace DP count release (two r8 fillers trimmed to
+    # hold the head at 50).
+    "k_anonymity_audit",
+    "dp_event_count_release",
     "bpe_token_histogram",
     "lsh_band_hit_rates",
     "anonymized_props",
