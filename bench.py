@@ -202,6 +202,15 @@ EXTRA = (
     # plan over the band table)
     "bpe_token_histogram",
     "lsh_band_hit_rates",
+    # late-r12 additions: the privacy pillar's two release gates — the
+    # k-anonymity/l-diversity audit (one QI-grain aggregate) and the
+    # seeded-Laplace DP count release (cell-grain count + a pure
+    # expression noise chain)
+    "k_anonymity_audit",
+    "dp_event_count_release",
+    # ... and the declarative data-quality expectation suite (seven
+    # one-row scan+agg checks unioned; the FK checks are AQE-sized joins)
+    "data_quality_expectations",
 )
 
 # Per-query pre-run hooks: reset process-wide memoization so min-of-N

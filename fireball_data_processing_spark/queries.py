@@ -13365,6 +13365,116 @@ def q_dp_event_count_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "day")
 
 
+_EXPECTATIONS_ORACLE = """
+WITH suite AS (
+  SELECT 'customer' AS table_name, 'unique_c_custkey' AS expectation,
+    COUNT(*)::BIGINT AS n_checked,
+    (COUNT(*) - COUNT(DISTINCT c_custkey))::BIGINT AS n_failed
+  FROM customer
+  UNION ALL
+  SELECT 'orders', 'fk_o_custkey_in_customer', COUNT(*)::BIGINT,
+    COUNT(CASE WHEN k.__pk IS NULL THEN 1 END)::BIGINT
+  FROM orders o
+  LEFT JOIN (SELECT DISTINCT c_custkey AS __pk FROM customer) k
+    ON o.o_custkey = k.__pk
+  UNION ALL
+  SELECT 'lineitem', 'fk_l_orderkey_in_orders', COUNT(*)::BIGINT,
+    COUNT(CASE WHEN k.__pk IS NULL THEN 1 END)::BIGINT
+  FROM lineitem l
+  LEFT JOIN (SELECT DISTINCT o_orderkey AS __pk FROM orders) k
+    ON l.l_orderkey = k.__pk
+  UNION ALL
+  SELECT 'lineitem', 'l_quantity_in_1_50', COUNT(*)::BIGINT,
+    COUNT(CASE WHEN NOT COALESCE(l_quantity BETWEEN 1 AND 50, FALSE)
+          THEN 1 END)::BIGINT
+  FROM lineitem
+  UNION ALL
+  SELECT 'orders', 'o_totalprice_positive', COUNT(*)::BIGINT,
+    COUNT(CASE WHEN NOT COALESCE(o_totalprice > 0, FALSE) THEN 1 END)::BIGINT
+  FROM orders
+  UNION ALL
+  SELECT 'events', 'event_type_in_domain', COUNT(*)::BIGINT,
+    COUNT(CASE WHEN NOT COALESCE(
+      event_type IN ('click', 'view', 'purchase', 'signup', 'error'), FALSE)
+          THEN 1 END)::BIGINT
+  FROM events
+  UNION ALL
+  SELECT 'documents', 'text_nonempty', COUNT(*)::BIGINT,
+    COUNT(CASE WHEN NOT COALESCE(length(text) > 0, FALSE) THEN 1 END)::BIGINT
+  FROM documents
+)
+SELECT table_name, expectation, n_checked, n_failed,
+  n_failed = 0 AS passed,
+  ROUND(n_failed::DOUBLE / GREATEST(n_checked, 1)::DOUBLE, 6) AS fail_rate
+FROM suite
+ORDER BY table_name, expectation
+"""
+
+
+@query("data_quality_expectations", _EXPECTATIONS_ORACLE)
+def q_data_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectation suite (operators/
+    expectations.py — the Deequ / Great-Expectations idiom, Schelter et
+    al. VLDB 2018): the intake contract a pipeline asserts per batch
+    before anything downstream trusts it — key uniqueness, two
+    referential-integrity checks across the order graph, a numeric
+    range, a categorical domain, and text non-emptiness — as ONE
+    pass/fail ledger (one row per expectation). ``table_profile``
+    describes; this ASSERTS, so a scheduler can gate on ``passed``.
+    NULLs fail conservatively everywhere (a NULL predicate is not TRUE;
+    a NULL foreign key references nothing). Plan: each check is one
+    scan + one constant-output aggregate (map-side combine); the FK
+    checks join the child against the DISTINCT parent key set, left
+    unhinted so AQE sizes them (broadcast iff the parent key set is
+    small — at warehouse scale they go sort-merge, which is the correct
+    shape); the union of one-row frames costs scheduling only.
+    Reference lineage: the corpus-grain form of the reference's inline
+    required-keys/shape validation (distill1_time_group.py filters)."""
+    from fireball_data_processing_spark.operators.expectations import (
+        expect_condition,
+        expect_references,
+        expect_unique,
+        expectation_suite,
+    )
+
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    events = load_table(spark, sf_dir, "events")
+    documents = load_table(spark, sf_dir, "documents")
+    return expectation_suite(
+        [
+            expect_unique(customer, "customer", "unique_c_custkey", ["c_custkey"]),
+            expect_references(
+                orders, "orders", "fk_o_custkey_in_customer",
+                "o_custkey", customer, "c_custkey",
+            ),
+            expect_references(
+                lineitem, "lineitem", "fk_l_orderkey_in_orders",
+                "l_orderkey", orders, "o_orderkey",
+            ),
+            expect_condition(
+                lineitem, "lineitem", "l_quantity_in_1_50",
+                F.col("l_quantity").between(1, 50),
+            ),
+            expect_condition(
+                orders, "orders", "o_totalprice_positive",
+                F.col("o_totalprice") > 0,
+            ),
+            expect_condition(
+                events, "events", "event_type_in_domain",
+                F.col("event_type").isin(
+                    "click", "view", "purchase", "signup", "error"
+                ),
+            ),
+            expect_condition(
+                documents, "documents", "text_nonempty",
+                F.length("text") > 0,
+            ),
+        ]
+    )
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
@@ -13404,10 +13514,12 @@ _PRIORITY = [
     #   5. the r8 tier head (alphabetical) to fill 50.
     # Late-round additions (first-ever rows, so they lead): the privacy
     # pillar's two release gates — the k-anonymity/l-diversity audit and
-    # the seeded-Laplace DP count release (two r8 fillers trimmed to
-    # hold the head at 50).
+    # the seeded-Laplace DP count release — and the declarative
+    # data-quality expectation suite (three r8 fillers trimmed to hold
+    # the head at 50).
     "k_anonymity_audit",
     "dp_event_count_release",
+    "data_quality_expectations",
     "bpe_token_histogram",
     "lsh_band_hit_rates",
     "anonymized_props",
@@ -13448,7 +13560,9 @@ _PRIORITY = [
     "winnow_fingerprint_index",
     "zipf_fit_profile",
     "znorm_user_values",
-    # --- r8 tier head (14) ---
+    # --- r8 tier head (8; dup_graph_triangle_census /
+    # event_audience_overlap / ewma_daily_conversion trimmed for the
+    # three late additions — they rejoin the r8 queue) ---
     "annotator_disagreement_topk",
     "benford_value_audit",
     "capture_recapture_estimate",
@@ -13457,9 +13571,6 @@ _PRIORITY = [
     "dawid_skene_labels",
     "decayed_event_value",
     "dedup_mix_bias",
-    "dup_graph_triangle_census",
-    "event_audience_overlap",
-    "ewma_daily_conversion",
 ]
 
 

@@ -95,3 +95,68 @@ def test_laplace_noise_bounded_by_hash_lattice(spark):
         laplace_noise(F.col("key"), epsilon=0.5).alias("n2"),
     ).collect()[0]
     assert abs(one["n2"] - 2.0 * one["n1"]) < 1e-12
+
+
+# --- property: the bucketed audit replays a literal Python computation ---
+
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_release_rows = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 2), st.sampled_from("xyz")),
+    min_size=1,
+    max_size=60,
+)
+
+_BANDS = [("1", 1, 1), ("2-4", 2, 4), ("5-9", 3, 9), ("10+", 4, 10**9)]
+
+
+def _audit_replay(rows):
+    k = Counter((r, b) for r, b, _ in rows)
+    l = {q: len({s for r, b, s in rows if (r, b) == q}) for q in k}
+    out = {}
+    # each class lands in its first matching band
+    assign = {}
+    for q in k:
+        for label, order, hi in _BANDS:
+            if k[q] <= hi:
+                assign[q] = (label, order)
+                break
+    total = len(rows)
+    for q, (label, order) in assign.items():
+        row = out.setdefault(label, {"order": order, "n_classes": 0, "n_rows": 0, "ls": []})
+        row["n_classes"] += 1
+        row["n_rows"] += k[q]
+        row["ls"].append(l[q])
+    from fireball_data_processing_spark.functions.rounding import spark_round
+    return {
+        label: (
+            r["order"], r["n_classes"], r["n_rows"], min(r["ls"]),
+            spark_round(sum(r["ls"]) / len(r["ls"]), 6),
+            spark_round(r["n_rows"] / total, 6),
+        )
+        for label, r in out.items()
+    }
+
+
+@given(rows=_release_rows)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_k_anonymity_audit_matches_python_replay(spark, rows):
+    df = spark.createDataFrame(rows, ["region", "band", "seg"])
+    got = k_anonymity_audit(
+        k_anonymity_classes(df, ["region", "band"], "seg")
+    ).collect()
+    want = _audit_replay(rows)
+    assert len(got) == len(want)
+    for r in got:
+        o, nc, nr, mn, avg, pct = want[r["k_bucket"]]
+        assert (r["bucket_order"], r["n_classes"], r["n_rows"], r["min_l"]) == (
+            o, nc, nr, mn,
+        )
+        assert r["avg_l"] == avg and r["pct_rows"] == pct
