@@ -39,11 +39,15 @@ __all__ = [
 def _one_row(
     df: DataFrame, table: str, name: str, failed: Column
 ) -> DataFrame:
+    # count(when), not sum(when): on an EMPTY batch sum() is NULL, which
+    # would make passed/fail_rate NULL — a gate that neither passes nor
+    # fails. count() is 0 there, so an empty batch reports passed=true,
+    # matching the SQL COUNT(CASE ...) convention the oracle uses.
     return df.agg(
         F.lit(table).alias("table_name"),
         F.lit(name).alias("expectation"),
         F.count(F.lit(1)).cast("bigint").alias("n_checked"),
-        F.sum(F.when(failed, 1).otherwise(0)).cast("bigint").alias("n_failed"),
+        F.count(F.when(failed, F.lit(1))).cast("bigint").alias("n_failed"),
     )
 
 

@@ -41,8 +41,10 @@ __all__ = [
 # 16^12 = 2^48: the md5-prefix uniform's denominator. 48 bits keeps the
 # integer exact in a DOUBLE (53-bit mantissa) in BOTH engines.
 _U48 = float(1 << 48)
-# smallest non-zero value of 1 - 2*|u - 0.5| on the 48-bit lattice;
-# flooring here keeps ln() finite on the (probability 2^-48) u = 0 cell
+# ln() guard for the single lattice point where 1 - 2*|u - 0.5| is
+# exactly ZERO (u = 0, probability 2^-48 per cell); every other lattice
+# point is already >= 2^-47 (at u = 2^-48), so the floor never engages
+# off that one cell. Floor value 2^-48 caps |noise| at b * 48 ln 2,
 # identically in Spark and DuckDB.
 _MAG_FLOOR = 1.0 / _U48
 
@@ -117,18 +119,18 @@ def laplace_noise(
     the cell key: u = first 12 md5 hex digits of ``salt#key`` as a
     48-bit uniform in [0, 1), then the standard inverse CDF
     ``-b * sign(u - 1/2) * ln(1 - 2*|u - 1/2|)``. Pure built-in
-    expression (md5 / conv / ln), so the mechanism replays exactly in
-    any engine with md5 — the DuckDB form is
+    expression (md5 / conv / ln) built on the catalog's one canonical
+    seed-to-uniform primitive (``operators/sampling.py hash_rank``, at
+    its 48-bit width), so the mechanism replays exactly in any engine
+    with md5 — the DuckDB form is
     ``CAST(CONCAT('0x', substr(md5(..), 1, 12)) AS UBIGINT)`` over the
-    same key string."""
-    u = (
-        F.conv(
-            F.substring(F.md5(F.concat_ws("#", F.lit(salt), cell_key)), 1, 12),
-            16,
-            10,
-        ).cast("double")
-        / F.lit(_U48)
-    )
+    same key string. A NULL cell key yields NULL noise (``concat`` and
+    SQL ``||`` both propagate), matching the oracle's NULL semantics —
+    callers that must cover NULL cells coalesce the key components to a
+    sentinel in BOTH engines (see ``dp_event_count_release``)."""
+    from fireball_data_processing_spark.operators.sampling import hash_rank
+
+    u = hash_rank(F.concat(F.lit(f"{salt}#"), cell_key), hex_digits=12)
     c = u - F.lit(0.5)
     mag = F.greatest(F.lit(1.0) - F.lit(2.0) * F.abs(c), F.lit(_MAG_FLOOR))
     return (

@@ -15,12 +15,17 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def hash_rank(key: Column, salt: str = "") -> Column:
-    """Deterministic pseudo-random rank in [0, 1): the first 8 hex digits of
-    md5(salt || key) scaled. Equivalent DuckDB SQL:
-    ``('0x' || substr(md5(salt || key), 1, 8))::BIGINT / 4294967296.0``."""
+def hash_rank(key: Column, salt: str = "", hex_digits: int = 8) -> Column:
+    """Deterministic pseudo-random rank in [0, 1): the first ``hex_digits``
+    hex digits of md5(salt || key) scaled (default 8 -> 32-bit lattice;
+    12 -> 48-bit, the widest still exact in a DOUBLE's 53-bit mantissa —
+    the seeded-Laplace mechanism's choice). Equivalent DuckDB SQL:
+    ``('0x' || substr(md5(salt || key), 1, N))::BIGINT / 16.0^N``.
+    NULL keys rank NULL (``concat``/``||`` propagate in both engines)."""
     h = F.md5(F.concat(F.lit(salt), key.cast("string")))
-    return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") / F.lit(4294967296.0)
+    return F.conv(F.substring(h, 1, hex_digits), 16, 10).cast(
+        "bigint"
+    ) / F.lit(float(16**hex_digits))
 
 
 def deterministic_sample(

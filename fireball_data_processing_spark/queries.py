@@ -13310,7 +13310,8 @@ WITH c AS (
 u AS (
   SELECT *,
     CAST(CONCAT('0x', substr(md5(
-      'dp#eps1#' || event_type || '#' || CAST(day AS VARCHAR)
+      'dp#eps1#' || COALESCE(event_type, '<null>') || '#'
+        || COALESCE(CAST(day AS VARCHAR), '<null>')
     ), 1, 12)) AS UBIGINT)::DOUBLE / 281474976710656.0 AS uni
   FROM c
 )
@@ -13347,12 +13348,16 @@ def q_dp_event_count_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.floor(F.col("ts") / F.lit(86400.0 * 1e9)).cast("bigint").alias("day"),
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    # NULL cells get a deterministic sentinel in BOTH engines: concat_ws
+    # would silently SKIP a NULL component (seed no longer encodes the
+    # cell) while the oracle's || would propagate it — coalescing keeps
+    # the seed total and the engines byte-identical.
     noise = laplace_noise(
-        F.concat_ws(
-            "#",
-            F.lit("eps1"),
-            F.col("event_type"),
-            F.col("day").cast("string"),
+        F.concat(
+            F.lit("eps1#"),
+            F.coalesce(F.col("event_type"), F.lit("<null>")),
+            F.lit("#"),
+            F.coalesce(F.col("day").cast("string"), F.lit("<null>")),
         ),
         epsilon=1.0,
         sensitivity=1.0,

@@ -80,3 +80,19 @@ def test_expectation_suite_ledger(spark):
     assert by[("b", "unique_id")]["passed"] is False
     assert by[("b", "unique_id")]["fail_rate"] == 0.5
     assert by[("b", "val_pos")]["n_failed"] == 1
+
+
+def test_empty_batch_passes_cleanly(spark):
+    # An empty intake batch must report passed=true / fail_rate=0.0,
+    # not NULLs a gate filter would silently drop.
+    empty = _df(spark, [])
+    out = expectation_suite(
+        [
+            expect_condition(empty, "t", "val_pos", F.col("val") > 0),
+            expect_unique(empty, "t", "unique_id", ["id"]),
+        ]
+    ).collect()
+    assert len(out) == 2
+    for r in out:
+        assert (r["n_checked"], r["n_failed"]) == (0, 0)
+        assert r["passed"] is True and r["fail_rate"] == 0.0

@@ -160,3 +160,13 @@ def test_k_anonymity_audit_matches_python_replay(spark, rows):
             o, nc, nr, mn,
         )
         assert r["avg_l"] == avg and r["pct_rows"] == pct
+
+
+def test_laplace_noise_null_key_propagates(spark):
+    # NULL cell key -> NULL noise (matches the oracle's || semantics);
+    # release queries coalesce key components to a sentinel instead.
+    df = spark.createDataFrame([(None,), ("k",)], "key: string")
+    out = {r["key"]: r["n"] for r in df.select(
+        "key", laplace_noise(F.col("key")).alias("n")
+    ).collect()}
+    assert out[None] is None and out["k"] is not None
