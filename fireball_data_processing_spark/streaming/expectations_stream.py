@@ -16,12 +16,16 @@ Plan shape, all stateless: the caller declares the suite ONCE as a
 epoch the batch is persisted (each check scans it once — without the
 persist every check would re-read the source), the suite ledger
 (n_checks rows) is collected driver-side to decide the verdict
-(bounded by suite size, never data size), and three idempotent
-epoch-partitioned writes follow: the ledger always, the batch to the
-admit or quarantine path by verdict. Restart/replay semantics are the
-``write_epoch_partition`` contract shared with every other sink in
-``sinks_stream.py``: a replayed epoch replaces exactly its own
-partitions.
+(bounded by suite size, never data size), and idempotent writes
+follow: the ledger on the shared ``write_epoch_partition`` sink, and
+the batch to BOTH routed destinations — the verdict's path gets the
+rows, the other path gets its ``batch_id=<epoch>`` directory
+overwritten EMPTY. Writing the loser empty (rather than skipping it)
+is what makes replay exact under redelivery: when a producer replaces
+a quarantined drop with a corrected file and the epoch's verdict FLIPS
+on replay, dynamic partition overwrite alone would leave the stale
+copy in the old destination (it only replaces partitions present in
+the new write); the explicit epoch-directory overwrite clears it.
 
 At corpus scale nothing here grows with data except the checks
 themselves (scan + constant-output aggregates, AQE-sized FK joins —
@@ -31,6 +35,7 @@ epoch.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -47,6 +52,17 @@ from fireball_data_processing_spark.streaming.sinks_stream import (
 __all__ = ["run_expectation_gate", "run_expectation_gate_from_stream"]
 
 
+def _overwrite_epoch_dir(batch_df: DataFrame, epoch_id: int, path: str) -> None:
+    """Overwrite exactly ``path/batch_id=<epoch>`` — same on-disk layout
+    as ``write_epoch_partition`` (partition value inferred from the
+    directory name on read), but the replacement happens even when
+    ``batch_df`` is EMPTY, which dynamic partition overwrite cannot do
+    (it only replaces partitions present in the written data)."""
+    batch_df.write.mode("overwrite").parquet(
+        os.path.join(path, f"batch_id={int(epoch_id)}")
+    )
+
+
 def run_expectation_gate_from_stream(
     stream: DataFrame,
     checks_fn: Callable[[DataFrame], list[DataFrame]],
@@ -56,9 +72,15 @@ def run_expectation_gate_from_stream(
     quarantine_path: str | None = None,
     trigger_available_now: bool = True,
 ):
-    """Drive the contract gate over ANY streaming frame (the connector
-    seam — the file-source convenience below and the Kinesis-shaped
-    fake in the tests both funnel through here)."""
+    """Drive the contract gate over ANY streaming frame — the connector
+    seam (test-pinned directly): swap the file source for a real
+    connector by passing its frame here.
+
+    With ``trigger_available_now=True`` (the drain-the-backlog shape)
+    the call blocks until the stream finishes and returns the
+    terminated query; with ``False`` it returns the RUNNING
+    ``StreamingQuery`` immediately — the caller owns stop/await, like
+    every other sink in ``sinks_stream.py``."""
 
     def _gate(batch_df: DataFrame, epoch_id: int) -> None:
         batch_df.persist()
@@ -71,9 +93,16 @@ def run_expectation_gate_from_stream(
                 ledger_path,
             )
             admitted = all(r["passed"] for r in rows)
-            route = admit_path if admitted else quarantine_path
-            if route is not None:
-                write_epoch_partition(batch_df, epoch_id, route)
+            # winner gets the rows; loser's epoch dir is overwritten
+            # EMPTY so a verdict flip on redelivery replay clears the
+            # stale copy (see module docstring)
+            empty = batch_df.limit(0)
+            for route, df in (
+                (admit_path, batch_df if admitted else empty),
+                (quarantine_path, empty if admitted else batch_df),
+            ):
+                if route is not None:
+                    _overwrite_epoch_dir(df, epoch_id, route)
         finally:
             batch_df.unpersist()
 
@@ -85,7 +114,8 @@ def run_expectation_gate_from_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     q = writer.start()
-    q.awaitTermination()
+    if trigger_available_now:
+        q.awaitTermination()
     return q
 
 

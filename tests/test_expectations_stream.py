@@ -84,7 +84,8 @@ def test_contract_gate_replay_is_idempotent(spark, tmp_path):
     _run(spark, base)
     first = spark.read.parquet(os.path.join(base, "ledger")).collect()
     # a fresh checkpoint replays both drops with the same epoch ids: the
-    # dynamic partition overwrite must REPLACE, never duplicate
+    # epoch overwrites must REPLACE, never duplicate — on BOTH routed
+    # destinations, not just admit
     import shutil
 
     shutil.rmtree(os.path.join(base, "ckpt"))
@@ -95,3 +96,59 @@ def test_contract_gate_replay_is_idempotent(spark, tmp_path):
     assert sorted(map(key, again)) == sorted(map(key, first))
     admitted = spark.read.parquet(os.path.join(base, "admit"))
     assert admitted.count() == 3
+    quarantined = spark.read.parquet(os.path.join(base, "quarantine"))
+    assert sorted(r["id"] for r in quarantined.collect()) == [1, 1, 2]
+
+
+def test_redelivery_verdict_flip_clears_stale_quarantine(spark, tmp_path):
+    # the docstring's redelivery workflow: the producer replaces a
+    # quarantined drop with a corrected file and the replay's verdict
+    # FLIPS — the stale quarantine copy must be cleared, not orphaned
+    base = str(tmp_path)
+    landing = os.path.join(base, "landing")
+    clean, bad = _stage_drops(landing)
+    _run(spark, base)
+    assert spark.read.parquet(os.path.join(base, "quarantine")).count() == 3
+
+    pd.DataFrame({"id": [1, 2, 3], "val": [5, 6, 3]}).to_parquet(bad)
+    os.utime(bad, (os.path.getmtime(clean) + 5,) * 2)
+    import shutil
+
+    shutil.rmtree(os.path.join(base, "ckpt"))
+    _run(spark, base)
+    admitted = spark.read.parquet(os.path.join(base, "admit"))
+    assert sorted(r["id"] for r in admitted.collect()) == [1, 2, 3, 10, 11, 12]
+    assert spark.read.parquet(os.path.join(base, "quarantine")).count() == 0
+    ledger = spark.read.parquet(os.path.join(base, "ledger"))
+    assert ledger.filter(~F.col("passed")).count() == 0
+
+
+def test_contract_gate_through_connector_seam(spark, tmp_path):
+    # the seam itself: hand run_expectation_gate_from_stream a frame we
+    # built (any connector's frame plugs in the same way) and pin
+    # row-identical routing vs the file-source convenience wrapper
+    from fireball_data_processing_spark.streaming.expectations_stream import (
+        run_expectation_gate_from_stream,
+    )
+
+    base = str(tmp_path)
+    _stage_drops(os.path.join(base, "landing"))
+    stream = (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(os.path.join(base, "landing"))
+    )
+    q = run_expectation_gate_from_stream(
+        stream,
+        _checks,
+        ledger_path=os.path.join(base, "ledger"),
+        checkpoint_dir=os.path.join(base, "ckpt"),
+        admit_path=os.path.join(base, "admit"),
+        quarantine_path=os.path.join(base, "quarantine"),
+    )
+    assert not q.isActive  # availableNow drains and terminates
+    admitted = spark.read.parquet(os.path.join(base, "admit"))
+    assert sorted(r["id"] for r in admitted.collect()) == [10, 11, 12]
+    quarantined = spark.read.parquet(os.path.join(base, "quarantine"))
+    assert sorted(r["id"] for r in quarantined.collect()) == [1, 1, 2]
