@@ -487,14 +487,18 @@ def connected_components(
     be closed transitively first, then one canonical doc kept per cluster.
 
     Iterative min-label propagation: each round every vertex takes the min
-    of its own label and its neighbors' labels; converged when a round
-    changes nothing. Rounds needed = cluster diameter — small for near-dup
+    of its own label and its neighbors' labels (own label folded in via
+    self-loop edges, so a round is ONE join + ONE aggregate); converged
+    when a round changes nothing — detected by the label SUM going flat
+    (labels only decrease, so an unchanged sum means an unchanged
+    labeling). Rounds needed = cluster diameter — small for near-dup
     clusters (pairs share LSH buckets, so clusters are dense). This is a
     genuinely iterative algorithm (Spark has no recursive SQL):
     per-round ``localCheckpoint`` truncates the lineage, which would
-    otherwise grow exponentially, and the convergence check is one count()
-    action per round — driver-side control flow, executor-side data.
-    ``max_iter`` guards pathological chain graphs; raises if unconverged.
+    otherwise grow exponentially, and the convergence probe is one tiny
+    aggregate action per round — driver-side control flow, executor-side
+    data. ``max_iter`` guards pathological chain graphs; raises if
+    unconverged.
 
     **Escape hatch for chain-shaped graphs** (``max_iter`` exceeded, or
     known-adversarial inputs): ``shortcut=True`` adds pointer jumping —
@@ -514,36 +518,56 @@ def connected_components(
     code path. Both modes return identical (vertex, min-id component)
     output.
     """
+    # ONE traversal of the pairs subtree: both edge directions come out of
+    # a single explode instead of a two-branch union that re-executed the
+    # (possibly expensive — LSH candidate generation) pair pipeline twice
+    # per action (guide §2.4: remove duplicated subtrees feeding a shuffle).
     e = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionByName(
-            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(id_b).alias("src"), F.col(id_a).alias("dst")
+                    ),
+                )
+            ).alias("__e")
         )
+        .select(F.col("__e.src").alias("src"), F.col("__e.dst").alias("dst"))
         .distinct()
         .localCheckpoint()
     )
-    labels = (
-        e.select(F.col("src").alias("vertex"))
-        .distinct()
-        .withColumn("component", F.col("vertex"))
-        .localCheckpoint()
-    )
+    verts = e.select(F.col("src").alias("vertex")).distinct()
+    # Self-loop edges fold each vertex's OWN label into the neighbor-min
+    # aggregate, collapsing the old two-join round (neighbor-min join +
+    # least()-merge join) into ONE join + ONE aggregate per round
+    # (guide §2.4). Every vertex appears as src in `e` (both directions
+    # are present), so groupBy(src) still emits every vertex.
+    e_all = e.unionByName(
+        verts.select(
+            F.col("vertex").alias("src"), F.col("vertex").alias("dst")
+        )
+    ).localCheckpoint()
+    labels = verts.withColumn("component", F.col("vertex")).localCheckpoint()
+    # Convergence probe: labels only ever DECREASE (min-fold over a set
+    # containing the current label), so the label sum strictly decreases
+    # until the fixpoint — one tiny aggregate replaces the old per-round
+    # __changed bookkeeping columns. decimal(38,0) keeps a 1e9-vertex
+    # sum of 64-bit ids exactly representable (no overflow, no FP fuzz).
+    def _label_sum(frame: DataFrame):
+        return frame.agg(
+            F.sum(F.col("component").cast("decimal(38,0)"))
+        ).collect()[0][0]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iter):
-        neighbor_min = (
-            e.join(labels, e["dst"] == labels["vertex"])
-            .groupBy("src")
-            .agg(F.min("component").alias("__nmin"))
-        )
         updated = (
-            labels.join(neighbor_min, labels["vertex"] == neighbor_min["src"], "left")
-            .select(
-                "vertex",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("__nmin"), F.col("component"))
-                ).alias("component"),
-                (F.coalesce(F.col("__nmin"), F.col("component")) < F.col("component"))
-                .alias("__changed"),
-            )
+            e_all.join(labels, e_all["dst"] == labels["vertex"])
+            .groupBy("src")
+            .agg(F.min("component").alias("component"))
+            .select(F.col("src").alias("vertex"), "component")
             .localCheckpoint()
         )
         if shortcut:
@@ -551,8 +575,8 @@ def connected_components(
             # value is always a vertex id present in `updated` (labels
             # start as vertex ids and only min-fold over them), so the
             # left join always matches; coalesce is belt-and-braces.
-            # __changed must see jump-only progress too, else a round
-            # that only shortcuts would look converged one round early.
+            # Jump-only progress still moves the label sum down, so the
+            # convergence probe sees it.
             l2 = updated.select(
                 F.col("vertex").alias("__v2"), F.col("component").alias("__c2")
             )
@@ -561,17 +585,14 @@ def connected_components(
                 .select(
                     "vertex",
                     F.coalesce("__c2", "component").alias("component"),
-                    (
-                        F.col("__changed")
-                        | (F.coalesce("__c2", "component") < F.col("component"))
-                    ).alias("__changed"),
                 )
                 .localCheckpoint()
             )
-        n_changed = updated.filter(F.col("__changed")).count()
-        labels = updated.drop("__changed")
-        if n_changed == 0:
+        new_sum = _label_sum(updated)
+        labels = updated
+        if new_sum == prev_sum:
             return labels
+        prev_sum = new_sum
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds; "
         "the pair graph has a longer chain than expected — raise max_iter "

@@ -1173,8 +1173,8 @@ def q_streaming_ingest_near_pipeline(spark: SparkSession, sf_dir: str) -> DataFr
     index = corpus_band_index(
         minhash_signature(corpus), num_hashes=8, band_size=2
     ).localCheckpoint()
-    # parallelism floor: each staged slice is ONE small file (coalesce(1)
-    # in stage_incoming_slices) and thus one input partition; the near
+    # parallelism floor: each staged slice is ONE small file (one file
+    # per slice dir by stage_incoming_slices) and thus one input partition; the near
     # gate's per-row MinHash expression is the cost center — measured 3x
     # when fanned to the core count. Passed as a constructor flag (the
     # caller KNOWS its slices are small) instead of a per-epoch

@@ -67,6 +67,27 @@ __all__ = [
     "read_pipeline_totals",
 ]
 
+# Unbound-Column cache for the per-epoch plan: Spark Columns are immutable
+# expression trees resolved against whatever frame they are applied to, so
+# the Gopher rule columns and the content-hash column can be built ONCE per
+# (min_words) and reused by every micro-batch. Without this, every epoch
+# re-ran the whole py4j expression-construction chatter (~0.3-0.5 s/epoch
+# measured driver-side at sf0.1 — pure plan BUILD cost, before any job ran;
+# guide §1.1: find where the time actually goes, here the driver).
+_GATE_EXPR_CACHE: dict[int, tuple[F.Column, F.Column, F.Column]] = {}
+
+
+def _gate_exprs(min_words: int) -> tuple[F.Column, F.Column, F.Column]:
+    hit = _GATE_EXPR_CACHE.get(min_words)
+    if hit is None:
+        rules = gopher_rules(F.col("text"), min_words=min_words)
+        hit = _GATE_EXPR_CACHE[min_words] = (
+            rules["n_words"],
+            rules["passes_gopher"],
+            content_hash(),
+        )
+    return hit
+
 
 def should_broadcast_index(index: DataFrame) -> bool:
     """Size-aware broadcast decision for the static gate index: compare
@@ -107,15 +128,38 @@ def stage_incoming_slices(
     ``doc_id % 4 != 0`` staged at ``n_slices=4``), simulating files
     landing in an ingest directory. Each slice becomes one micro-batch
     under ``maxFilesPerTrigger=1``. Returns the slice directory paths
-    in arrival order."""
-    paths = []
-    for s in range(n_slices):
-        p = os.path.join(staging_dir, f"slice={s}")
-        incoming.filter(
-            F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_slices)) == s
-        ).coalesce(1).write.mode("overwrite").parquet(p)
-        paths.append(p)
-    return paths
+    in arrival order (only slices that received rows exist on disk).
+
+    ONE pass over ``incoming``: a ``partitionBy("slice")`` write after a
+    hash repartition on the slice value — every slice value lands wholly
+    in one task, so each ``slice=N`` directory holds exactly one file
+    (the ``maxFilesPerTrigger=1`` = one-epoch-per-slice contract). The
+    previous form ran one filtered scan + write PER slice — n_slices
+    full scans of the incoming frame for the same bytes on disk (guide
+    §1.2: fix the distributed algorithm first; §6: one output pass).
+    The repartition count is a multiple of ``n_slices`` so distinct
+    slice values spread over distinct tasks with high probability (guide
+    §2.5 — a hash collision only serializes two slice writes through
+    one task, it cannot corrupt slice membership). ``partitionBy``
+    strips the synthetic ``slice`` column from the files, so the staged
+    schema stays exactly ``incoming.schema``; the stream reader's
+    ``recursiveFileLookup`` never does partition inference on the
+    ``slice=N`` names."""
+    (
+        incoming.withColumn(
+            "slice",
+            F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_slices)).cast("int"),
+        )
+        .repartition(n_slices * 8, F.col("slice"))
+        .write.mode("overwrite")
+        .partitionBy("slice")
+        .parquet(staging_dir)
+    )
+    return [
+        p
+        for s in range(n_slices)
+        if os.path.isdir(p := os.path.join(staging_dir, f"slice={s}"))
+    ]
 
 
 def ingest_pipeline_batch(
@@ -162,9 +206,9 @@ def ingest_pipeline_batch(
     at corpus scale: the reader's byte-based splits already provide the
     parallelism.
     """
-    rules = gopher_rules(F.col("text"), min_words=min_words)
+    n_words_col, passes_col, hash_col = _gate_exprs(min_words)
     if gate == "exact":
-        keyed = batch_df.withColumn("content_hash", content_hash())
+        keyed = batch_df.withColumn("content_hash", hash_col)
         if broadcast_index is None:
             broadcast_index = should_broadcast_index(index)
         right = F.broadcast(index) if broadcast_index else index
@@ -175,9 +219,7 @@ def ingest_pipeline_batch(
         fresh = near_new_documents(batch_df, index)
     else:
         raise ValueError(f"unknown gate {gate!r}; expected 'exact' or 'near'")
-    gated = fresh.withColumn("n_words", rules["n_words"]).filter(
-        rules["passes_gopher"]
-    )
+    gated = fresh.withColumn("n_words", n_words_col).filter(passes_col)
     return gated.groupBy("source", "lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_words").cast("bigint").alias("n_tokens"),

@@ -94,6 +94,51 @@ def stream_new_documents(
 
 # --- near-duplicate gate ------------------------------------------------
 
+# Unbound-Column cache for the near gate's per-row expressions: the MinHash
+# signature (an aggregate-over-transform tree, md5 per seed per shingle) and
+# the namespaced band keys are by far the largest expression trees in the
+# streaming surface, and a foreachBatch stream rebuilt them from Python on
+# EVERY micro-batch — pure py4j plan-construction chatter, measured as a
+# driver-side cost comparable to the epoch's actual job at sf0.1. Columns
+# are immutable and unbound (resolved by name against whichever frame they
+# are applied to), so one tree serves every epoch and every batch caller.
+_NEAR_EXPR_CACHE: dict[tuple, tuple[F.Column, list[F.Column]]] = {}
+
+
+def _near_gate_exprs(
+    text_col: str,
+    num_hashes: int,
+    band_size: int,
+    shingle_k: int,
+    max_shingles: int | None,
+) -> tuple[F.Column, list[F.Column]]:
+    key = (text_col, num_hashes, band_size, shingle_k, max_shingles)
+    hit = _NEAR_EXPR_CACHE.get(key)
+    if hit is None:
+        sh = shingles_of_words(
+            F.split(normalize_text(F.col(text_col)), " "), shingle_k
+        )
+        if max_shingles is not None:
+            sh = capped_shingles(sh, max_shingles)
+        sig_col = minhash_sig_expr(sh, num_hashes)
+        band_cols = []
+        for b in range(num_hashes // band_size):
+            # probe key namespaced by band index ("{b}#{band_key}") so
+            # every band's lookup can share ONE index subtree in
+            # near_new_documents; '#' cannot appear in the digit-only
+            # band_idx, so the concat is injective and "b#key" equality
+            # <=> (band_idx = b AND band_key = key)
+            band_key = F.concat_ws(
+                "|",
+                *[
+                    F.element_at("__sig", i + 1)
+                    for i in range(b * band_size, (b + 1) * band_size)
+                ],
+            )
+            band_cols.append(F.concat_ws("#", F.lit(str(b)), band_key))
+        hit = _NEAR_EXPR_CACHE[key] = (sig_col, band_cols)
+    return hit
+
 
 def corpus_band_index(
     sigs: DataFrame, num_hashes: int = 8, band_size: int = 2
@@ -133,28 +178,34 @@ def near_new_documents(
     near-duplicate anything under the shingle model).
     """
     n_bands = num_hashes // band_size
-    sh = shingles_of_words(
-        F.split(normalize_text(F.col(text_col)), " "), shingle_k
+    sig_col, band_cols = _near_gate_exprs(
+        text_col, num_hashes, band_size, shingle_k, max_shingles
     )
-    if max_shingles is not None:
-        sh = capped_shingles(sh, max_shingles)
-    out = docs.withColumn("__sig", minhash_sig_expr(sh, num_hashes))
+    out = docs.withColumn("__sig", sig_col)
     helpers = ["__sig"]
     for b in range(n_bands):
-        key = F.concat_ws(
-            "|",
-            *[
-                F.element_at("__sig", i + 1)
-                for i in range(b * band_size, (b + 1) * band_size)
-            ],
-        )
-        out = out.withColumn(f"__band{b}", key)
+        out = out.withColumn(f"__band{b}", band_cols[b])
         helpers.append(f"__band{b}")
+    # ONE namespaced index projection shared by every band's join: the
+    # per-band `filter(band_idx == b)` form built n_bands DISTINCT build
+    # sides, so each micro-batch (and each batch run) paid n_bands
+    # broadcast builds of the same index; with an identical subtree on
+    # every join, Spark's exchange reuse materializes the broadcast ONCE
+    # per plan and the remaining joins are pure probes (guide §2.4 /
+    # §3.1 — and in the capstone this repeats every epoch, so the saving
+    # multiplies by the epoch count).
+    keyed_index = band_index.select(
+        F.concat_ws(
+            "#", F.col("band_idx").cast("string"), F.col("band_key")
+        ).alias("__ikey"),
+        F.lit(True).alias("__ihit"),
+    )
     for b in range(n_bands):
-        # band_index is distinct on (band_idx, band_key), so each LEFT join
-        # matches at most one row — flags, never row multiplication
-        side = band_index.filter(F.col("band_idx") == b).select(
-            F.col("band_key").alias(f"__bk{b}"), F.lit(True).alias(f"__hit{b}")
+        # keyed_index is distinct on __ikey, so each LEFT join matches at
+        # most one row — flags, never row multiplication
+        side = keyed_index.select(
+            F.col("__ikey").alias(f"__bk{b}"),
+            F.col("__ihit").alias(f"__hit{b}"),
         )
         out = out.join(side, F.col(f"__band{b}") == F.col(f"__bk{b}"), "left")
         helpers += [f"__bk{b}", f"__hit{b}"]

@@ -35,7 +35,6 @@ epoch.
 
 from __future__ import annotations
 
-import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -52,15 +51,12 @@ from fireball_data_processing_spark.streaming.sinks_stream import (
 __all__ = ["run_expectation_gate", "run_expectation_gate_from_stream"]
 
 
-def _overwrite_epoch_dir(batch_df: DataFrame, epoch_id: int, path: str) -> None:
-    """Overwrite exactly ``path/batch_id=<epoch>`` — same on-disk layout
-    as ``write_epoch_partition`` (partition value inferred from the
-    directory name on read), but the replacement happens even when
-    ``batch_df`` is EMPTY, which dynamic partition overwrite cannot do
-    (it only replaces partitions present in the written data)."""
-    batch_df.write.mode("overwrite").parquet(
-        os.path.join(path, f"batch_id={int(epoch_id)}")
-    )
+# The routing writes below need the replacement to happen even for an
+# EMPTY frame (a verdict flip on replay must clear the stale copy);
+# write_epoch_partition now has exactly those semantics (it overwrites
+# the epoch's own directory directly), so the former local
+# ``_overwrite_epoch_dir`` helper is just an alias for the shared sink.
+_overwrite_epoch_dir = write_epoch_partition
 
 
 def run_expectation_gate_from_stream(

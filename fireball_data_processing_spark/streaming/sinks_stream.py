@@ -8,13 +8,13 @@ fanned out to several destinations (keep/reject routing by a quality
 predicate). Both are `foreachBatch` patterns:
 
 - **Idempotent sink**: every micro-batch is written to a
-  ``batch_id=<epoch>`` partition with dynamic partition overwrite
-  (:func:`..sources.maintenance.overwrite_partitions` semantics) — a
-  replayed epoch REPLACES its own partition instead of appending a
-  duplicate, which upgrades the file sink's at-least-once replay to
-  exactly-once output without any table-format dependency. Readers
-  just scan the directory; the epoch partition column also gives free
-  per-batch lineage/debugging.
+  ``batch_id=<epoch>`` partition (a plain overwrite of exactly that
+  epoch's directory — the partition value is inferred from the
+  directory name on read) — a replayed epoch REPLACES its own
+  partition instead of appending a duplicate, which upgrades the file
+  sink's at-least-once replay to exactly-once output without any
+  table-format dependency. Readers just scan the directory; the epoch
+  partition column also gives free per-batch lineage/debugging.
 - **Routing sink**: the micro-batch frame is persisted once, each
   route filters and writes from the cached frame (one source pass per
   batch, not one per destination), and every route is epoch-partition
@@ -27,10 +27,10 @@ the overwrite makes the replay harmless.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Mapping
 
 from pyspark.sql import Column, DataFrame
-from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 __all__ = [
@@ -41,15 +41,22 @@ __all__ = [
 
 
 def write_epoch_partition(batch_df: DataFrame, epoch_id: int, path: str) -> None:
-    """Write one micro-batch to ``batch_id=<epoch_id>`` with dynamic
-    partition overwrite: re-running the same epoch replaces its own
-    partition (idempotent replay), touching no other epoch's output."""
-    (
-        batch_df.withColumn("batch_id", F.lit(int(epoch_id)))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
-        .parquet(path)
+    """Write one micro-batch to ``batch_id=<epoch_id>``: re-running the
+    same epoch replaces its own partition (idempotent replay), touching
+    no other epoch's output.
+
+    Implemented as a plain overwrite of exactly the epoch's own
+    directory — the partition value is inferred from the directory name
+    on read, the same on-disk layout the earlier
+    ``partitionBy("batch_id")`` + dynamic-partition-overwrite form
+    produced, minus that form's per-epoch staging-dir + commit-rename
+    machinery (guide §1.2/§6: this sink runs once per micro-batch, so
+    its fixed cost multiplies by the epoch count). Strictly stronger
+    idempotency: an epoch replayed EMPTY now also clears its stale
+    partition, which dynamic overwrite cannot do (it only replaces
+    partitions present in the written data)."""
+    batch_df.write.mode("overwrite").parquet(
+        os.path.join(path, f"batch_id={int(epoch_id)}")
     )
 
 
