@@ -45,19 +45,34 @@ def write_epoch_partition(batch_df: DataFrame, epoch_id: int, path: str) -> None
     same epoch replaces its own partition (idempotent replay), touching
     no other epoch's output.
 
-    Implemented as a plain overwrite of exactly the epoch's own
-    directory — the partition value is inferred from the directory name
-    on read, the same on-disk layout the earlier
-    ``partitionBy("batch_id")`` + dynamic-partition-overwrite form
-    produced, minus that form's per-epoch staging-dir + commit-rename
-    machinery (guide §1.2/§6: this sink runs once per micro-batch, so
-    its fixed cost multiplies by the epoch count). Strictly stronger
-    idempotency: an epoch replayed EMPTY now also clears its stale
-    partition, which dynamic overwrite cannot do (it only replaces
-    partitions present in the written data)."""
-    batch_df.write.mode("overwrite").parquet(
-        os.path.join(path, f"batch_id={int(epoch_id)}")
-    )
+    Implemented as a write into a hidden staging directory (dot-prefixed,
+    so directory scans of ``path`` never see it) followed by one
+    delete+rename swap onto the epoch's own directory — the partition
+    value is inferred from the directory name on read, the same on-disk
+    layout the earlier ``partitionBy("batch_id")`` +
+    dynamic-partition-overwrite form produced, minus that form's
+    partitioned-write + per-partition commit machinery (guide §1.2/§6:
+    this sink runs once per micro-batch, so its fixed cost multiplies by
+    the epoch count; the swap is two filesystem metadata calls). The
+    swap — not a plain ``mode("overwrite")`` of the target dir — is
+    load-bearing: overwrite deletes the target BEFORE the job runs, so a
+    replayed batch whose frame derives from the sink's own output (the
+    replay-idempotency contract pinned by tests/test_cusum_stream.py)
+    would read files out from under itself. Writing to staging keeps the
+    old files readable for the whole job, like the dynamic form's
+    commit-time swap. Strictly stronger idempotency than dynamic
+    overwrite: an epoch replayed EMPTY also clears its stale partition
+    (dynamic overwrite only replaces partitions present in the written
+    data)."""
+    target = os.path.join(path, f"batch_id={int(epoch_id)}")
+    staging = os.path.join(path, f".batch_id={int(epoch_id)}.staging")
+    batch_df.write.mode("overwrite").parquet(staging)
+    jvm = batch_df.sparkSession._jvm
+    hconf = batch_df.sparkSession._jsc.hadoopConfiguration()
+    jtarget = jvm.org.apache.hadoop.fs.Path(target)
+    fs = jtarget.getFileSystem(hconf)
+    fs.delete(jtarget, True)
+    fs.rename(jvm.org.apache.hadoop.fs.Path(staging), jtarget)
 
 
 def idempotent_parquet_sink(
