@@ -73,6 +73,7 @@ def prefix_candidates(
     threshold: float,
     id_col: str = "doc_id",
     positional: bool = False,
+    pins: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Candidate ``(id_a, id_b)`` pairs via prefix filtering + length
     filter. Lossless for Jaccard >= ``threshold``: the returned set is a
@@ -83,6 +84,15 @@ def prefix_candidates(
     (measured 2.5x on the synthetic corpus) at the cost of a per-pair
     aggregate — worth it when verification arrays are long (see module
     docstring for the trade analysis).
+
+    The prefix table feeds BOTH sides of the pair self-join, so it is
+    persisted — without the pin each side re-executes the whole
+    df-count + rank-window pipeline (guide §2.4: duplicated subtrees;
+    measured ~2x on the sf0.1 candidate stage: 5.2 s -> 2.8 s warm).
+    The pinned frame is appended to ``pins`` when the caller passes a
+    list (``set_similarity_join`` does, and unpersists after its final
+    checkpoint); standalone callers inherit an LRU-evictable,
+    prefix-table-sized cache entry for the session.
     """
     df_tok = sets.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     ordered = sets.join(df_tok, "shingle")
@@ -106,7 +116,9 @@ def prefix_candidates(
     )
     pre = ranked.filter(F.col("__rn") <= prefix_len).select(
         id_col, "shingle", "__rn", "__n"
-    )
+    ).persist()
+    if pins is not None:
+        pins.append(pre)
     a = pre.select(
         F.col(id_col).alias("id_a"),
         F.col("shingle"),
@@ -212,11 +224,14 @@ def set_similarity_join(
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     sets = shingle_sets(docs, k, text_col, id_col).persist()
     cands = None
+    pins: list[DataFrame] = []
     try:
         # the candidate list has TWO consumers below (the id semi join and
         # the verification join) and is pair-count-sized — pin it, or the
         # whole prefix pipeline re-executes per consumer
-        cands = prefix_candidates(sets, threshold, id_col, positional).persist()
+        cands = prefix_candidates(
+            sets, threshold, id_col, positional, pins=pins
+        ).persist()
         # verification arrays ONLY for docs that appear in some candidate
         # pair — at corpus scale candidates are a sliver of the corpus
         # (0.6% of pairs on the synthetic data), so materializing sorted
@@ -272,6 +287,8 @@ def set_similarity_join(
         sets.unpersist()
         if cands is not None:
             cands.unpersist()
+        for p in pins:
+            p.unpersist()
     return out
 
 
