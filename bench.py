@@ -273,6 +273,13 @@ def main() -> None:
         ):
             if pre is not None:
                 pre(catalog)
+            # Measurement fix (r12, guide §1.3): several operators pin
+            # multi-consumer subtrees with .persist(); Spark's
+            # CacheManager serves an IDENTICAL fresh plan in the next
+            # sample from that cache, so without this clear the min-of-N
+            # would partly time warm-cache reruns instead of real work.
+            # Every sample now computes from the parquet inputs.
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(round(time.perf_counter() - t0, 3))

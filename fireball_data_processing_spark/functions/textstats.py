@@ -467,9 +467,20 @@ def bigram_logprob(
     )
     w_bigram = Window.partitionBy("__prev", "__cur")
     w_prev = Window.partitionBy("__prev")
-    counted = occ.withColumn(
-        "__cb", F.count(F.lit(1)).over(w_bigram).cast("double")
-    ).withColumn("__cp", F.count(F.lit(1)).over(w_prev).cast("double"))
+    # ONE exchange for BOTH count windows: hash-partitioning on __prev
+    # alone satisfies the (prev, cur) window's clustering requirement
+    # (all rows of a (prev, cur) group share a prev, so they co-locate),
+    # and the (prev, cur) sort the first window installs prefix-satisfies
+    # the second window's (prev) sort — so the explicit repartition
+    # (AQE-coalescible: no partition count pinned) replaces the planner's
+    # two back-to-back corpus-sized exchanges (guide §2.1: remove
+    # shuffles by partitioning once for several consumers; measured on
+    # doc_bigram_logprob: 3 occurrence-grain exchanges -> 2).
+    counted = (
+        occ.repartition(F.col("__prev"))
+        .withColumn("__cb", F.count(F.lit(1)).over(w_bigram).cast("double"))
+        .withColumn("__cp", F.count(F.lit(1)).over(w_prev).cast("double"))
+    )
     scored = counted.crossJoin(F.broadcast(vocab_size))
     neg_log2 = -F.log2(
         (F.col("__cb") + alpha) / (F.col("__cp") + alpha * F.col("__v"))

@@ -40,7 +40,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType, StructField, StructType
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 from pyspark.sql.window import Window
 
 from fireball_data_processing_spark.functions.rounding import spark_round
@@ -94,6 +94,52 @@ def transition_matrix(
     )
 
 
+def _collected_matrix(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    state_col: str,
+    round_dp: int = 8,
+) -> list:
+    """The :func:`transition_matrix` rows as a collected
+    ``[(src, dst, n, p), ...]`` list, in ONE distributed job: the lead
+    window + pair count collect RAW (|states|^2-bounded, dangling
+    destinations included), and the dangling-dst restriction +
+    row renormalization run driver-side. The frame form's broadcast
+    semi-join on the source set re-executes the whole window+aggregate
+    subtree as the broadcast side (guide §2.4: a duplicated subtree per
+    action), which doubled the data-proportional work of every
+    profile/entropy run; driver-side restriction over integer counts is
+    EXACT (the per-src totals are integer sums — no float
+    reassociation), so ``p = round(n / total, round_dp)`` is
+    bit-identical to the frame form's window division."""
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    raw = (
+        df.select(
+            F.col(state_col).alias("src"),
+            F.lead(state_col).over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .collect()  # bounded: |states|^2, dangling dst included
+    )
+    srcs = {r["src"] for r in raw}
+    kept = [r for r in raw if r["dst"] in srcs]
+    totals: dict = {}
+    for r in kept:
+        totals[r["src"]] = totals.get(r["src"], 0) + r["n"]
+    return [
+        (
+            r["src"],
+            r["dst"],
+            r["n"],
+            _spark_round(r["n"] / totals[r["src"]], round_dp),
+        )
+        for r in kept
+    ]
+
+
 def stationary_distribution(
     matrix: DataFrame,
     n_iter: int = 12,
@@ -124,16 +170,38 @@ def stationary_distribution(
             StructField("pi", DoubleType(), True),
         ]
     )
-    rows = sorted(
-        (
+    pi = _stationary_from_rows(
+        [
             (r["src"], r["dst"], r["p"])
             for r in matrix.select("src", "dst", "p").collect()
-        ),
-        key=lambda r: (_sort_key(r[0]), _sort_key(r[1])),
+        ],
+        n_iter,
+        round_dp,
+    )
+    if not pi:
+        return matrix.sparkSession.createDataFrame([], out_schema)
+    return matrix.sparkSession.createDataFrame(
+        sorted(pi.items(), key=lambda kv: _sort_key(kv[0])), out_schema
+    )
+
+
+def _stationary_from_rows(
+    collected: list, n_iter: int, round_dp: int
+) -> dict:
+    """The power iteration of :func:`stationary_distribution` over an
+    already-collected ``[(src, dst, p), ...]`` list — shared by the
+    DataFrame wrapper above and the profile/entropy callers that fold
+    several small per-query aggregates into ONE bounded collect (each
+    extra frame-side aggregate on the sub-kilobyte matrix frame costs a
+    full job launch per query run; driver arithmetic on the same rows is
+    free and value-identical under the ``_spark_round`` contract).
+    Returns ``{state: pi}`` (empty input -> empty dict)."""
+    rows = sorted(
+        collected, key=lambda r: (_sort_key(r[0]), _sort_key(r[1]))
     )  # bounded: |states|^2; sorted ONCE, outside the iteration
     states = sorted({s for s, _, _ in rows}, key=_sort_key)
     if not states:
-        return matrix.sparkSession.createDataFrame([], out_schema)
+        return {}
     start = _spark_round(1.0 / len(states), round_dp)
     pi = {s: start for s in states}
     for _ in range(n_iter):
@@ -142,9 +210,7 @@ def stationary_distribution(
             if s in pi:
                 acc.setdefault(d, []).append(pi[s] * p)
         pi = {d: _spark_round(sum(v), round_dp) for d, v in acc.items()}
-    return matrix.sparkSession.createDataFrame(
-        sorted(pi.items(), key=lambda kv: _sort_key(kv[0])), out_schema
-    )
+    return pi
 
 
 def markov_profile(
@@ -159,30 +225,54 @@ def markov_profile(
     """Per-state chain profile: out-transition count, self-loop
     probability, and the ``n_iter``-step power-iterate of the stationary
     distribution. Returns ``(state, n_out, self_prob, stationary_prob)``
-    ordered by state."""
-    mat = transition_matrix(df, key_col, order_col, state_col, round_dp)
-    mat = mat.localCheckpoint()
-    pi = stationary_distribution(mat, n_iter=n_iter, round_dp=round_dp)
-    per_src = mat.groupBy(F.col("src").alias("state")).agg(
-        F.sum("n").cast("bigint").alias("n_out"),
-        F.round(
-            F.coalesce(
-                F.max(F.when(F.col("src") == F.col("dst"), F.col("p"))),
-                F.lit(0.0),
-            ),
-            out_dp,
-        ).alias("self_prob"),
+    ordered by state.
+
+    The matrix is |states|^2-bounded by construction, so it crosses to
+    the driver ONCE and every model-sized step — the power iteration,
+    the per-src out-count/self-loop rollup, the pi join — runs there
+    (the removal_attribution contract). The previous shape
+    localCheckpoint-ed the matrix, collected it AGAIN inside
+    stationary_distribution, and then ran the per-src aggregate + pi
+    join as a distributed plan: three extra job launches per run on
+    sub-kilobyte frames (measured 1.8 s -> ~0.5 s at sf0.1 — guide
+    §1.1/§5: the driver round-trips were the cost, not the data).
+    Arithmetic is value-identical: integer out-counts, and every
+    rounded value goes through ``_spark_round`` exactly where the frame
+    form rounded."""
+    mat_rows = _collected_matrix(df, key_col, order_col, state_col, round_dp)
+    pi = _stationary_from_rows(
+        [(s, d, p) for s, d, _, p in mat_rows], n_iter, round_dp
     )
-    return (
-        per_src.join(pi, "state")
-        .select(
-            "state",
-            "n_out",
-            "self_prob",
-            F.round(F.col("pi"), out_dp).alias("stationary_prob"),
+    n_out: dict = {}
+    self_p: dict = {}
+    for s, d, n, p in mat_rows:
+        n_out[s] = n_out.get(s, 0) + n
+        if s == d:
+            self_p[s] = p
+    state_type = df.schema[state_col].dataType
+    out_schema = StructType(
+        [
+            StructField("state", state_type, True),
+            StructField("n_out", LongType(), True),
+            StructField("self_prob", DoubleType(), True),
+            StructField("stationary_prob", DoubleType(), True),
+        ]
+    )
+    rows = [
+        (
+            s,
+            int(n_out[s]),
+            _spark_round(self_p.get(s, 0.0), out_dp),
+            _spark_round(pi[s], out_dp),
         )
-        .orderBy("state")
-    )
+        for s in sorted(n_out, key=_sort_key)
+        if s in pi  # inner-join semantics of the frame form
+    ]
+    # rows are built in state order, so the local relation already IS
+    # the ordered-by-state output; an orderBy here would re-sort 5 rows
+    # through a range exchange — a whole extra job at the measured
+    # ~0.2 s/job floor (guide §5: driver/fixed costs)
+    return df.sparkSession.createDataFrame(rows, out_schema)
 
 
 def raw_transition_probs(

@@ -101,7 +101,13 @@ def budget_fill(
         ),
         F.lit(n_buckets - 1),
     )
-    sdf = df.withColumn("__bkt", bkt)
+    # the bucketed frame feeds TWO physical branches (the offsets
+    # aggregate and the per-row join probe); without a pin each branch
+    # re-executes the caller's whole upstream pipeline — for the
+    # domain_budget_fill composition that upstream includes regex-heavy
+    # per-row feature math (guide §2.4: persist a subtree with multiple
+    # consumers). Bucket-projection-sized, LRU-evictable.
+    sdf = df.withColumn("__bkt", bkt).persist()
     gcols = ([group_col] if group_col is not None else []) + ["__bkt"]
     bucket_sums = sdf.groupBy(*gcols).agg(F.sum(weight_col).alias("__bw"))
     w_off = (
@@ -338,7 +344,13 @@ def score_percentile_gate(
         if is_float
         else clamped
     )
-    with_b = scored.withColumn("__b", bucket)
+    # the bucketed frame feeds TWO physical branches (the phase-1 offsets
+    # aggregate and the phase-2 join probe); without a pin each branch
+    # re-executes the caller's whole upstream pipeline — for
+    # curriculum_stages that upstream is the full bigram-LM score plan
+    # (guide §2.4: persist a subtree with multiple consumers; measured
+    # 2.6 s -> 1.6 s on curriculum_stages at sf0.1).
+    with_b = scored.withColumn("__b", bucket).persist()
     # phase 1: per-(group, bucket) counts — groups x n_buckets rows.
     # Offsets accumulate in RANK DIRECTION (ascending keeps low scores
     # first, so low buckets precede; descending reverses), and the one

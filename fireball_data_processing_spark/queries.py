@@ -13032,32 +13032,62 @@ def q_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     |states|-row contraction; the data-proportional work is unchanged
     from markov_stationary_profile. Efficiency = H / log2(k), the
     predictability headroom number."""
+    import math
+
     from fireball_data_processing_spark.operators.markov import (
-        stationary_distribution,
-        transition_matrix,
+        _collected_matrix,
+        _sort_key,
+        _spark_round,
+        _stationary_from_rows,
     )
 
     ev = load_table(spark, sf_dir, "events")
-    mat = transition_matrix(
-        ev.select("user_id", "event_id", "event_type"),
-        key_col="user_id",
-        order_col="event_id",
-        state_col="event_type",
-    ).localCheckpoint()
-    pi = stationary_distribution(mat, n_iter=12)
-    hs = mat.groupBy(F.col("src").alias("state")).agg(
-        F.round(F.sum(-F.col("p") * F.log2(F.col("p"))), 8).alias("h")
-    )
-    k = F.count(F.lit(1))
-    return pi.join(hs, "state").agg(
-        k.cast("bigint").alias("n_states"),
-        F.round(F.sum(F.col("pi") * F.col("h")), 6).alias(
-            "entropy_rate_bits"
-        ),
-        F.round(F.log2(k.cast("double")), 6).alias("max_entropy_bits"),
-        F.round(
-            F.sum(F.col("pi") * F.col("h")) / F.log2(k.cast("double")), 6
-        ).alias("efficiency"),
+    # one bounded collect (|states|^2 rows, one distributed job) feeds
+    # the power iteration, the per-state entropies, and the final
+    # contraction driver-side — the markov_profile contract; the
+    # previous shape localCheckpoint-ed the matrix, collected it again
+    # for the iteration, and ran the entropy aggregate + pi join as
+    # distributed jobs on sub-kilobyte frames (guide §1.1/§5)
+    mat_rows = [
+        (s, d, p)
+        for s, d, _, p in _collected_matrix(
+            ev.select("user_id", "event_id", "event_type"),
+            key_col="user_id",
+            order_col="event_id",
+            state_col="event_type",
+        )
+    ]
+    pi = _stationary_from_rows(mat_rows, n_iter=12, round_dp=8)
+    ln2 = math.log(2.0)
+    by_src: dict = {}
+    for s, _, p in sorted(
+        mat_rows, key=lambda r: (_sort_key(r[0]), _sort_key(r[1]))
+    ):
+        by_src.setdefault(s, []).append(p)
+    hs = {
+        s: _spark_round(sum(-p * (math.log(p) / ln2) for p in ps), 8)
+        for s, ps in by_src.items()
+    }
+    joined = sorted(
+        (s for s in hs if s in pi), key=_sort_key
+    )  # inner-join semantics of the frame form
+    k = len(joined)
+    if k == 0:
+        row = (0, None, None, None)
+    else:
+        s_ph = _spark_round(sum(pi[s] * hs[s] for s in joined), 6)
+        log2k = math.log(float(k)) / ln2
+        if log2k == 0.0:  # k == 1: double division semantics, not NULL
+            eff = float("nan") if s_ph == 0.0 else float("inf")
+        else:
+            eff = _spark_round(
+                sum(pi[s] * hs[s] for s in joined) / log2k, 6
+            )
+        row = (k, s_ph, _spark_round(log2k, 6), eff)
+    return spark.createDataFrame(
+        [row],
+        "n_states bigint, entropy_rate_bits double, "
+        "max_entropy_bits double, efficiency double",
     )
 
 
