@@ -72,13 +72,24 @@ def _postings(
     text_col: str,
     id_col: str,
     term_filter: DataFrame | None = None,
+    by_term: bool = False,
 ) -> DataFrame:
     """(doc_id, dl, term, tf) for every distinct term of every doc.
 
     ``term_filter`` (a one-column ``term`` frame, broadcast) is applied
     BETWEEN the explode and the tf aggregation — joined above a built
     postings aggregate instead, the full corpus vocabulary would be
-    shuffled first (Catalyst cannot push a join below an aggregation)."""
+    shuffled first (Catalyst cannot push a join below an aggregation).
+
+    ``by_term`` repartitions the (filtered) exploded stream on ``term``
+    BEFORE the tf aggregation: hash(term) satisfies the aggregate's
+    (doc_id, dl, term) clustering, so the aggregate runs in place and a
+    downstream term-partitioned consumer (the df window, a per-term df
+    aggregate) needs no further exchange (guide §2.1). Only sensible
+    when the stream is already term-pruned (search) or the consumer
+    needs term partitioning anyway (tf_idf_top_terms): the trade is one
+    repartition of occurrence-grain rows against the aggregate's own
+    exchange PLUS the consumer's."""
     tok = docs.select(
         F.col(id_col).alias("doc_id"),
         tokens(F.col(text_col)).alias("toks"),
@@ -88,6 +99,8 @@ def _postings(
     )
     if term_filter is not None:
         exploded = exploded.join(F.broadcast(term_filter), "term")
+    if by_term:
+        exploded = exploded.repartition(F.col("term"))
     return exploded.groupBy("doc_id", "dl", "term").agg(
         F.count(F.lit(1)).alias("tf")
     )
@@ -142,7 +155,19 @@ def bm25_search(
     )
     distinct_terms = q_terms.select("term").distinct()
 
-    post = _postings(docs, text_col, id_col, term_filter=distinct_terms)
+    # ONE exchange for the whole per-term stage: hash-partitioning the
+    # query-term-filtered postings stream on `term` alone satisfies the
+    # clustering requirement of BOTH the tf aggregate (term is a subset
+    # of its (doc_id, dl, term) keys) and the df count-window, so the
+    # planner inserts no further shuffle for either (guide §2.1 —
+    # partition once for several consumers; was: one exchange per). The
+    # stream is already pruned to query-term postings by the broadcast
+    # filter below, so the repartition carries matching postings only —
+    # never the corpus vocabulary; no pinned partition count, AQE
+    # coalesces.
+    post = _postings(
+        docs, text_col, id_col, term_filter=distinct_terms, by_term=True
+    )
     # df as a count-over-window on the SAME postings subtree (postings
     # have one row per (doc, term), so count over the term partition IS
     # document frequency) — a groupBy+join-back would duplicate the whole
@@ -157,6 +182,10 @@ def bm25_search(
         .join(F.broadcast(stats))
         .withColumn("contrib", _bm25_contrib(k1, b))
         .join(F.broadcast(q_terms), "term")
+        # same trick on the query grain: one repartition on query_id
+        # satisfies the score aggregate's (query_id, doc_id) clustering
+        # AND the rank window's partitioning — 2 exchanges -> 1
+        .repartition(F.col("query_id"))
         .groupBy("query_id", "doc_id")
         .agg(F.round(F.sum("contrib"), 6).alias("score"))
     )
