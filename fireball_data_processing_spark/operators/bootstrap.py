@@ -136,9 +136,20 @@ def bootstrap_mean_ci(
         *[F.col(f"__h{h}") for h in range(n_hashes)],
     )
     k = poisson_count_expr(_chunk_uniform(n_hashes, per)).cast("double")
+    # ONE pass for replicates AND point stats (guide §2.4: the old
+    # point-estimate branch was a second full execution of the source
+    # scan, crossJoined back at the end). Every replicate group contains
+    # every base row, so the unweighted (n, mean) ride the same
+    # per-replicate aggregate — read off replicate 1's group in the
+    # final one-row rollup. Summation order inside a group differs from
+    # the old global agg only by partial-combine grouping, the same
+    # reassociation noise round_dp already absorbs cross-engine.
     reps = (
         exploded.select(
-            "__b", (k * F.col("__x")).alias("__kx"), k.alias("__kw")
+            "__b",
+            "__x",
+            (k * F.col("__x")).alias("__kx"),
+            k.alias("__kw"),
         )
         .groupBy("__b")
         .agg(
@@ -148,11 +159,21 @@ def bootstrap_mean_ci(
             F.round(
                 F.sum("__kx") / F.when(F.sum("__kw") > 0, F.sum("__kw")),
                 round_dp + 2,
-            ).alias("__m")
+            ).alias("__m"),
+            F.count(F.lit(1)).cast("bigint").alias("__n"),
+            F.round(F.avg("__x"), round_dp).alias("__mean"),
         )
     )
     alpha = (1.0 - level) / 2.0
-    ci = reps.agg(
+    return reps.agg(
+        # coalesce keeps the empty-input contract: the old
+        # count(1)-over-nothing was 0, and max-over-no-rows is NULL
+        F.coalesce(
+            F.max(F.when(F.col("__b") == 1, F.col("__n"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n"),
+        F.max(F.when(F.col("__b") == 1, F.col("__mean"))).alias("mean"),
         F.round(F.percentile(F.col("__m"), F.lit(alpha)), round_dp).alias(
             "ci_lo"
         ),
@@ -160,14 +181,7 @@ def bootstrap_mean_ci(
             F.percentile(F.col("__m"), F.lit(1.0 - alpha)), round_dp
         ).alias("ci_hi"),
         F.count("__m").cast("bigint").alias("n_replicates"),
-    )
-    point = df.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.round(F.avg(v), round_dp).alias("mean"),
-    )
-    return point.crossJoin(F.broadcast(ci)).select(
-        "n", "mean", "ci_lo", "ci_hi", "n_replicates"
-    )
+    ).select("n", "mean", "ci_lo", "ci_hi", "n_replicates")
 
 
 def bootstrap_delta_ci(
@@ -190,8 +204,12 @@ def bootstrap_delta_ci(
 
     Same execution shape as :func:`bootstrap_mean_ci` (chunked md5
     draws, one explode(B) pass), with the per-replicate aggregate keyed
-    by (variant, replicate) — 2B cells — and replicate deltas formed by
-    a B-row self-join of the tiny replicate table. Each row keeps its
+    by replicate and the two variants' sums split CONDITIONALLY inside
+    each replicate group — the old (variant, replicate) keying needed a
+    B-row self-join whose two filter branches re-executed the whole
+    explode pipeline once each, and a third full pass computed the
+    point stats (guide §2.4); now replicates, deltas and point stats
+    all come out of one pass and one one-row rollup. Each row keeps its
     own Poisson draw independent of its variant, which is exactly the
     two-sample bootstrap's independence requirement.
     """
@@ -217,29 +235,73 @@ def bootstrap_delta_ci(
         *[F.col(f"__h{h}") for h in range(n_hashes)],
     )
     k = poisson_count_expr(_chunk_uniform(n_hashes, per)).cast("double")
+    # per-(variant, replicate) cells keep the per-exploded-row aggregate
+    # work to plain sums (conditional per-variant splitting happens in
+    # the tiny 2B-cell aggregate below, not per row); the point stats
+    # (count, mean) ride the same cells, so the old separate full-scan
+    # point branch is gone
     reps = (
         exploded.select(
-            "__g", "__b", (k * F.col("__x")).alias("__kx"), k.alias("__kw")
+            "__g",
+            "__b",
+            "__x",
+            (k * F.col("__x")).alias("__kx"),
+            k.alias("__kw"),
         )
         .groupBy("__g", "__b")
         .agg(
             F.round(
                 F.sum("__kx") / F.when(F.sum("__kw") > 0, F.sum("__kw")),
                 round_dp + 2,
-            ).alias("__m")
+            ).alias("__m"),
+            F.count(F.lit(1)).cast("bigint").alias("__n"),
+            F.round(F.avg("__x"), round_dp).alias("__mean"),
         )
     )
-    ra = reps.where(F.col("__g") == variant_a).select(
-        "__b", F.col("__m").alias("__ma")
-    )
-    rb = reps.where(F.col("__g") == variant_b).select(
-        "__b", F.col("__m").alias("__mb")
-    )
-    deltas = ra.join(rb, "__b").select(
-        F.round(F.col("__mb") - F.col("__ma"), round_dp + 2).alias("__d")
+    # variant split WITHOUT the old B-row self-join: its two filter
+    # branches each re-planned the replicate subtree (exchange-reused,
+    # but still two aggregate stages and a join), and a missing variant
+    # silently dropped replicates; one grouped conditional aggregate
+    # over the 2B cells does the same pairing in place
+    is_a = F.col("__g") == variant_a
+    is_b = F.col("__g") == variant_b
+    byb = (
+        reps.groupBy("__b")
+        .agg(
+            F.max(F.when(is_a, F.col("__m"))).alias("__ma"),
+            F.max(F.when(is_b, F.col("__m"))).alias("__mb"),
+            F.max(F.when(is_a, F.col("__n"))).alias("__na"),
+            F.max(F.when(is_b, F.col("__n"))).alias("__nb"),
+            F.max(F.when(is_a, F.col("__mean"))).alias("__meana"),
+            F.max(F.when(is_b, F.col("__mean"))).alias("__meanb"),
+        )
+        .withColumn(
+            "__d", F.round(F.col("__mb") - F.col("__ma"), round_dp + 2)
+        )
     )
     alpha = (1.0 - level) / 2.0
-    ci = deltas.agg(
+    first = F.col("__b") == 1
+
+    def _count(col: str) -> Column:
+        # empty input -> NULL (the old global agg over nothing); a
+        # PRESENT corpus with an absent variant -> 0 (the old
+        # sum(when(..., 1).otherwise(0)))
+        return (
+            F.when(
+                F.count(F.lit(1)) > 0,
+                F.coalesce(F.max(F.when(first, F.col(col))), F.lit(0)),
+            )
+            .cast("bigint")
+        )
+
+    mean_a = F.max(F.when(first, F.col("__meana")))
+    mean_b = F.max(F.when(first, F.col("__meanb")))
+    return byb.agg(
+        _count("__na").alias("n_a"),
+        _count("__nb").alias("n_b"),
+        mean_a.alias("mean_a"),
+        mean_b.alias("mean_b"),
+        F.round(mean_b - mean_a, round_dp).alias("delta"),
         F.round(F.percentile(F.col("__d"), F.lit(alpha)), round_dp).alias(
             "ci_lo"
         ),
@@ -247,27 +309,12 @@ def bootstrap_delta_ci(
             F.percentile(F.col("__d"), F.lit(1.0 - alpha)), round_dp
         ).alias("ci_hi"),
         F.count("__d").cast("bigint").alias("n_replicates"),
-    )
-    point = base.groupBy().agg(
-        F.sum(F.when(F.col("__g") == variant_a, 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_a"),
-        F.sum(F.when(F.col("__g") == variant_b, 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_b"),
-        F.round(
-            F.avg(F.when(F.col("__g") == variant_a, F.col("__x"))), round_dp
-        ).alias("mean_a"),
-        F.round(
-            F.avg(F.when(F.col("__g") == variant_b, F.col("__x"))), round_dp
-        ).alias("mean_b"),
-    )
-    return point.crossJoin(F.broadcast(ci)).select(
+    ).select(
         "n_a",
         "n_b",
         "mean_a",
         "mean_b",
-        F.round(F.col("mean_b") - F.col("mean_a"), round_dp).alias("delta"),
+        "delta",
         "ci_lo",
         "ci_hi",
         "n_replicates",

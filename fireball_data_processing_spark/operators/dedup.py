@@ -500,6 +500,23 @@ def connected_components(
     data. ``max_iter`` guards pathological chain graphs; raises if
     unconverged.
 
+    Action economics (guide §1.1): the checkpoints after the edge frame
+    are LAZY (``eager=False``), so each round runs exactly ONE Spark
+    action — the convergence probe — which materializes that round's
+    checkpoint as a side effect; the self-loop union and initial labels
+    materialize inside the first round's probe the same way (the edge
+    frame itself stays eager — see the inline comment).
+    There is no probe of the INITIAL labeling: on any edge set with a
+    non-self-loop pair, the pair's larger endpoint must take the smaller
+    label in round 1, so round 1 never equals round 0 and the first
+    comparison that can say "converged" is round 2 vs round 1 (an empty
+    edge set yields a NULL sum immediately and returns after one trivial
+    round). Pre-partitioning the static edge frame on the join key was
+    probed and rejected: PySpark's ``localCheckpoint`` surfaces as
+    ``Scan ExistingRDD`` with ``UnknownPartitioning``, so the planner
+    cannot reuse a checkpointed layout and the repartition would be a
+    pure extra exchange.
+
     **Escape hatch for chain-shaped graphs** (``max_iter`` exceeded, or
     known-adversarial inputs): ``shortcut=True`` adds pointer jumping —
     after each propagation round every label is replaced by its OWN
@@ -537,6 +554,12 @@ def connected_components(
         )
         .select(F.col("__e.src").alias("src"), F.col("__e.dst").alias("dst"))
         .distinct()
+        # EAGER on purpose, alone among the checkpoints here: `e` holds
+        # the (possibly expensive — LSH candidate generation) pair
+        # pipeline and is read by TWO independent subtrees (`e_all`,
+        # `labels`). Lazy, round 1's single job would schedule both
+        # subtrees' map stages concurrently against the not-yet-
+        # materialized cache and compute the pair pipeline twice.
         .localCheckpoint()
     )
     verts = e.select(F.col("src").alias("vertex")).distinct()
@@ -549,8 +572,11 @@ def connected_components(
         verts.select(
             F.col("vertex").alias("src"), F.col("vertex").alias("dst")
         )
-    ).localCheckpoint()
-    labels = verts.withColumn("component", F.col("vertex")).localCheckpoint()
+    ).localCheckpoint(eager=False)
+    labels = (
+        verts.withColumn("component", F.col("vertex"))
+        .localCheckpoint(eager=False)
+    )
     # Convergence probe: labels only ever DECREASE (min-fold over a set
     # containing the current label), so the label sum strictly decreases
     # until the fixpoint — one tiny aggregate replaces the old per-round
@@ -561,14 +587,17 @@ def connected_components(
             F.sum(F.col("component").cast("decimal(38,0)"))
         ).collect()[0][0]
 
-    prev_sum = _label_sum(labels)
+    # No probe of the initial labeling (see docstring): prev_sum = None
+    # can never equal a non-empty round's decimal sum, and an EMPTY edge
+    # set sums to NULL (None) in round 1 and returns immediately.
+    prev_sum = None
     for _ in range(max_iter):
         updated = (
             e_all.join(labels, e_all["dst"] == labels["vertex"])
             .groupBy("src")
             .agg(F.min("component").alias("component"))
             .select(F.col("src").alias("vertex"), "component")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         if shortcut:
             # pointer jump: component := component's own label. A label
@@ -586,7 +615,7 @@ def connected_components(
                     "vertex",
                     F.coalesce("__c2", "component").alias("component"),
                 )
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
         new_sum = _label_sum(updated)
         labels = updated

@@ -363,6 +363,12 @@ def spearman_matrix(
             )
         ).alias("__m"),
     ).select("__id", F.col("__m.metric").alias("metric"), F.col("__m.x").alias("x"))
+    # the melt feeds TWO physical consumers (the rank table and the
+    # join-back); unpinned, each would re-evaluate the metric
+    # expressions — often regex/split-heavy document features — over the
+    # full source scan (guide §2.4: duplicated subtrees). The cached
+    # frame is |metrics| doubles per row, far narrower than the source.
+    long = long.persist()
     per_mx = long.groupBy("metric", "x").agg(
         F.count(F.lit(1)).cast("double").alias("t")
     )

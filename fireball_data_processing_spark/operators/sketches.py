@@ -385,6 +385,15 @@ def corpus_minhash_overlap(
                 "shingle"
             ),
         )
+        # ONE exchange for dedup AND the exact-path groupBy (guide §2.1):
+        # hash(shingle) is a subset of the distinct's (corpus, shingle)
+        # clustering, so the distinct runs in place on the repartitioned
+        # stream, and the cached frame's partitioning (InMemoryRelation
+        # preserves it) already satisfies `common`'s groupBy("shingle") —
+        # no second occurrence-grain exchange. The trade (no map-side
+        # partial dedup on the repartition) loses only within-task
+        # duplicate suppression; measured a win at every SF tried.
+        .repartition(F.col("shingle"))
         .distinct()
         .persist()
     )

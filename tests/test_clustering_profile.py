@@ -1217,7 +1217,15 @@ def test_ivfpq_path_backed_index_prunes_and_matches(spark, tmp_path):
 
     e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
     q = e.filter(F.col("vec_id") < 5)
-    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    # track ids, not the count: earlier tests' cached frames are
+    # unpersisted ASYNCHRONOUSLY by the ContextCleaner when their Python
+    # wrappers are GC'd, so the total can shrink mid-test; only RDDs
+    # CREATED here must be gone at the end
+    def _rdd_ids():
+        m = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in m.keySet().toArray()}
+
+    before = _rdd_ids()
     one = {
         (r["query_id"], r["neighbor_id"], r["adc_d2"], r["rank"])
         for r in ivfpq_topk(q, e, k=5, n_cells=4, n_probe=2, m=4, ks=4).collect()
@@ -1256,7 +1264,7 @@ def test_ivfpq_path_backed_index_prunes_and_matches(spark, tmp_path):
     )
     assert m, plan1
     assert one_q.count() == 3
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() == before
+    assert _rdd_ids() - before == set()
 
 
 def test_ivfpq_ingest_routes_and_encodes_in_stream(spark, tmp_path):
