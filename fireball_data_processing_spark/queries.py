@@ -8205,12 +8205,23 @@ def q_dedup_token_mass_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = lsh_candidate_pairs(sigs, num_hashes=8, band_size=2)
     sh = sigs.select(F.col("doc_id"), F.col("__sh").alias("sh"))
     j = jaccard_pairs(d, pairs, shingle_k=3, shingle_sets=sh)
-    hits = threshold_doc_hits(j)
-    toks = d.select(
-        "doc_id",
-        F.size(F.regexp_extract_all("text", F.lit(r"\w+|[^\w\s]"), 0))
-        .cast("bigint")
-        .alias("__toks"),
+    # pair-bounded x 9 rows, consumed by TWO broadcast builds below —
+    # pin so the band-join + jaccard subtree executes once (guide §2.4)
+    hits = threshold_doc_hits(j).persist()
+    # semi-join BEFORE tokenizing (guide §2.3 project-early, inverted:
+    # the expensive column is COMPUTED, so compute it only for docs the
+    # broadcast hit set keeps — the regex runs once per pair-bounded
+    # survivor instead of once per corpus row; the optimizer does not
+    # reorder a user projection past a join on its own)
+    toks = (
+        d.select("doc_id", "text")
+        .join(F.broadcast(hits.select("doc_id").distinct()), "doc_id")
+        .select(
+            "doc_id",
+            F.size(F.regexp_extract_all("text", F.lit(r"\w+|[^\w\s]"), 0))
+            .cast("bigint")
+            .alias("__toks"),
+        )
     )
     agg = (
         toks.join(F.broadcast(hits), "doc_id")

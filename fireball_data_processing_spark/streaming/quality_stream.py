@@ -104,15 +104,21 @@ def corpus_lm_index(
     functions.textstats.bigram_logprob` (normalized-text whitespace
     split), so a corpus doc scored against its own LM gets the same
     probability either way. One bigram explode + two aggregations; the
-    index never stores text longer than a token."""
+    index never stores text longer than a token.
+
+    The context totals are NOT a second pass over the corpus: cp(prev)
+    = sum over cur of cb(prev, cur), so ``prevs`` rolls up the compact
+    bigram table (distinct-bigram grain, vocab²-bounded) instead of
+    re-exploding every occurrence (guide §2.3/§2.4 — the old form ran
+    the tokenize+explode pipeline and an occurrence-grain shuffle
+    twice). Counts are integers < 2^53, so the double sum is exact —
+    identical cp to the occurrence-grain count."""
     pre = _word_arrays(docs, text_col, id_col)
     occ = _bigram_occurrences(pre, id_col)
     bigrams = occ.groupBy(
         F.col("__prev").alias("prev"), F.col("__cur").alias("cur")
     ).agg(F.count(F.lit(1)).cast("double").alias("cb"))
-    prevs = occ.groupBy(F.col("__prev").alias("prev")).agg(
-        F.count(F.lit(1)).cast("double").alias("cp")
-    )
+    prevs = bigrams.groupBy("prev").agg(F.sum("cb").alias("cp"))
     vocab = pre.select(F.explode(F.col("__words")).alias("__t")).agg(
         F.countDistinct("__t").cast("double").alias("v")
     )
