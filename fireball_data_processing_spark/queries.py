@@ -1037,13 +1037,24 @@ def q_streaming_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(base, ignore_errors=True)
     staging = f"{base}/staging"
-    stage_incoming_slices(incoming, staging, n_slices=4)
-    # materialize the corpus hash index ONCE — foreachBatch re-evaluates
-    # the static side per epoch, and without the pin each of the 4
-    # epochs would re-run the corpus scan + distinct
-    # (corpus_hash_index's own docstring contract; the index is
-    # distinct-hash-sized, so the checkpoint is tiny)
-    index = corpus_hash_index(corpus).localCheckpoint()
+    # staging write and index materialization are INDEPENDENT Spark
+    # actions — overlap them from two driver threads (guide §2.6) so
+    # the index build back-fills executors the staging write's tail
+    # leaves idle. The index pin itself is the foreachBatch contract:
+    # without it each of the 4 epochs would re-run the corpus scan +
+    # distinct (corpus_hash_index's own docstring; the checkpoint is
+    # distinct-hash-sized, tiny).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        staged = pool.submit(
+            stage_incoming_slices, incoming, staging, 4
+        )
+        index_f = pool.submit(
+            lambda: corpus_hash_index(corpus).localCheckpoint()
+        )
+        staged.result()
+        index = index_f.result()
     run_ingest_pipeline(
         spark, staging, incoming.schema, index,
         f"{base}/out", f"{base}/ckpt",
@@ -1165,14 +1176,25 @@ def q_streaming_ingest_near_pipeline(spark: SparkSession, sf_dir: str) -> DataFr
     )
     shutil.rmtree(base, ignore_errors=True)
     staging = f"{base}/staging"
-    stage_incoming_slices(incoming, staging, n_slices=4)
-    # pin the band index ONCE — foreachBatch re-evaluates the static
-    # side per epoch, and the index build is a corpus scan + shingle
-    # explode + distinct (far costlier than v1's hash index); the
-    # materialized form is one row per occupied LSH bucket, tiny
-    index = corpus_band_index(
-        minhash_signature(corpus), num_hashes=8, band_size=2
-    ).localCheckpoint()
+    # staging write and band-index materialization are INDEPENDENT
+    # Spark actions — overlap them from two driver threads (guide
+    # §2.6; the index build is the costlier leg here: corpus scan +
+    # shingle explode + distinct). The pin itself is the foreachBatch
+    # contract — the materialized form is one row per occupied LSH
+    # bucket, tiny.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        staged = pool.submit(
+            stage_incoming_slices, incoming, staging, 4
+        )
+        index_f = pool.submit(
+            lambda: corpus_band_index(
+                minhash_signature(corpus), num_hashes=8, band_size=2
+            ).localCheckpoint()
+        )
+        staged.result()
+        index = index_f.result()
     # parallelism floor: each staged slice is ONE small file (one file
     # per slice dir by stage_incoming_slices) and thus one input partition; the near
     # gate's per-row MinHash expression is the cost center — measured 3x
