@@ -80,6 +80,13 @@ def shapley_attribution(
             F.max("__c").alias("conv"),
         )
     )
+    # the touched branch used to re-run the events->per-user pipeline
+    # at USER grain; it now derives from this 2^k-row table's n_users
+    # (touched(ci) = sum of n_users over masks with bit ci set), so
+    # every downstream consumer is mask-grain (guide §2.3: decide on
+    # the small proxy). The v subtree still appears in more than one
+    # plan branch, but its two broadcast builds dedupe via exchange
+    # reuse and the remaining duplicate is one exchange of <=2^k rows.
     v = per_user.groupBy("mask").agg(
         F.round(F.avg("conv"), round_dp).alias("v"),
         F.count(F.lit(1)).cast("bigint").alias("n_users"),
@@ -115,9 +122,13 @@ def shapley_attribution(
         [(i, c, 1 << i) for i, c in enumerate(channels)],
         "ci int, channel string, bitv bigint",
     )
-    touched = per_user.crossJoin(F.broadcast(names.select("ci", "bitv"))).filter(
-        F.col("mask").bitwiseAND(F.col("bitv")) != 0
-    ).groupBy("ci").agg(F.count(F.lit(1)).cast("bigint").alias("touched_users"))
+    touched = (
+        v.select("mask", "n_users")
+        .crossJoin(F.broadcast(names.select("ci", "bitv")))
+        .filter(F.col("mask").bitwiseAND(F.col("bitv")) != 0)
+        .groupBy("ci")
+        .agg(F.sum("n_users").cast("bigint").alias("touched_users"))
+    )
     return (
         credit.join(F.broadcast(names.select("ci", "channel")), "ci")
         .join(touched, "ci", "left")
