@@ -133,29 +133,45 @@ def logrank_test(
             F.count(F.lit(1)).cast("double").alias("c"),
         )
     )
-    groups = sorted(r["g"] for r in per.select("g").distinct().collect())
-    ga, gb = groups[0], groups[1]
+    # ONE execution of the durations pipeline for the whole statistic
+    # (guide §1.1/§2.4): the old form ran it FOUR times — a
+    # distinct().collect() for the two group labels, one count() per
+    # group for (n_a, n_b), and the statistic itself. Everything after
+    # the (group, duration) aggregate is bucket-grain (bounded by
+    # construction), so the labels ride a global window, the group
+    # split becomes conditional aggregates on the duration grid (the
+    # exact same pairing the full-outer join produced), and the group
+    # totals fold into the final one-row rollup (sum of per-bucket
+    # counts IS the group's subject count).
     suffix = Window.partitionBy("g").orderBy("t").rowsBetween(
         Window.currentRow, Window.unboundedFollowing
     )
+    wall = Window.partitionBy()
     risked = per.select(
-        "g", "t", "d", F.sum("c").over(suffix).alias("n_risk")
+        "g", "t", "d", "c", F.sum("c").over(suffix).alias("n_risk")
+    ).select(
+        "g", "t", "d", "c", "n_risk",
+        F.min("g").over(wall).alias("__ga"),
+        F.max("g").over(wall).alias("__gb"),
     )
-    a = risked.filter(F.col("g") == ga).select(
-        F.col("t"), F.col("d").alias("d1"), F.col("n_risk").alias("n1")
-    )
-    b = risked.filter(F.col("g") == gb).select(
-        F.col("t"), F.col("d").alias("d2"), F.col("n_risk").alias("n2")
-    )
+    is_a = F.col("g") == F.col("__ga")
     # per-duration table over the union of observed buckets: a group
     # with no row at t is still AT RISK with its next bucket's suffix
     # count — carry it via a running backfill (last_value of the suffix
-    # sums ordered descending). Simpler exact form: full outer join and
-    # coalesce the missing side's n from the other rows' frame — here
-    # the duration grid is the union and missing n must be the group's
-    # risk just after t, i.e. the suffix count at the NEXT observed
-    # bucket of that group.
-    grid = a.join(b, "t", "full_outer")
+    # sums ordered descending); max(when(...)) reads off each group's
+    # single (g, t) row, NULL when the group is absent at t, exactly
+    # the full-outer-join-and-coalesce semantics of the old two-branch
+    # form (whose filter branches re-planned the risked subtree twice).
+    grid = risked.groupBy("t").agg(
+        F.max(F.when(is_a, F.col("d"))).alias("d1"),
+        F.max(F.when(is_a, F.col("n_risk"))).alias("n1"),
+        F.max(F.when(~is_a, F.col("d"))).alias("d2"),
+        F.max(F.when(~is_a, F.col("n_risk"))).alias("n2"),
+        F.sum(F.when(is_a, F.col("c"))).alias("__ca"),
+        F.sum(F.when(~is_a, F.col("c"))).alias("__cb"),
+        F.max("__ga").alias("__ga"),
+        F.max("__gb").alias("__gb"),
+    )
     wdesc = Window.orderBy(F.desc("t")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -169,6 +185,7 @@ def logrank_test(
         F.coalesce(
             F.col("n2"), F.max(F.col("n2")).over(wdesc), F.lit(0.0)
         ).alias("n2"),
+        "__ca", "__cb", "__ga", "__gb",
     )
     d = F.col("d1") + F.col("d2")
     n = F.col("n1") + F.col("n2")
@@ -180,19 +197,21 @@ def logrank_test(
     terms = filled.select(
         F.round(F.col("d1") - e1, round_dp).alias("__ome"),
         F.round(v, round_dp).alias("__v"),
-        F.col("d1").alias("__d1"),
+        "__ca", "__cb", "__ga", "__gb",
     )
-    na = durations.filter(F.col(group_col) == ga).count()
-    nb = durations.filter(F.col(group_col) == gb).count()
     agg = terms.agg(
         F.round(F.sum("__ome"), round_dp).alias("ome"),
         F.round(F.sum("__v"), round_dp).alias("var"),
+        F.sum("__ca").cast("bigint").alias("n_a"),
+        F.sum("__cb").cast("bigint").alias("n_b"),
+        F.max("__ga").alias("group_a"),
+        F.max("__gb").alias("group_b"),
     )
     return agg.select(
-        F.lit(ga).alias("group_a"),
-        F.lit(gb).alias("group_b"),
-        F.lit(int(na)).cast("bigint").alias("n_a"),
-        F.lit(int(nb)).cast("bigint").alias("n_b"),
+        "group_a",
+        "group_b",
+        "n_a",
+        "n_b",
         F.round(F.col("ome"), out_dp).alias("o_minus_e"),
         F.round(F.col("var"), out_dp).alias("var"),
         F.round(F.col("ome") / F.sqrt(F.col("var")), out_dp).alias("z"),
