@@ -102,6 +102,41 @@ def capped_shingles(sh: Column, max_shingles: int) -> Column:
     return F.when(F.size(sh) > max_shingles, sampled).otherwise(sh)
 
 
+def _spread_words(pre: DataFrame, id_col: str) -> DataFrame:
+    """Scale-gated parallelism spreader for pre-explode (id, words)
+    frames (guide §2.4/§2.5 — r12).
+
+    Small/local inputs arrive as one or two scan partitions (a file
+    only splits above ``spark.sql.files.maxPartitionBytes``), so the
+    shingle/gram explode and its per-element hashing would run
+    serially; an id-keyed repartition to the shuffle-partition count
+    fixes that, and downstream doc-grain stages reuse the partitioning.
+
+    At corpus scale the SAME repartition is a pure extra full-corpus
+    shuffle of the word arrays: the scan's byte-based splits already
+    provide the parallelism, and doc-grain aggregates are cheaper
+    unpartitioned (map-side partial combine + a tiny post-combine
+    exchange of per-doc rows instead of a corpus-bytes exchange —
+    guide §2.3, aggregate before you shuffle). So the repartition is
+    GATED on the frame's Catalyst size estimate: applied only while
+    the input could not have produced at least ``shuffle.partitions``
+    scan splits. The probe is driver-side plan metadata — no job runs
+    — and at bench scale the gate always fires, keeping the local plan
+    byte-identical to the unconditional form."""
+    spark = pre.sparkSession
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    jvm = spark.sparkContext._jvm
+    max_pb = int(
+        jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB")
+        )
+    )
+    est = int(pre._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    if est >= parts * max_pb:
+        return pre
+    return pre.repartition(parts, F.col(id_col))
+
+
 def _exploded_shingles(
     df: DataFrame,
     text_col: str,
@@ -128,10 +163,13 @@ def _exploded_shingles(
     contribute a deterministic uniform sample, so signatures/Jaccard become
     (tight) estimates for those docs only.
     """
-    parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    w = df.select(
-        F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("__words")
-    ).repartition(parts, F.col(id_col))
+    w = _spread_words(
+        df.select(
+            F.col(id_col),
+            F.split(normalize_text(F.col(text_col)), " ").alias("__words"),
+        ),
+        id_col,
+    )
     sh = shingles_of_words(F.col("__words"), k)
     if max_shingles is not None:
         sh = capped_shingles(sh, max_shingles)
@@ -665,11 +703,13 @@ def duplicate_spans(
     # re-executes. countDistinct isn't a window function; max(dense_rank
     # ordered by doc) over the gram partition counts distinct docs
     # exactly, with no per-group set buffer.
-    parts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    pre = docs.select(
-        F.col(id_col),
-        F.split(normalize_text(F.col(text_col)), " ").alias("__words"),
-    ).repartition(parts, F.col(id_col))
+    pre = _spread_words(
+        docs.select(
+            F.col(id_col),
+            F.split(normalize_text(F.col(text_col)), " ").alias("__words"),
+        ),
+        id_col,
+    )
     words = F.col("__words")
     grams = F.when(
         F.size(words) >= k,
@@ -790,13 +830,16 @@ def aligned_segments(
     slice lambda must reference a materialized column — and the explode
     consumer's doc-key stages reuse this partitioning).
     """
-    parts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    pre = docs.select(
-        F.col(id_col),
-        F.filter(
-            F.split(normalize_text(F.col(text_col)), " "), lambda s: s != ""
-        ).alias("__words"),
-    ).repartition(parts, F.col(id_col))
+    pre = _spread_words(
+        docs.select(
+            F.col(id_col),
+            F.filter(
+                F.split(normalize_text(F.col(text_col)), " "),
+                lambda s: s != "",
+            ).alias("__words"),
+        ),
+        id_col,
+    )
     words = F.col("__words")
     segs = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(words) - 1, F.lit(0)), F.lit(seg_words)),
@@ -965,11 +1008,13 @@ def contamination_spans(
     question) -> per-doc gaps-and-islands. Contact is bounded by grams
     literally shared with the benchmark.
     """
-    parts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    pre = docs.select(
-        F.col(id_col),
-        F.split(normalize_text(F.col(text_col)), " ").alias("__words"),
-    ).repartition(parts, F.col(id_col))
+    pre = _spread_words(
+        docs.select(
+            F.col(id_col),
+            F.split(normalize_text(F.col(text_col)), " ").alias("__words"),
+        ),
+        id_col,
+    )
     words = F.col("__words")
     grams = F.when(
         F.size(words) >= k,
@@ -1048,13 +1093,16 @@ def content_defined_chunks(
     corpus whose every word is a boundary yields 1-word chunks; raise
     ``boundary_mod`` or pre-filter such rows).
     """
-    parts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    pre = docs.select(
-        F.col(id_col),
-        F.filter(
-            F.split(normalize_text(F.col(text_col)), " "), lambda s: s != ""
-        ).alias("__words"),
-    ).repartition(parts, F.col(id_col))
+    pre = _spread_words(
+        docs.select(
+            F.col(id_col),
+            F.filter(
+                F.split(normalize_text(F.col(text_col)), " "),
+                lambda s: s != "",
+            ).alias("__words"),
+        ),
+        id_col,
+    )
     occ = pre.select(
         F.col(id_col), F.posexplode("__words").alias("pos", "word")
     ).withColumn(
