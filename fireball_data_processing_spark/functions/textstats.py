@@ -238,16 +238,24 @@ def unigram_logprob(
     text. Output: ``(id_col, avg_neg_log2_prob, n_tokens)``; token-less
     docs are absent (no distribution to score under).
 
-    Plan: one token explode feeds BOTH the vocabulary count and the
-    scoring join (token -> count), then a per-doc average. The vocabulary
-    is Zipf-bounded (token cardinality, not corpus size) and PERSISTED:
-    it has two consumers (the broadcast scoring join and the grand-total
-    aggregate), and without pinning, each re-derives it from a fresh
-    corpus scan — broadcast subtrees get no exchange reuse. The grand
-    total rides in as a one-row broadcast cross join, never a global
-    window. At 100 TB, materialize the vocabulary to parquet once and
-    broadcast its head with a smoothed tail instead of equi-joining the
-    full table.
+    Plan (r12 re-plan): one token explode feeds the vocabulary count,
+    the grand total, and the scoring join. The vocabulary's count
+    aggregate sits over a token-keyed Exchange that BOTH its consumers
+    (the scoring join's build side and the grand-total rollup) contain
+    identically, so ReuseExchange materializes it once — the old form
+    instead PERSISTED the vocab, which paid the same tokenize pass
+    under a separate cache-materialization job (one extra job barrier
+    + a cache write for a frame whose exchange was already shareable;
+    guide §2.4 — share one exchange, and §5 — persist only when
+    recompute beats the cache cost). The probe-side tokenize runs
+    CONCURRENTLY with the build side inside the one job. (An id-keyed
+    pre-explode repartition à la bigram_logprob was A/B'd and rejected
+    here: it deduplicates the regex pass but full-corpus-shuffles the
+    word arrays — measured slower locally and strictly more corpus
+    bytes moved at scale.) The grand total rides in as a one-row
+    broadcast cross join, never a global window. At 100 TB, materialize
+    the vocabulary to parquet once and broadcast its head with a
+    smoothed tail instead of equi-joining the full table.
     """
     from pyspark.sql import functions as F
 
@@ -257,7 +265,7 @@ def unigram_logprob(
         F.col(id_col),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("token"),
     ).filter(F.col("token") != "")
-    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("__c")).persist()
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("__c"))
     total = vocab.agg(F.sum("__c").cast("double").alias("__total"))
     scored = toks.join(vocab, "token").crossJoin(F.broadcast(total))
     avg = F.avg(-F.log2(F.col("__c").cast("double") / F.col("__total")))

@@ -137,6 +137,46 @@ def _spread_words(pre: DataFrame, id_col: str) -> DataFrame:
     return pre.repartition(parts, F.col(id_col))
 
 
+def _pin_if_large(df: DataFrame) -> DataFrame:
+    """Scale-gated persist for a frame with MULTIPLE physical consumers
+    (both sides of a self-join, a broadcast build + probe) whose
+    upstream pipeline is expensive at corpus scale (guide §2.4 —
+    duplicated subtrees; the r12 ``prefix_candidates`` lesson).
+
+    At corpus scale, re-executing the upstream per consumer doubles
+    full-corpus passes, so sharing one materialization is the only
+    sane plan. At LOCAL/bench scale the trade inverts: the upstream is
+    seconds of work, the consumers' subtrees execute CONCURRENTLY
+    (broadcast stages overlap the probe-side scan), and a persist
+    serializes them behind one cache-materialization job plus the
+    cache write (measured +50% on the LSH pair queries at sf0.1). So
+    the pin is GATED on the frame's Catalyst size estimate, the same
+    driver-side metadata probe (no job) as :func:`_spread_words`, with
+    the same threshold: pin only when the input is big enough that the
+    scan alone would have produced at least ``shuffle.partitions``
+    splits — i.e. when the duplicated pass would be corpus-sized. At
+    bench scale the gate always declines, keeping the local plan
+    byte-identical to the unpinned form."""
+    if df.isStreaming:
+        return df
+    spark = df.sparkSession
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    jvm = spark.sparkContext._jvm
+    max_pb = int(
+        jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB")
+        )
+    )
+    est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    # Estimates above ~1 EiB are propagated UNKNOWNS, not measurements
+    # (local relations under explode/aggregate multiply out to ~2^65;
+    # file sources always carry real byte counts) — treat unknown as
+    # small rather than pinning every in-memory test frame.
+    if parts * max_pb <= est < (1 << 60):
+        return df.persist()
+    return df
+
+
 def _exploded_shingles(
     df: DataFrame,
     text_col: str,
@@ -322,8 +362,15 @@ def lsh_candidate_pairs(
       optimizer picks broadcast (small signature table) or sort-merge (big
       one); the join keys ARE the bucket, so output stays bucket-bounded.
       Right when signatures flow straight from ``minhash_signature`` in a
-      one-shot pipeline: both join sides share the signature subtree and
-      Spark materializes the broadcast sides concurrently.
+      one-shot pipeline. The (id, band_idx, band_key) table feeds BOTH
+      join sides; at corpus scale it is pinned (:func:`_pin_if_large`)
+      so the upstream signature pipeline (scan -> shingle explode ->
+      minhash aggregate) executes once instead of once per side — the
+      pinned frame is doc×n_bands grain, orders of magnitude narrower
+      than the corpus. At local/bench scale the gate declines the pin
+      (the duplicated subtrees execute concurrently and cost less than
+      serializing behind a cache materialization — measured +50% at
+      sf0.1), keeping the small-scale plan unchanged.
     - ``grouped=True``: one shuffle on the band key collects each bucket's
       sorted id list and the i<j pairs explode locally inside the bucket —
       the banded table is consumed exactly ONCE. Right when ``sigs`` is a
@@ -364,6 +411,10 @@ def lsh_candidate_pairs(
             .filter(F.col("id_a") < F.col("id_b"))
             .distinct()
         )
+    # Both sides of the self-join read the banded table; at corpus
+    # scale pin it so the upstream signature pipeline executes once
+    # (guide §2.4; gate rationale in _pin_if_large).
+    banded = _pin_if_large(banded)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -1767,3 +1767,41 @@ def test_automation_oracle_replays_python_walk(duck):
     )
     want = {name: narrate_tree(js) for name, js in FX.AUTOMATION_ROWS}
     assert got == want
+
+
+def test_pin_if_large_gates_on_size_estimate(spark):
+    """_pin_if_large (r12): the multi-consumer pin must DECLINE at local
+    scale (plan byte-identical, no cache) and APPLY on a corpus-sized
+    estimate — the scale-adaptive persist behind lsh_candidate_pairs'
+    band self-join and winnow_copy_pairs' fingerprint self-join."""
+    from fireball_data_processing_spark.operators.dedup import _pin_if_large
+
+    small = spark.range(10)
+    assert _pin_if_large(small) is small  # gate declines: frame untouched
+
+    big = spark.range(1 << 33)  # ~64 GiB Catalyst estimate (8 B/row)
+    pinned = _pin_if_large(big)
+    try:
+        assert pinned.storageLevel.useMemory or pinned.storageLevel.useDisk
+    finally:
+        pinned.unpersist()
+
+
+def test_lsh_candidate_pairs_local_plan_unpinned(spark):
+    """At test scale the band self-join's plan must contain no
+    InMemoryRelation: the gate keeps the small-scale plan identical to
+    the historical unpinned form (concurrent subtree execution)."""
+    from fireball_data_processing_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog " * 3)
+         for i in range(4)],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signature(df, num_hashes=8, shingle_k=3)
+    pairs = lsh_candidate_pairs(sigs, num_hashes=8, band_size=2)
+    plan = pairs._jdf.queryExecution().optimizedPlan().toString()
+    assert "InMemoryRelation" not in plan
