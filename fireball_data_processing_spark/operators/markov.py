@@ -410,35 +410,55 @@ def removal_attribution(
     Frame-resident variants measured 12.2 s (one fixed-point chain per
     scenario) and 9.5 s (scenario-keyed fused frames) at EVERY SF —
     pure stage-launch + deep-plan overhead on sub-kilobyte frames; the
-    collected form keeps only the data-proportional 1-2 s."""
-    # bounded |states|^2-sized collect: the matrix IS the model state
-    matrix = [
-        (r["src"], r["dst"], r["p"])
-        for r in raw_transition_probs(
-            df, key_col, order_col, state_col, round_dp
-        ).collect()
-    ]
+    collected form keeps only the data-proportional 1-2 s.
+
+    The matrix and the start mix collect in ONE job (r12, guide §1.1
+    driver round-trips): ``lead`` and ``row_number`` ride the same
+    window spec in one projection, and the two bounded aggregates come
+    back as one tagged union — the per-user exchange is planned once
+    and the branches execute inside a single action instead of two
+    sequential collect jobs. Every aggregate/rounding expression is the
+    one the two-collect form used, so values are bit-identical."""
+    state_type = df.schema[state_col].dataType
     w = Window.partitionBy(key_col).orderBy(order_col)
-    firsts = (
-        df.select(
-            F.col(key_col).alias("__k"),
-            F.row_number().over(w).alias("__r"),
-            F.col(state_col).alias("state"),
+    base = df.select(
+        F.col(state_col).alias("state"),
+        F.lead(state_col).over(w).alias("dst"),
+        F.row_number().over(w).alias("__r"),
+    )
+    tot = Window.partitionBy("src")
+    m_branch = (
+        base.filter(F.col("dst").isNotNull())
+        .groupBy(F.col("state").alias("src"), F.col("dst"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            F.lit("m").alias("tag"),
+            F.col("src").alias("a"),
+            F.col("dst").alias("b"),
+            F.round(
+                F.col("n").cast("double") / F.sum("n").over(tot), round_dp
+            ).alias("v"),
         )
-        .filter(F.col("__r") == 1)
+    )
+    tot_all = Window.partitionBy()
+    p_branch = (
+        base.filter(F.col("__r") == 1)
         .groupBy("state")
         .agg(F.count(F.lit(1)).cast("double").alias("__c"))
-    )
-    tot = Window.partitionBy()
-    pi0 = {
-        r["state"]: r["pi0"]
-        for r in firsts.select(
-            "state",
+        .select(
+            F.lit("p").alias("tag"),
+            F.col("state").alias("a"),
+            F.lit(None).cast(state_type).alias("b"),
             F.round(
-                F.col("__c") / F.sum("__c").over(tot), round_dp
-            ).alias("pi0"),
-        ).collect()  # bounded: |states| rows
-    }
+                F.col("__c") / F.sum("__c").over(tot_all), round_dp
+            ).alias("v"),
+        )
+    )
+    # bounded collect: |states|^2 matrix rows + |states| start rows —
+    # the model state, never per-event data
+    collected = m_branch.unionByName(p_branch).collect()
+    matrix = [(r["a"], r["b"], r["v"]) for r in collected if r["tag"] == "m"]
+    pi0 = {r["a"]: r["v"] for r in collected if r["tag"] == "p"}
 
     # scenario enumeration is driver-side control flow, one scenario
     # per channel. Channels that only RECEIVE traffic (no outgoing
@@ -451,7 +471,6 @@ def removal_attribution(
     transient = sorted(
         s for s in all_states if s is not None and s != conv_state
     )
-    state_type = df.schema[state_col].dataType
     out_schema = StructType(
         [
             StructField("state", state_type, True),
@@ -499,6 +518,8 @@ def removal_attribution(
                 else _spark_round(1.0 - conv_c / conv_full, out_dp),
             )
         )
-    return df.sparkSession.createDataFrame(rows, out_schema).orderBy(
-        "state"
-    )
+    # rows are built iterating sorted(transient), so the local relation
+    # is ALREADY in state order — the old orderBy() here spent a whole
+    # range-exchange job sorting a |states|-row frame (the
+    # stationary-profile precedent; row sequence unchanged)
+    return df.sparkSession.createDataFrame(rows, out_schema)

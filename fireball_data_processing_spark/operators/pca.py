@@ -254,13 +254,15 @@ def power_iteration_pca_k(
             round_dp,
         )
         carr = F.zip_with(carr, F.lit(v), lambda a, b: a - proj * b)
-    return (
-        df.sparkSession.createDataFrame(
-            rows,
-            "component bigint, dim bigint, loading double, "
-            "eigenvalue double, var_share double",
-        )
-        .orderBy("component", "dim")
+    # rows are appended comp-ascending, dim-ascending — the local
+    # relation is ALREADY in (component, dim) order, so no orderBy();
+    # sorting here would spend a whole range-exchange job on a
+    # (n_components * d)-row frame (r12, the markov stationary-profile
+    # precedent; row sequence unchanged)
+    return df.sparkSession.createDataFrame(
+        rows,
+        "component bigint, dim bigint, loading double, "
+        "eigenvalue double, var_share double",
     )
 
 
@@ -289,10 +291,12 @@ def power_iteration_pca(
         (i + 1, spark_round(v[i], out_dp))
         for i in range(dim)
     ]
+    # rows are built dim-ascending — already in output order; see the
+    # orderBy note in power_iteration_pca_k (row sequence unchanged)
     out = spark.createDataFrame(rows, "dim bigint, loading double")
     return out.select(
         "dim",
         "loading",
         F.lit(spark_round(nrm, out_dp)).alias("eigenvalue"),
         F.lit(spark_round(nrm / total_scatter, out_dp)).alias("var_share"),
-    ).orderBy("dim")
+    )

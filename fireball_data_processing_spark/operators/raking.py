@@ -111,8 +111,12 @@ def raking_weights(
         )
         for rc, cc, n in sorted(cells)
     ]
+    # rows iterate sorted(cells), so the local relation is ALREADY in
+    # (row_cat, col_cat) order — an orderBy() here would spend a whole
+    # range-exchange job re-sorting a |cells|-row frame (r12, the
+    # markov stationary-profile precedent; row sequence unchanged)
     return df.sparkSession.createDataFrame(
         rows,
         "row_cat string, col_cat string, n bigint, weight double, "
         "weighted_share double",
-    ).orderBy("row_cat", "col_cat")
+    )
