@@ -288,6 +288,12 @@ def main() -> None:
 
     for name in HEADLINE:
         times[name] = timed(name)
+    # loadavg right after the headline loop: the headline total is the
+    # round-over-round comparison number, so ITS window's load matters
+    # separately from the ~20-minute extras pass that follows (the r12
+    # 32-core driver capture was judged unusable because the one-line
+    # payload carried no load evidence — VERDICT r12 ask #1).
+    load_headline_end = round(os.getloadavg()[0], 1)
     extra_times = {}
     for name in EXTRA:
         over = time.perf_counter() - bench_start > budget_s
@@ -320,7 +326,9 @@ def main() -> None:
         "sf": sf,
         "env": {
             "cpus_visible": os.cpu_count(),
+            "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
             "loadavg1_start": LOAD_START,
+            "loadavg1_headline_end": load_headline_end,
             "loadavg1_end": load_end,
         },
     }
@@ -339,12 +347,24 @@ def main() -> None:
     with open(os.path.join(bench_dir, f"BENCH_{tag}_full.json"), "w") as f:
         json.dump(payload, f, indent=1)
         f.write("\n")
+    # Self-describing compact payload (VERDICT r12 ask #1): the r12
+    # 32-core driver capture was load-contaminated and the one-line JSON
+    # carried no evidence of it, so 18/19 "regressions" could not be told
+    # apart from real ones without the committed full artifact. The
+    # compact line now carries (a) the env block — loadavg at start, at
+    # headline-loop end, and at bench end, plus the core count — and
+    # (b) EVERY headline sample, not just the min, so a contaminated
+    # capture (high load, samples spread 2x) is visible in the driver's
+    # own artifact. Headline-only samples keep the line well inside the
+    # driver's stdout-tail capture window (the r7 truncation lesson).
     compact = {
         "metric": "headline_suite_seconds",
         "value": total,
         "value_19q": total_19q,
         "unit": "sec",
         "queries": times,
+        "samples": {n: runs[n] for n in HEADLINE},
+        "env": payload["env"],
         "sf": sf,
     }
     print(json.dumps(compact))

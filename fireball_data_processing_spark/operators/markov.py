@@ -225,7 +225,11 @@ def markov_profile(
     """Per-state chain profile: out-transition count, self-loop
     probability, and the ``n_iter``-step power-iterate of the stationary
     distribution. Returns ``(state, n_out, self_prob, stationary_prob)``
-    ordered by state.
+    with rows EMITTED in state order (order-by-construction: the local
+    relation is built iterating ``sorted(states)``; the plan carries no
+    sort, so downstream consumers needing a guaranteed ordering must add
+    their own ``orderBy`` — Spark only preserves local-relation row
+    order as an implementation fact).
 
     The matrix is |states|^2-bounded by construction, so it crosses to
     the driver ONCE and every model-sized step — the power iteration,
@@ -396,7 +400,8 @@ def removal_attribution(
 
     Returns one row per transient state:
     ``(state, start_share, conv_full, conv_removed, removal_effect)``
-    ordered by state.
+    with rows emitted in state order (order-by-construction, no sort in
+    the plan — see :func:`markov_profile`).
 
     Scale shape: the data-proportional work is the lead window + pair
     count (shared by all scenarios) and one first-event-per-user

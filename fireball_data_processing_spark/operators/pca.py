@@ -217,8 +217,10 @@ def power_iteration_pca_k(
     materialized only inside the next component's cached base), and the
     next component is extracted from the residual. Returns
     ``n_components * dim`` rows
-    ``(component, dim, loading, eigenvalue, var_share)`` ordered by
-    (component, dim); var_share is each eigenvalue's share of TOTAL
+    ``(component, dim, loading, eigenvalue, var_share)`` with rows
+    emitted in (component, dim) order (order-by-construction — no sort
+    in the plan; see :func:`power_iteration_pca`);
+    var_share is each eigenvalue's share of TOTAL
     scatter, so shares across components are comparable and sum below
     1. Same bounded-collect contract and per-value rounding as
     :func:`power_iteration_pca`."""
@@ -276,7 +278,9 @@ def power_iteration_pca(
 ) -> DataFrame:
     """Top principal component of ``vec_col`` (array<float/double>,
     ``dim`` entries). Returns ``dim`` rows
-    ``(dim, loading, eigenvalue, var_share)`` ordered by 1-based dim:
+    ``(dim, loading, eigenvalue, var_share)`` with rows emitted in
+    1-based dim order (order-by-construction: the local relation is
+    built dim-ascending and the plan carries no sort):
     the unit loading vector after ``n_iter`` scatter-matrix power
     steps, the scatter eigenvalue estimate ``||S v||`` of the final
     step, and its share of total scatter (= fraction of embedding

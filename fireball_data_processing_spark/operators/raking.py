@@ -47,8 +47,11 @@ def raking_weights(
     """Per-cell raking weights matching ``row_targets`` /
     ``col_targets`` (maps category -> target SHARE; each should sum to
     1 over the categories present). Returns one row per observed cell:
-    ``(row_cat, col_cat, n, weight, weighted_share)`` ordered by
-    (row_cat, col_cat); ``weighted_share`` is the cell's share of the
+    ``(row_cat, col_cat, n, weight, weighted_share)`` with rows emitted
+    in (row_cat, col_cat) order (order-by-construction: the local
+    relation is built from the sorted cell list, the plan carries no
+    sort — consumers needing a guaranteed ordering add their own
+    ``orderBy``); ``weighted_share`` is the cell's share of the
     weighted total after the final iteration.
 
     Each iteration scales weights so the weighted ROW margin matches
@@ -68,8 +71,12 @@ def raking_weights(
             .collect()  # bounded: |row cats| x |col cats| cells
         )
     ]
-    cells.sort()  # collect order is not deterministic; every driver-
-    # side sum below runs in sorted-cell order so reruns are bit-stable
+    # collect order is not deterministic; every driver-side sum below
+    # runs in sorted-cell order so reruns are bit-stable. None-tolerant
+    # key (the markov _sort_key pattern): a NULL row/col category is a
+    # legal groupBy key, and a bare tuple sort would raise TypeError on
+    # None — the engine-side orderBy this replaced tolerated NULLs.
+    cells.sort(key=lambda t: (t[0] is None, t[0], t[1] is None, t[1]))
     w = {(rc, cc): 1.0 for rc, cc, _ in cells}
     n_of = {(rc, cc): n for rc, cc, n in cells}
 
@@ -109,7 +116,7 @@ def raking_weights(
             if final_tot == 0.0
             else spark_round(n * w[(rc, cc)] / final_tot, out_dp),
         )
-        for rc, cc, n in sorted(cells)
+        for rc, cc, n in cells  # already sorted (None-tolerant) above
     ]
     # rows iterate sorted(cells), so the local relation is ALREADY in
     # (row_cat, col_cat) order — an orderBy() here would spend a whole

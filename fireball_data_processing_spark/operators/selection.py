@@ -107,6 +107,17 @@ def budget_fill(
     # domain_budget_fill composition that upstream includes regex-heavy
     # per-row feature math (guide §2.4: persist a subtree with multiple
     # consumers). Bucket-projection-sized, LRU-evictable.
+    #
+    # r13 note: the score_percentile_gate bucketed path now pre-partitions
+    # its pin on the consumers' clustering key (see there); the same
+    # rewrite was A/B'd HERE and rejected — domain_budget_fill read
+    # +0.0/+0.4 s and token_budget_fill +0.05/+0.18 s across two
+    # interleaved passes (the pinned frame's REPARTITION_BY_COL cannot
+    # be AQE-coalesced inside a cache, so at toy scale the downstream
+    # window pays 64 un-coalesced tasks; and the runtime elision of the
+    # consumers' ENSURE_REQUIREMENTS exchanges over a cached frame is
+    # not deterministic). The fill's post-combine offsets exchange is
+    # taxonomy-sized either way.
     sdf = df.withColumn("__bkt", bkt).persist()
     gcols = ([group_col] if group_col is not None else []) + ["__bkt"]
     bucket_sums = sdf.groupBy(*gcols).agg(F.sum(weight_col).alias("__bw"))
@@ -350,7 +361,18 @@ def score_percentile_gate(
     # curriculum_stages that upstream is the full bigram-LM score plan
     # (guide §2.4: persist a subtree with multiple consumers; measured
     # 2.6 s -> 1.6 s on curriculum_stages at sf0.1).
-    with_b = scored.withColumn("__b", bucket).persist()
+    #
+    # r13 (guide §2.1/§2.4, the bm25/budget_fill exchange-sharing
+    # pattern): the pinned frame is hash-partitioned on (group, __b) —
+    # the key BOTH consumers cluster by (phase-1 groupBy and phase-2
+    # in-bucket rank window) — so neither adds its own exchange; the
+    # row-grain stream is shuffled once, into the cache fill (plan
+    # fact: plans/r13/curriculum_stages_{before,after}.txt).
+    with_b = (
+        scored.withColumn("__b", bucket)
+        .repartition(F.col(group_col), F.col("__b"))
+        .persist()
+    )
     # phase 1: per-(group, bucket) counts — groups x n_buckets rows.
     # Offsets accumulate in RANK DIRECTION (ascending keeps low scores
     # first, so low buckets precede; descending reverses), and the one

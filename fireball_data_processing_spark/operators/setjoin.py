@@ -89,6 +89,15 @@ def prefix_candidates(
     persisted — without the pin each side re-executes the whole
     df-count + rank-window pipeline (guide §2.4: duplicated subtrees;
     measured ~2x on the sf0.1 candidate stage: 5.2 s -> 2.8 s warm).
+
+    Pin policy (r13, VERDICT r12 ask #4): the persist stays
+    UNCONDITIONAL, unlike the ``_pin_if_large``-gated LSH/winnow pins —
+    re-A/B'd this round (interleaved, min-of-4): gated = unpinned
+    locally = 4.41 s vs pinned 3.86 s. The gate's decline-at-local-scale
+    rationale is that a broadcast BUILD subtree overlaps the PROBE-side
+    scan concurrently, so duplication is partly free; this self-join is
+    shuffle-shuffle — both sides are the same exchange-bound pipeline
+    with no overlap to lose — so the pin wins at every scale.
     The pinned frame is appended to ``pins`` when the caller passes a
     list (``set_similarity_join`` does, and unpersists after its final
     checkpoint); standalone callers inherit an LRU-evictable,

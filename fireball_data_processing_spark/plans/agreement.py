@@ -275,6 +275,14 @@ def dawid_skene(
             F.col(label_col).alias("label"),
         )
         .agg(F.count(F.lit(1)).cast("double").alias("n"))
+        # r13 (guide §2.1/§2.4): hash-partition the pin on "item" — the
+        # key every per-round consumer clusters by (the itot/votes
+        # groupBys, each round's E-step join and (item, c) aggregate) —
+        # so AQE's runtime re-optimization can elide those consumers'
+        # exchanges against the cache's known partitioning. Interleaved
+        # A/B (with the same treatment on the posterior pins below):
+        # dawid_skene_labels 6.93 -> 4.80 s min-of-4, every pair better.
+        .repartition(F.col("item"))
         .persist()
     )
     itot = counts.groupBy("item").agg(F.sum("n").alias("ni"))
@@ -294,6 +302,9 @@ def dawid_skene(
                 F.coalesce(F.col("v"), F.lit(0.0)) / F.col("ni"), round_dp
             ).alias("t"),
         )
+        # item-partitioned like `counts` (same rationale): the M-step
+        # join and the next round's lineage consume it item-keyed
+        .repartition(F.col("item"))
         .persist()
     )
     nitems = itot.agg(F.count(F.lit(1)).cast("double").alias("n_items"))
@@ -364,7 +375,7 @@ def dawid_skene(
                 ),
                 round_dp,
             ).alias("t"),
-        ).persist()
+        ).repartition(F.col("item")).persist()
     w_rank = Window.partitionBy("item").orderBy(
         F.col("t").desc(), F.col("c").asc()
     )

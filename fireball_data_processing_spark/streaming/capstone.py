@@ -117,6 +117,32 @@ def should_broadcast_index(index: DataFrame) -> bool:
     return est <= threshold
 
 
+def _single_split_batch(batch_df: DataFrame) -> bool:
+    """True when the micro-batch's Catalyst size estimate fits ONE scan
+    split (``spark.sql.files.maxPartitionBytes``) — i.e. the batch
+    already executes as a single task, so collapsing the per-batch
+    aggregate to one partition costs no parallelism and removes its
+    shuffle exchange outright (guide §2.4). Driver-side metadata probe
+    only — no job, no plan→RDD conversion (the ``_pin_if_large`` /
+    ``should_broadcast_index`` idiom). A file-source micro-batch always
+    carries real byte counts; estimates above ~1 EiB are propagated
+    unknowns — treat as LARGE (decline the fast path) rather than
+    serializing a corpus-sized batch through one task."""
+    if batch_df.isStreaming:  # only meaningful for materialized batches
+        return False
+    spark = batch_df.sparkSession
+    jvm = spark.sparkContext._jvm
+    max_pb = int(
+        jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB")
+        )
+    )
+    est = int(
+        batch_df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    return est <= max_pb  # unknowns (~2^64) always exceed max_pb
+
+
 def stage_incoming_slices(
     incoming: DataFrame, staging_dir: str, n_slices: int = 4
 ) -> list[str]:
@@ -207,6 +233,20 @@ def ingest_pipeline_batch(
     parallelism.
     """
     n_words_col, passes_col, hash_col = _gate_exprs(min_words)
+    # Single-split fast path (exact gate only): a staged slice file below
+    # maxPartitionBytes arrives as ONE scan partition, so the per-batch
+    # (source, lang) aggregate's shuffle exchange moves zero-parallelism
+    # data — coalesce(1) before the groupBy satisfies the aggregate's
+    # clustering requirement with SinglePartition and the planner drops
+    # the Exchange (and with it one AQE query-stage job PER EPOCH; plan
+    # fact in plans/r13/streaming_ingest_pipeline_after.txt). Gated on
+    # the batch's size estimate: a corpus-scale batch keeps the
+    # distributed aggregate (its partial-agg shuffle is taxonomy-sized
+    # and its map side needs every scan split). The near gate never
+    # takes this path — its min_parallelism repartition exists to fan
+    # the per-row MinHash out, and a pre-aggregate coalesce(1) would
+    # fuse upstream and serialize exactly that work.
+    single_task = gate == "exact" and _single_split_batch(batch_df)
     if gate == "exact":
         keyed = batch_df.withColumn("content_hash", hash_col)
         if broadcast_index is None:
@@ -220,6 +260,8 @@ def ingest_pipeline_batch(
     else:
         raise ValueError(f"unknown gate {gate!r}; expected 'exact' or 'near'")
     gated = fresh.withColumn("n_words", n_words_col).filter(passes_col)
+    if single_task:
+        gated = gated.coalesce(1)
     return gated.groupBy("source", "lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_words").cast("bigint").alias("n_tokens"),

@@ -20,6 +20,9 @@ from fireball_data_processing_spark.streaming.dedup_stream import (
 
 import pytest
 
+pytestmark = pytest.mark.slow  # driver-budget split (r13): long
+# end-to-end runs excluded from the default suite; run with -m slow
+
 SMOKE = "/root/testdata/sf0.001"
 MIN_WORDS = 10  # sf0.001 docs are short; the CATALOG query gates at the
 # Gopher default (50) and its oracle hard-codes n_words >= 50 — these
@@ -331,3 +334,55 @@ def test_near_gate_parallelism_floor_preserves_results(spark):
         min_parallelism=spark.sparkContext.defaultParallelism,
     )
     assert _rows(base) == _rows(fanned)
+
+
+def test_exact_gate_single_split_agg_is_exchange_free(spark):
+    """The single-split fast path: a micro-batch whose size estimate fits
+    one scan split aggregates WITHOUT a shuffle exchange (coalesce(1)
+    satisfies the groupBy's clustering requirement), a too-big/unknown
+    estimate keeps the distributed aggregate, and the rows are identical
+    either way (r13; guide §2.4 — remove shuffles outright)."""
+    import contextlib
+    import io
+
+    from fireball_data_processing_spark.streaming import capstone
+
+    def _plan(df) -> str:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    corpus, incoming = _fixture(spark)
+    idx = _index(corpus, "exact").localCheckpoint()
+
+    # sf0.001 incoming is far below maxPartitionBytes: fast path taken,
+    # no shuffle exchange in the plan (the only Exchange is the gate's
+    # broadcast build side)
+    assert capstone._single_split_batch(incoming) is True
+    fast = ingest_pipeline_batch(incoming, idx, min_words=MIN_WORDS)
+    plan = _plan(fast)
+    assert "Coalesce" in plan
+    assert "hashpartitioning(source" not in plan
+
+    # force the gate shut (probe monkeypatched to "too big"): the
+    # distributed aggregate and its exchange come back
+    saved = capstone._single_split_batch
+    capstone._single_split_batch = lambda df: False
+    try:
+        slow = ingest_pipeline_batch(incoming, idx, min_words=MIN_WORDS)
+    finally:
+        capstone._single_split_batch = saved
+    plan = _plan(slow)
+    assert "Coalesce" not in plan
+    assert "hashpartitioning(source" in plan
+
+    # strategy, not semantics: identical rows through both paths
+    assert _rows(fast) == _rows(slow)
+
+    # a streaming frame never takes the driver-side probe
+    stream = (
+        spark.readStream.schema(incoming.schema)
+        .parquet("/root/testdata/sf0.001")
+    )
+    assert capstone._single_split_batch(stream) is False

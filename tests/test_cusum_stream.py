@@ -3,6 +3,8 @@ late-data additive merge, replay idempotence."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
@@ -12,6 +14,9 @@ from fireball_data_processing_spark.streaming.cusum_stream import (
     cusum_monitor,
     stream_rate_deltas,
 )
+
+pytestmark = pytest.mark.slow  # driver-budget split (r13): long
+# end-to-end runs excluded from the default suite; run with -m slow
 
 DAY = 86400 * 10**9
 SCHEMA = "ts bigint, x int"

@@ -3,6 +3,8 @@ parity, epoch-merge correctness, replay idempotence, rescale identity."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
@@ -12,6 +14,9 @@ from fireball_data_processing_spark.streaming.decay_stream import (
     read_decayed,
     stream_decay_deltas,
 )
+
+pytestmark = pytest.mark.slow  # driver-budget split (r13): long
+# end-to-end runs excluded from the default suite; run with -m slow
 
 DAY = 86400 * 10**9
 T0 = 1700000000 * 10**9

@@ -3,6 +3,8 @@ scoring and end-to-end availableNow run with the idempotent sink."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import shutil
 
@@ -17,6 +19,9 @@ from fireball_data_processing_spark.streaming.drift_stream import (
     drift_monitor_stream,
     score_windows_psi,
 )
+
+pytestmark = pytest.mark.slow  # driver-budget split (r13): long
+# end-to-end runs excluded from the default suite; run with -m slow
 
 SMOKE = "/root/testdata/sf0.001"
 S = SYNTHETIC_STREAM

@@ -4,6 +4,8 @@ admit/quarantine routing, and idempotent replay."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import time
 
@@ -17,6 +19,9 @@ from fireball_data_processing_spark.operators.expectations import (
 from fireball_data_processing_spark.streaming.expectations_stream import (
     run_expectation_gate,
 )
+
+pytestmark = pytest.mark.slow  # driver-budget split (r13): long
+# end-to-end runs excluded from the default suite; run with -m slow
 
 _SCHEMA = "id long, val long"
 

@@ -13,6 +13,17 @@ import pytest
 
 from fireball_data_processing_spark import queries as catalog
 
+# Driver-budget split (r13): this module replays the DRIVER'S OWN t2
+# gate (every oracle query vs DuckDB at sf0.01 — ~850 s of the suite,
+# the PCA-trajectory oracles alone 100–190 s each), so inside the
+# driver's pytest run it duplicates a check the driver performs
+# independently on every round. The whole module is marked slow: it
+# still gates every build locally (`-m slow`, plus
+# scripts/drive_contract.py which runs the same comparison
+# standalone), and the default suite keeps the operator/unit/plan
+# coverage the driver does NOT replicate.
+pytestmark = pytest.mark.slow
+
 ORACLE_QUERIES = [n for n, s in catalog.REGISTRY.items() if s.oracle is not None]
 
 

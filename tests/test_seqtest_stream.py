@@ -4,6 +4,8 @@ documented batch-granularity semantics."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
@@ -13,6 +15,9 @@ from fireball_data_processing_spark.streaming.seqtest_stream import (
     sprt_monitor,
     stream_sprt_deltas,
 )
+
+pytestmark = pytest.mark.slow  # driver-budget split (r13): long
+# end-to-end runs excluded from the default suite; run with -m slow
 
 SCHEMA = "g bigint, o bigint, x int"
 ARGS = dict(p0=0.15, p1=0.25, alpha=0.05, beta=0.05)

@@ -119,6 +119,9 @@ def test_open_event_stream_payload_envelope(spark):
 
 import pytest
 
+pytestmark = pytest.mark.slow  # driver-budget split (r13): long
+# end-to-end runs excluded from the default suite; run with -m slow
+
 
 @pytest.mark.parametrize("gate", ["exact", "near"])
 def test_capstone_through_kinesis_shaped_seam(spark, tmp_path, gate):

@@ -7,6 +7,8 @@ import os
 import shutil
 import tempfile
 
+import pytest
+
 from fireball_data_processing_spark.plans.heuristics import (
     STREAM_SAFE,
     heuristics_matrix,
@@ -16,6 +18,9 @@ from fireball_data_processing_spark.sources.tables import load_table, raw_table_
 from fireball_data_processing_spark.streaming.heuristics_stream import (
     stream_heuristics,
 )
+
+pytestmark = pytest.mark.slow  # driver-budget split (r13): long
+# end-to-end runs excluded from the default suite; run with -m slow
 
 SMOKE = "/root/testdata/sf0.001"
 

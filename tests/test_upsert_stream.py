@@ -3,6 +3,8 @@ touched-bucket isolation."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
@@ -12,6 +14,9 @@ from fireball_data_processing_spark.streaming.upsert_stream import (
     upsert_merge,
     upsert_parquet_sink,
 )
+
+pytestmark = pytest.mark.slow  # driver-budget split (r13): long
+# end-to-end runs excluded from the default suite; run with -m slow
 
 SCHEMA = "doc_id bigint, text string, version bigint"
 
