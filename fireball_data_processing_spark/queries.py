@@ -13568,87 +13568,74 @@ def get(name: str) -> QuerySpec:
 # Names listed here lead in this order; anything not listed follows in
 # declaration order; listed-but-unregistered names are skipped.
 _PRIORITY = [
-    # Round-12 head (the driver samples roughly the first 50 entries),
-    # laid out by scripts/attestation.py --head 50 (stalest-first), with
-    # this round's new/changed rows leading:
-    #   1. the 2 queries NEW this round (first-ever rows):
-    #      bpe_token_histogram (vocabulary-coverage histogram over the
-    #      application unroll) and lsh_band_hit_rates (per-band
-    #      collision diagnostic of the near gate);
-    #   2. the 3 rows-only -> oracle conversions (first-ever HASH rows):
-    #      anonymized_props (F10 walk over a snowflake-injecting
-    #      envelope; F8 rendering replayed via UHUGEINT),
-    #      bpe_token_stats (unrolled merge-APPLICATION replay), and
-    #      fb_automation_narration (bounded-depth tree-walk unroll) —
-    #      leaves multimodal_features as the single rows-only-by-nature
-    #      entry;
-    #   3. the 3 queries whose engine changed this round
-    #      (bpe_merge_table: corpus-checksum-keyed cache; both
-    #      streaming capstones: size-aware exact gate +
-    #      constructor-flag parallelism floor);
-    #   4. the ENTIRE 31-query r7-stale tier (independently re-driven
-    #      green by the judge in r11 — this consumes the rotation debt,
-    #      staleness floor -> r8);
-    #   5. the r8 tier head (alphabetical) to fill 50.
-    # Late-round additions (first-ever rows, so they lead): the privacy
-    # pillar's two release gates — the k-anonymity/l-diversity audit and
-    # the seeded-Laplace DP count release — and the declarative
-    # data-quality expectation suite (three r8 fillers trimmed to hold
-    # the head at 50).
-    "k_anonymity_audit",
-    "dp_event_count_release",
-    "data_quality_expectations",
-    "bpe_token_histogram",
-    "lsh_band_hit_rates",
-    "anonymized_props",
-    "bpe_token_stats",
-    "fb_automation_narration",
-    "bpe_merge_table",
+    # Round-13 head (the driver samples roughly the first 50 entries),
+    # laid out per scripts/attestation.py --head 50 (stalest-first) with
+    # this round's changed rows and the VERDICT r12 ask-#8 names leading:
+    #   1. the queries whose ENGINE changed this round: both streaming
+    #      capstones (single-split per-epoch aggregate fast path),
+    #      dawid_skene_labels (item-partitioned EM pins),
+    #      curriculum_stages (bucketed-gate pin pre-partitioned on the
+    #      consumers' key), raked_mix_weights (None-tolerant cell sort —
+    #      also in the r8-stale tier below);
+    #   2. the r12 rewrites the r12 correctness head never sampled
+    #      (VERDICT r12 ask #8): markov_removal_attribution, bm25_search,
+    #      bootstrap_mean_ci, ab_test_delta_ci, doc_unigram_logprob,
+    #      doc_bigram_logprob (markov_stationary_profile,
+    #      markov_entropy_rate, logrank_conversion_test ride the r8 tier);
+    #   3. the ENTIRE 36-query r8-stale tier (staleness floor -> r9);
+    #   4. the r9 tier head (alphabetical) to fill 50.
     "streaming_ingest_pipeline",
     "streaming_ingest_near_pipeline",
-    # --- r7-stale tier (31) ---
-    "doremi_domain_weights",
-    "edit_distance_near_dups",
-    "event_type_rollup",
-    "exact_dedup_groups",
-    "fb_distill4_core",
-    "fsm_buffer_flush",
-    "heuristics_matrix",
-    "hybrid_search_rrf",
-    "incremental_heuristics_merge",
-    "late_order_priorities",
-    "lsh_tuning_curve",
-    "minhash_signatures",
-    "near_dup_pairs",
-    "nearest_purchase",
-    "paginate_events",
-    "pricing_summary",
-    "readability_gate",
-    "revenue_by_nation",
-    "run_lengths",
-    "segment_scrub_gate",
-    "self_bleu_pairs",
-    "set_similarity_pairs",
-    "simhash_fingerprints",
-    "top_customers_page",
-    "triples_summary",
-    "weighted_source_sample",
-    "windowed_mix_drift",
-    "winnow_copy_pairs",
-    "winnow_fingerprint_index",
-    "zipf_fit_profile",
-    "znorm_user_values",
-    # --- r8 tier head (8; dup_graph_triangle_census /
-    # event_audience_overlap / ewma_daily_conversion trimmed for the
-    # three late additions — they rejoin the r8 queue) ---
-    "annotator_disagreement_topk",
-    "benford_value_audit",
-    "capture_recapture_estimate",
-    "conformal_quality_threshold",
-    "cusum_daily_conversion",
     "dawid_skene_labels",
-    "decayed_event_value",
-    "dedup_mix_bias",
+    "curriculum_stages",
+    "markov_removal_attribution",
+    "bm25_search",
+    "bootstrap_mean_ci",
+    "ab_test_delta_ci",
+    "doc_unigram_logprob",
+    "doc_bigram_logprob",
+    # --- r8-stale tier (36) ---
+    "dup_graph_triangle_census",
+    "event_audience_overlap",
+    "ewma_daily_conversion",
+    "extreme_value_return_levels",
+    "funnel_conversion_steps",
+    "histogram_quantile_sketch",
+    "isotonic_quality_calibration",
+    "jackknife_quality_se",
+    "km_conversion_curve",
+    "kn_bigram_doc_scores",
+    "lang_jsd_matrix",
+    "logistic_quality_calibration",
+    "logrank_conversion_test",
+    "mad_outlier_profile",
+    "mannwhitney_value_shift",
+    "markov_entropy_rate",
+    "markov_stationary_profile",
+    "neyman_stratified_sample",
+    "offpolicy_value_dr",
+    "offpolicy_value_snips",
+    "quality_ranking_rbo",
+    "quality_score_propagation",
+    "quantile_normalized_lengths",
+    "raked_mix_weights",
+    "reliability_diagram_ece",
+    "segment_shift_fdr",
+    "semantic_dedup_survivors",
+    "shapley_channel_attribution",
+    "source_lang_association",
+    "sprt_conversion_decision",
+    "theil_sen_daily_trend",
+    "token_diversity_profile",
+    "token_mass_lorenz",
+    "trimmed_value_stats",
+    "vocab_richness_estimate",
+    "weekly_cohort_retention",
+    # --- r9 tier head (4) to fill 50 ---
+    "acf_daily_events",
+    "asof_state_forward",
+    "cdc_chunk_dedup",
+    "cluster_balanced_sample",
 ]
 
 
